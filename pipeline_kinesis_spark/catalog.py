@@ -1,0 +1,200 @@
+"""Engine metadata catalog — the Spark-native analog of the reference's
+``endpoints`` / ``consumers`` / ``seqnums`` tables
+(pipeline_kinesis--0.9.0.sql:4-31).
+
+Persisted as a single JSON document under the engine's metadata dir with
+atomic rewrite; a process-local lock mirrors the reference's
+AccessExclusiveLock around consumer mutation (pipeline_kinesis.c:830-849).
+The third reference table, ``seqnums``, has no direct analog here: offsets
+live in Structured Streaming checkpoints (exactly-once, managed by Spark) —
+see Engine.progress() for the inspectable view of ingest position.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class Endpoint:
+    """Reference: kinesis_add_endpoint(name, region, credfile, url)
+    (pipeline_kinesis.c:120-165). ``url`` doubles as the source root for
+    the file-replay source."""
+
+    name: str
+    region: str = "local"
+    credfile: str | None = None
+    url: str | None = None
+
+
+@dataclass
+class StreamDef:
+    """CREATE STREAM analog (README.md:65): declared name + DDL schema.
+    ``arrival_timestamp`` is engine-injected, never declared
+    (pipeline_kinesis.c:247-257)."""
+
+    name: str
+    schema_ddl: str  # e.g. "payload STRING" / "k STRING, v BIGINT, ts TIMESTAMP"
+
+
+@dataclass
+class ViewDef:
+    """CREATE CONTINUOUS VIEW analog (README.md:66)."""
+
+    name: str
+    sql: str
+    stream: str
+    output_mode: str = "complete"
+
+
+@dataclass
+class Consumer:
+    """Reference consumers row (pipeline_kinesis--0.9.0.sql:13-25)."""
+
+    id: int
+    endpoint: str
+    stream: str
+    relation: str
+    format: str = "text"
+    delimiter: str = "\t"
+    quote: str | None = None
+    escape: str | None = None
+    batchsize: int = 1000
+    parallelism: int = 1
+    start_position: str = "trim_horizon"
+
+
+@dataclass
+class CatalogState:
+    endpoints: dict[str, dict] = field(default_factory=dict)
+    streams: dict[str, dict] = field(default_factory=dict)
+    views: dict[str, dict] = field(default_factory=dict)
+    consumers: dict[str, dict] = field(default_factory=dict)  # key: id str
+    next_consumer_id: int = 1
+
+
+class Catalog:
+    def __init__(self, metadata_dir: str):
+        self.metadata_dir = metadata_dir
+        self.path = os.path.join(metadata_dir, "catalog.json")
+        self._lock = threading.RLock()
+        os.makedirs(metadata_dir, exist_ok=True)
+        self.state = self._load()
+
+    def _load(self) -> CatalogState:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return CatalogState(**json.load(f))
+        return CatalogState()
+
+    def _save(self) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(asdict(self.state), f, indent=2)
+        os.replace(tmp, self.path)
+
+    # -- endpoints (reference pipeline_kinesis.c:120-188) --
+
+    def add_endpoint(self, ep: Endpoint) -> None:
+        with self._lock:
+            self.state.endpoints[ep.name] = asdict(ep)
+            self._save()
+
+    def remove_endpoint(self, name: str) -> None:
+        with self._lock:
+            in_use = [
+                c
+                for c in self.state.consumers.values()
+                if c["endpoint"] == name
+            ]
+            if in_use:
+                raise ValueError(f"endpoint {name!r} has active consumers")
+            self.state.endpoints.pop(name, None)
+            self._save()
+
+    def endpoint(self, name: str) -> Endpoint:
+        try:
+            return Endpoint(**self.state.endpoints[name])
+        except KeyError:
+            raise KeyError(f"unknown endpoint {name!r}") from None
+
+    # -- streams --
+
+    def create_stream(self, sd: StreamDef) -> None:
+        with self._lock:
+            self.state.streams[sd.name] = asdict(sd)
+            self._save()
+
+    def drop_stream(self, name: str) -> None:
+        with self._lock:
+            dependent = [
+                v for v in self.state.views.values() if v["stream"] == name
+            ]
+            if dependent:
+                raise ValueError(f"stream {name!r} has continuous views")
+            self.state.streams.pop(name, None)
+            self._save()
+
+    def stream(self, name: str) -> StreamDef:
+        try:
+            return StreamDef(**self.state.streams[name])
+        except KeyError:
+            raise KeyError(f"unknown stream {name!r}") from None
+
+    # -- continuous views --
+
+    def create_view(self, vd: ViewDef) -> None:
+        with self._lock:
+            self.stream(vd.stream)  # must exist
+            self.state.views[vd.name] = asdict(vd)
+            self._save()
+
+    def drop_view(self, name: str) -> None:
+        with self._lock:
+            self.state.views.pop(name, None)
+            self._save()
+
+    def views_on(self, stream: str) -> list[ViewDef]:
+        return [
+            ViewDef(**v)
+            for v in self.state.views.values()
+            if v["stream"] == stream
+        ]
+
+    # -- consumers (reference upsert: pipeline_kinesis.c:857-948) --
+
+    def upsert_consumer(self, c: Consumer) -> Consumer:
+        with self._lock:
+            for existing in self.state.consumers.values():
+                if (
+                    existing["endpoint"] == c.endpoint
+                    and existing["stream"] == c.stream
+                    and existing["relation"] == c.relation
+                ):
+                    c.id = existing["id"]
+                    self.state.consumers[str(c.id)] = asdict(c)
+                    self._save()
+                    return c
+            c.id = self.state.next_consumer_id
+            self.state.next_consumer_id += 1
+            self.state.consumers[str(c.id)] = asdict(c)
+            self._save()
+            return c
+
+    def find_consumer(
+        self, endpoint: str, stream: str, relation: str
+    ) -> Consumer | None:
+        for c in self.state.consumers.values():
+            if (
+                c["endpoint"] == endpoint
+                and c["stream"] == stream
+                and c["relation"] == relation
+            ):
+                return Consumer(**c)
+        return None
+
+    def all_consumers(self) -> list[Consumer]:
+        return [Consumer(**c) for c in self.state.consumers.values()]

@@ -1,0 +1,279 @@
+"""Engine control plane — the Spark-native analog of the reference's SQL
+UDF surface (pipeline_kinesis--0.9.0.sql:33-83):
+
+reference                           → Engine method
+-----------------------------------------------------------------
+kinesis_add_endpoint / _remove      → add_endpoint / remove_endpoint
+CREATE STREAM (PipelineDB)          → create_stream
+CREATE CONTINUOUS VIEW (PipelineDB) → create_continuous_view
+kinesis_consume_begin_sr            → consume_begin
+kinesis_consume_end_sr / _all       → consume_end / consume_end_all
+SELECT * FROM seqnums (progress)    → progress()
+
+consume_begin wires: file-replay source → COPY-parity parse (+dead-letter)
+→ (a) exactly-once parquet archive of the stream relation, (b) one
+incremental query per registered continuous view, materialized queryable.
+Process/thread plumbing from the reference (bgworkers, shard threads,
+bounded queues — pipeline_kinesis.c:774-823, conc_queue.hpp) collapses
+into Spark's task scheduler; shard→task assignment is automatic.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from pipeline_kinesis_spark.catalog import (
+    Catalog,
+    Consumer,
+    Endpoint,
+    StreamDef,
+    ViewDef,
+)
+from pipeline_kinesis_spark.ingest.parse import parse_records, split_quarantine
+from pipeline_kinesis_spark.sources.file_replay import FileReplaySource
+from pipeline_kinesis_spark.streaming.continuous_view import (
+    compile_view,
+    materialize_memory,
+)
+
+# Reference caps parallelism at 8 bgworkers (pipeline_kinesis.c:54). We keep
+# the knob for API parity but it only bounds maxFilesPerTrigger here —
+# actual parallelism is Spark's scheduler.
+MAX_PROCS = 8
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        metadata_dir: str = ".pipeline_kinesis_spark",
+        trigger_interval: str = "500 milliseconds",
+    ):
+        self.spark = spark
+        self.metadata_dir = os.path.abspath(metadata_dir)
+        self.catalog = Catalog(self.metadata_dir)
+        self.trigger_interval = trigger_interval
+        # consumer id → list[StreamingQuery]; registry mutex mirrors the
+        # reference's consumer lock (pipeline_kinesis.c:830-849).
+        self._queries: dict[int, list[StreamingQuery]] = {}
+        self._lock = threading.RLock()
+
+    # ------------------------------------------------------------- catalog
+
+    def add_endpoint(
+        self,
+        name: str,
+        region: str = "local",
+        credfile: str | None = None,
+        url: str | None = None,
+    ) -> None:
+        self.catalog.add_endpoint(Endpoint(name, region, credfile, url))
+
+    def remove_endpoint(self, name: str) -> None:
+        self.catalog.remove_endpoint(name)
+
+    def create_stream(self, name: str, schema_ddl: str) -> None:
+        self.catalog.create_stream(StreamDef(name, schema_ddl))
+
+    def drop_stream(self, name: str) -> None:
+        self.catalog.drop_stream(name)
+
+    def create_continuous_view(
+        self,
+        name: str,
+        sql: str,
+        stream: str,
+        output_mode: str = "complete",
+    ) -> None:
+        self.catalog.create_view(ViewDef(name, sql, stream, output_mode))
+
+    def drop_continuous_view(self, name: str) -> None:
+        self.catalog.drop_view(name)
+
+    # --------------------------------------------------------------- paths
+
+    def table_dir(self, relation: str) -> str:
+        return os.path.join(self.metadata_dir, "tables", relation)
+
+    def dead_letter_dir(self, relation: str) -> str:
+        return os.path.join(self.metadata_dir, "dead_letter", relation)
+
+    def _ckpt(self, consumer_id: int, kind: str) -> str:
+        return os.path.join(
+            self.metadata_dir, "checkpoints", str(consumer_id), kind
+        )
+
+    # ------------------------------------------------------------- consume
+
+    def consume_begin(
+        self,
+        endpoint: str,
+        stream: str,
+        relation: str,
+        fmt: str = "text",
+        delimiter: str = "\t",
+        quote: str | None = None,
+        escape: str | None = None,
+        batchsize: int = 1000,
+        parallelism: int = 1,
+        start_position: str = "trim_horizon",
+    ) -> Consumer:
+        """Start ingesting `stream` (a directory under the endpoint url)
+        into the declared `relation`, plus one incremental query per
+        continuous view registered on that relation.
+
+        Defaults mirror the reference (format='text', delimiter=tab,
+        batchsize=1000, parallelism=1 — pipeline_kinesis--0.9.0.sql:54-60).
+        Restarting an existing consumer resumes from its checkpoints — the
+        analog of seqnum recovery (pipeline_kinesis.c:459-536).
+        """
+        with self._lock:
+            ep = self.catalog.endpoint(endpoint)
+            sd = self.catalog.stream(relation)
+            if not ep.url:
+                raise ValueError(f"endpoint {endpoint!r} has no url")
+            parallelism = min(max(parallelism, 1), MAX_PROCS)
+            consumer = self.catalog.upsert_consumer(
+                Consumer(
+                    id=0,
+                    endpoint=endpoint,
+                    stream=stream,
+                    relation=relation,
+                    format=fmt,
+                    delimiter=delimiter,
+                    quote=quote,
+                    escape=escape,
+                    batchsize=batchsize,
+                    parallelism=parallelism,
+                    start_position=start_position,
+                )
+            )
+            if self._queries.get(consumer.id):
+                return consumer  # already running
+
+            source = FileReplaySource(
+                os.path.join(ep.url, stream),
+                max_files_per_trigger=parallelism,
+            )
+            records = source.read_stream(self.spark)
+            parsed = parse_records(
+                records, sd.schema_ddl, fmt, delimiter, quote, escape
+            )
+            good, bad = split_quarantine(parsed)
+
+            queries: list[StreamingQuery] = []
+            # (a) exactly-once durable archive of the parsed stream.
+            queries.append(
+                good.writeStream.format("parquet")
+                .option("path", self.table_dir(relation))
+                .option("checkpointLocation", self._ckpt(consumer.id, "ingest"))
+                .trigger(processingTime=self.trigger_interval)
+                .start()
+            )
+            # (b) dead-letter quarantine (improves on the reference's
+            # whole-batch drop, pipeline_kinesis.c:740-758).
+            queries.append(
+                bad.writeStream.format("parquet")
+                .option("path", self.dead_letter_dir(relation))
+                .option(
+                    "checkpointLocation",
+                    self._ckpt(consumer.id, "dead_letter"),
+                )
+                .trigger(processingTime=self.trigger_interval)
+                .start()
+            )
+            # (c) continuous views registered on this relation.
+            for view in self.catalog.views_on(relation):
+                vdf = compile_view(self.spark, good, relation, view.sql)
+                queries.append(
+                    materialize_memory(
+                        vdf,
+                        view.name,
+                        self._ckpt(consumer.id, f"view_{view.name}"),
+                        output_mode=view.output_mode,
+                        trigger_interval=self.trigger_interval,
+                    )
+                )
+            self._queries[consumer.id] = queries
+            return consumer
+
+    def consume_end(self, endpoint: str, stream: str, relation: str) -> bool:
+        """Stop the consumer's queries (kinesis_consume_end_sr analog)."""
+        with self._lock:
+            consumer = self.catalog.find_consumer(endpoint, stream, relation)
+            if consumer is None:
+                return False
+            for q in self._queries.pop(consumer.id, []):
+                q.stop()
+            return True
+
+    def consume_begin_all(self) -> list[Consumer]:
+        """Restart every cataloged consumer (kinesis_consume_begin no-arg,
+        pipeline_kinesis--0.9.0.sql:75-78)."""
+        return [
+            self.consume_begin(
+                c.endpoint,
+                c.stream,
+                c.relation,
+                c.format,
+                c.delimiter,
+                c.quote,
+                c.escape,
+                c.batchsize,
+                c.parallelism,
+                c.start_position,
+            )
+            for c in self.catalog.all_consumers()
+        ]
+
+    def consume_end_all(self) -> int:
+        with self._lock:
+            n = 0
+            for cid, queries in list(self._queries.items()):
+                for q in queries:
+                    q.stop()
+                del self._queries[cid]
+                n += 1
+            return n
+
+    # ---------------------------------------------------------- inspection
+
+    def stream_table(self, relation: str) -> DataFrame:
+        """Ad-hoc batch reads over the archived stream relation."""
+        return self.spark.read.parquet(self.table_dir(relation))
+
+    def dead_letters(self, relation: str) -> DataFrame:
+        return self.spark.read.parquet(self.dead_letter_dir(relation))
+
+    def wait_for_ingest(self, timeout_s: float = 60.0) -> None:
+        """Block until all running queries have processed available input
+        (test/demo helper)."""
+        for queries in list(self._queries.values()):
+            for q in queries:
+                q.processAllAvailable()
+
+    def progress(self) -> list[dict]:
+        """Per-consumer ingest progress — the queryable analog of the
+        seqnums table (README.md:119-129) + lag metric (A14)."""
+        out = []
+        for cid, queries in self._queries.items():
+            for q in queries:
+                p = q.lastProgress
+                if p:
+                    out.append(
+                        {
+                            "consumer_id": cid,
+                            "query": q.name or p.get("name"),
+                            "batch_id": p.get("batchId"),
+                            "num_input_rows": p.get("numInputRows"),
+                            "sources": [
+                                s.get("endOffset")
+                                for s in p.get("sources", [])
+                            ],
+                        }
+                    )
+        return out

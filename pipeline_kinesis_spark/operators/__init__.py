@@ -1,0 +1,23 @@
+"""Operator library: every §2B/§2C operator from SURVEY.md as a named query.
+
+Each module exposes ``QUERIES: dict[str, QuerySpec]`` where a QuerySpec holds
+the Spark implementation ``fn(spark, sf_dir) -> DataFrame`` and (when
+SQL-expressible) the equivalent DuckDB oracle SQL. The registry in
+``pipeline_kinesis_spark.registry`` assembles them for __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """A named query: Spark impl + optional DuckDB oracle SQL + bench flag."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    bench: bool = False  # include in bench.py headline set

@@ -1,0 +1,247 @@
+"""Deduplication operators over the documents table (SURVEY.md §2C C1/C2).
+
+Four tiers, all shuffle-disciplined for 100 TB:
+
+- exact content-hash dedup: one groupBy on a 256-bit fingerprint — the
+  canonical first pass; hash-partition balances perfectly.
+- n-gram Jaccard pairs: inverted-index (shingle → doc) self-join — the
+  exact similarity join. Scales as sum of squared posting-list lengths, so
+  frequent-shingle caps (df cut) are applied, the standard trick.
+- MinHash LSH: constant-size signature per doc (k minima), banded bucket
+  join — candidate generation cost independent of document length; the
+  100 TB path. Pure JVM expressions (xxhash64), no UDFs.
+- SimHash: 64-bit signature + banded Hamming join — cheapest near-dup tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_kinesis_spark.functions.exprs import tokens
+from pipeline_kinesis_spark.io import load
+from pipeline_kinesis_spark.operators import QuerySpec
+
+# MinHash parameters: 32 permutations in 8 bands of 4 rows → catches
+# jaccard ≳ 0.5 with high probability while keeping signatures tiny.
+NUM_PERM = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: group documents by sha256(normalized text); emit fingerprint,
+    cardinality and representative (min doc_id). One shuffle on the hash."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fingerprint", F.sha2(F.lower(F.trim("text")), 256))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT
+  sha256(lower(trim(text))) AS fingerprint,
+  min(doc_id) AS keep_doc_id,
+  count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → distinct n-token shingles (JVM-side transform/slice)."""
+    toked = d.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= n
+    )
+    return (
+        toked.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, n)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (exact): document pairs with 3-gram-shingle Jaccard ≥ 0.5 via an
+    inverted-index join — no cross join; cost ∝ Σ|posting list|²."""
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+    FROM toks WHERE len(t) >= 3
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.5
+"""
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (approximate, the 100 TB path): MinHash signatures + banded LSH.
+
+    No oracle — candidate sets are hash-dependent; the driver records a
+    rows-only check and tests/test_dedup.py asserts recall against the
+    exact ngram_jaccard_pairs result.
+
+    Entirely JVM-side: xxhash64(seed, shingle) per permutation, min per
+    doc, 8 band-hash buckets, self-join per bucket, signature-agreement
+    estimate. Signature size is constant per doc regardless of length.
+    """
+    sh = _shingles(load(spark, sf_dir, "documents"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(
+                f"mh{seed}"
+            )
+            for seed in range(NUM_PERM)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[F.col(f"mh{s}") for s in range(NUM_PERM)],
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.col(f"mh{b * ROWS_PER_BAND + r}")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            ).alias(f"band{b}")
+            for b in range(BANDS)
+        ],
+    )
+    pair_frames = []
+    for b in range(BANDS):
+        a = bands.alias("a")
+        c = bands.alias("c")
+        pair_frames.append(
+            a.join(
+                c,
+                (F.col(f"a.band{b}") == F.col(f"c.band{b}"))
+                & (F.col("a.doc_id") < F.col("c.doc_id")),
+            ).select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("c.doc_id").alias("doc_b"),
+                sum(
+                    (
+                        F.col(f"a.mh{s}") == F.col(f"c.mh{s}")
+                    ).cast("int")
+                    for s in range(NUM_PERM)
+                ).alias("n_agree"),
+            )
+        )
+    pairs = pair_frames[0]
+    for f in pair_frames[1:]:
+        pairs = pairs.unionByName(f)
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.max("n_agree").alias("n_agree"))
+        .withColumn(
+            "est_jaccard", F.round(F.col("n_agree") / F.lit(NUM_PERM), 6)
+        )
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (cheapest tier): 64-bit SimHash per document from token hashes.
+
+    Bit i of the signature = sign of Σ_tokens (bit i ? +1 : -1). Computed
+    as 64 JVM-side conditional sums — one groupBy, no UDF. No oracle
+    (xxhash64 is Spark-specific); rows-only + unit tests.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = sum(
+        F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(63)  # keep bit 63 clear: stay in signed-long range
+    )
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "exact_dedup": QuerySpec(exact_dedup, EXACT_DEDUP_SQL, bench=True),
+    "ngram_jaccard_pairs": QuerySpec(
+        ngram_jaccard_pairs, NGRAM_JACCARD_SQL, bench=True
+    ),
+    "minhash_lsh_pairs": QuerySpec(minhash_lsh_pairs, None),
+    "simhash_signatures": QuerySpec(simhash_signatures, None),
+}

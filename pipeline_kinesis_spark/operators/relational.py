@@ -1,0 +1,727 @@
+"""Relational operator surface (SURVEY.md §2B: B6-B21).
+
+Joins of every flavor, predicate combinations, distinct/statistical
+aggregates, grouping sets, window functions, top-k, set operations, scalar
+function coverage. Each query pairs with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_kinesis_spark.functions.exprs import cents
+from pipeline_kinesis_spark.io import load
+from pipeline_kinesis_spark.operators import QuerySpec
+
+
+# --- B6: predicate coverage ------------------------------------------------
+
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN / IN / IS NOT NULL / NOT / AND / OR, all scan-pushed."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            F.col("l_quantity").between(10, 30)
+            & F.col("l_returnflag").isin("A", "R")
+            & F.col("l_shipdate").isNotNull()
+            & ~(F.col("l_discount") > 0.08)
+            & ((F.col("l_linestatus") == "F") | (F.col("l_tax") < 0.05))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+FILTER_PREDICATES_SQL = """
+SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 4) AS sum_qty
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 30
+  AND l_returnflag IN ('A', 'R')
+  AND l_shipdate IS NOT NULL
+  AND NOT (l_discount > 0.08)
+  AND (l_linestatus = 'F' OR l_tax < 0.05)
+GROUP BY l_returnflag
+"""
+
+
+# --- B8: outer joins -------------------------------------------------------
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer LEFT JOIN (filtered orders): null-preserving aggregation."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_f_orders"),
+            F.sum(cents("o_totalprice")).alias("spent_cents"),
+        )
+    )
+
+
+JOIN_LEFT_OUTER_SQL = """
+SELECT
+  c_custkey,
+  c_mktsegment,
+  count(o_orderkey) AS n_f_orders,
+  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS spent_cents
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+  ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders RIGHT JOIN customer with a compound join condition."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(
+            c,
+            (o.o_custkey == c.c_custkey)
+            & (o.o_orderpriority == "1-URGENT"),
+            "right",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_urgent"))
+    )
+
+
+JOIN_RIGHT_OUTER_SQL = """
+SELECT c_mktsegment, count(o_orderkey) AS n_urgent
+FROM orders
+RIGHT JOIN customer
+  ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+GROUP BY c_mktsegment
+"""
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER of two disjoint-ish keyed sets; nulls on both sides."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("big_orders"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        F.coalesce(c.c_custkey, o.o_custkey).alias("custkey"),
+        "c_acctbal",
+        "big_orders",
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0
+), o AS (
+  SELECT o_custkey, count(*) AS big_orders
+  FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey
+)
+SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal, big_orders
+FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+"""
+
+
+# --- B9: semi / anti joins -------------------------------------------------
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customers with ≥1 urgent order (left_semi ≡ EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c_mktsegment
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customers with no 'P'-status order (left_anti ≡ NOT EXISTS)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+)
+GROUP BY c_mktsegment
+"""
+
+
+# --- B10: theta / range joins ---------------------------------------------
+
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+range join: lineitem ⋈ part on key AND quantity > size.
+
+    The equi component keeps this a hash join (part broadcast); the range
+    predicate is evaluated as a post-join filter — the scalable shape for
+    mixed conditions (pure theta would be a nested-loop).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        l.join(
+            F.broadcast(p),
+            (l.l_partkey == p.p_partkey) & (l.l_quantity > p.p_size),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        )
+    )
+
+
+JOIN_RANGE_SQL = """
+SELECT p_brand, count(*) AS cnt, round(avg(l_quantity), 6) AS avg_qty
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+GROUP BY p_brand
+"""
+
+
+def join_theta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure inequality self-join (broadcast nested loop): nation pairs
+    within a region, ordered pair dedup via strict < on the key."""
+    n1 = load(spark, sf_dir, "nation").alias("n1")
+    n2 = load(spark, sf_dir, "nation").alias("n2")
+    return (
+        n1.join(
+            F.broadcast(n2),
+            (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+            & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+        )
+        .select(
+            F.col("n1.n_name").alias("nation_a"),
+            F.col("n2.n_name").alias("nation_b"),
+            F.col("n1.n_regionkey").cast("long").alias("regionkey"),
+        )
+    )
+
+
+JOIN_THETA_PAIRS_SQL = """
+SELECT
+  n1.n_name AS nation_a,
+  n2.n_name AS nation_b,
+  CAST(n1.n_regionkey AS BIGINT) AS regionkey
+FROM nation n1
+JOIN nation n2
+  ON n1.n_regionkey = n2.n_regionkey
+ AND n1.n_nationkey < n2.n_nationkey
+"""
+
+
+# --- B12/B13: distinct + statistical aggregates ----------------------------
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/avg/stddev/variance on small-magnitude columns (stable)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_discount"), 8).alias("var_disc"),
+    )
+
+
+AGG_STATS_SQL = """
+SELECT
+  l_returnflag,
+  min(l_quantity) AS min_qty,
+  max(l_quantity) AS max_qty,
+  round(avg(l_quantity), 6) AS avg_qty,
+  round(stddev_samp(l_quantity), 6) AS sd_qty,
+  round(var_samp(l_discount), 8) AS var_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (B14's exact cousin; approx variant
+    is a separate rows-only query since sketches differ per engine)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_linestatus").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+            "p90_price"
+        ),
+    )
+
+
+AGG_PERCENTILE_SQL = """
+SELECT
+  l_linestatus,
+  round(quantile_cont(l_quantity, 0.25), 6) AS p25_qty,
+  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+  round(quantile_cont(l_quantity, 0.75), 6) AS p75_qty,
+  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx-distinct (B14). No oracle: sketch estimates are
+    engine-specific; the driver records a rows-only check. PipelineDB's own
+    continuous count(DISTINCT) is HLL-backed — this is its Spark analog."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"),
+    )
+
+
+# --- B15: rollup / cube / grouping sets -----------------------------------
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("order_year", F.year("o_orderdate").cast("long"))
+    )
+    return joined.rollup("n_name", "order_year").agg(
+        F.sum(cents("o_totalprice")).alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("n_name").cast("long").alias("g_nation"),
+        F.grouping("order_year").cast("long").alias("g_year"),
+    )
+
+
+ROLLUP_REVENUE_SQL = """
+SELECT
+  n_name,
+  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents,
+  count(*) AS n_orders,
+  CAST(grouping(n_name) AS BIGINT) AS g_nation,
+  CAST(grouping(CAST(year(o_orderdate) AS BIGINT)) AS BIGINT) AS g_year
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, CAST(year(o_orderdate) AS BIGINT))
+"""
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("rev_cents"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+    )
+
+
+CUBE_ORDERS_SQL = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  count(*) AS n_orders,
+  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents,
+  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- B17: window functions -------------------------------------------------
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank with a deterministic tie-break."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT * FROM (
+  SELECT
+    c_custkey,
+    c_mktsegment,
+    c_acctbal,
+    CAST(row_number() OVER w AS BIGINT) AS rn,
+    CAST(rank() OVER w AS BIGINT) AS rnk,
+    CAST(dense_rank() OVER w AS BIGINT) AS drnk
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+) t WHERE rn <= 5
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + running frame aggregate per user event timeline."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.lag("value", 1).over(w), 6).alias("prev_value"),
+        F.round(F.lead("value", 1).over(w), 6).alias("next_value"),
+        F.round(F.sum("value").over(wrun), 4).alias("running_value"),
+        F.count(F.lit(1)).over(wrun).alias("running_n"),
+    )
+
+
+WINDOW_LAG_LEAD_SQL = """
+SELECT
+  user_id,
+  event_id,
+  ts,
+  round(lag(value, 1) OVER w, 6) AS prev_value,
+  round(lead(value, 1) OVER w, 6) AS next_value,
+  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+  count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per priority class (B19 scalable top-k:
+    window row_number + filter — one shuffle, no global sort)."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "price_cents", cents("o_totalprice")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("price_cents"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "price_cents",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+SELECT * FROM (
+  SELECT
+    o_orderpriority,
+    o_orderkey,
+    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+    CAST(row_number() OVER (
+      PARTITION BY o_orderpriority
+      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC, o_orderkey ASC
+    ) AS BIGINT) AS rn
+  FROM orders
+) t WHERE rn <= 3
+"""
+
+
+def order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global deterministic top-25 (B18/B19) — TakeOrderedAndProject."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "price_cents", cents("o_totalprice")
+    )
+    return (
+        o.select("o_orderkey", "o_orderdate", "price_cents")
+        .orderBy(F.desc("price_cents"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+ORDER_LIMIT_SQL = """
+SELECT o_orderkey, o_orderdate, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents
+FROM orders
+ORDER BY price_cents DESC, o_orderkey ASC
+LIMIT 25
+"""
+
+
+# --- B20: set operations ---------------------------------------------------
+
+def _building_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+
+
+def _urgent_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+
+
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _building_custkeys(spark, sf_dir)
+    b = _urgent_custkeys(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+SET_UNION_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _building_custkeys(spark, sf_dir)
+    b = _urgent_custkeys(spark, sf_dir)
+    return a.intersect(b)
+
+
+SET_INTERSECT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _building_custkeys(spark, sf_dir)
+    b = _urgent_custkeys(spark, sf_dir)
+    return a.exceptAll(b.distinct())  # EXCEPT ALL vs distinct right side
+
+
+SET_EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT ALL
+(SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+# --- B21: scalar functions -------------------------------------------------
+
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias(
+            "brand_type"
+        ),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.size(F.split("p_name", " ")).cast("long").alias("n_words"),
+        (F.col("p_name").like("%green%")).alias("is_green"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias(
+            "type_snake"
+        ),
+    )
+
+
+SCALAR_STRING_SQL = r"""
+SELECT
+  p_partkey,
+  lower(p_name) AS name_lower,
+  upper(p_brand) AS brand_upper,
+  substring(p_type, 1, 5) AS type_prefix,
+  p_brand || '#' || p_type AS brand_type,
+  CAST(length(p_name) AS BIGINT) AS name_len,
+  regexp_extract(p_name, '(\w+)$', 1) AS last_word,
+  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+  p_name LIKE '%green%' AS is_green,
+  replace(p_type, ' ', '_') AS type_snake
+FROM part
+"""
+
+
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_mon"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+            "due_date"
+        ),
+        F.datediff(
+            F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")
+        ).cast("long").alias("days_to_2002"),
+    )
+
+
+SCALAR_DATETIME_SQL = """
+SELECT
+  o_orderkey,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+  CAST(month(o_orderdate) AS BIGINT) AS order_mon,
+  CAST(day(o_orderdate) AS BIGINT) AS order_day,
+  CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+  o_orderdate + INTERVAL 90 DAY AS due_date,
+  CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS BIGINT) AS days_to_2002
+FROM orders
+"""
+
+
+def case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            tier.alias("tier"),
+            F.coalesce(
+                F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")),
+                F.lit(0.0),
+            ).alias("positive_bal"),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("positive_bal")).alias("bal_cents"),
+        )
+    )
+
+
+CASE_COALESCE_SQL = """
+SELECT
+  CASE WHEN c_acctbal < 0 THEN 'debtor'
+       WHEN c_acctbal < 5000 THEN 'standard'
+       ELSE 'premium' END AS tier,
+  count(*) AS n,
+  sum(CAST(round(coalesce(CASE WHEN c_acctbal > 0 THEN c_acctbal END, 0.0) * 100, 0) AS BIGINT)) AS bal_cents
+FROM customer
+GROUP BY 1
+"""
+
+
+# --- B22: JSON access ------------------------------------------------------
+
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("n_k"),
+        )
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT
+  event_type,
+  count(*) AS n,
+  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "filter_predicates": QuerySpec(filter_predicates, FILTER_PREDICATES_SQL),
+    "join_left_outer": QuerySpec(join_left_outer, JOIN_LEFT_OUTER_SQL),
+    "join_right_outer": QuerySpec(join_right_outer, JOIN_RIGHT_OUTER_SQL),
+    "join_full_outer": QuerySpec(join_full_outer, JOIN_FULL_OUTER_SQL),
+    "join_semi": QuerySpec(join_semi, JOIN_SEMI_SQL),
+    "join_anti": QuerySpec(join_anti, JOIN_ANTI_SQL),
+    "join_range": QuerySpec(join_range, JOIN_RANGE_SQL, bench=True),
+    "join_theta_pairs": QuerySpec(join_theta_pairs, JOIN_THETA_PAIRS_SQL),
+    "agg_distinct": QuerySpec(agg_distinct, AGG_DISTINCT_SQL),
+    "agg_stats": QuerySpec(agg_stats, AGG_STATS_SQL),
+    "agg_percentile": QuerySpec(agg_percentile, AGG_PERCENTILE_SQL),
+    "agg_approx_distinct": QuerySpec(agg_approx_distinct, None),
+    "rollup_revenue": QuerySpec(rollup_revenue, ROLLUP_REVENUE_SQL),
+    "cube_orders": QuerySpec(cube_orders, CUBE_ORDERS_SQL),
+    "window_rank": QuerySpec(window_rank, WINDOW_RANK_SQL),
+    "window_lag_lead": QuerySpec(window_lag_lead, WINDOW_LAG_LEAD_SQL, bench=True),
+    "topk_per_group": QuerySpec(topk_per_group, TOPK_PER_GROUP_SQL),
+    "order_limit": QuerySpec(order_limit, ORDER_LIMIT_SQL),
+    "set_union_distinct": QuerySpec(set_union_distinct, SET_UNION_SQL),
+    "set_intersect": QuerySpec(set_intersect, SET_INTERSECT_SQL),
+    "set_except": QuerySpec(set_except, SET_EXCEPT_SQL),
+    "scalar_string_funcs": QuerySpec(scalar_string_funcs, SCALAR_STRING_SQL),
+    "scalar_datetime_funcs": QuerySpec(
+        scalar_datetime_funcs, SCALAR_DATETIME_SQL
+    ),
+    "case_coalesce": QuerySpec(case_coalesce, CASE_COALESCE_SQL),
+    "json_extract": QuerySpec(json_extract, JSON_EXTRACT_SQL),
+}

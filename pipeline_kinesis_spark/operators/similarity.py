@@ -1,0 +1,209 @@
+"""Vector similarity search over embeddings (SURVEY.md §2C C3).
+
+- brute-force cosine top-k: exact baseline. The query set is tiny and
+  broadcast; the data side streams once — at 100 TB this is a single scan
+  with a per-partition top-k (window + filter), no full sort.
+- cosine near-dup pairs: exact all-pairs above a threshold (correctness
+  anchor for approximate tiers).
+- sign-LSH bucketed top-k: the scale path — hash-derived hyperplanes give
+  deterministic buckets; candidates only within matching buckets.
+
+All dot products are JVM-side higher-order functions (zip_with/aggregate) —
+no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_kinesis_spark.io import load
+from pipeline_kinesis_spark.operators import QuerySpec
+
+N_QUERIES = 5  # vec_id < 5 are the benchmark query vectors
+TOP_K = 10
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _with_dvec(df: DataFrame) -> DataFrame:
+    """float[] → double[] once, plus precomputed L2 norm."""
+    d = df.withColumn(
+        "dvec", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return d.withColumn("nrm", _norm(F.col("dvec")))
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector (brute force).
+
+    Broadcast the k query vectors against the full collection: one scan,
+    one narrow shuffle for the per-query top-k window.
+    """
+    e = _with_dvec(load(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dvec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    sim = F.round(
+        _dot(F.col("qvec"), F.col("dvec")) / (F.col("qnrm") * F.col("nrm")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    return (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, dvec AS qvec FROM e WHERE vec_id < {N_QUERIES}
+), sims AS (
+  SELECT
+    q.query_id,
+    e.vec_id,
+    round(list_cosine_similarity(q.qvec, e.dvec), 4) AS sim
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, sim,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rnk
+FROM sims
+QUALIFY rnk <= {TOP_K}
+"""
+
+
+def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine above a threshold (embedding near-dup, C2's
+    vector cousin). Quadratic — correctness anchor at test SF; the LSH
+    variant below is the scale path."""
+    e = _with_dvec(load(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("dvec").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("dvec").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+    )
+
+
+COSINE_NEARDUP_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dvec FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.dvec, b.dvec), 4) AS sim
+FROM e a CROSS JOIN e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.dvec, b.dvec), 4) >= 0.4
+"""
+
+
+# Sign-LSH: hyperplane h (one of N_PLANES) has component d drawn
+# deterministically from xxhash64(h, d) — reproducible across engines and
+# cluster sizes without shipping a plane matrix.
+N_PLANES = 8
+
+
+def _plane_component(h: int, d: Column) -> Column:
+    # pseudo-random in [-1, 1): (hash mod 2^20) / 2^19 - 1
+    return (
+        F.pmod(F.xxhash64(F.lit(h), d), F.lit(1 << 20)).cast("double")
+        / F.lit(float(1 << 19))
+        - F.lit(1.0)
+    )
+
+
+def _lsh_bucket(vec: Column) -> Column:
+    """64-dim dot with each hash-derived plane → sign bit → bucket id."""
+    bits = []
+    for h in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda x, i: x * _plane_component(h, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(proj > 0, F.shiftleft(F.lit(1), h)).otherwise(F.lit(0))
+        )
+    return sum(bits).alias("bucket")
+
+
+def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-LSH buckets: candidates share a bucket
+    with the query; exact rerank within candidates. Rows-only check (bucket
+    membership is hash-defined); recall is asserted in tests against
+    cosine_topk."""
+    e = _with_dvec(load(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", _lsh_bucket(F.col("dvec"))
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dvec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    sim = F.round(
+        _dot(F.col("qvec"), F.col("dvec")) / (F.col("qnrm") * F.col("nrm")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    return (
+        e.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "cosine_topk": QuerySpec(cosine_topk, COSINE_TOPK_SQL, bench=True),
+    "cosine_neardup_pairs": QuerySpec(
+        cosine_neardup_pairs, COSINE_NEARDUP_SQL
+    ),
+    "cosine_topk_lsh": QuerySpec(cosine_topk_lsh, None),
+}

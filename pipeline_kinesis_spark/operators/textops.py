@@ -1,0 +1,153 @@
+"""Text-analysis operators over documents (SURVEY.md §2C C4).
+
+Token statistics, per-document quality scores, stopword-ratio language ID,
+content fingerprinting. All pure JVM higher-order-function expressions
+(transform/filter/aggregate over token arrays) — no Python UDFs in the hot
+path, so whole-stage codegen covers everything.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_kinesis_spark.functions.exprs import tokens
+from pipeline_kinesis_spark.io import load
+from pipeline_kinesis_spark.operators import QuerySpec
+
+# Tiny function-word list used by the stopword-ratio language heuristic.
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per (lang, source): one scan + one small
+    groupBy; at 100 TB the group count is bounded (langs × sources)."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks").cast("long")).alias("total_tokens"),
+        F.round(F.avg(F.size("toks")), 6).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.max(F.size("toks").cast("long")).alias("max_tokens"),
+    )
+
+
+TOKEN_STATS_SQL = r"""
+SELECT
+  lang,
+  source,
+  count(*) AS n_docs,
+  sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS total_tokens,
+  round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens,
+  round(avg(n_chars), 6) AS avg_chars,
+  CAST(max(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY lang, source
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, vocabulary ratio, mean
+    token length, stopword ratio — the standard pretraining-filter
+    features."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    n_toks = F.size("toks")
+    n_distinct = F.size(F.array_distinct("toks"))
+    tok_chars = F.aggregate(
+        F.transform("toks", lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.size(
+        F.filter("toks", lambda t: t.isin(*STOPWORDS))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_toks.cast("long").alias("n_tokens"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(n_distinct / n_toks, 6).alias("uniq_ratio"),
+        F.round(tok_chars / n_toks, 6).alias("avg_tok_len"),
+        F.round(n_stop / n_toks, 6).alias("stopword_ratio"),
+    )
+
+
+TEXT_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+)
+SELECT
+  doc_id,
+  lang,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+  round(len(list_distinct(toks)) / len(toks), 6) AS uniq_ratio,
+  round(list_aggregate(list_transform(toks, x -> length(x)), 'sum') / len(toks), 6) AS avg_tok_len,
+  round(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) / len(toks), 6) AS stopword_ratio
+FROM t
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID: docs whose English-function-word ratio
+    clears a threshold are tagged 'en'. Compared against the labeled lang
+    column to report a confusion summary."""
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    ratio = F.size(
+        F.filter("toks", lambda t: t.isin(*STOPWORDS))
+    ) / F.size("toks")
+    pred = F.when(ratio > 0.05, "en").otherwise("other")
+    return (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+LANG_ID_SQL = r"""
+WITH t AS (
+  SELECT lang, string_split_regex(trim(text), '\s+') AS toks FROM documents
+)
+SELECT lang, pred_lang, count(*) AS n
+FROM (
+  SELECT lang,
+         CASE WHEN len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                   / len(toks) > 0.05
+              THEN 'en' ELSE 'other' END AS pred_lang
+  FROM t
+)
+GROUP BY lang, pred_lang
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint + duplicate-family size per document (C1/C4)."""
+    d = load(spark, sf_dir, "documents")
+    fp = F.sha2(F.lower(F.trim("text")), 256)
+    w = Window.partitionBy("fingerprint")
+    return (
+        d.withColumn("fingerprint", fp)
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.count(F.lit(1)).over(w).alias("family_size"),
+        )
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT
+  doc_id,
+  sha256(lower(trim(text))) AS fingerprint,
+  count(*) OVER (PARTITION BY sha256(lower(trim(text)))) AS family_size
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "token_stats": QuerySpec(token_stats, TOKEN_STATS_SQL, bench=True),
+    "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL),
+    "lang_id_heuristic": QuerySpec(lang_id_heuristic, LANG_ID_SQL),
+    "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),
+}

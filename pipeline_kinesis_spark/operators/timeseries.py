@@ -1,0 +1,180 @@
+"""Time-window + as-of operators over the events stream table (B11, B23-B25).
+
+Batch-expressible forms of the streaming window operators: the same
+``F.window`` / ``F.session_window`` expressions are what the streaming layer
+(pipeline_kinesis_spark.streaming) uses on an unbounded DataFrame; here they
+run on the bounded events table so the DuckDB oracle can check them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pipeline_kinesis_spark.io import load
+from pipeline_kinesis_spark.operators import QuerySpec
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts (B23). Shuffle key = (window, type):
+    at 100 TB the per-window cardinality is bounded, partial agg does the
+    heavy lifting map-side."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT
+  date_trunc('hour', ts) AS window_start,
+  event_type,
+  count(*) AS n,
+  round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour (B23): each event lands in two
+    windows. Spark enumerates slide buckets natively."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+SLIDING_SQL = """
+SELECT window_start, count(*) AS n
+FROM (
+  SELECT date_trunc('hour', ts) AS window_start FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start FROM events
+) t
+GROUP BY 1
+"""
+
+
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 5-minute inactivity gap (B24).
+
+    Oracle is the classic gaps-and-islands SQL; Spark uses the native
+    session_window expression (same state machine the streaming layer runs).
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "5 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+SESSION_SQL = """
+WITH flagged AS (
+  SELECT
+    user_id,
+    ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 5 MINUTE OR
+              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT
+    user_id,
+    ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (B11): for each click, the most recent purchase by the
+    same user at-or-before the click time.
+
+    Spark-first implementation: union-tag + running `last(..., ignorenulls)`
+    over a (user_id) window — ONE shuffle on user_id, linear state, no
+    correlated subquery, no skew-prone range cross join. This is the
+    standard scalable as-of pattern (also how the streaming variant works).
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_click"),
+        F.lit(None).cast("timestamp").alias("p_ts"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_click"),
+        F.col("ts").alias("p_ts"),
+    )
+    # Order purchases before clicks at identical ts so "at-or-before" holds.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_purchase_ts", F.last("p_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_click") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "last_purchase_ts",
+    )
+
+
+ASOF_SQL = """
+SELECT
+  e.event_id,
+  e.user_id,
+  e.ts,
+  (SELECT max(p.ts) FROM events p
+   WHERE p.user_id = e.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts <= e.ts) AS last_purchase_ts
+FROM events e
+WHERE e.event_type = 'click'
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "tumbling_window_agg": QuerySpec(tumbling_window_agg, TUMBLING_SQL, bench=True),
+    "sliding_window_agg": QuerySpec(sliding_window_agg, SLIDING_SQL),
+    "session_window_agg": QuerySpec(session_window_agg, SESSION_SQL),
+    "asof_join": QuerySpec(asof_join, ASOF_SQL, bench=True),
+}

@@ -1,0 +1,61 @@
+"""Semantics of the approximate dedup/similarity tiers, anchored to their
+exact counterparts (which are themselves oracle-checked)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pipeline_kinesis_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from pipeline_kinesis_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+)
+
+
+def test_minhash_recall_against_exact(spark, sf_dir):
+    """LSH candidates must cover most truly-similar pairs (est. jaccard
+    tracks exact jaccard)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.7)
+        .collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    if exact:
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.6, f"minhash recall {recall:.2f} over {len(exact)} pairs"
+
+
+def test_minhash_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, minhash_lsh_pairs(spark, sf_dir).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_simhash_deterministic_and_complete(spark, sf_dir):
+    sigs = simhash_signatures(spark, sf_dir)
+    rows = {r.doc_id: r.simhash for r in sigs.collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    again = {r.doc_id: r.simhash for r in simhash_signatures(spark, sf_dir).collect()}
+    assert rows == again
+    assert all(s >= 0 for s in rows.values())  # bit 63 kept clear
+
+
+def test_lsh_topk_sims_match_exact(spark, sf_dir):
+    """Every (query, neighbor) the LSH tier returns must carry the same
+    similarity the exact tier computes — rerank must not approximate."""
+    exact = {
+        (r.query_id, r.vec_id): r.sim
+        for r in cosine_topk(spark, sf_dir).collect()
+    }
+    for r in cosine_topk_lsh(spark, sf_dir).collect():
+        if (r.query_id, r.vec_id) in exact:
+            assert abs(exact[(r.query_id, r.vec_id)] - r.sim) < 1e-9

@@ -1,0 +1,57 @@
+"""Scale-readiness assertions on physical plans — correctness of results is
+covered by the oracle suite; these check the plans are the ones you'd want
+at 100 TB: pushdown, pruning, broadcast joins, codegen.
+"""
+
+from __future__ import annotations
+
+from pipeline_kinesis_spark.operators.relational import join_range
+from pipeline_kinesis_spark.operators.tpch import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+    q6_forecast_revenue,
+)
+from pipeline_kinesis_spark.plans.inspect import (
+    explain_str,
+    has_pushed_filters,
+    scan_columns,
+    uses_broadcast_join,
+)
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    assert has_pushed_filters(df, "LessThanOrEqual(l_shipdate")
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    cols = scan_columns(df)[0]
+    # 7 needed columns, not all 11
+    assert "l_orderkey" not in cols and "l_partkey" not in cols
+    assert "l_quantity" in cols and "l_shipdate" in cols
+
+
+def test_q6_multiple_predicates_pushed(spark, sf_dir):
+    df = q6_forecast_revenue(spark, sf_dir)
+    assert has_pushed_filters(
+        df, "GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity"
+    )
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    assert uses_broadcast_join(q3_shipping_priority(spark, sf_dir))
+    assert uses_broadcast_join(q5_local_supplier_volume(spark, sf_dir))
+    assert uses_broadcast_join(join_range(spark, sf_dir))
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    plan = explain_str(q1_pricing_summary(spark, sf_dir), mode="codegen")
+    assert "WholeStageCodegen" in plan
+
+
+def test_no_cartesian_in_tpch(spark, sf_dir):
+    for q in (q3_shipping_priority, q5_local_supplier_volume):
+        plan = explain_str(q(spark, sf_dir))
+        assert "CartesianProduct" not in plan

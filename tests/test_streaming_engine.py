@@ -1,0 +1,169 @@
+"""End-to-end engine tests reproducing the reference README recipe
+(README.md:34-129): put records → consume → continuous view shows counts →
+seqnum-style progress → stop/resume from checkpoint without data loss or
+duplication.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pipeline_kinesis_spark.engine import Engine
+from pipeline_kinesis_spark.sources.file_replay import write_record_file
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    yield eng
+    eng.consume_end_all()
+
+
+def _put_foo_records(stream_dir, start, stop):
+    """README.md:39-45: records foo{N} across 4 shards, partition_key=data."""
+    write_record_file(
+        str(stream_dir),
+        [
+            {
+                "data": f"foo{i}",
+                "partition_key": f"foo{i}",
+                "shard_id": f"shardId-{i % 4:012d}",
+                "sequence_number": f"{i:056d}",
+            }
+            for i in range(start, stop)
+        ],
+    )
+
+
+def test_readme_recipe_end_to_end(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    _put_foo_records(src_root / "foo_kinesis", 1, 101)
+
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("foo_stream", "payload STRING")
+    engine.create_continuous_view(
+        "foo_view",
+        "SELECT payload, count(*) AS count FROM foo_stream GROUP BY payload",
+        stream="foo_stream",
+    )
+    engine.consume_begin("ep", "foo_kinesis", "foo_stream")
+    engine.wait_for_ingest()
+
+    # SELECT * FROM foo_view (README.md:78-88)
+    view = spark.table("foo_view")
+    rows = {r.payload: r["count"] for r in view.collect()}
+    assert len(rows) == 100
+    assert rows["foo1"] == 1 and rows["foo100"] == 1
+
+    # archived stream relation is queryable ad hoc, with lineage
+    archived = engine.stream_table("foo_stream")
+    assert archived.count() == 100
+    assert {"payload", "arrival_timestamp", "sequence_number", "shard_id"} <= set(
+        archived.columns
+    )
+
+    # progress analog of `SELECT * FROM pipeline_kinesis.seqnums`
+    # (README.md:119-129)
+    prog = engine.progress()
+    assert any(p["num_input_rows"] for p in prog)
+
+
+def test_checkpoint_resume_no_loss_no_dup(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    _put_foo_records(src_root / "s1", 0, 50)
+
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("s1_stream", "payload STRING")
+    engine.consume_begin("ep", "s1", "s1_stream")
+    engine.wait_for_ingest()
+    assert engine.stream_table("s1_stream").count() == 50
+
+    # stop (kinesis_consume_end_sr analog) ...
+    assert engine.consume_end("ep", "s1", "s1_stream")
+    # ... more records arrive while stopped ...
+    _put_foo_records(src_root / "s1", 50, 80)
+    # ... resume: checkpoint recovery must pick up exactly the new records
+    # (pipeline_kinesis.c:459-536 analog, upgraded to exactly-once).
+    engine.consume_begin("ep", "s1", "s1_stream")
+    engine.wait_for_ingest()
+    archived = engine.stream_table("s1_stream")
+    assert archived.count() == 80
+    assert archived.select("payload").distinct().count() == 80
+
+
+def test_dead_letter_quarantine(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    write_record_file(
+        str(src_root / "s2"),
+        [
+            {"data": "a\t1"},
+            {"data": "broken row with no tab"},
+            {"data": "b\t2"},
+        ],
+    )
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("kv_stream", "k STRING, v BIGINT")
+    engine.consume_begin("ep", "s2", "kv_stream")
+    engine.wait_for_ingest()
+
+    assert engine.stream_table("kv_stream").count() == 2
+    dead = engine.dead_letters("kv_stream")
+    assert dead.count() == 1
+    assert dead.collect()[0]["_corrupt_record"] == "broken row with no tab"
+
+
+def test_consume_begin_all_restarts_catalog(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    _put_foo_records(src_root / "s3", 0, 10)
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("s3_stream", "payload STRING")
+    engine.consume_begin("ep", "s3", "s3_stream")
+    engine.wait_for_ingest()
+    assert engine.consume_end_all() == 1
+
+    # no-arg begin-all restarts every cataloged consumer
+    # (pipeline_kinesis--0.9.0.sql:75-78)
+    consumers = engine.consume_begin_all()
+    assert len(consumers) == 1
+    engine.wait_for_ingest()
+    assert engine.stream_table("s3_stream").count() == 10
+
+
+def test_csv_consumer_options(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    write_record_file(
+        str(src_root / "s4"), [{"data": '"x,y",1'}, {"data": "z,2"}]
+    )
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("csv_stream", "k STRING, v BIGINT")
+    engine.consume_begin(
+        "ep", "s4", "csv_stream", fmt="csv", delimiter=","
+    )
+    engine.wait_for_ingest()
+    rows = {
+        (r.k, r.v)
+        for r in engine.stream_table("csv_stream").select("k", "v").collect()
+    }
+    assert rows == {("x,y", 1), ("z", 2)}
+
+
+def test_update_mode_view(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    _put_foo_records(src_root / "s5", 0, 20)
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("s5_stream", "payload STRING")
+    engine.create_continuous_view(
+        "s5_total",
+        "SELECT count(*) AS n FROM s5_stream",
+        stream="s5_stream",
+        output_mode="complete",
+    )
+    engine.consume_begin("ep", "s5", "s5_stream")
+    engine.wait_for_ingest()
+    assert spark.table("s5_total").collect()[0].n == 20
+    # more data arrives → the standing query advances the materialized count
+    _put_foo_records(src_root / "s5", 20, 30)
+    engine.wait_for_ingest()
+    assert spark.table("s5_total").collect()[0].n == 30

@@ -1,0 +1,61 @@
+"""Local mirror of the driver's t2 duckdb-oracle correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB over the
+same parquet tables and reports per-query PASS/FAIL.
+
+Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pipeline_kinesis_spark import get_spark
+from pipeline_kinesis_spark.registry import all_queries
+from pipeline_kinesis_spark.testing import compare_to_oracle, oracle_connection
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("compare-oracle")
+    con = oracle_connection(sf_dir)
+
+    failures = []
+    for name, spec in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            if spec.oracle is None:
+                n = sdf.count()
+                print(
+                    f"rows  {name}: {n} rows (no oracle) "
+                    f"[{time.time() - t0:.1f}s]"
+                )
+                continue
+            problems = compare_to_oracle(sdf, con, spec.oracle)
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: error: {exc}")
+            failures.append(name)
+            continue
+        status = "FAIL" if problems else "ok  "
+        if problems:
+            failures.append(name)
+        print(
+            f"{status}  {name} [{time.time() - t0:.1f}s]"
+            + ("".join("\n      " + p for p in problems))
+        )
+    print(
+        f"\n{len(failures)} failures"
+        + (f": {sorted(failures)}" if failures else "")
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
