@@ -42,12 +42,20 @@ class StreamDef:
 
 @dataclass
 class ViewDef:
-    """CREATE CONTINUOUS VIEW analog (README.md:66)."""
+    """CREATE CONTINUOUS VIEW analog (README.md:66).
+
+    materialize: 'memory' (queryable via spark.table(name)) or
+    'parquet_upsert' (durable keyed MERGE per micro-batch — the
+    ON CONFLICT DO UPDATE analog, pipeline_kinesis.c:543-579 —
+    requires key_cols; queryable via Engine.view_table(name)).
+    """
 
     name: str
     sql: str
     stream: str
     output_mode: str = "complete"
+    materialize: str = "memory"
+    key_cols: list[str] | None = None
 
 
 @dataclass

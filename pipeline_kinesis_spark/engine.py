@@ -38,6 +38,7 @@ from pipeline_kinesis_spark.sources.file_replay import FileReplaySource
 from pipeline_kinesis_spark.streaming.continuous_view import (
     compile_view,
     materialize_memory,
+    upsert_to_parquet,
 )
 
 # Reference caps parallelism at 8 bgworkers (pipeline_kinesis.c:54). We keep
@@ -88,8 +89,14 @@ class Engine:
         sql: str,
         stream: str,
         output_mode: str = "complete",
+        materialize: str = "memory",
+        key_cols: list[str] | None = None,
     ) -> None:
-        self.catalog.create_view(ViewDef(name, sql, stream, output_mode))
+        if materialize == "parquet_upsert" and not key_cols:
+            raise ValueError("parquet_upsert materialization requires key_cols")
+        self.catalog.create_view(
+            ViewDef(name, sql, stream, output_mode, materialize, key_cols)
+        )
 
     def drop_continuous_view(self, name: str) -> None:
         self.catalog.drop_view(name)
@@ -101,6 +108,9 @@ class Engine:
 
     def dead_letter_dir(self, relation: str) -> str:
         return os.path.join(self.metadata_dir, "dead_letter", relation)
+
+    def view_dir(self, view_name: str) -> str:
+        return os.path.join(self.metadata_dir, "views", view_name)
 
     def _ckpt(self, consumer_id: int, kind: str) -> str:
         return os.path.join(
@@ -189,15 +199,33 @@ class Engine:
             # (c) continuous views registered on this relation.
             for view in self.catalog.views_on(relation):
                 vdf = compile_view(self.spark, good, relation, view.sql)
-                queries.append(
-                    materialize_memory(
-                        vdf,
-                        view.name,
-                        self._ckpt(consumer.id, f"view_{view.name}"),
-                        output_mode=view.output_mode,
-                        trigger_interval=self.trigger_interval,
+                if view.materialize == "parquet_upsert":
+                    table_dir = self.view_dir(view.name)
+                    key_cols = list(view.key_cols or [])
+                    queries.append(
+                        vdf.writeStream.foreachBatch(
+                            lambda bdf, bid, _d=table_dir, _k=key_cols: (
+                                upsert_to_parquet(bdf, _d, _k)
+                            )
+                        )
+                        .outputMode("update")
+                        .option(
+                            "checkpointLocation",
+                            self._ckpt(consumer.id, f"view_{view.name}"),
+                        )
+                        .trigger(processingTime=self.trigger_interval)
+                        .start()
                     )
-                )
+                else:
+                    queries.append(
+                        materialize_memory(
+                            vdf,
+                            view.name,
+                            self._ckpt(consumer.id, f"view_{view.name}"),
+                            output_mode=view.output_mode,
+                            trigger_interval=self.trigger_interval,
+                        )
+                    )
             self._queries[consumer.id] = queries
             return consumer
 
@@ -248,6 +276,10 @@ class Engine:
 
     def dead_letters(self, relation: str) -> DataFrame:
         return self.spark.read.parquet(self.dead_letter_dir(relation))
+
+    def view_table(self, view_name: str) -> DataFrame:
+        """Query a parquet_upsert-materialized continuous view."""
+        return self.spark.read.parquet(self.view_dir(view_name))
 
     def wait_for_ingest(self, timeout_s: float = 60.0) -> None:
         """Block until all running queries have processed available input

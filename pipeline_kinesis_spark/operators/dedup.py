@@ -75,14 +75,19 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 (exact): document pairs with 3-gram-shingle Jaccard ≥ 0.5 via an
     inverted-index join — no cross join; cost ∝ Σ|posting list|²."""
-    sh = _shingles(load(spark, sf_dir, "documents"))
+    # Join on a 64-bit hash of the shingle, not the string: same pair
+    # counts (collisions across a corpus's shingle set are ~n²/2⁶⁴ —
+    # negligible) but the shuffle moves 8-byte keys instead of strings.
+    sh = _shingles(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.xxhash64("shingle").alias("sh")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(

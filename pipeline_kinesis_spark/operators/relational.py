@@ -667,6 +667,89 @@ GROUP BY 1
 """
 
 
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.ceil("l_quantity").cast("long").alias("ceil_qty"),
+        F.floor(F.col("l_extendedprice") / 1000).cast("long").alias(
+            "price_k"
+        ),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("sign_d"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+SCALAR_MATH_SQL = """
+SELECT
+  l_orderkey,
+  l_linenumber,
+  abs(l_discount - 0.05) AS abs_d,
+  CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
+  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+  round(sqrt(l_quantity), 6) AS sqrt_qty,
+  round(ln(l_extendedprice), 6) AS ln_price,
+  round(log10(l_extendedprice), 6) AS log10_price,
+  round(pow(l_quantity, 2), 4) AS qty_sq,
+  CAST(mod(l_orderkey, 7) AS BIGINT) AS mod7,
+  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_d,
+  greatest(l_tax, l_discount) AS max_rate,
+  least(l_tax, l_discount) AS min_rate
+FROM lineitem
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 via the engine's SQL surface: GROUPING SETS compiled by
+    spark.sql over registered views — exercising the same entry path a
+    continuous-view SQL string takes."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT
+          o_orderstatus,
+          o_orderpriority,
+          count(*) AS n_orders,
+          sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  count(*) AS n_orders,
+  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: sketch-based percentile (engine-specific estimates → rows-only
+    check; the exact variant agg_percentile is the oracle-checked one)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+            "approx_median_price"
+        ),
+        F.percentile_approx(
+            "l_quantity", F.array(F.lit(0.1), F.lit(0.9)), 10000
+        ).alias("approx_qty_deciles"),
+    )
+
+
 # --- B22: JSON access ------------------------------------------------------
 
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,6 +802,11 @@ QUERIES: dict[str, QuerySpec] = {
     "set_intersect": QuerySpec(set_intersect, SET_INTERSECT_SQL),
     "set_except": QuerySpec(set_except, SET_EXCEPT_SQL),
     "scalar_string_funcs": QuerySpec(scalar_string_funcs, SCALAR_STRING_SQL),
+    "scalar_math_funcs": QuerySpec(scalar_math_funcs, SCALAR_MATH_SQL),
+    "grouping_sets_revenue": QuerySpec(
+        grouping_sets_revenue, GROUPING_SETS_SQL
+    ),
+    "agg_approx_percentile": QuerySpec(agg_approx_percentile, None),
     "scalar_datetime_funcs": QuerySpec(
         scalar_datetime_funcs, SCALAR_DATETIME_SQL
     ),

@@ -14,6 +14,7 @@ from pipeline_kinesis_spark.operators import QuerySpec
 from pipeline_kinesis_spark.operators import (
     dedup,
     multimodal,
+    pandas_udfs,
     relational,
     similarity,
     textops,
@@ -21,7 +22,16 @@ from pipeline_kinesis_spark.operators import (
     tpch,
 )
 
-_MODULES = (tpch, relational, timeseries, dedup, textops, similarity, multimodal)
+_MODULES = (
+    tpch,
+    relational,
+    timeseries,
+    dedup,
+    textops,
+    similarity,
+    multimodal,
+    pandas_udfs,
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:

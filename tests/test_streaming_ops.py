@@ -1,0 +1,169 @@
+"""Streaming operator semantics: watermarks + late data (B25), stateful
+dedup (B26), keyed upsert materialization (B16)."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pipeline_kinesis_spark.engine import Engine
+from pipeline_kinesis_spark.sources.file_replay import (
+    FileReplaySource,
+    write_record_file,
+)
+from pipeline_kinesis_spark.streaming.continuous_view import upsert_to_parquet
+
+
+def _mem_query(df, name, ckpt, mode="append"):
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Tumbling-window agg with a 10-minute watermark: events behind the
+    watermark must not reopen finalized windows (B23 + B25)."""
+    src = str(tmp_path / "src")
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    write_record_file(
+        src,
+        [
+            {"data": "a", "approximate_arrival_timestamp": "2024-01-01T10:05:00"},
+            {"data": "b", "approximate_arrival_timestamp": "2024-01-01T10:10:00"},
+            {"data": "c", "approximate_arrival_timestamp": "2024-01-01T12:30:00"},
+        ],
+    )
+    records = FileReplaySource(src).read_stream(spark)
+    agg = (
+        records.withWatermark("approximate_arrival_timestamp", "10 minutes")
+        .groupBy(
+            F.window("approximate_arrival_timestamp", "1 hour").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = _mem_query(agg, name, str(tmp_path / "ck"), mode="append")
+    try:
+        q.processAllAvailable()
+        # late event (10:15 << watermark 12:20) + a fresh event
+        write_record_file(
+            src,
+            [
+                {"data": "late", "approximate_arrival_timestamp": "2024-01-01T10:15:00"},
+                {"data": "d", "approximate_arrival_timestamp": "2024-01-01T13:30:00"},
+            ],
+        )
+        q.processAllAvailable()
+        rows = {
+            (r.ws.isoformat(), r.n) for r in spark.table(name).collect()
+        }
+        # the 10:00 window finalized with 2 events; the late row is dropped
+        assert ("2024-01-01T10:00:00", 2) in rows
+        assert ("2024-01-01T10:00:00", 3) not in rows
+        assert not any(ws.startswith("2024-01-01T10:15") for ws, _ in rows)
+    finally:
+        q.stop()
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """dropDuplicates on sequence_number: re-delivered records collapse —
+    at-least-once feed → effectively-once output (B26, §3.4 upgrade)."""
+    src = str(tmp_path / "src")
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    write_record_file(
+        src,
+        [
+            {"data": "x", "sequence_number": "s1"},
+            {"data": "y", "sequence_number": "s2"},
+        ],
+    )
+    records = FileReplaySource(src).read_stream(spark)
+    deduped = records.dropDuplicates(["sequence_number"])
+    q = _mem_query(deduped, name, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        # redelivery of s2 + a new record — s2 must be suppressed
+        write_record_file(
+            src,
+            [
+                {"data": "y-dup", "sequence_number": "s2"},
+                {"data": "z", "sequence_number": "s3"},
+            ],
+        )
+        q.processAllAvailable()
+        rows = spark.table(name).collect()
+        assert len(rows) == 3
+        assert {r.sequence_number for r in rows} == {"s1", "s2", "s3"}
+        by_seq = {r.sequence_number: r.data for r in rows}
+        assert by_seq["s2"] == "y"  # first delivery wins
+    finally:
+        q.stop()
+
+
+def test_upsert_to_parquet_merge_semantics(spark, tmp_path):
+    """Keyed MERGE emulation (B16): second batch replaces matching keys,
+    keeps others."""
+    d = str(tmp_path / "tbl")
+    b1 = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k STRING, v INT"
+    )
+    upsert_to_parquet(b1, d, ["k"])
+    b2 = spark.createDataFrame(
+        [("b", 20), ("c", 3)], "k STRING, v INT"
+    )
+    upsert_to_parquet(b2, d, ["k"])
+    rows = {(r.k, r.v) for r in spark.read.parquet(d).collect()}
+    assert rows == {("a", 1), ("b", 20), ("c", 3)}
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    yield eng
+    eng.consume_end_all()
+
+
+def test_parquet_upsert_view_end_to_end(engine, spark, tmp_path):
+    """Continuous view materialized as a durable keyed upsert table —
+    the ON CONFLICT DO UPDATE path (pipeline_kinesis.c:543-579 analog)."""
+    src_root = tmp_path / "kinesis"
+    write_record_file(
+        str(src_root / "s"),
+        [{"data": p} for p in ["a", "a", "b"]],
+    )
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("u_stream", "payload STRING")
+    engine.create_continuous_view(
+        "u_counts",
+        "SELECT payload, count(*) AS n FROM u_stream GROUP BY payload",
+        stream="u_stream",
+        materialize="parquet_upsert",
+        key_cols=["payload"],
+    )
+    engine.consume_begin("ep", "s", "u_stream")
+    engine.wait_for_ingest()
+    rows = {(r.payload, r.n) for r in engine.view_table("u_counts").collect()}
+    assert rows == {("a", 2), ("b", 1)}
+
+    write_record_file(str(src_root / "s"), [{"data": p} for p in ["a", "c"]])
+    engine.wait_for_ingest()
+    rows = {(r.payload, r.n) for r in engine.view_table("u_counts").collect()}
+    assert rows == {("a", 3), ("b", 1), ("c", 1)}
+
+
+def test_parquet_upsert_requires_keys(engine):
+    engine.create_stream("k_stream", "payload STRING")
+    with pytest.raises(ValueError, match="key_cols"):
+        engine.create_continuous_view(
+            "bad_view",
+            "SELECT 1",
+            stream="k_stream",
+            materialize="parquet_upsert",
+        )
