@@ -200,8 +200,77 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization:
+    KMeans partitions the collection; each query probes only the nprobe
+    nearest cells, then exact-reranks. The classic billion-scale ANN
+    layout — at 100 TB the cell assignment becomes the table's physical
+    partitioning so a probe is a partition-pruned scan.
+
+    Deterministic (fixed seed); rows-only check + recall asserted in
+    tests against the exact brute-force tier.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n_cells, nprobe = 8, 3
+    e = _with_dvec(load(spark, sf_dir, "embeddings"))
+    fe = e.withColumn("fvec", array_to_vector("dvec"))
+    km = KMeans(k=n_cells, seed=42, featuresCol="fvec", predictionCol="cell")
+    model = km.fit(fe)
+    assigned = model.transform(fe).select("vec_id", "dvec", "nrm", "cell")
+
+    centers = [
+        [float(x) for x in c] for c in model.clusterCenters()
+    ]
+    centers_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cell INT, center ARRAY<DOUBLE>",
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dvec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # nprobe nearest cells per query (tiny: queries × cells, broadcast)
+    qcells = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn(
+            "cdist",
+            F.aggregate(
+                F.zip_with(
+                    "qvec", "center", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("cdist", "cell")
+            ),
+        )
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qvec", "qnrm", "cell")
+    )
+    sim = F.round(
+        _dot(F.col("qvec"), F.col("dvec")) / (F.col("qnrm") * F.col("nrm")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        assigned.join(F.broadcast(qcells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cosine_topk": QuerySpec(cosine_topk, COSINE_TOPK_SQL, bench=True),
+    "cosine_topk_ivf": QuerySpec(cosine_topk_ivf, None),
     "cosine_neardup_pairs": QuerySpec(
         cosine_neardup_pairs, COSINE_NEARDUP_SQL
     ),

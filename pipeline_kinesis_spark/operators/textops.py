@@ -145,8 +145,63 @@ FROM documents
 """
 
 
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword-boundary token counting: words + standalone
+    punctuation via regexp_extract_all — the pretokenization regex family
+    GPT-style BPE uses, simplified to [letters|digits|punct]."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    return d.groupBy("lang").agg(
+        F.sum(F.size(toks)).cast("long").alias("total_bpe_tokens"),
+        F.round(F.avg(F.size(toks)), 6).alias("avg_bpe_tokens"),
+        F.max(F.size(toks)).cast("long").alias("max_bpe_tokens"),
+    )
+
+
+TOKEN_COUNT_BPE_SQL = r"""
+SELECT
+  lang,
+  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpe_tokens,
+  round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 6) AS avg_bpe_tokens,
+  CAST(max(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS max_bpe_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    k-char-gram, keep the minimum hash in each sliding window of w hashes
+    → a position-robust fingerprint set, the rolling-hash dedup primitive.
+
+    All JVM higher-order functions over the char sequence; no UDFs. No
+    oracle (xxhash64 is engine-specific) — determinism + containment are
+    asserted in tests.
+    """
+    k, w = 8, 4
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        f"transform(sequence(1, greatest(length(lower(trim(text))) - {k - 1}, 0)), "
+        f"i -> xxhash64(substring(lower(trim(text)), i, {k})))"
+    )
+    d = d.withColumn("_g", F.expr(grams))
+    fingerprints = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_g) - {w - 1}, 0)), "
+        f"j -> array_min(slice(_g, j, {w}))))"
+    )
+    return d.select(
+        "doc_id",
+        F.size(fingerprints).cast("long").alias("n_fingerprints"),
+        fingerprints.alias("fingerprints"),
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "token_stats": QuerySpec(token_stats, TOKEN_STATS_SQL, bench=True),
+    "token_count_bpe": QuerySpec(token_count_bpe, TOKEN_COUNT_BPE_SQL),
+    "winnow_fingerprints": QuerySpec(winnow_fingerprints, None),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL),
     "lang_id_heuristic": QuerySpec(lang_id_heuristic, LANG_ID_SQL),
     "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),
