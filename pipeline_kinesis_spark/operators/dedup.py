@@ -15,7 +15,7 @@ Four tiers, all shuffle-disciplined for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_kinesis_spark.functions.exprs import tokens
@@ -72,15 +72,37 @@ def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 (exact): document pairs with 3-gram-shingle Jaccard ≥ 0.5 via an
-    inverted-index join — no cross join; cost ∝ Σ|posting list|²."""
-    # Join on a 64-bit hash of the shingle, not the string: same pair
-    # counts (collisions across a corpus's shingle set are ~n²/2⁶⁴ —
-    # negligible) but the shuffle moves 8-byte keys instead of strings.
-    sh = _shingles(load(spark, sf_dir, "documents")).select(
-        "doc_id", F.xxhash64("shingle").alias("sh")
+def _shingle_hashes(d: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → distinct 64-bit shingle hashes. Hashing happens BEFORE the
+    distinct so the dedup shuffle (and everything downstream) moves 8-byte
+    keys instead of shingle strings — collision odds ~n²/2⁶⁴, negligible."""
+    toked = d.select("doc_id", tokens("text").alias("t")).filter(
+        F.size("t") >= n
     )
+    return (
+        toked.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("t", i, n))),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+JACCARD_THRESHOLD = 0.5
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (exact): document pairs with 3-gram-shingle Jaccard ≥ 0.5 via a
+    plain inverted-index self-join — cost ∝ Σ|posting list|². The right
+    choice when shingle frequencies are benign (short posting lists);
+    ngram_jaccard_prefix below is the same computation with prefix
+    filtering for skewed corpora."""
+    sh = _shingle_hashes(load(spark, sf_dir, "documents"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -96,15 +118,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
-    )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
-    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -113,7 +131,82 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (exact, skew-resistant): same output as ngram_jaccard_pairs via
+    PREFIX FILTERING (the PPJoin principle).
+
+    Order each document's shingles by ascending corpus frequency and
+    index only the first |d| - ⌈t·|d|⌉ + 1 of them — if two sets have
+    Jaccard ≥ t their prefixes must share a shingle, so the prefix-index
+    self-join yields a candidate superset; an exact intersection count
+    verifies each candidate. The wins at 100 TB: indexed lists are
+    ~(1-t)× shorter, and because prefixes hold each doc's RAREST
+    shingles, stop-shingle posting-list blowup ("the the the" in every
+    doc) never reaches the join. Identical output → same oracle.
+    """
+    t = JACCARD_THRESHOLD
+    sh = _shingle_hashes(load(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    # global shingle frequency → rank shingles per doc, rarest first
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = sh.join(freq, "sh").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "sh")
+        ),
+    )
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .filter(F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+        .select("doc_id", "sh")
+    )
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # exact verification: intersection count for candidate pairs only.
+    # Both joins are equi (compound key on the second) — no per-pair
+    # quadratic expansion.
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("shv"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shv"))
+    common = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shv"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= t)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
 
@@ -155,12 +248,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, 8 band-hash buckets, self-join per bucket, signature-agreement
     estimate. Signature size is constant per doc regardless of length.
     """
-    sh = _shingles(load(spark, sf_dir, "documents"))
+    sh = _shingle_hashes(load(spark, sf_dir, "documents"))
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(
-                f"mh{seed}"
-            )
+            F.min(F.xxhash64(F.lit(seed), F.col("sh"))).alias(f"mh{seed}")
             for seed in range(NUM_PERM)
         ]
     )
@@ -247,6 +338,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ngram_jaccard_pairs": QuerySpec(
         ngram_jaccard_pairs, NGRAM_JACCARD_SQL, bench=True
     ),
+    "ngram_jaccard_prefix": QuerySpec(ngram_jaccard_prefix, NGRAM_JACCARD_SQL),
     "minhash_lsh_pairs": QuerySpec(minhash_lsh_pairs, None),
     "simhash_signatures": QuerySpec(simhash_signatures, None),
 }
