@@ -34,6 +34,7 @@ from pipeline_kinesis_spark.catalog import (
     ViewDef,
 )
 from pipeline_kinesis_spark.ingest.parse import parse_records, split_quarantine
+from pipeline_kinesis_spark.shipping import ship_package
 from pipeline_kinesis_spark.sources.file_replay import FileReplaySource
 from pipeline_kinesis_spark.streaming.continuous_view import (
     compile_view,
@@ -55,6 +56,7 @@ class Engine:
         trigger_interval: str = "500 milliseconds",
     ):
         self.spark = spark
+        ship_package(spark)
         self.metadata_dir = os.path.abspath(metadata_dir)
         self.catalog = Catalog(self.metadata_dir)
         self.trigger_interval = trigger_interval

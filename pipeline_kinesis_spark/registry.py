@@ -11,6 +11,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from pipeline_kinesis_spark.operators import QuerySpec
+from pipeline_kinesis_spark.shipping import ship_package
 from pipeline_kinesis_spark.operators import (
     dedup,
     multimodal,
@@ -44,8 +45,20 @@ def all_queries() -> dict[str, QuerySpec]:
     return out
 
 
+def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
+    """Wrap a query fn so the package is shipped to Python workers first —
+    keeps pandas-UDF operators working when the driver runs from a cwd
+    that doesn't contain the repo (see shipping.py)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def query_fns() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in all_queries().items()}
+    return {name: _shipped(spec.fn) for name, spec in all_queries().items()}
 
 
 def oracle_sqls() -> dict[str, str]:
