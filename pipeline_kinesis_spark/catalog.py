@@ -73,6 +73,11 @@ class Consumer:
     batchsize: int = 1000
     parallelism: int = 1
     start_position: str = "trim_horizon"
+    # per-shard max seqnum snapshot, filled once when start_position is
+    # 'latest' — the analog of resolving LATEST into a concrete iterator at
+    # first start (kinesis_consumer.cpp:296-325); restarts reuse it so a
+    # crash between start and first checkpoint can't skip records.
+    resolved_position: dict[str, str] | None = None
 
 
 @dataclass
@@ -183,6 +188,8 @@ class Catalog:
                     and existing["relation"] == c.relation
                 ):
                     c.id = existing["id"]
+                    if c.resolved_position is None:
+                        c.resolved_position = existing.get("resolved_position")
                     self.state.consumers[str(c.id)] = asdict(c)
                     self._save()
                     return c

@@ -24,6 +24,7 @@ import os
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from pipeline_kinesis_spark.catalog import (
@@ -36,6 +37,7 @@ from pipeline_kinesis_spark.catalog import (
 from pipeline_kinesis_spark.ingest.parse import parse_records, split_quarantine
 from pipeline_kinesis_spark.shipping import ship_package
 from pipeline_kinesis_spark.sources.file_replay import FileReplaySource
+from pipeline_kinesis_spark.sources.records import RECORD_SCHEMA
 from pipeline_kinesis_spark.streaming.continuous_view import (
     compile_view,
     materialize_memory,
@@ -148,6 +150,10 @@ class Engine:
             sd = self.catalog.stream(relation)
             if not ep.url:
                 raise ValueError(f"endpoint {endpoint!r} has no url")
+            if start_position not in ("trim_horizon", "latest") and not (
+                start_position.startswith("after_sequence_number:")
+            ):
+                raise ValueError(f"unknown start_position {start_position!r}")
             parallelism = min(max(parallelism, 1), MAX_PROCS)
             consumer = self.catalog.upsert_consumer(
                 Consumer(
@@ -171,7 +177,9 @@ class Engine:
                 os.path.join(ep.url, stream),
                 max_files_per_trigger=parallelism,
             )
-            records = source.read_stream(self.spark)
+            records = self._apply_start_position(
+                consumer, source, source.read_stream(self.spark)
+            )
             parsed = parse_records(
                 records, sd.schema_ddl, fmt, delimiter, quote, escape
             )
@@ -230,6 +238,62 @@ class Engine:
                     )
             self._queries[consumer.id] = queries
             return consumer
+
+    def _apply_start_position(
+        self,
+        consumer: Consumer,
+        source: FileReplaySource,
+        records: DataFrame,
+    ) -> DataFrame:
+        """A3 offset resolution (pipeline_kinesis.c:587-605,
+        kinesis_consumer.cpp:258-291): trim_horizon | latest |
+        after_sequence_number:X. 'latest' is resolved ONCE into a concrete
+        per-shard seqnum snapshot and persisted, so restarts resume from the
+        checkpoint rather than re-resolving (which could skip records).
+        Seqnums compare lexicographically — the file source zero-pads its
+        framing (write_record_file); a real Kinesis connector resolves this
+        server-side via GetShardIterator instead.
+        """
+        sp = consumer.start_position or "trim_horizon"
+        if sp == "trim_horizon":
+            return records
+        if sp == "latest":
+            snap = self._resolve_latest(consumer, source)
+            if not snap:
+                return records
+            snap_df = self.spark.createDataFrame(
+                sorted(snap.items()), "shard_id STRING, _start_seq STRING"
+            )
+            return (
+                records.join(F.broadcast(snap_df), "shard_id", "left")
+                .filter(
+                    F.col("_start_seq").isNull()
+                    | (F.col("sequence_number") > F.col("_start_seq"))
+                )
+                .select(*[f.name for f in RECORD_SCHEMA.fields])
+            )
+        if sp.startswith("after_sequence_number:"):
+            seq = sp.split(":", 1)[1]
+            return records.filter(F.col("sequence_number") > F.lit(seq))
+        raise ValueError(f"unknown start_position {sp!r}")
+
+    def _resolve_latest(
+        self, consumer: Consumer, source: FileReplaySource
+    ) -> dict[str, str]:
+        if consumer.resolved_position is not None:
+            return consumer.resolved_position
+        snap: dict[str, str] = {}
+        if os.path.isdir(source.stream_dir):
+            rows = (
+                source.read_batch(self.spark)
+                .groupBy("shard_id")
+                .agg(F.max("sequence_number").alias("m"))
+                .collect()
+            )
+            snap = {r.shard_id: r.m for r in rows if r.m is not None}
+        consumer.resolved_position = snap
+        self.catalog.upsert_consumer(consumer)
+        return snap
 
     def consume_end(self, endpoint: str, stream: str, relation: str) -> bool:
         """Stop the consumer's queries (kinesis_consume_end_sr analog)."""
