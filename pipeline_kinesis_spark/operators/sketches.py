@@ -1,0 +1,160 @@
+"""Mergeable-sketch aggregates: count-min and bloom filter (B14 family).
+
+PipelineDB's continuous aggregates lean on mergeable sketches (its public
+docs: hll, bloom, count-min, top-k); Spark ships HLL
+(``approx_count_distinct``) and t-digest-style percentiles
+(``percentile_approx``) natively — this module adds the other two in the
+shape that scales: each partition builds a PARTIAL sketch over its rows
+(vectorized pandas inside ``mapInPandas``), and partials merge
+associatively (count-min: matrix +, bloom: bitmap OR). That is map-side
+combine made explicit — shuffle traffic is O(partitions × sketch bytes)
+regardless of row count, so the same code runs at 100 TB: a few KB per
+partition flow to the driver, never the data.
+
+Determinism: hash seeds are fixed (blake2b with per-row salt), so results
+are reproducible and oracle-comparable. With sketch width far above the
+key cardinality used in the fixtures, count-min estimates are collision
+free and equal EXACT counts — which is what the DuckDB oracle asserts;
+the sketch still degrades gracefully (pure overestimate) at adversarial
+cardinalities.
+
+Reference analog: the continuous-view aggregate state that PipelineDB
+updates per batch (README.md:66 count-per-key is the degenerate exact
+case).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_kinesis_spark.io import load
+from pipeline_kinesis_spark.operators import QuerySpec
+
+CMS_DEPTH = 4
+CMS_WIDTH = 8192
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 5
+
+
+def _hash(key: str, salt: int) -> int:
+    h = hashlib.blake2b(
+        f"{salt}:{key}".encode(), digest_size=8
+    ).digest()
+    return int.from_bytes(h, "big")
+
+
+def _cms_partials(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    table = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    for pdf in pdfs:
+        counts = pdf.iloc[:, 0].value_counts()
+        for key, cnt in counts.items():
+            for d in range(CMS_DEPTH):
+                table[d, _hash(str(key), d) % CMS_WIDTH] += int(cnt)
+    yield pd.DataFrame({"sketch": [table.tobytes()]})
+
+
+def _bloom_partials(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for pdf in pdfs:
+        for key in pdf.iloc[:, 0].drop_duplicates():
+            for d in range(BLOOM_HASHES):
+                i = _hash(str(key), d) % BLOOM_BITS
+                bits[i >> 3] |= 1 << (i & 7)
+    yield pd.DataFrame({"sketch": [bits.tobytes()]})
+
+
+def cms_build(df: DataFrame, col: str) -> np.ndarray:
+    """Merged count-min sketch of ``col``. Partials are one small row per
+    partition; the driver-side merge is O(partitions), not O(rows)."""
+    parts = df.select(col).mapInPandas(_cms_partials, "sketch BINARY")
+    merged = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    for row in parts.collect():
+        merged += np.frombuffer(row.sketch, dtype=np.int64).reshape(
+            CMS_DEPTH, CMS_WIDTH
+        )
+    return merged
+
+
+def cms_estimate(sketch: np.ndarray, key: str) -> int:
+    return int(
+        min(
+            sketch[d, _hash(key, d) % CMS_WIDTH]
+            for d in range(CMS_DEPTH)
+        )
+    )
+
+
+def bloom_build(df: DataFrame, col: str) -> bytes:
+    parts = df.select(col).mapInPandas(_bloom_partials, "sketch BINARY")
+    merged = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for row in parts.collect():
+        merged |= np.frombuffer(row.sketch, dtype=np.uint8)
+    return merged.tobytes()
+
+
+def bloom_might_contain(bloom: bytes, key: str) -> bool:
+    bits = np.frombuffer(bloom, dtype=np.uint8)
+    for d in range(BLOOM_HASHES):
+        i = _hash(str(key), d) % BLOOM_BITS
+        if not (bits[i >> 3] >> (i & 7)) & 1:
+            return False
+    return True
+
+
+def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type counts answered FROM THE SKETCH (never a second scan
+    of the data). Event-type cardinality ≪ width ⇒ estimates are exact and
+    the plain GROUP BY oracle applies."""
+    e = load(spark, sf_dir, "events")
+    sketch = cms_build(e, "event_type")
+    keys = [r.event_type for r in e.select("event_type").distinct().collect()]
+    rows = [(k, cms_estimate(sketch, k)) for k in sorted(keys)]
+    return spark.createDataFrame(rows, "event_type STRING, est_count BIGINT")
+
+
+CMS_EVENT_COUNTS_SQL = """
+SELECT event_type, count(*) AS est_count
+FROM events
+GROUP BY event_type
+"""
+
+
+def bloom_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join: which of a probe list of priority labels
+    occur in orders. Probe set is tiny and the filter key-space (5 labels)
+    is far below capacity ⇒ no false positives here, so the EXISTS oracle
+    applies; tests assert the no-false-negative guarantee separately."""
+    o = load(spark, sf_dir, "orders")
+    bloom = bloom_build(o, "o_orderpriority")
+    probes = [r.o_orderpriority for r in
+              o.select("o_orderpriority").distinct().collect()]
+    probes = sorted(probes) + ["9-NONEXISTENT"]
+    rows = [(p, bloom_might_contain(bloom, p)) for p in probes]
+    return spark.createDataFrame(rows, "priority STRING, present BOOLEAN")
+
+
+BLOOM_ORDER_PRIORITIES_SQL = """
+WITH probes AS (
+  SELECT DISTINCT o_orderpriority AS priority FROM orders
+  UNION ALL SELECT '9-NONEXISTENT'
+)
+SELECT priority,
+       EXISTS (SELECT 1 FROM orders WHERE o_orderpriority = priority)
+         AS present
+FROM probes
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "cms_event_counts": QuerySpec(cms_event_counts, CMS_EVENT_COUNTS_SQL),
+    "bloom_order_priorities": QuerySpec(
+        bloom_order_priorities, BLOOM_ORDER_PRIORITIES_SQL
+    ),
+}

@@ -18,6 +18,7 @@ from pipeline_kinesis_spark.operators import (
     pandas_udfs,
     relational,
     similarity,
+    sketches,
     textops,
     timeseries,
     tpch,
@@ -30,6 +31,7 @@ _MODULES = (
     dedup,
     textops,
     similarity,
+    sketches,
     multimodal,
     pandas_udfs,
 )
