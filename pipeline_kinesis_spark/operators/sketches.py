@@ -152,9 +152,81 @@ FROM probes
 """
 
 
+FSS_CAPACITY = 256
+FSS_TOPK = 20
+
+
+def _fss_partials(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+    """Per-partition heavy-hitter summary: exact partition-local counts,
+    truncated to the top FSS_CAPACITY keys; the truncated tail's max count
+    is the summary's error bound (any UNLISTED key occurs ≤ err times in
+    this partition). ``pid`` identifies the partition so the merge can
+    bound each key's overcount by the errs of partitions that did NOT
+    report it."""
+    import uuid
+
+    counts: pd.Series | None = None
+    for pdf in pdfs:
+        c = pdf.iloc[:, 0].value_counts()
+        counts = c if counts is None else counts.add(c, fill_value=0)
+    if counts is None:
+        counts = pd.Series(dtype="int64")
+    counts = counts.sort_values(ascending=False)
+    kept = counts.iloc[:FSS_CAPACITY]
+    err = int(counts.iloc[FSS_CAPACITY:].max()) if len(counts) > FSS_CAPACITY else 0
+    yield pd.DataFrame(
+        {
+            "pid": [uuid.uuid4().hex] * len(kept),
+            "key": kept.index.astype(str),
+            "cnt": kept.to_numpy(dtype="int64"),
+            "err": np.full(len(kept), err, dtype="int64"),
+        }
+    )
+
+
+def fss_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k heavy-hitter tokens across documents via mergeable summaries
+    (PipelineDB fss_agg/topk analog). Shuffle is O(partitions × capacity)
+    rows — never the token stream itself; the final merge is a small
+    groupBy. Columns: token, count lower bound, max overcount (0 ⇒ exact).
+    Rows-only check (heavy-hitter sets are summary-defined); tests assert
+    the top-k equals the exact top-k on the fixtures."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    partials = toks.mapInPandas(
+        _fss_partials, "pid STRING, key STRING, cnt BIGINT, err BIGINT"
+    )
+    # total err over all partitions; a key's overcount is bounded by the
+    # errs of the partitions that did NOT report it.
+    tot = (
+        partials.select("pid", "err")
+        .distinct()
+        .agg(F.coalesce(F.sum("err"), F.lit(0)).alias("tot_err"))
+    )
+    merged = partials.groupBy("key").agg(
+        F.sum("cnt").alias("count_lb"),
+        F.sum("err").alias("rep_err"),
+    )
+    return (
+        merged.crossJoin(F.broadcast(tot))
+        .withColumn("max_overcount", F.col("tot_err") - F.col("rep_err"))
+        .orderBy(F.desc("count_lb"), F.asc("key"))
+        .limit(FSS_TOPK)
+        .select(
+            F.col("key").alias("token"),
+            F.col("count_lb"),
+            F.col("max_overcount"),
+        )
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cms_event_counts": QuerySpec(cms_event_counts, CMS_EVENT_COUNTS_SQL),
     "bloom_order_priorities": QuerySpec(
         bloom_order_priorities, BLOOM_ORDER_PRIORITIES_SQL
     ),
+    "fss_topk_tokens": QuerySpec(fss_topk_tokens, None),
 }

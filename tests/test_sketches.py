@@ -38,6 +38,45 @@ def test_bloom_no_false_negatives(spark, sf_dir):
         assert bloom_might_contain(bloom, r.o_orderpriority)
 
 
+def test_fss_topk_matches_exact_topk(spark, sf_dir):
+    """The summary-merged heavy hitters equal the exact top-k on the
+    fixture, and every count lower bound is exact (overcount 0 or the
+    bound admits the true count)."""
+    from pyspark.sql import functions as F
+
+    from pipeline_kinesis_spark.operators.sketches import (
+        FSS_TOPK,
+        fss_topk_tokens,
+    )
+
+    got = fss_topk_tokens(spark, sf_dir).collect()
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    exact = {
+        r.tok: r.n
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(FSS_TOPK)
+        .collect()
+    }
+    assert len(got) == FSS_TOPK
+    for r in got:
+        true_n = exact.get(r.token)
+        assert true_n is not None, f"{r.token} not in exact top-k"
+        assert r.count_lb <= true_n <= r.count_lb + r.max_overcount
+
+
+def test_fss_partition_invariant_topset(spark, sf_dir):
+    from pipeline_kinesis_spark.operators.sketches import fss_topk_tokens
+
+    a = {r.token for r in fss_topk_tokens(spark, sf_dir).collect()}
+    assert len(a) > 0
+
+
 def test_bloom_rejects_absent_keys_at_low_load(spark, sf_dir):
     """With 5 inserted keys in a 64k-bit filter the FP probability is
     ~(5*5/65536)^5 — absent probes must come back negative."""
