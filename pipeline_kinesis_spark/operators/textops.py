@@ -198,7 +198,64 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pretraining-corpus pipeline in ONE declarative plan:
+    quality gate → language gate → exact near-dup removal → per-doc stats
+    (C1+C4 composed — the shape a 100 TB training-data job actually runs).
+
+    Scale discipline: both filters are narrow and run BEFORE the only
+    shuffle (the dedup window on the content hash, uniformly distributed
+    by construction); Catalyst collapses the whole thing into scan →
+    filter → one exchange → window → filter.
+    """
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    n_toks = F.size("toks")
+    stop_ratio = F.size(
+        F.filter("toks", lambda t: t.isin(*STOPWORDS))
+    ) / n_toks
+    gated = (
+        d.withColumn("n_tokens", n_toks.cast("long"))
+        .withColumn("stop_ratio", stop_ratio)
+        .filter((F.col("n_tokens") >= 10) & (F.col("stop_ratio") > 0.03))
+        .withColumn(
+            "fingerprint", F.sha2(F.lower(F.trim("text")), 256)
+        )
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.round("stop_ratio", 6).alias("stop_ratio"),
+        )
+    )
+
+
+CORPUS_CLEAN_SQL = r"""
+WITH gated AS (
+  SELECT
+    doc_id, lang, source, text,
+    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+      / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, lang, source, n_tokens, round(stop_ratio, 6) AS stop_ratio
+FROM gated
+WHERE n_tokens >= 10 AND stop_ratio > 0.03
+QUALIFY row_number() OVER (
+  PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id
+) = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "corpus_clean": QuerySpec(corpus_clean, CORPUS_CLEAN_SQL, bench=True),
     "token_stats": QuerySpec(token_stats, TOKEN_STATS_SQL, bench=True),
     "token_count_bpe": QuerySpec(token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "winnow_fingerprints": QuerySpec(winnow_fingerprints, None),
