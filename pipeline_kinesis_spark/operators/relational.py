@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pipeline_kinesis_spark.functions.exprs import cents
+from pipeline_kinesis_spark.functions.exprs import cents, revenue_cents
 from pipeline_kinesis_spark.io import load
 from pipeline_kinesis_spark.operators import QuerySpec
 
@@ -779,6 +779,99 @@ GROUP BY event_type
 """
 
 
+# --- skew mitigation: explicit salting ------------------------------------
+#
+# AQE's skew-join splitting handles most hot keys automatically; these two
+# operators are the MANUAL pattern for when state must stay bounded per
+# task no matter what (e.g. one key holding 1% of 100 TB): distributive
+# aggregates and joins rewritten over a salted key. Both are
+# result-identical to their unsalted forms — which is exactly what the
+# oracle asserts.
+
+N_SALTS = 8
+
+
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation: groupBy(key, salt) partial →
+    groupBy(key) final. A hot key's rows spread over N_SALTS reducers in
+    phase 1; phase 2 merges N_SALTS tiny partials. count/sum recombine
+    exactly (distributive); avg is derived from sum/count at the end —
+    never averaged across partials."""
+    l = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.rand(seed=7) * N_SALTS).cast("int")
+    )
+    partial = l.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("l_extendedprice"))).alias("price_cents"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.sum("price_cents").alias("sum_price_cents"),
+        )
+        .withColumn(
+            "avg_price_cents",
+            F.round(F.col("sum_price_cents") / F.col("n_rows"), 2),
+        )
+    )
+
+
+AGG_SALTED_SKEW_SQL = """
+SELECT
+  l_returnflag,
+  count(*) AS n_rows,
+  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents,
+  round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / count(*), 2)
+    AS avg_price_cents
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-dim join without broadcast: the fact side gets a
+    random salt, the dim side is replicated N_SALTS times (explode over a
+    literal range), and the join key becomes (key, salt) — a hot orderkey
+    now lands on N_SALTS different reducers. Used when the dim is too big
+    to broadcast AND a key is hot; result-identical to the plain join."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    ).withColumn("salt", (F.rand(seed=11) * N_SALTS).cast("int"))
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+        )
+    )
+    return (
+        l.join(
+            o,
+            (l.l_orderkey == o.o_orderkey) & (l.salt == o.salt),
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            revenue_cents().alias("revenue_cents"),
+        )
+    )
+
+
+JOIN_SALTED_SKEW_SQL = """
+SELECT
+  year(o_orderdate) AS o_year,
+  count(*) AS n_items,
+  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+    AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY year(o_orderdate)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "filter_predicates": QuerySpec(filter_predicates, FILTER_PREDICATES_SQL),
     "join_left_outer": QuerySpec(join_left_outer, JOIN_LEFT_OUTER_SQL),
@@ -812,4 +905,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "case_coalesce": QuerySpec(case_coalesce, CASE_COALESCE_SQL),
     "json_extract": QuerySpec(json_extract, JSON_EXTRACT_SQL),
+    "agg_salted_skew": QuerySpec(agg_salted_skew, AGG_SALTED_SKEW_SQL),
+    "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_SKEW_SQL),
 }
