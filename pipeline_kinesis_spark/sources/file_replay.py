@@ -76,6 +76,10 @@ class FileReplaySource:
         self.max_files_per_trigger = max_files_per_trigger
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
+        # a consumer may start before the first producer write (a Kinesis
+        # stream exists independently of records) — materialize the
+        # stream directory so the file source can begin polling it
+        os.makedirs(self.stream_dir, exist_ok=True)
         reader = (
             spark.readStream.schema(RECORD_SCHEMA)
             .format("json")

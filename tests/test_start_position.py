@@ -71,6 +71,19 @@ def test_after_sequence_number(engine, spark, tmp_path):
     assert rows == {"c"}
 
 
+def test_consumer_can_start_before_first_record(engine, spark, tmp_path):
+    """A Kinesis stream exists independently of records — starting the
+    consumer first, then producing, must work."""
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("pre_stream", "payload STRING")
+    engine.consume_begin("ep", "s", "pre_stream")
+    write_record_file(str(src_root / "s"), [{"data": "first"}])
+    engine.wait_for_ingest()
+    rows = {r.payload for r in engine.stream_table("pre_stream").collect()}
+    assert rows == {"first"}
+
+
 def test_unknown_start_position_rejected(engine, tmp_path):
     engine.add_endpoint("ep", url=str(tmp_path / "kinesis"))
     engine.create_stream("bad_stream", "payload STRING")
