@@ -344,8 +344,30 @@ class Engine:
         return self.spark.read.parquet(self.dead_letter_dir(relation))
 
     def view_table(self, view_name: str) -> DataFrame:
-        """Query a parquet_upsert-materialized continuous view."""
+        """Query a continuous view's current materialized state, whatever
+        its sink (memory table or parquet_upsert directory)."""
+        vd = self.catalog.state.views.get(view_name)
+        if vd is not None and vd.get("materialize") != "parquet_upsert":
+            return self.spark.table(view_name)
         return self.spark.read.parquet(self.view_dir(view_name))
+
+    def sql(self, query: str) -> DataFrame:
+        """Ad-hoc SQL with every registered continuous view queryable as a
+        table — the reference's `SELECT * FROM foo_view` read path
+        (README.md:78-88), available mid-stream. Views resolve to their
+        CURRENT materialized state at call time."""
+        for name, vd in self.catalog.state.views.items():
+            if vd.get("materialize") == "parquet_upsert":
+                try:
+                    self.view_table(name).createOrReplaceTempView(name)
+                except Exception:
+                    continue  # not materialized yet — leave unregistered
+        for name in self.catalog.state.streams:
+            try:
+                self.stream_table(name).createOrReplaceTempView(name)
+            except Exception:
+                continue
+        return self.spark.sql(query)
 
     def wait_for_ingest(self, timeout_s: float = 60.0) -> None:
         """Block until all running queries have processed available input

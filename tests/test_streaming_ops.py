@@ -158,6 +158,42 @@ def test_parquet_upsert_view_end_to_end(engine, spark, tmp_path):
     assert rows == {("a", 3), ("b", 1), ("c", 1)}
 
 
+def test_adhoc_sql_over_views_and_streams(engine, spark, tmp_path):
+    """PipelineDB's read path: ad-hoc SQL over continuous views and stream
+    relations mid-stream (README.md:78-88), including joins between a
+    parquet-upsert view and the archived stream."""
+    src_root = tmp_path / "kinesis"
+    write_record_file(
+        str(src_root / "s"), [{"data": p} for p in ["a", "a", "b", "c"]]
+    )
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("adq_stream", "payload STRING")
+    engine.create_continuous_view(
+        "adq_counts",
+        "SELECT payload, count(*) AS n FROM adq_stream GROUP BY payload",
+        stream="adq_stream",
+        materialize="parquet_upsert",
+        key_cols=["payload"],
+    )
+    engine.consume_begin("ep", "s", "adq_stream")
+    engine.wait_for_ingest()
+    rows = {
+        (r.payload, r.n)
+        for r in engine.sql(
+            "SELECT payload, n FROM adq_counts WHERE n > 1"
+        ).collect()
+    }
+    assert rows == {("a", 2)}
+    joined = engine.sql(
+        """
+        SELECT s.payload, v.n, count(*) AS raw
+        FROM adq_stream s JOIN adq_counts v ON s.payload = v.payload
+        GROUP BY s.payload, v.n
+        """
+    ).collect()
+    assert all(r.n == r.raw for r in joined)
+
+
 def test_parquet_upsert_requires_keys(engine):
     engine.create_stream("k_stream", "payload STRING")
     with pytest.raises(ValueError, match="key_cols"):
