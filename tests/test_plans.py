@@ -12,12 +12,30 @@ from pipeline_kinesis_spark.operators.tpch import (
     q5_local_supplier_volume,
     q6_forecast_revenue,
 )
+import pytest
+
 from pipeline_kinesis_spark.plans.inspect import (
     explain_str,
     has_pushed_filters,
     scan_columns,
     uses_broadcast_join,
 )
+from pipeline_kinesis_spark.registry import all_queries
+
+_ALL = sorted(all_queries().items())
+
+
+@pytest.mark.parametrize("name", [n for n, _ in _ALL])
+def test_plan_hygiene_every_query(spark, sf_dir, name):
+    """Fleet-wide plan bans: no unconditioned cartesian products and no
+    row-at-a-time Python UDFs (BatchEvalPython) anywhere in the library —
+    the two plan shapes that can't survive a 100× scale-up. (Broadcast
+    nested-loop joins are allowed: that's the intended physical form of a
+    broadcast cross/theta join against a small side.)"""
+    spec = dict(_ALL)[name]
+    plan = explain_str(spec.fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
 
 
 def test_q1_filter_pushed_to_scan(spark, sf_dir):
