@@ -56,9 +56,21 @@ class Engine:
         spark: SparkSession,
         metadata_dir: str = ".pipeline_kinesis_spark",
         trigger_interval: str = "500 milliseconds",
+        state_store: str | None = None,
     ):
         self.spark = spark
         ship_package(spark)
+        if state_store == "rocksdb":
+            # streaming state spills to disk instead of executor heap —
+            # the right provider once view/dedup state outgrows memory
+            # (100 TB keyspaces). Must be set before queries start.
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
+        elif state_store is not None:
+            raise ValueError(f"unknown state_store {state_store!r}")
         self.metadata_dir = os.path.abspath(metadata_dir)
         self.catalog = Catalog(self.metadata_dir)
         self.trigger_interval = trigger_interval
@@ -103,7 +115,16 @@ class Engine:
         )
 
     def drop_continuous_view(self, name: str) -> None:
-        self.catalog.drop_view(name)
+        """Unregister the view and stop any running query materializing it
+        (running consumers keep ingesting; only this view's maintenance
+        stops — the PipelineDB DROP CONTINUOUS VIEW contract)."""
+        with self._lock:
+            self.catalog.drop_view(name)
+            for queries in self._queries.values():
+                for q in list(queries):
+                    if q.name == name:
+                        q.stop()
+                        queries.remove(q)
 
     # --------------------------------------------------------------- paths
 
@@ -218,6 +239,7 @@ class Engine:
                                 upsert_to_parquet(bdf, _d, _k)
                             )
                         )
+                        .queryName(view.name)
                         .outputMode("update")
                         .option(
                             "checkpointLocation",

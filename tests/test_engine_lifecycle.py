@@ -1,0 +1,72 @@
+"""Engine lifecycle: dropping a running view stops only its maintenance;
+RocksDB state-store provider runs streaming aggregations end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_kinesis_spark.engine import Engine
+from pipeline_kinesis_spark.sources.file_replay import write_record_file
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    yield eng
+    eng.consume_end_all()
+
+
+def test_drop_view_stops_its_query_keeps_ingest(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    write_record_file(str(src_root / "s"), [{"data": "a"}])
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("dv_stream", "payload STRING")
+    engine.create_continuous_view(
+        "dv_view",
+        "SELECT payload, count(*) AS n FROM dv_stream GROUP BY payload",
+        stream="dv_stream",
+    )
+    engine.consume_begin("ep", "s", "dv_stream")
+    engine.wait_for_ingest()
+    assert spark.table("dv_view").count() == 1
+
+    engine.drop_continuous_view("dv_view")
+    active = {q.name for q in spark.streams.active}
+    assert "dv_view" not in active
+    # ingestion continues without the view
+    write_record_file(str(src_root / "s"), [{"data": "b"}])
+    engine.wait_for_ingest()
+    rows = {r.payload for r in engine.stream_table("dv_stream").collect()}
+    assert rows == {"a", "b"}
+
+
+def test_rocksdb_state_store_view(spark, tmp_path):
+    eng = Engine(
+        spark,
+        metadata_dir=str(tmp_path / "meta"),
+        state_store="rocksdb",
+    )
+    try:
+        src_root = tmp_path / "kinesis"
+        write_record_file(
+            str(src_root / "s"), [{"data": p} for p in ["x", "x", "y"]]
+        )
+        eng.add_endpoint("ep", url=str(src_root))
+        eng.create_stream("rdb_stream", "payload STRING")
+        eng.create_continuous_view(
+            "rdb_view",
+            "SELECT payload, count(*) AS n FROM rdb_stream GROUP BY payload",
+            stream="rdb_stream",
+        )
+        eng.consume_begin("ep", "s", "rdb_stream")
+        eng.wait_for_ingest()
+        rows = {(r.payload, r.n) for r in spark.table("rdb_view").collect()}
+        assert rows == {("x", 2), ("y", 1)}
+    finally:
+        eng.consume_end_all()
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_unknown_state_store_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="state_store"):
+        Engine(spark, metadata_dir=str(tmp_path / "m"), state_store="redis")
