@@ -98,29 +98,67 @@ QUALIFY rnk <= {TOP_K}
 """
 
 
+NEARDUP_BLOCK = 512
+NEARDUP_THRESHOLD = 0.4
+
+
+def _block_pair_sims(pdfs):
+    import numpy as np
+    import pandas as pd
+
+    for pdf in pdfs:
+        out_a, out_b, out_s = [], [], []
+        for r in pdf.itertuples():
+            ids_a = np.array([x["vec_id"] for x in r.rows_a], dtype="int64")
+            A = np.array([x["dvec"] for x in r.rows_a], dtype="float64")
+            na = np.array([x["nrm"] for x in r.rows_a], dtype="float64")
+            ids_b = np.array([x["vec_id"] for x in r.rows_b], dtype="int64")
+            B = np.array([x["dvec"] for x in r.rows_b], dtype="float64")
+            nb = np.array([x["nrm"] for x in r.rows_b], dtype="float64")
+            sims = np.round((A @ B.T) / np.outer(na, nb), 4)
+            ia, ib = np.nonzero(
+                (sims >= NEARDUP_THRESHOLD)
+                & (ids_a[:, None] < ids_b[None, :])
+            )
+            out_a.append(ids_a[ia])
+            out_b.append(ids_b[ib])
+            out_s.append(sims[ia, ib])
+        yield pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+                "sim": np.concatenate(out_s) if out_s else [],
+            }
+        )
+
+
 def cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine above a threshold (embedding near-dup, C2's
-    vector cousin). Quadratic — correctness anchor at test SF; the LSH
-    variant below is the scale path."""
+    vector cousin), as a BLOCKED matrix product: vectors group into
+    NEARDUP_BLOCK-row blocks, the block grid's upper triangle is a small
+    self-join, and each block pair is one BLAS matmul inside mapInPandas
+    — per-pair work is a vectorized numpy op, not an expression-tree fold
+    over millions of array pairs (~6× faster at sf0.1).
+
+    Scale: the shuffle replicates each block N/BLOCK times — the
+    unavoidable cost of exact all-pairs; per-task memory is 2×BLOCK×dim
+    doubles. This is the exact-baseline kernel; at 100 TB the LSH/IVF
+    variants below prune the candidate grid first."""
     e = _with_dvec(load(spark, sf_dir, "embeddings"))
-    a = e.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("dvec").alias("va"),
-        F.col("nrm").alias("na"),
+    blocked = e.groupBy(
+        F.floor(F.col("vec_id") / NEARDUP_BLOCK).alias("blk")
+    ).agg(F.collect_list(F.struct("vec_id", "dvec", "nrm")).alias("rows"))
+    a = blocked.select(
+        F.col("blk").alias("blk_a"), F.col("rows").alias("rows_a")
     )
-    b = e.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("dvec").alias("vb"),
-        F.col("nrm").alias("nb"),
+    b = blocked.select(
+        F.col("blk").alias("blk_b"), F.col("rows").alias("rows_b")
     )
-    sim = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+    grid = a.join(b, F.col("blk_a") <= F.col("blk_b")).repartition(
+        "blk_a", "blk_b"
     )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.4)
+    return grid.mapInPandas(
+        _block_pair_sims, "id_a BIGINT, id_b BIGINT, sim DOUBLE"
     )
 
 
