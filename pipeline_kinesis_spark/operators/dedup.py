@@ -250,50 +250,60 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sh = _shingle_hashes(load(spark, sf_dir, "documents"))
     sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(seed), F.col("sh"))).alias(f"mh{seed}")
-            for seed in range(NUM_PERM)
-        ]
+        F.array(
+            *[
+                F.min(F.xxhash64(F.lit(seed), F.col("sh")))
+                for seed in range(NUM_PERM)
+            ]
+        ).alias("sig")
     )
+    # melt: one (doc, band, band_hash) row per band — ONE self-join on
+    # (band, band_hash) replaces BANDS separate joins, so the signature
+    # aggregation above is computed once, not 2×BANDS times.
     bands = sig.select(
         "doc_id",
-        *[F.col(f"mh{s}") for s in range(NUM_PERM)],
-        *[
-            F.xxhash64(
-                F.lit(b),
+        "sig",
+        F.explode(
+            F.array(
                 *[
-                    F.col(f"mh{b * ROWS_PER_BAND + r}")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            ).alias(f"band{b}")
-            for b in range(BANDS)
-        ],
-    )
-    pair_frames = []
-    for b in range(BANDS):
-        a = bands.alias("a")
-        c = bands.alias("c")
-        pair_frames.append(
-            a.join(
-                c,
-                (F.col(f"a.band{b}") == F.col(f"c.band{b}"))
-                & (F.col("a.doc_id") < F.col("c.doc_id")),
-            ).select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("c.doc_id").alias("doc_b"),
-                sum(
-                    (
-                        F.col(f"a.mh{s}") == F.col(f"c.mh{s}")
-                    ).cast("int")
-                    for s in range(NUM_PERM)
-                ).alias("n_agree"),
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col("sig")[b * ROWS_PER_BAND + r]
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        ).alias("bh"),
+                    )
+                    for b in range(BANDS)
+                ]
             )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = bands.alias("a")
+    c = bands.alias("c")
+    n_agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("a.sig"), F.col("c.sig"), lambda x, y: x == y
+            ),
+            lambda eq: eq,
         )
-    pairs = pair_frames[0]
-    for f in pair_frames[1:]:
-        pairs = pairs.unionByName(f)
+    )
     return (
-        pairs.groupBy("doc_a", "doc_b")
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bh") == F.col("c.bh"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("c.doc_id").alias("doc_b"),
+            n_agree.alias("n_agree"),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.max("n_agree").alias("n_agree"))
         .withColumn(
             "est_jaccard", F.round(F.col("n_agree") / F.lit(NUM_PERM), 6)
