@@ -22,6 +22,8 @@ the reference excludes it from the COPY attr list
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -88,17 +90,28 @@ def parse_records(
         "sequence_number",
         "shard_id",
     )
-    # from_csv PERMISSIVE quirk: rows with too FEW fields yield nulls, not a
-    # corrupt record; treat all-null parses of non-null data as corrupt.
+    # from_csv PERMISSIVE quirk: rows with too FEW fields yield nulls, not
+    # a corrupt record. Flag all-null parses of non-null data as corrupt —
+    # but only when the raw line can't even have carried the declared
+    # field count (fewer than n-1 delimiters), so a legitimately all-empty
+    # row ('"",""' → null,null) is NOT quarantined.
     all_null = F.lit(True)
     for f in declared.fields:
         all_null = all_null & F.col(f.name).isNull()
+    if fmt == "json":
+        too_short = F.lit(True)
+    else:
+        too_short = (
+            F.size(F.split(F.col("data"), re.escape(delimiter), -1)) - 1
+            < len(declared.fields) - 1
+        )
     return out.withColumn(
         CORRUPT_COL,
         F.when(
             F.col(CORRUPT_COL).isNotNull(), F.col(CORRUPT_COL)
         ).when(
-            all_null & F.col("data").isNotNull(), F.col("data")
+            all_null & F.col("data").isNotNull() & too_short,
+            F.col("data"),
         ),
     ).drop("data")
 
