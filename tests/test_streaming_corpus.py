@@ -17,6 +17,35 @@ def engine(spark, tmp_path):
     eng.consume_end_all()
 
 
+def test_stream_static_join_view(engine, spark, tmp_path):
+    """Continuous view joining the stream to a static dimension table
+    (PipelineDB stream-table join; Spark stream-static join — B7 in the
+    streaming layer). The dim is a registered temp view the view SQL
+    references by name."""
+    spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "k STRING, label STRING"
+    ).createOrReplaceTempView("dim_labels")
+    src_root = tmp_path / "kinesis"
+    write_record_file(
+        str(src_root / "s"), [{"data": p} for p in ["a", "a", "b", "z"]]
+    )
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("sj_stream", "payload STRING")
+    engine.create_continuous_view(
+        "sj_view",
+        """
+        SELECT d.label, count(*) AS n
+        FROM sj_stream s JOIN dim_labels d ON s.payload = d.k
+        GROUP BY d.label
+        """,
+        stream="sj_stream",
+    )
+    engine.consume_begin("ep", "s", "sj_stream")
+    engine.wait_for_ingest()
+    rows = {(r.label, r.n) for r in spark.table("sj_view").collect()}
+    assert rows == {("alpha", 2), ("beta", 1)}  # 'z' has no dim match
+
+
 def test_streaming_dedup_quality_view(engine, spark, tmp_path):
     src_root = tmp_path / "kinesis"
     docs = [
