@@ -150,7 +150,10 @@ def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc) never reaches the join. Identical output → same oracle.
     """
     t = JACCARD_THRESHOLD
-    sh = _shingle_hashes(load(spark, sf_dir, "documents"))
+    # the shingle table feeds the prefix index AND both verification
+    # sides — materialize it once (on a cluster: checkpoint to a table)
+    # instead of re-running explode+distinct per consumer.
+    sh = _shingle_hashes(load(spark, sf_dir, "documents")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
 
     # global shingle frequency → rank shingles per doc, rarest first
