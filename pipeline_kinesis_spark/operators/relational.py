@@ -779,6 +779,75 @@ GROUP BY event_type
 """
 
 
+def pivot_priority_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (B12/B15 cousin; PG crosstab analog): order counts per year,
+    one column per priority. Spark's pivot with explicit values compiles
+    to a single hash aggregate — no per-column scans."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate").cast("long")
+    )
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pv = (
+        o.groupBy("o_year")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "o_year",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i + 1}")
+            for i, p in enumerate(prios)
+        ],
+    )
+
+
+PIVOT_PRIORITY_SQL = """
+SELECT
+  year(o_orderdate) AS o_year,
+  count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+  count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+  count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+FROM orders
+GROUP BY year(o_orderdate)
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame (B17): per user, the event count and value
+    sum within the trailing 30 minutes of each event — rangeBetween over
+    epoch seconds, the time-decayed-feature workhorse."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.col("ts").cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-1800, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_30m"),
+        F.round(F.sum("value").over(w), 6).alias("sum_30m"),
+    )
+
+
+WINDOW_RANGE_FRAME_SQL = """
+SELECT
+  event_id,
+  user_id,
+  count(*) OVER w AS n_30m,
+  round(sum(value) OVER w, 6) AS sum_30m
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+  RANGE BETWEEN 1800 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 # --- skew mitigation: explicit salting ------------------------------------
 #
 # AQE's skew-join splitting handles most hot keys automatically; these two
@@ -907,4 +976,10 @@ QUERIES: dict[str, QuerySpec] = {
     "json_extract": QuerySpec(json_extract, JSON_EXTRACT_SQL),
     "agg_salted_skew": QuerySpec(agg_salted_skew, AGG_SALTED_SKEW_SQL),
     "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_SKEW_SQL),
+    "pivot_priority_by_year": QuerySpec(
+        pivot_priority_by_year, PIVOT_PRIORITY_SQL
+    ),
+    "window_range_frame": QuerySpec(
+        window_range_frame, WINDOW_RANGE_FRAME_SQL
+    ),
 }
