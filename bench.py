@@ -47,6 +47,8 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         total_rows += len(rows)
 
+    ingest_rps = _ingest_throughput(spark)
+
     print(
         json.dumps(
             {
@@ -57,9 +59,51 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "total_result_rows": total_rows,
+                # reference envelope: ~4,000 records/s/shard
+                # (BASELINE.md: GetRecords pacing × batchsize)
+                "ingest_records_per_s": ingest_rps,
             }
         )
     )
+
+
+def _ingest_throughput(spark, n_records: int = 100_000) -> float:
+    """End-to-end engine ingest rate: produce → consume (parse +
+    arrival_timestamp + exactly-once parquet archive) → queryable, the
+    path BASELINE.md's ~4k records/s/shard ceiling describes."""
+    import shutil
+    import tempfile
+
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import write_record_file
+
+    wd = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        per_file = 10_000
+        for i in range(n_records // per_file):
+            write_record_file(
+                os.path.join(wd, "src", "s"),
+                [
+                    {"data": f"k{j % 97}\t{j}"}
+                    for j in range(i * per_file, (i + 1) * per_file)
+                ],
+            )
+        eng = Engine(spark, metadata_dir=os.path.join(wd, "meta"))
+        eng.add_endpoint("bench_ep", url=os.path.join(wd, "src"))
+        eng.create_stream("bench_stream", "k STRING, v BIGINT")
+        t0 = time.time()
+        eng.consume_begin(
+            "bench_ep", "s", "bench_stream", parallelism=8
+        )
+        eng.wait_for_ingest(timeout_s=300)
+        n = eng.stream_table("bench_stream").count()
+        dt = time.time() - t0
+        eng.consume_end_all()
+        if n != n_records:
+            return -1.0  # signal a completeness problem, not a rate
+        return round(n / dt, 1)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
 
 
 if __name__ == "__main__":
