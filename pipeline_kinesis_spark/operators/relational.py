@@ -848,6 +848,40 @@ WINDOW w AS (
 """
 
 
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (pivot's inverse): lineitem money measures to long
+    form (key, measure, amount) — narrow per-row transform, no shuffle."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "amount",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round("amount", 6).alias("amount"),
+    )
+
+
+UNPIVOT_LINEITEM_SQL = """
+SELECT l_orderkey, l_linenumber, measure, round(amount, 6) AS amount
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+         l_quantity AS amount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+)
+WHERE l_orderkey < 1000
+"""
+
+
 # --- skew mitigation: explicit salting ------------------------------------
 #
 # AQE's skew-join splitting handles most hot keys automatically; these two
@@ -981,5 +1015,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "window_range_frame": QuerySpec(
         window_range_frame, WINDOW_RANGE_FRAME_SQL
+    ),
+    "unpivot_lineitem_measures": QuerySpec(
+        unpivot_lineitem_measures, UNPIVOT_LINEITEM_SQL
     ),
 }
