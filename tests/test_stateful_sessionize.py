@@ -104,6 +104,59 @@ def test_sessionize_splits_gap_within_single_batch(spark, tmp_path):
         q.stop()
 
 
+def test_native_session_window_streaming(spark, tmp_path):
+    """B24's streaming leg with the BUILT-IN session_window (the custom
+    sessionizer above exists for close-triggered custom payloads; plain
+    aggregates should use this native state machine)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    name = f"nsw_{uuid.uuid4().hex[:8]}"
+    write_record_file(
+        src,
+        [
+            {"data": "u1", "approximate_arrival_timestamp": "2024-01-01T10:00:00"},
+            {"data": "u1", "approximate_arrival_timestamp": "2024-01-01T10:02:00"},
+            {"data": "u1", "approximate_arrival_timestamp": "2024-01-01T11:00:00"},
+        ],
+    )
+    records = FileReplaySource(src).read_stream(spark)
+    agg = (
+        records.withWatermark("approximate_arrival_timestamp", "0 seconds")
+        .groupBy(
+            F.session_window(
+                "approximate_arrival_timestamp", "5 minutes"
+            ).alias("w"),
+            F.col("data").alias("key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("key", F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark so the first session finalizes
+        write_record_file(
+            src,
+            [{"data": "u2", "approximate_arrival_timestamp": "2024-01-01T13:00:00"}],
+        )
+        q.processAllAvailable()
+        rows = {
+            (r.key, r.ws.isoformat(), r.n)
+            for r in spark.table(name).collect()
+        }
+        assert ("u1", "2024-01-01T10:00:00", 2) in rows
+        assert ("u1", "2024-01-01T11:00:00", 1) in rows
+    finally:
+        q.stop()
+
+
 def test_sessionize_splits_on_gap_within_key(spark, tmp_path):
     """Events for the same key separated by more than the gap produce two
     sessions; the first closes as soon as the second batch arrives."""
