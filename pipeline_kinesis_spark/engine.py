@@ -359,11 +359,83 @@ class Engine:
     # ---------------------------------------------------------- inspection
 
     def stream_table(self, relation: str) -> DataFrame:
-        """Ad-hoc batch reads over the archived stream relation."""
-        return self.spark.read.parquet(self.table_dir(relation))
+        """Ad-hoc batch reads over the archived stream relation (ingested
+        rows plus any recovered via replay_dead_letters)."""
+        df = self.spark.read.parquet(self.table_dir(relation))
+        if os.path.isdir(self._replayed_dir(relation)):
+            df = df.unionByName(
+                self.spark.read.parquet(self._replayed_dir(relation))
+            )
+        return df
+
+    def replay_dead_letters(
+        self,
+        relation: str,
+        fmt: str | None = None,
+        delimiter: str | None = None,
+        quote: str | None = None,
+        escape: str | None = None,
+    ) -> int:
+        """Re-parse quarantined rows — with optionally corrected format
+        options — appending recovered rows to the stream table. Returns
+        the number recovered. Idempotent: recovered seqnums are recorded
+        in a marker table and excluded from ``dead_letters`` and from
+        future replays. (The reference DROPPED such batches outright,
+        pipeline_kinesis.c:744-758; quarantine+replay is the upgrade.)
+        """
+        consumer = next(
+            (
+                c
+                for c in self.catalog.all_consumers()
+                if c.relation == relation
+            ),
+            None,
+        )
+        sd = self.catalog.stream(relation)
+        pending = self.dead_letters(relation)
+        records = pending.select(
+            F.col("_corrupt_record").alias("data"),
+            "sequence_number",
+            F.lit(None).cast("string").alias("partition_key"),
+            F.col("arrival_timestamp").alias(
+                "approximate_arrival_timestamp"
+            ),
+            "shard_id",
+        )
+        parsed = parse_records(
+            records,
+            sd.schema_ddl,
+            fmt or (consumer.format if consumer else "text"),
+            delimiter or (consumer.delimiter if consumer else "\t"),
+            quote if quote is not None else (consumer.quote if consumer else None),
+            escape if escape is not None else (consumer.escape if consumer else None),
+        )
+        good, _bad = split_quarantine(parsed)
+        good = good.cache()
+        n = good.count()
+        if n:
+            # a separate dir: the streaming sink's _spark_metadata log
+            # makes its own directory append-only from its point of view —
+            # batch reads there ignore foreign files. stream_table unions
+            # both; dead_letters anti-joins this dir's lineage.
+            good.write.mode("append").parquet(self._replayed_dir(relation))
+        good.unpersist()
+        return n
+
+    def _replayed_dir(self, relation: str) -> str:
+        return os.path.join(self.metadata_dir, "dead_letter_replayed", relation)
 
     def dead_letters(self, relation: str) -> DataFrame:
-        return self.spark.read.parquet(self.dead_letter_dir(relation))
+        """Quarantined rows not yet recovered by replay_dead_letters."""
+        dl = self.spark.read.parquet(self.dead_letter_dir(relation))
+        if not os.path.isdir(self._replayed_dir(relation)):
+            return dl
+        replayed = self.spark.read.parquet(
+            self._replayed_dir(relation)
+        ).select("sequence_number", "shard_id")
+        return dl.join(
+            replayed, ["sequence_number", "shard_id"], "left_anti"
+        )
 
     def view_table(self, view_name: str) -> DataFrame:
         """Query a continuous view's current materialized state, whatever
