@@ -71,6 +71,36 @@ def test_after_sequence_number(engine, spark, tmp_path):
     assert rows == {"c"}
 
 
+def test_max_files_per_trigger_bounds_batches(spark, tmp_path):
+    """A11 flow control: maxFilesPerTrigger admits a bounded number of
+    batch files per micro-batch — the reference's bounded-queue analog
+    (conc_queue.hpp capacity 100)."""
+    from pipeline_kinesis_spark.sources.file_replay import FileReplaySource
+
+    src = str(tmp_path / "src")
+    for i in range(4):
+        write_record_file(src, [{"data": f"r{i}-{j}"} for j in range(5)])
+    source = FileReplaySource(src, max_files_per_trigger=1)
+    records = source.read_stream(spark)
+    q = (
+        records.writeStream.format("memory")
+        .queryName("mft_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+        sizes = [p["numInputRows"] for p in progress if p["numInputRows"] > 0]
+        # 4 files × 5 records, one file per trigger → every non-empty
+        # micro-batch carried exactly 5 rows
+        assert sizes and all(s == 5 for s in sizes), sizes
+        assert spark.table("mft_t").count() == 20
+    finally:
+        q.stop()
+
+
 def test_consumer_can_start_before_first_record(engine, spark, tmp_path):
     """A Kinesis stream exists independently of records — starting the
     consumer first, then producing, must work."""
