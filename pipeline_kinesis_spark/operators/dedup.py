@@ -352,6 +352,6 @@ QUERIES: dict[str, QuerySpec] = {
         ngram_jaccard_pairs, NGRAM_JACCARD_SQL, bench=True
     ),
     "ngram_jaccard_prefix": QuerySpec(ngram_jaccard_prefix, NGRAM_JACCARD_SQL),
-    "minhash_lsh_pairs": QuerySpec(minhash_lsh_pairs, None),
+    "minhash_lsh_pairs": QuerySpec(minhash_lsh_pairs, None, bench=True),
     "simhash_signatures": QuerySpec(simhash_signatures, None),
 }

@@ -310,7 +310,7 @@ QUERIES: dict[str, QuerySpec] = {
     "cosine_topk": QuerySpec(cosine_topk, COSINE_TOPK_SQL, bench=True),
     "cosine_topk_ivf": QuerySpec(cosine_topk_ivf, None),
     "cosine_neardup_pairs": QuerySpec(
-        cosine_neardup_pairs, COSINE_NEARDUP_SQL
+        cosine_neardup_pairs, COSINE_NEARDUP_SQL, bench=True
     ),
     "cosine_topk_lsh": QuerySpec(cosine_topk_lsh, None),
 }

@@ -228,5 +228,5 @@ QUERIES: dict[str, QuerySpec] = {
     "bloom_order_priorities": QuerySpec(
         bloom_order_priorities, BLOOM_ORDER_PRIORITIES_SQL
     ),
-    "fss_topk_tokens": QuerySpec(fss_topk_tokens, None),
+    "fss_topk_tokens": QuerySpec(fss_topk_tokens, None, bench=True),
 }
