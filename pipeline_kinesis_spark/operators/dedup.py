@@ -53,25 +53,6 @@ GROUP BY 1
 """
 
 
-def _shingles(d: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → distinct n-token shingles (JVM-side transform/slice)."""
-    toked = d.select("doc_id", tokens("text").alias("t")).filter(
-        F.size("t") >= n
-    )
-    return (
-        toked.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice("t", i, n)),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
-
-
 def _shingle_hashes(d: DataFrame, n: int = 3) -> DataFrame:
     """doc_id → distinct 64-bit shingle hashes. Hashing happens BEFORE the
     distinct so the dedup shuffle (and everything downstream) moves 8-byte

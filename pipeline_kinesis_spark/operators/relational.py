@@ -848,6 +848,41 @@ WINDOW w AS (
 """
 
 
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (B17): ntile, percent_rank,
+    cume_dist, first/last value over an explicit frame — per nation,
+    customers ranked by account balance."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(wf).alias("poorest"),
+        F.last("c_custkey").over(wf).alias("richest"),
+    )
+
+
+WINDOW_DISTRIBUTION_SQL = """
+SELECT
+  c_custkey,
+  c_nationkey,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+  round(percent_rank() OVER w, 6) AS pct_rank,
+  round(cume_dist() OVER w, 6) AS cume,
+  first_value(c_custkey) OVER wf AS poorest,
+  last_value(c_custkey) OVER wf AS richest
+FROM customer
+WINDOW
+  w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey),
+  wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (pivot's inverse): lineitem money measures to long
     form (key, measure, amount) — narrow per-row transform, no shuffle."""
@@ -1018,5 +1053,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "unpivot_lineitem_measures": QuerySpec(
         unpivot_lineitem_measures, UNPIVOT_LINEITEM_SQL
+    ),
+    "window_distribution": QuerySpec(
+        window_distribution, WINDOW_DISTRIBUTION_SQL
     ),
 }
