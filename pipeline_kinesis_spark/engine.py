@@ -463,6 +463,34 @@ class Engine:
                 continue
         return self.spark.sql(query)
 
+    def seqnums(self) -> DataFrame:
+        """Per-(consumer, shard) high-water marks — the queryable progress
+        relation the reference exposes as pipeline_kinesis.seqnums
+        (README.md:119-129). Derived from ingested lineage, so it reflects
+        exactly what is durably in the stream tables."""
+        frames = []
+        for c in self.catalog.all_consumers():
+            if not os.path.isdir(self.table_dir(c.relation)):
+                continue
+            frames.append(
+                self.stream_table(c.relation)
+                .groupBy("shard_id")
+                .agg(F.max("sequence_number").alias("seqnum"))
+                .select(
+                    F.lit(c.id).alias("consumer_id"),
+                    "shard_id",
+                    "seqnum",
+                )
+            )
+        if not frames:
+            return self.spark.createDataFrame(
+                [], "consumer_id INT, shard_id STRING, seqnum STRING"
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def wait_for_ingest(self, timeout_s: float = 60.0) -> None:
         """Block until all running queries have processed available input
         (test/demo helper)."""

@@ -40,6 +40,40 @@ def test_drop_view_stops_its_query_keeps_ingest(engine, spark, tmp_path):
     assert rows == {"a", "b"}
 
 
+def test_seqnums_progress_relation(engine, spark, tmp_path):
+    """README.md:119-129 parity: advancing per-shard seqnums are
+    queryable; they advance as new records land."""
+    src_root = tmp_path / "kinesis"
+    write_record_file(
+        str(src_root / "s"),
+        [
+            {"data": "a", "sequence_number": "001", "shard_id": "shardId-0"},
+            {"data": "b", "sequence_number": "002", "shard_id": "shardId-1"},
+        ],
+    )
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("sq_stream", "payload STRING")
+    consumer = engine.consume_begin("ep", "s", "sq_stream")
+    engine.wait_for_ingest()
+    rows = {
+        (r.consumer_id, r.shard_id, r.seqnum)
+        for r in engine.seqnums().collect()
+    }
+    assert rows == {
+        (consumer.id, "shardId-0", "001"),
+        (consumer.id, "shardId-1", "002"),
+    }
+    write_record_file(
+        str(src_root / "s"),
+        [{"data": "c", "sequence_number": "003", "shard_id": "shardId-0"}],
+    )
+    engine.wait_for_ingest()
+    rows = {
+        (r.shard_id, r.seqnum) for r in engine.seqnums().collect()
+    }
+    assert rows == {("shardId-0", "003"), ("shardId-1", "002")}
+
+
 def test_rocksdb_state_store_view(spark, tmp_path):
     eng = Engine(
         spark,
