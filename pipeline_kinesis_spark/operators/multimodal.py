@@ -176,9 +176,134 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixed_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized mixed-modality media: documents cycled through
+    image/audio/video with deterministic column-arithmetic metadata, so
+    downstream operators have an oracle-expressible input."""
+    d = load(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    is_image = F.col("doc_id") % 3 == 0
+    is_video = F.col("doc_id") % 3 == 2
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.concat(F.lit("x/"), modality).alias("mime"),
+            F.octet_length(F.encode("text", "utf-8"))
+            .cast("long")
+            .alias("n_bytes"),
+            F.when(is_image, 64 + (F.col("n_chars") % 8) * 16)
+            .cast("long")
+            .alias("width"),
+            F.when(is_image, 64 + (F.col("n_chars") % 6) * 16)
+            .cast("long")
+            .alias("height"),
+            F.when(is_video, (F.col("n_chars") % 7 + 1) * 900)
+            .cast("long")
+            .alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+RESIZE_W, RESIZE_H = 224, 224
+
+
+def resize_images(df: DataFrame) -> DataFrame:
+    """Image resize plumbing via mapInPandas: Arrow-batched rows in, rows
+    with target dimensions out. The pixel transform itself is the stubbed
+    decode step (decode_media) — payload passes through; everything
+    Spark-side (schema, pruning, batch shape) is the production path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_w": RESIZE_W,
+                    "out_h": RESIZE_H,
+                    "n_bytes": pdf["payload"].map(
+                        lambda p: len(p) if p is not None else 0
+                    ),
+                }
+            )
+
+    return df.mapInPandas(
+        run, "media_id BIGINT, out_w BIGINT, out_h BIGINT, n_bytes BIGINT"
+    )
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize every image to 224×224 (C5 resize surface)."""
+    m = mixed_media_table(spark, sf_dir).filter(
+        F.col("modality") == "image"
+    )
+    return resize_images(m.select("media_id", "payload"))
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT
+  doc_id AS media_id,
+  CAST(224 AS BIGINT) AS out_w,
+  CAST(224 AS BIGINT) AS out_h,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (C5): one row per sampled frame per video — a pure
+    JVM explode over the duration metadata (sequence + explode), so frame
+    fan-out never touches Python; the frame DECODE would hang off each
+    row via extract_features/decode_media on a real cluster."""
+    step = 1000
+    v = mixed_media_table(spark, sf_dir).filter(
+        F.col("modality") == "video"
+    )
+    return (
+        v.select(
+            "media_id",
+            F.col("meta.duration_ms").alias("duration_ms"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    (F.col("meta.duration_ms") / step).cast("long"),
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            "duration_ms",
+            "frame_idx",
+            (F.col("frame_idx") * step).alias("frame_ts_ms"),
+        )
+    )
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = """
+SELECT
+  doc_id AS media_id,
+  CAST((n_chars % 7 + 1) * 900 AS BIGINT) AS duration_ms,
+  CAST(unnest(range(0, (n_chars % 7 + 1) * 900 // 1000 + 1)) AS BIGINT)
+    AS frame_idx,
+  CAST(unnest(range(0, (n_chars % 7 + 1) * 900 // 1000 + 1)) * 1000
+    AS BIGINT) AS frame_ts_ms
+FROM documents
+WHERE doc_id % 3 = 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_meta_stats": QuerySpec(
         multimodal_meta_stats, MULTIMODAL_META_SQL
     ),
     "multimodal_features": QuerySpec(multimodal_features, None),
+    "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_SQL),
+    "multimodal_frame_sample": QuerySpec(
+        multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL
+    ),
 }
