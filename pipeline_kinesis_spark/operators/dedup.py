@@ -5,8 +5,10 @@ Four tiers, all shuffle-disciplined for 100 TB:
 - exact content-hash dedup: one groupBy on a 256-bit fingerprint — the
   canonical first pass; hash-partition balances perfectly.
 - n-gram Jaccard pairs: inverted-index (shingle → doc) self-join — the
-  exact similarity join. Scales as sum of squared posting-list lengths, so
-  frequent-shingle caps (df cut) are applied, the standard trick.
+  exact similarity join, cost ∝ Σ|posting list|²; its prefix-filtered
+  twin (ngram_jaccard_prefix, PPJoin principle) indexes only each doc's
+  rarest shingles so frequent-shingle posting-list blowup never reaches
+  the join — same output, same oracle.
 - MinHash LSH: constant-size signature per doc (k minima), banded bucket
   join — candidate generation cost independent of document length; the
   100 TB path. Pure JVM expressions (xxhash64), no UDFs.
