@@ -298,14 +298,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2 (cheapest tier): 64-bit SimHash per document from token hashes.
+def _simhash(d: DataFrame) -> DataFrame:
+    """doc_id → 64-bit SimHash signature (shared by signatures + pairs).
 
     Bit i of the signature = sign of Σ_tokens (bit i ? +1 : -1). Computed
-    as 64 JVM-side conditional sums — one groupBy, no UDF. No oracle
-    (xxhash64 is Spark-specific); rows-only + unit tests.
+    as 64 JVM-side conditional sums — one groupBy, no UDF.
     """
-    d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(tokens("text")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
@@ -329,6 +327,76 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bit_sums.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 (cheapest tier): 64-bit SimHash per document.
+
+    No oracle (xxhash64 is Spark-specific); rows-only + unit tests.
+    """
+    return _simhash(load(spark, sf_dir, "documents"))
+
+
+# Hamming-ball join parameters: 4 bands of 16 bits. By pigeonhole, any
+# pair within Hamming distance 3 agrees exactly on at least one band, so
+# the banded join is RECALL-EXACT for the <= 3 threshold (not just
+# probabilistic like MinHash banding). On a larger corpus, widen to 8
+# bands of 8 bits (distance <= 7) or hash bands to narrower buckets —
+# band count is the knob trading candidate volume for distance coverage.
+SIMHASH_BANDS = 4
+SIMHASH_MAX_DIST = SIMHASH_BANDS - 1
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: near-duplicate pairs within Hamming distance 3 of the 64-bit
+    SimHash, found with a banded self-join (SURVEY.md §2C C2).
+
+    Scale shape: each doc emits SIMHASH_BANDS (band_idx, band_val) keys;
+    the self-join keys on those — candidate generation never touches
+    document text, and bucket sizes concentrate near n/2^16 per band.
+    Candidates are verified with bit_count(a XOR b), JVM-side, then
+    deduped across bands with one distinct. No oracle (engine-specific
+    hash); tests assert exact-duplicate capture and determinism.
+    """
+    sigs = _simhash(load(spark, sf_dir, "documents"))
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_val") == F.col("b.band_val"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_DIST)
+        .distinct()
+    )
+    return pairs
+
+
 QUERIES: dict[str, QuerySpec] = {
     "exact_dedup": QuerySpec(exact_dedup, EXACT_DEDUP_SQL, bench=True),
     "ngram_jaccard_pairs": QuerySpec(
@@ -337,4 +405,5 @@ QUERIES: dict[str, QuerySpec] = {
     "ngram_jaccard_prefix": QuerySpec(ngram_jaccard_prefix, NGRAM_JACCARD_SQL),
     "minhash_lsh_pairs": QuerySpec(minhash_lsh_pairs, None, bench=True),
     "simhash_signatures": QuerySpec(simhash_signatures, None),
+    "simhash_pairs": QuerySpec(simhash_pairs, None),
 }

@@ -254,8 +254,135 @@ QUALIFY row_number() OVER (
 """
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF top-3 terms (C4 "tf-idf"; SURVEY.md §2C).
+
+    Shape at 100 TB: tf is a (doc_id, term) groupBy — key space is the
+    corpus itself, hash-partitions evenly; df is a term-keyed groupBy
+    (vocabulary-sized, Zipf-skewed but AQE handles the head); the tf⋈df
+    join shuffles on term; the corpus doc count joins in as a 1-row
+    broadcast. Ranking is a per-doc window — same partitioning as tf, so
+    AQE can reuse the exchange. tfidf is rounded BEFORE ranking on both
+    sides so the order is ULP-stable across engines; ties break on term.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT
+    tf.doc_id, tf.term, tf.tf, df.df,
+    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+"""
+
+
+def ngram_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 token bigrams per language (C4 "n-grams"; SURVEY.md §2C).
+
+    Bigrams are built JVM-side with zip_with over two shifted slices of
+    the token array (no UDF, stays in codegen), then one (lang, bigram)
+    groupBy — the heavy reduce keys on the bigram space, Zipf-skewed at
+    the head, which is exactly what AQE skew handling + partial (map-side)
+    aggregation absorb. The final per-lang top-5 window touches only the
+    already-reduced counts.
+    """
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    bigrams = F.zip_with(
+        F.slice("toks", 1, F.size("toks") - 1),
+        F.slice("toks", 2, F.size("toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    counts = (
+        d.filter(F.size("toks") >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "bigram", "cnt", "rnk")
+    )
+
+
+NGRAM_TOP_BIGRAMS_SQL = r"""
+WITH d AS (
+  SELECT lang, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+),
+b AS (
+  SELECT lang, toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM d, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+counts AS (
+  SELECT lang, bigram, count(*) AS cnt FROM b GROUP BY lang, bigram
+)
+SELECT lang, bigram, cnt, rnk
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY cnt DESC, bigram
+  ) AS rnk
+  FROM counts
+)
+WHERE rnk <= 5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "corpus_clean": QuerySpec(corpus_clean, CORPUS_CLEAN_SQL, bench=True),
+    "tfidf_top_terms": QuerySpec(tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
+    "ngram_top_bigrams": QuerySpec(
+        ngram_top_bigrams, NGRAM_TOP_BIGRAMS_SQL
+    ),
     "token_stats": QuerySpec(token_stats, TOKEN_STATS_SQL, bench=True),
     "token_count_bpe": QuerySpec(token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "winnow_fingerprints": QuerySpec(winnow_fingerprints, None),

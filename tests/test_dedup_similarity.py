@@ -6,8 +6,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pipeline_kinesis_spark.operators.dedup import (
+    SIMHASH_MAX_DIST,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_pairs,
     simhash_signatures,
 )
 from pipeline_kinesis_spark.operators.similarity import (
@@ -47,6 +49,37 @@ def test_simhash_deterministic_and_complete(spark, sf_dir):
     again = {r.doc_id: r.simhash for r in simhash_signatures(spark, sf_dir).collect()}
     assert rows == again
     assert all(s >= 0 for s in rows.values())  # bit 63 kept clear
+
+
+def test_simhash_pairs_capture_exact_duplicates(spark, sf_dir):
+    """The banded Hamming join is recall-exact for distance <= 3 by
+    pigeonhole, so every exact duplicate family (identical normalized
+    text, hence identical signatures, distance 0) must appear as pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup_pairs = set()
+    for fam in (
+        docs.groupBy(F.trim("text"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .collect()
+    ):
+        ids = sorted(fam.ids)
+        dup_pairs.update(
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+        )
+    pairs = simhash_pairs(spark, sf_dir).collect()
+    assert all(r.hamming <= SIMHASH_MAX_DIST for r in pairs)
+    assert all(r.doc_a < r.doc_b for r in pairs)
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert dup_pairs <= got, f"missed {sorted(dup_pairs - got)[:5]}"
+    # one row per unordered pair
+    assert len(pairs) == len(got)
+
+
+def test_simhash_pairs_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, simhash_pairs(spark, sf_dir).collect()))
+    b = sorted(map(tuple, simhash_pairs(spark, sf_dir).collect()))
+    assert a == b
 
 
 def test_lsh_topk_sims_match_exact(spark, sf_dir):
