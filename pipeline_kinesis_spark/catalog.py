@@ -56,6 +56,26 @@ class ViewDef:
     output_mode: str = "complete"
     materialize: str = "memory"
     key_cols: list[str] | None = None
+    # PipelineDB TTL (CREATE CONTINUOUS VIEW ... WITH (ttl='...',
+    # ttl_column='...')): rows whose ttl_column falls behind now-ttl are
+    # expired — reaped at write time for parquet_upsert views, filtered at
+    # read time (view_table/sql) for memory views.
+    ttl_seconds: int | None = None
+    ttl_column: str | None = None
+
+
+@dataclass
+class TransformDef:
+    """CREATE CONTINUOUS TRANSFORM analog (PipelineDB surface): a standing
+    row-wise (non-aggregating) query over a stream whose output feeds an
+    output relation and/or a per-batch procedure (THEN EXECUTE PROCEDURE).
+    The output relation is itself queryable/chainable like a stream table.
+    """
+
+    name: str
+    sql: str
+    stream: str
+    sink_relation: str | None = None
 
 
 @dataclass
@@ -85,6 +105,7 @@ class CatalogState:
     endpoints: dict[str, dict] = field(default_factory=dict)
     streams: dict[str, dict] = field(default_factory=dict)
     views: dict[str, dict] = field(default_factory=dict)
+    transforms: dict[str, dict] = field(default_factory=dict)
     consumers: dict[str, dict] = field(default_factory=dict)  # key: id str
     next_consumer_id: int = 1
 
@@ -148,6 +169,10 @@ class Catalog:
             ]
             if dependent:
                 raise ValueError(f"stream {name!r} has continuous views")
+            if any(
+                t["stream"] == name for t in self.state.transforms.values()
+            ):
+                raise ValueError(f"stream {name!r} has continuous transforms")
             self.state.streams.pop(name, None)
             self._save()
 
@@ -175,6 +200,26 @@ class Catalog:
             ViewDef(**v)
             for v in self.state.views.values()
             if v["stream"] == stream
+        ]
+
+    # -- continuous transforms --
+
+    def create_transform(self, td: TransformDef) -> None:
+        with self._lock:
+            self.stream(td.stream)  # must exist
+            self.state.transforms[td.name] = asdict(td)
+            self._save()
+
+    def drop_transform(self, name: str) -> None:
+        with self._lock:
+            self.state.transforms.pop(name, None)
+            self._save()
+
+    def transforms_on(self, stream: str) -> list[TransformDef]:
+        return [
+            TransformDef(**t)
+            for t in self.state.transforms.values()
+            if t["stream"] == stream
         ]
 
     # -- consumers (reference upsert: pipeline_kinesis.c:857-948) --

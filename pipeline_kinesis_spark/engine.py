@@ -32,6 +32,7 @@ from pipeline_kinesis_spark.catalog import (
     Consumer,
     Endpoint,
     StreamDef,
+    TransformDef,
     ViewDef,
 )
 from pipeline_kinesis_spark.ingest.parse import parse_records, split_quarantine
@@ -77,6 +78,9 @@ class Engine:
         # consumer id → list[StreamingQuery]; registry mutex mirrors the
         # reference's consumer lock (pipeline_kinesis.c:830-849).
         self._queries: dict[int, list[StreamingQuery]] = {}
+        # transform name → per-batch callable (THEN EXECUTE PROCEDURE);
+        # process-local by nature, re-registered after restart.
+        self._procs: dict[str, object] = {}
         self._lock = threading.RLock()
 
     # ------------------------------------------------------------- catalog
@@ -107,12 +111,66 @@ class Engine:
         output_mode: str = "complete",
         materialize: str = "memory",
         key_cols: list[str] | None = None,
+        ttl_seconds: int | None = None,
+        ttl_column: str | None = None,
     ) -> None:
+        """ttl_seconds/ttl_column mirror PipelineDB's
+        `WITH (ttl='...', ttl_column='...')`: view rows whose ttl_column
+        falls more than ttl behind the wall clock are expired — reaped at
+        write time for parquet_upsert views (state stays bounded), filtered
+        at read time (view_table) for memory views."""
         if materialize == "parquet_upsert" and not key_cols:
             raise ValueError("parquet_upsert materialization requires key_cols")
+        if (ttl_seconds is None) != (ttl_column is None):
+            raise ValueError("ttl_seconds and ttl_column go together")
         self.catalog.create_view(
-            ViewDef(name, sql, stream, output_mode, materialize, key_cols)
+            ViewDef(
+                name,
+                sql,
+                stream,
+                output_mode,
+                materialize,
+                key_cols,
+                ttl_seconds,
+                ttl_column,
+            )
         )
+
+    def create_continuous_transform(
+        self,
+        name: str,
+        sql: str,
+        stream: str,
+        sink_relation: str | None = None,
+        proc=None,
+    ) -> None:
+        """CREATE CONTINUOUS TRANSFORM analog (PipelineDB surface): `sql`
+        must be row-wise (no aggregation — it runs in append mode). Output
+        rows append to `sink_relation` (queryable via stream_table / sql,
+        like PipelineDB's output stream), and/or `proc(batch_df, batch_id)`
+        runs per micro-batch (THEN EXECUTE PROCEDURE). Callables can't be
+        persisted: after a process restart, re-register the proc by calling
+        this again before consume_begin (the catalog row itself survives).
+        """
+        if sink_relation is None and proc is None:
+            raise ValueError("transform needs a sink_relation and/or a proc")
+        self.catalog.create_transform(
+            TransformDef(name, sql, stream, sink_relation)
+        )
+        if proc is not None:
+            self._procs[name] = proc
+
+    def drop_continuous_transform(self, name: str) -> None:
+        """Stop the transform's standing query and unregister it (running
+        consumers keep ingesting — same contract as dropping a view)."""
+        with self._lock:
+            self.catalog.drop_transform(name)
+            self._procs.pop(name, None)
+            for queries in self._queries.values():
+                for q in list(queries):
+                    if q.name == f"transform_{name}":
+                        q.stop()
+                        queries.remove(q)
 
     def drop_continuous_view(self, name: str) -> None:
         """Unregister the view and stop any running query materializing it
@@ -235,8 +293,14 @@ class Engine:
                     key_cols = list(view.key_cols or [])
                     queries.append(
                         vdf.writeStream.foreachBatch(
-                            lambda bdf, bid, _d=table_dir, _k=key_cols: (
-                                upsert_to_parquet(bdf, _d, _k)
+                            lambda bdf, bid, _d=table_dir, _k=key_cols, _v=view: (
+                                upsert_to_parquet(
+                                    bdf,
+                                    _d,
+                                    _k,
+                                    ttl_seconds=_v.ttl_seconds,
+                                    ttl_column=_v.ttl_column,
+                                )
                             )
                         )
                         .queryName(view.name)
@@ -258,6 +322,37 @@ class Engine:
                             trigger_interval=self.trigger_interval,
                         )
                     )
+            # (d) continuous transforms registered on this relation:
+            # row-wise standing queries, append-mode, output → sink
+            # relation parquet and/or per-batch proc.
+            for t in self.catalog.transforms_on(relation):
+                tdf = compile_view(self.spark, good, relation, t.sql)
+                sink_dir = (
+                    self.table_dir(t.sink_relation)
+                    if t.sink_relation
+                    else None
+                )
+                proc = self._procs.get(t.name)
+
+                def _transform_batch(
+                    bdf: DataFrame, bid: int, _dir=sink_dir, _p=proc
+                ) -> None:
+                    if _dir is not None:
+                        bdf.write.mode("append").parquet(_dir)
+                    if _p is not None:
+                        _p(bdf, bid)
+
+                queries.append(
+                    tdf.writeStream.foreachBatch(_transform_batch)
+                    .queryName(f"transform_{t.name}")
+                    .outputMode("append")
+                    .option(
+                        "checkpointLocation",
+                        self._ckpt(consumer.id, f"transform_{t.name}"),
+                    )
+                    .trigger(processingTime=self.trigger_interval)
+                    .start()
+                )
             self._queries[consumer.id] = queries
             return consumer
 
@@ -439,10 +534,20 @@ class Engine:
 
     def view_table(self, view_name: str) -> DataFrame:
         """Query a continuous view's current materialized state, whatever
-        its sink (memory table or parquet_upsert directory)."""
+        its sink (memory table or parquet_upsert directory). TTL views
+        (create_continuous_view ttl_seconds/ttl_column) never show expired
+        rows here: parquet_upsert reaps them at write time, memory views
+        filter them at read time."""
         vd = self.catalog.state.views.get(view_name)
         if vd is not None and vd.get("materialize") != "parquet_upsert":
-            return self.spark.table(view_name)
+            df = self.spark.table(view_name)
+            ttl, col = vd.get("ttl_seconds"), vd.get("ttl_column")
+            if ttl is not None and col is not None:
+                df = df.filter(
+                    F.col(col)
+                    >= F.current_timestamp() - F.expr(f"INTERVAL {ttl} SECOND")
+                )
+            return df
         return self.spark.read.parquet(self.view_dir(view_name))
 
     def sql(self, query: str) -> DataFrame:
@@ -461,6 +566,14 @@ class Engine:
                 self.stream_table(name).createOrReplaceTempView(name)
             except Exception:
                 continue
+        # transform output relations are stream tables too (chainable)
+        for td in self.catalog.state.transforms.values():
+            sink = td.get("sink_relation")
+            if sink and sink not in self.catalog.state.streams:
+                try:
+                    self.stream_table(sink).createOrReplaceTempView(sink)
+                except Exception:
+                    continue
         return self.spark.sql(query)
 
     def seqnums(self) -> DataFrame:

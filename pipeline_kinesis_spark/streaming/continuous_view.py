@@ -56,7 +56,11 @@ def materialize_memory(
 
 
 def upsert_to_parquet(
-    batch_df: DataFrame, table_dir: str, key_cols: list[str]
+    batch_df: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    ttl_seconds: int | None = None,
+    ttl_column: str | None = None,
 ) -> None:
     """MERGE-style keyed upsert into a parquet dir (foreachBatch body).
 
@@ -64,6 +68,11 @@ def upsert_to_parquet(
     rows, atomically swaps. Plain parquet stand-in for Delta MERGE — at
     cluster scale, partition the table by a key prefix and rewrite only
     touched partitions.
+
+    With ttl_seconds/ttl_column set (PipelineDB TTL views), rows whose
+    ttl_column trails the wall clock by more than the TTL are dropped
+    during the rewrite — the reaper rides the merge, so materialized
+    state stays bounded with no extra pass.
     """
     spark = batch_df.sparkSession
     new = batch_df.dropDuplicates(key_cols)
@@ -79,6 +88,12 @@ def upsert_to_parquet(
         merged = keep.unionByName(new)
     else:
         merged = new
+    if ttl_seconds is not None and ttl_column is not None:
+        merged = merged.filter(
+            F.col(ttl_column)
+            >= F.current_timestamp()
+            - F.expr(f"INTERVAL {int(ttl_seconds)} SECOND")
+        )
     tmp = f"{table_dir}__tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)

@@ -1,0 +1,177 @@
+"""Continuous transforms (CREATE CONTINUOUS TRANSFORM ... THEN EXECUTE
+PROCEDURE analog) and TTL-expiring continuous views — the two PipelineDB
+surface features beyond plain continuous views that the connector's host
+engine exposes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_kinesis_spark.engine import Engine
+from pipeline_kinesis_spark.sources.file_replay import write_record_file
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    yield eng
+    eng.consume_end_all()
+
+
+def _put(stream_dir, rows, start=1):
+    write_record_file(
+        str(stream_dir),
+        [
+            {
+                "data": data,
+                "partition_key": data.split(",")[0],
+                "shard_id": "shardId-000000000000",
+                "sequence_number": f"{i:056d}",
+            }
+            for i, data in enumerate(rows, start)
+        ],
+    )
+
+
+def test_transform_feeds_sink_relation_and_proc(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    _put(src_root / "s1", ["a,1", "b,2", "c,3"])
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("t_in", "k STRING, v BIGINT")
+    seen: list[int] = []
+    engine.create_continuous_transform(
+        "upper_k",
+        "SELECT upper(k) AS k_uc, v * 10 AS v10 FROM t_in WHERE v >= 2",
+        stream="t_in",
+        sink_relation="t_out",
+        proc=lambda bdf, bid: seen.append(bdf.count()),
+    )
+    engine.consume_begin("ep", "s1", "t_in", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+
+    out = {(r.k_uc, r.v10) for r in engine.stream_table("t_out").collect()}
+    assert out == {("B", 20), ("C", 30)}
+    assert sum(seen) == 2  # proc saw exactly the transformed rows
+
+    # the sink relation is chainable via ad-hoc SQL like any stream table
+    n = engine.sql("SELECT count(*) AS n FROM t_out").collect()[0].n
+    assert n == 2
+
+
+def test_transform_exactly_once_across_restart(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    _put(src_root / "s1", ["a,1", "b,2"])
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("t_in", "k STRING, v BIGINT")
+    engine.create_continuous_transform(
+        "ident",
+        "SELECT k, v FROM t_in",
+        stream="t_in",
+        sink_relation="t_copy",
+    )
+    engine.consume_begin("ep", "s1", "t_in", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    assert engine.stream_table("t_copy").count() == 2
+
+    engine.consume_end("ep", "s1", "t_in")
+    _put(src_root / "s1", ["c,3"], start=100)
+    engine.consume_begin("ep", "s1", "t_in", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    rows = sorted((r.k, r.v) for r in engine.stream_table("t_copy").collect())
+    assert rows == [("a", 1), ("b", 2), ("c", 3)]  # no dups, no loss
+
+
+def test_drop_transform_stops_its_query(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    _put(src_root / "s1", ["a,1"])
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("t_in", "k STRING, v BIGINT")
+    engine.create_continuous_transform(
+        "t1", "SELECT k FROM t_in", stream="t_in", sink_relation="t_o"
+    )
+    engine.consume_begin("ep", "s1", "t_in", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    names = {
+        q.name for qs in engine._queries.values() for q in qs if q.name
+    }
+    assert "transform_t1" in names
+    engine.drop_continuous_transform("t1")
+    names = {
+        q.name
+        for qs in engine._queries.values()
+        for q in qs
+        if q.name and q.isActive
+    }
+    assert "transform_t1" not in names
+    assert "t1" not in engine.catalog.state.transforms
+
+
+def test_transform_requires_sink_or_proc(engine):
+    engine.create_stream("t_in", "k STRING")
+    with pytest.raises(ValueError):
+        engine.create_continuous_transform(
+            "bad", "SELECT k FROM t_in", stream="t_in"
+        )
+
+
+def test_ttl_memory_view_hides_expired_rows(engine, spark, tmp_path):
+    """Memory-sink TTL views evict at read time: keys whose ttl_column
+    lags the wall clock by more than the TTL disappear from view_table."""
+    src_root = tmp_path / "kinesis"
+    # 'old' carries an event time far in the past; 'new' is recent-ish
+    _put(
+        src_root / "s1",
+        ["old,2000-01-01 00:00:00", "new,2200-01-01 00:00:00"],
+    )
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("e_in", "k STRING, ts TIMESTAMP")
+    engine.create_continuous_view(
+        "ttl_view",
+        "SELECT k, count(*) AS n, max(ts) AS last_ts FROM e_in GROUP BY k",
+        stream="e_in",
+        ttl_seconds=3600,
+        ttl_column="last_ts",
+    )
+    engine.consume_begin("ep", "s1", "e_in", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+
+    visible = {r.k for r in engine.view_table("ttl_view").collect()}
+    assert visible == {"new"}
+    # the raw sink still holds both groups — TTL is an eviction contract,
+    # not a data-loss one
+    assert {r.k for r in spark.table("ttl_view").collect()} == {"old", "new"}
+
+
+def test_ttl_parquet_upsert_reaps_at_write(engine, spark, tmp_path):
+    """parquet_upsert TTL views reap during the merge: expired keys are
+    physically absent from the materialized table."""
+    src_root = tmp_path / "kinesis"
+    _put(
+        src_root / "s1",
+        ["old,2000-01-01 00:00:00", "new,2200-01-01 00:00:00"],
+    )
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("e_in", "k STRING, ts TIMESTAMP")
+    engine.create_continuous_view(
+        "ttl_up",
+        "SELECT k, count(*) AS n, max(ts) AS last_ts FROM e_in GROUP BY k",
+        stream="e_in",
+        materialize="parquet_upsert",
+        key_cols=["k"],
+        ttl_seconds=3600,
+        ttl_column="last_ts",
+    )
+    engine.consume_begin("ep", "s1", "e_in", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+
+    stored = {r.k for r in engine.view_table("ttl_up").collect()}
+    assert stored == {"new"}
+
+
+def test_ttl_requires_both_knobs(engine):
+    engine.create_stream("e_in", "k STRING, ts TIMESTAMP")
+    with pytest.raises(ValueError):
+        engine.create_continuous_view(
+            "v", "SELECT k FROM e_in", stream="e_in", ttl_seconds=10
+        )
