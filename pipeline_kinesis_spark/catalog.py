@@ -186,7 +186,13 @@ class Catalog:
 
     def create_view(self, vd: ViewDef) -> None:
         with self._lock:
-            self.stream(vd.stream)  # must exist
+            # a view reads either a declared stream or a transform's
+            # output relation (PipelineDB's output-stream chaining)
+            if vd.stream not in self.state.streams and not any(
+                t.get("sink_relation") == vd.stream
+                for t in self.state.transforms.values()
+            ):
+                raise KeyError(f"unknown stream {vd.stream!r}")
             self.state.views[vd.name] = asdict(vd)
             self._save()
 

@@ -288,40 +288,7 @@ class Engine:
             # (c) continuous views registered on this relation.
             for view in self.catalog.views_on(relation):
                 vdf = compile_view(self.spark, good, relation, view.sql)
-                if view.materialize == "parquet_upsert":
-                    table_dir = self.view_dir(view.name)
-                    key_cols = list(view.key_cols or [])
-                    queries.append(
-                        vdf.writeStream.foreachBatch(
-                            lambda bdf, bid, _d=table_dir, _k=key_cols, _v=view: (
-                                upsert_to_parquet(
-                                    bdf,
-                                    _d,
-                                    _k,
-                                    ttl_seconds=_v.ttl_seconds,
-                                    ttl_column=_v.ttl_column,
-                                )
-                            )
-                        )
-                        .queryName(view.name)
-                        .outputMode("update")
-                        .option(
-                            "checkpointLocation",
-                            self._ckpt(consumer.id, f"view_{view.name}"),
-                        )
-                        .trigger(processingTime=self.trigger_interval)
-                        .start()
-                    )
-                else:
-                    queries.append(
-                        materialize_memory(
-                            vdf,
-                            view.name,
-                            self._ckpt(consumer.id, f"view_{view.name}"),
-                            output_mode=view.output_mode,
-                            trigger_interval=self.trigger_interval,
-                        )
-                    )
+                queries.append(self._start_view_query(consumer.id, view, vdf))
             # (d) continuous transforms registered on this relation:
             # row-wise standing queries, append-mode, output → sink
             # relation parquet and/or per-batch proc.
@@ -353,8 +320,67 @@ class Engine:
                     .trigger(processingTime=self.trigger_interval)
                     .start()
                 )
+                # (e) chained continuous views over this transform's sink
+                # relation (PipelineDB: views reading an output stream).
+                # The sink dir doubles as a file-stream source; schema is
+                # the transform's own output schema, so chaining needs no
+                # separate declaration.
+                if sink_dir is not None:
+                    chained = self.catalog.views_on(t.sink_relation)
+                    if chained:
+                        os.makedirs(sink_dir, exist_ok=True)
+                        src = (
+                            self.spark.readStream.schema(tdf.schema)
+                            .parquet(sink_dir)
+                        )
+                        for view in chained:
+                            vdf = compile_view(
+                                self.spark, src, t.sink_relation, view.sql
+                            )
+                            queries.append(
+                                self._start_view_query(
+                                    consumer.id, view, vdf
+                                )
+                            )
             self._queries[consumer.id] = queries
             return consumer
+
+    def _start_view_query(
+        self, consumer_id: int, view: ViewDef, vdf: DataFrame
+    ) -> StreamingQuery:
+        """Materialize one compiled continuous view (memory sink or keyed
+        parquet upsert with optional TTL reaping)."""
+        if view.materialize == "parquet_upsert":
+            table_dir = self.view_dir(view.name)
+            key_cols = list(view.key_cols or [])
+            return (
+                vdf.writeStream.foreachBatch(
+                    lambda bdf, bid, _d=table_dir, _k=key_cols, _v=view: (
+                        upsert_to_parquet(
+                            bdf,
+                            _d,
+                            _k,
+                            ttl_seconds=_v.ttl_seconds,
+                            ttl_column=_v.ttl_column,
+                        )
+                    )
+                )
+                .queryName(view.name)
+                .outputMode("update")
+                .option(
+                    "checkpointLocation",
+                    self._ckpt(consumer_id, f"view_{view.name}"),
+                )
+                .trigger(processingTime=self.trigger_interval)
+                .start()
+            )
+        return materialize_memory(
+            vdf,
+            view.name,
+            self._ckpt(consumer_id, f"view_{view.name}"),
+            output_mode=view.output_mode,
+            trigger_interval=self.trigger_interval,
+        )
 
     def _apply_start_position(
         self,

@@ -107,6 +107,38 @@ def test_drop_transform_stops_its_query(engine, spark, tmp_path):
     assert "t1" not in engine.catalog.state.transforms
 
 
+def test_view_chained_on_transform_output(engine, spark, tmp_path):
+    """PipelineDB output-stream chaining: a continuous view can read a
+    transform's sink relation as its stream — transform filters/reshapes,
+    the chained view aggregates, all standing queries."""
+    src_root = tmp_path / "kinesis"
+    _put(src_root / "s1", ["a,1", "a,2", "b,3", "b,4", "c,1"])
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("t_in", "k STRING, v BIGINT")
+    engine.create_continuous_transform(
+        "big_only",
+        "SELECT k, v FROM t_in WHERE v >= 2",
+        stream="t_in",
+        sink_relation="t_big",
+    )
+    engine.create_continuous_view(
+        "big_counts",
+        "SELECT k, count(*) AS n, sum(v) AS total FROM t_big GROUP BY k",
+        stream="t_big",
+    )
+    engine.consume_begin("ep", "s1", "t_in", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+
+    got = {r.k: (r.n, r.total) for r in engine.view_table("big_counts").collect()}
+    assert got == {"a": (1, 2), "b": (2, 7)}
+
+    # more input propagates through both stages on the next wait
+    _put(src_root / "s1", ["a,9"], start=100)
+    engine.wait_for_ingest()
+    got = {r.k: (r.n, r.total) for r in engine.view_table("big_counts").collect()}
+    assert got == {"a": (2, 11), "b": (2, 7)}
+
+
 def test_transform_requires_sink_or_proc(engine):
     engine.create_stream("t_in", "k STRING")
     with pytest.raises(ValueError):
