@@ -62,6 +62,9 @@ class ViewDef:
     # read time (view_table/sql) for memory views.
     ttl_seconds: int | None = None
     ttl_column: str | None = None
+    # PipelineDB ACTIVATE/DEACTIVATE: inactive queries keep their
+    # definition and materialized state but are not maintained.
+    active: bool = True
 
 
 @dataclass
@@ -76,6 +79,7 @@ class TransformDef:
     sql: str
     stream: str
     sink_relation: str | None = None
+    active: bool = True
 
 
 @dataclass
@@ -227,6 +231,22 @@ class Catalog:
             for t in self.state.transforms.values()
             if t["stream"] == stream
         ]
+
+    # -- ACTIVATE / DEACTIVATE (PipelineDB query lifecycle) --
+
+    def set_active(self, name: str, active: bool) -> str:
+        """Flip a view's or transform's active flag; returns 'view' or
+        'transform' (raises KeyError if the name is neither)."""
+        with self._lock:
+            if name in self.state.views:
+                self.state.views[name]["active"] = active
+                self._save()
+                return "view"
+            if name in self.state.transforms:
+                self.state.transforms[name]["active"] = active
+                self._save()
+                return "transform"
+            raise KeyError(f"unknown continuous query {name!r}")
 
     # -- consumers (reference upsert: pipeline_kinesis.c:857-948) --
 

@@ -81,6 +81,9 @@ class Engine:
         # transform name → per-batch callable (THEN EXECUTE PROCEDURE);
         # process-local by nature, re-registered after restart.
         self._procs: dict[str, object] = {}
+        # consumer id → (relation, parsed streaming DF) — kept so
+        # ACTIVATE can wire a query onto an already-running consumer.
+        self._parsed: dict[int, tuple[str, DataFrame]] = {}
         self._lock = threading.RLock()
 
     # ------------------------------------------------------------- catalog
@@ -287,12 +290,16 @@ class Engine:
             )
             # (c) continuous views registered on this relation.
             for view in self.catalog.views_on(relation):
+                if not view.active:
+                    continue
                 vdf = compile_view(self.spark, good, relation, view.sql)
                 queries.append(self._start_view_query(consumer.id, view, vdf))
             # (d) continuous transforms registered on this relation:
             # row-wise standing queries, append-mode, output → sink
             # relation parquet and/or per-batch proc.
             for t in self.catalog.transforms_on(relation):
+                if not t.active:
+                    continue
                 tdf = compile_view(self.spark, good, relation, t.sql)
                 sink_dir = (
                     self.table_dir(t.sink_relation)
@@ -326,7 +333,11 @@ class Engine:
                 # the transform's own output schema, so chaining needs no
                 # separate declaration.
                 if sink_dir is not None:
-                    chained = self.catalog.views_on(t.sink_relation)
+                    chained = [
+                        v
+                        for v in self.catalog.views_on(t.sink_relation)
+                        if v.active
+                    ]
                     if chained:
                         os.makedirs(sink_dir, exist_ok=True)
                         src = (
@@ -343,7 +354,128 @@ class Engine:
                                 )
                             )
             self._queries[consumer.id] = queries
+            self._parsed[consumer.id] = (relation, good)
             return consumer
+
+    # ---------------------------------------- ACTIVATE / DEACTIVATE
+
+    def deactivate(self, name: str) -> None:
+        """DEACTIVATE analog: stop maintaining the named continuous view
+        or transform. Definition and materialized state stay; consumers
+        keep ingesting."""
+        with self._lock:
+            kind = self.catalog.set_active(name, False)
+            qname = name if kind == "view" else f"transform_{name}"
+            for queries in self._queries.values():
+                for q in list(queries):
+                    if q.name == qname:
+                        q.stop()
+                        queries.remove(q)
+
+    def activate(self, name: str) -> None:
+        """ACTIVATE analog: resume maintenance of a deactivated view or
+        transform on every running consumer of its stream, from its
+        checkpoint — no events are lost while deactivated (they are
+        replayed/resumed from the archived source)."""
+        with self._lock:
+            kind = self.catalog.set_active(name, True)
+            for cid, (relation, good) in self._parsed.items():
+                if kind == "view":
+                    vd = ViewDef(**self.catalog.state.views[name])
+                    if vd.stream == relation:
+                        vdf = compile_view(self.spark, good, relation, vd.sql)
+                        self._queries[cid].append(
+                            self._start_view_query(cid, vd, vdf)
+                        )
+                        continue
+                    # chained view: its stream is a transform's sink
+                    for t in self.catalog.transforms_on(relation):
+                        if t.sink_relation == vd.stream:
+                            tdf = compile_view(
+                                self.spark, good, relation, t.sql
+                            )
+                            sink_dir = self.table_dir(t.sink_relation)
+                            os.makedirs(sink_dir, exist_ok=True)
+                            src = (
+                                self.spark.readStream.schema(tdf.schema)
+                                .parquet(sink_dir)
+                            )
+                            vdf = compile_view(
+                                self.spark, src, t.sink_relation, vd.sql
+                            )
+                            self._queries[cid].append(
+                                self._start_view_query(cid, vd, vdf)
+                            )
+                else:
+                    td = TransformDef(**self.catalog.state.transforms[name])
+                    if td.stream != relation:
+                        continue
+                    tdf = compile_view(self.spark, good, relation, td.sql)
+                    sink_dir = (
+                        self.table_dir(td.sink_relation)
+                        if td.sink_relation
+                        else None
+                    )
+                    proc = self._procs.get(td.name)
+
+                    def _transform_batch(
+                        bdf: DataFrame, bid: int, _dir=sink_dir, _p=proc
+                    ) -> None:
+                        if _dir is not None:
+                            bdf.write.mode("append").parquet(_dir)
+                        if _p is not None:
+                            _p(bdf, bid)
+
+                    self._queries[cid].append(
+                        tdf.writeStream.foreachBatch(_transform_batch)
+                        .queryName(f"transform_{td.name}")
+                        .outputMode("append")
+                        .option(
+                            "checkpointLocation",
+                            self._ckpt(cid, f"transform_{td.name}"),
+                        )
+                        .trigger(processingTime=self.trigger_interval)
+                        .start()
+                    )
+
+    def pipeline_queries(self) -> DataFrame:
+        """Queryable inventory of standing queries — the analog of
+        PipelineDB's pipeline_views()/pipeline_transforms() catalog
+        relations. `running` reflects live StreamingQuery state."""
+        live = {
+            q.name
+            for queries in self._queries.values()
+            for q in queries
+            if q.name and q.isActive
+        }
+        rows = []
+        for v in self.catalog.state.views.values():
+            rows.append(
+                (
+                    v["name"],
+                    "view",
+                    v["stream"],
+                    v.get("materialize", "memory"),
+                    bool(v.get("active", True)),
+                    v["name"] in live,
+                )
+            )
+        for t in self.catalog.state.transforms.values():
+            rows.append(
+                (
+                    t["name"],
+                    "transform",
+                    t["stream"],
+                    t.get("sink_relation") or "",
+                    bool(t.get("active", True)),
+                    f"transform_{t['name']}" in live,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "name STRING, kind STRING, stream STRING, sink STRING, "
+            "active BOOLEAN, running BOOLEAN",
+        )
 
     def _start_view_query(
         self, consumer_id: int, view: ViewDef, vdf: DataFrame
@@ -446,6 +578,7 @@ class Engine:
                 return False
             for q in self._queries.pop(consumer.id, []):
                 q.stop()
+            self._parsed.pop(consumer.id, None)
             return True
 
     def consume_begin_all(self) -> list[Consumer]:
@@ -474,6 +607,7 @@ class Engine:
                 for q in queries:
                     q.stop()
                 del self._queries[cid]
+                self._parsed.pop(cid, None)
                 n += 1
             return n
 

@@ -201,6 +201,85 @@ def test_ttl_parquet_upsert_reaps_at_write(engine, spark, tmp_path):
     assert stored == {"new"}
 
 
+def test_deactivate_then_activate_view(engine, spark, tmp_path):
+    """ACTIVATE/DEACTIVATE analog: a deactivated view stops updating but
+    keeps its state; reactivating resumes from the checkpoint so records
+    ingested while inactive appear — nothing is lost."""
+    src_root = tmp_path / "kinesis"
+    _put(src_root / "s1", ["a,1", "b,2"])
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("t_in", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "counts", "SELECT k, count(*) AS n FROM t_in GROUP BY k", stream="t_in"
+    )
+    engine.consume_begin("ep", "s1", "t_in", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    assert {r.k: r.n for r in engine.view_table("counts").collect()} == {
+        "a": 1,
+        "b": 1,
+    }
+
+    engine.deactivate("counts")
+    pq = {r.name: (r.active, r.running) for r in engine.pipeline_queries().collect()}
+    assert pq["counts"] == (False, False)
+
+    # records arriving while deactivated: ingested, but view untouched
+    _put(src_root / "s1", ["a,3"], start=100)
+    engine.wait_for_ingest()
+    assert engine.stream_table("t_in").count() == 3
+    assert {r.k: r.n for r in engine.view_table("counts").collect()} == {
+        "a": 1,
+        "b": 1,
+    }
+
+    engine.activate("counts")
+    engine.wait_for_ingest()
+    assert {r.k: r.n for r in engine.view_table("counts").collect()} == {
+        "a": 2,
+        "b": 1,
+    }
+    pq = {r.name: (r.active, r.running) for r in engine.pipeline_queries().collect()}
+    assert pq["counts"] == (True, True)
+
+
+def test_deactivate_then_activate_transform(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    _put(src_root / "s1", ["a,1"])
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("t_in", "k STRING, v BIGINT")
+    engine.create_continuous_transform(
+        "copy", "SELECT k, v FROM t_in", stream="t_in", sink_relation="t_out"
+    )
+    engine.consume_begin("ep", "s1", "t_in", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    assert engine.stream_table("t_out").count() == 1
+
+    engine.deactivate("copy")
+    _put(src_root / "s1", ["b,2"], start=100)
+    engine.wait_for_ingest()
+    assert engine.stream_table("t_out").count() == 1  # paused
+
+    engine.activate("copy")
+    engine.wait_for_ingest()
+    rows = sorted((r.k, r.v) for r in engine.stream_table("t_out").collect())
+    assert rows == [("a", 1), ("b", 2)]  # resumed exactly-once
+
+
+def test_inactive_view_not_started_by_consume_begin(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    _put(src_root / "s1", ["a,1"])
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("t_in", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "v1", "SELECT k, count(*) AS n FROM t_in GROUP BY k", stream="t_in"
+    )
+    engine.catalog.set_active("v1", False)
+    engine.consume_begin("ep", "s1", "t_in", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    pq = {r.name: r.running for r in engine.pipeline_queries().collect()}
+    assert pq["v1"] is False
+
+
 def test_ttl_requires_both_knobs(engine):
     engine.create_stream("e_in", "k STRING, ts TIMESTAMP")
     with pytest.raises(ValueError):
