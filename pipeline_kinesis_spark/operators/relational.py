@@ -929,6 +929,52 @@ WHERE l_orderkey < 1000
 N_SALTS = 8
 
 
+def agg_keyed_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PipelineDB's keyed_min/keyed_max special aggregates (B12/B14
+    family): the order key carried by the extreme-priced order per
+    priority class — Spark max_by/min_by, one partial-aggregating
+    shuffle, no window or self-join.
+
+    Determinism: ranking goes through a UNIQUE composite long
+    (price_cents scaled, orderkey as tiebreak), so argmax/argmin are
+    well-defined and engine-independent even on tied prices.
+    """
+    o = load(spark, sf_dir, "orders").withColumn(
+        "price_cents", cents("o_totalprice")
+    )
+    o = o.withColumn(
+        "price_key",
+        F.col("price_cents") * F.lit(10_000_000).cast("long")
+        + F.col("o_orderkey"),
+    )
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("max_by(o_orderkey, price_key)").alias("top_order"),
+        F.expr("min_by(o_orderkey, price_key)").alias("bottom_order"),
+        F.max("price_cents").alias("max_price_cents"),
+        F.min("price_cents").alias("min_price_cents"),
+    )
+
+
+AGG_KEYED_MINMAX_SQL = """
+WITH o AS (
+  SELECT
+    o_orderpriority, o_orderkey,
+    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 10000000 + o_orderkey
+      AS price_key
+  FROM orders
+)
+SELECT
+  o_orderpriority,
+  max_by(o_orderkey, price_key) AS top_order,
+  min_by(o_orderkey, price_key) AS bottom_order,
+  max(price_cents) AS max_price_cents,
+  min(price_cents) AS min_price_cents
+FROM o
+GROUP BY o_orderpriority
+"""
+
+
 def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation: groupBy(key, salt) partial →
     groupBy(key) final. A hot key's rows spread over N_SALTS reducers in
@@ -1043,6 +1089,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "case_coalesce": QuerySpec(case_coalesce, CASE_COALESCE_SQL),
     "json_extract": QuerySpec(json_extract, JSON_EXTRACT_SQL),
+    "agg_keyed_minmax": QuerySpec(agg_keyed_minmax, AGG_KEYED_MINMAX_SQL),
     "agg_salted_skew": QuerySpec(agg_salted_skew, AGG_SALTED_SKEW_SQL),
     "join_salted_skew": QuerySpec(join_salted_skew, JOIN_SALTED_SKEW_SQL),
     "pivot_priority_by_year": QuerySpec(

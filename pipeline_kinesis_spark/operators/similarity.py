@@ -306,7 +306,43 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors in long (label, i, c) form — the
+    average-pooling step of clustering / class-prototype pipelines over
+    the embeddings table.
+
+    Scale shape: posexplode fans each row into d (dimension) rows, but
+    partial (map-side) aggregation collapses them to labels×d partial
+    sums per task BEFORE the exchange — the shuffle carries
+    O(partitions × labels × d) tiny rows regardless of corpus size.
+    Elementwise float sums go through doubles on both engines so the
+    6-decimal rounding is stable.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("i"))
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label, i, round(avg(CAST(x AS DOUBLE)), 6) AS c
+FROM (
+  SELECT
+    label,
+    unnest(embedding) AS x,
+    generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY label, i
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_centroids": QuerySpec(
+        embedding_centroids, EMBEDDING_CENTROIDS_SQL
+    ),
     "cosine_topk": QuerySpec(cosine_topk, COSINE_TOPK_SQL, bench=True),
     "cosine_topk_ivf": QuerySpec(cosine_topk_ivf, None),
     "cosine_neardup_pairs": QuerySpec(
