@@ -377,8 +377,62 @@ WHERE rnk <= 5
 """
 
 
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split + per-split profile — the
+    reproducible-split primitive of a training-data pipeline.
+
+    The split comes from a Knuth multiplicative hash on doc_id in plain
+    integer arithmetic (no engine-specific hash), so the same document
+    lands in the same split in ANY engine — which is also what makes it
+    oracle-checkable. doc_id is folded mod 1e6+3 first to keep the
+    product in signed-64 range (DuckDB errors on overflow; Spark wraps).
+    Embarrassingly parallel: one narrow projection, one small groupBy.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id") % 1000003) * F.lit(2654435761).cast("long")
+    ) % 4294967296 % 100
+    split = (
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+DATASET_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT
+    lang, n_chars, doc_id,
+    ((doc_id % 1000003) * 2654435761) % 4294967296 % 100 AS bucket
+  FROM documents
+)
+SELECT
+  CASE WHEN bucket < 90 THEN 'train'
+       WHEN bucket < 95 THEN 'val'
+       ELSE 'test' END AS split,
+  lang,
+  count(*) AS n_docs,
+  round(avg(n_chars), 6) AS avg_chars,
+  min(doc_id) AS min_doc_id,
+  max(doc_id) AS max_doc_id
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "corpus_clean": QuerySpec(corpus_clean, CORPUS_CLEAN_SQL, bench=True),
+    "dataset_split": QuerySpec(dataset_split, DATASET_SPLIT_SQL),
     "tfidf_top_terms": QuerySpec(tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "ngram_top_bigrams": QuerySpec(
         ngram_top_bigrams, NGRAM_TOP_BIGRAMS_SQL
