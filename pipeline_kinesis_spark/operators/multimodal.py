@@ -149,7 +149,7 @@ MULTIMODAL_META_SQL = """
 SELECT
   'text' AS modality,
   count(*) AS n_media,
-  sum(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+  CAST(sum(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
   max(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
 FROM documents
 """

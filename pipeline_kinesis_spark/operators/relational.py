@@ -69,7 +69,7 @@ SELECT
   c_custkey,
   c_mktsegment,
   count(o_orderkey) AS n_f_orders,
-  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS spent_cents
+  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS spent_cents
 FROM customer
 LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
   ON c_custkey = o_custkey
@@ -314,13 +314,37 @@ GROUP BY l_linestatus
 
 
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approx-distinct (B14). No oracle: sketch estimates are
-    engine-specific; the driver records a rows-only check. PipelineDB's own
+    """HLL approx-distinct (B14), oracle-able: alongside the HLL estimate
+    we emit the exact distinct count (computable in both engines) and a
+    boolean asserting the estimate lands within 5× the requested rsd of
+    it; the oracle emits the exact count and literal TRUE. PipelineDB's
     continuous count(DISTINCT) is HLL-backed — this is its Spark analog."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_cust"),
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_cust"),
+            F.approx_count_distinct("o_custkey", 0.01).alias("approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "exact_cust",
+            (
+                F.abs(F.col("approx") - F.col("exact_cust"))
+                <= F.lit(0.05) * F.col("exact_cust")
+            ).alias("within_bound"),
+        )
     )
+
+
+AGG_APPROX_DISTINCT_SQL = """
+SELECT
+  o_orderpriority,
+  count(DISTINCT o_custkey) AS exact_cust,
+  TRUE AS within_bound
+FROM orders
+GROUP BY o_orderpriority
+"""
 
 
 # --- B15: rollup / cube / grouping sets -----------------------------------
@@ -346,7 +370,7 @@ ROLLUP_REVENUE_SQL = """
 SELECT
   n_name,
   CAST(year(o_orderdate) AS BIGINT) AS order_year,
-  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents,
+  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents,
   count(*) AS n_orders,
   CAST(grouping(n_name) AS BIGINT) AS g_nation,
   CAST(grouping(CAST(year(o_orderdate) AS BIGINT)) AS BIGINT) AS g_year
@@ -372,7 +396,7 @@ SELECT
   o_orderstatus,
   o_orderpriority,
   count(*) AS n_orders,
-  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents,
+  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents,
   CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
   CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
 FROM orders
@@ -661,7 +685,7 @@ SELECT
        WHEN c_acctbal < 5000 THEN 'standard'
        ELSE 'premium' END AS tier,
   count(*) AS n,
-  sum(CAST(round(coalesce(CASE WHEN c_acctbal > 0 THEN c_acctbal END, 0.0) * 100, 0) AS BIGINT)) AS bal_cents
+  CAST(sum(CAST(round(coalesce(CASE WHEN c_acctbal > 0 THEN c_acctbal END, 0.0) * 100, 0) AS BIGINT)) AS BIGINT) AS bal_cents
 FROM customer
 GROUP BY 1
 """
@@ -718,7 +742,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
           o_orderstatus,
           o_orderpriority,
           count(*) AS n_orders,
-          sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+          CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -730,24 +754,54 @@ SELECT
   o_orderstatus,
   o_orderpriority,
   count(*) AS n_orders,
-  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS rev_cents
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
 
 
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B14: sketch-based percentile (engine-specific estimates → rows-only
-    check; the exact variant agg_percentile is the oracle-checked one)."""
+    """B14: sketch-based percentile, oracle-able and scalar-only (array
+    output columns crash the driver's pandas canon). We emit the exact
+    interpolated percentiles (same linear-interpolation definition as
+    DuckDB quantile_cont) plus booleans asserting each t-digest-style
+    estimate lands within 1% of its exact twin; the oracle emits the exact
+    values and literal TRUE."""
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
-            "approx_median_price"
-        ),
+    g = l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("ap50"),
         F.percentile_approx(
             "l_quantity", F.array(F.lit(0.1), F.lit(0.9)), 10000
-        ).alias("approx_qty_deciles"),
+        ).alias("aq"),
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("ep50"),
+        F.expr("percentile(l_quantity, 0.1D)").alias("eq10"),
+        F.expr("percentile(l_quantity, 0.9D)").alias("eq90"),
     )
+    def within(approx, exact):
+        return F.abs(approx - F.col(exact)) <= F.lit(0.01) * F.abs(F.col(exact))
+    return g.select(
+        "l_returnflag",
+        F.round("ep50", 4).alias("exact_p50_price"),
+        F.round("eq10", 6).alias("exact_p10_qty"),
+        F.round("eq90", 6).alias("exact_p90_qty"),
+        within(F.col("ap50"), "ep50").alias("p50_within_bound"),
+        within(F.element_at("aq", 1), "eq10").alias("p10_within_bound"),
+        within(F.element_at("aq", 2), "eq90").alias("p90_within_bound"),
+    )
+
+
+AGG_APPROX_PERCENTILE_SQL = """
+SELECT
+  l_returnflag,
+  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50_price,
+  round(quantile_cont(l_quantity, 0.1), 6) AS exact_p10_qty,
+  round(quantile_cont(l_quantity, 0.9), 6) AS exact_p90_qty,
+  TRUE AS p50_within_bound,
+  TRUE AS p10_within_bound,
+  TRUE AS p90_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+"""
 
 
 # --- B22: JSON access ------------------------------------------------------
@@ -1005,7 +1059,7 @@ AGG_SALTED_SKEW_SQL = """
 SELECT
   l_returnflag,
   count(*) AS n_rows,
-  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_price_cents,
+  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
   round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / count(*), 2)
     AS avg_price_cents
 FROM lineitem
@@ -1047,7 +1101,7 @@ JOIN_SALTED_SKEW_SQL = """
 SELECT
   year(o_orderdate) AS o_year,
   count(*) AS n_items,
-  sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT)
     AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -1068,7 +1122,9 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_distinct": QuerySpec(agg_distinct, AGG_DISTINCT_SQL),
     "agg_stats": QuerySpec(agg_stats, AGG_STATS_SQL),
     "agg_percentile": QuerySpec(agg_percentile, AGG_PERCENTILE_SQL),
-    "agg_approx_distinct": QuerySpec(agg_approx_distinct, None),
+    "agg_approx_distinct": QuerySpec(
+        agg_approx_distinct, AGG_APPROX_DISTINCT_SQL
+    ),
     "rollup_revenue": QuerySpec(rollup_revenue, ROLLUP_REVENUE_SQL),
     "cube_orders": QuerySpec(cube_orders, CUBE_ORDERS_SQL),
     "window_rank": QuerySpec(window_rank, WINDOW_RANK_SQL),
@@ -1083,7 +1139,9 @@ QUERIES: dict[str, QuerySpec] = {
     "grouping_sets_revenue": QuerySpec(
         grouping_sets_revenue, GROUPING_SETS_SQL
     ),
-    "agg_approx_percentile": QuerySpec(agg_approx_percentile, None),
+    "agg_approx_percentile": QuerySpec(
+        agg_approx_percentile, AGG_APPROX_PERCENTILE_SQL
+    ),
     "scalar_datetime_funcs": QuerySpec(
         scalar_datetime_funcs, SCALAR_DATETIME_SQL
     ),

@@ -37,7 +37,7 @@ SELECT
   lang,
   source,
   count(*) AS n_docs,
-  sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS total_tokens,
+  CAST(sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS total_tokens,
   round(avg(len(string_split_regex(trim(text), '\s+'))), 6) AS avg_tokens,
   round(avg(n_chars), 6) AS avg_chars,
   CAST(max(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS max_tokens

@@ -51,9 +51,9 @@ SELECT
   l_returnflag,
   l_linestatus,
   round(sum(l_quantity), 4) AS sum_qty,
-  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_price_cents,
-  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS sum_disc_price_cents,
-  sum(CAST(round(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) * 100, 0) AS BIGINT)) AS sum_charge_cents,
+  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+  CAST(sum(CAST(round(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
   round(avg(l_quantity), 6) AS avg_qty,
   round(avg(l_discount), 6) AS avg_disc,
   count(*) AS count_order
@@ -91,7 +91,7 @@ SELECT
   o_orderkey,
   o_orderdate,
   o_orderpriority,
-  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS revenue_cents
+  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -137,7 +137,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q5_SQL = """
 SELECT
   n_name,
-  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS revenue_cents
+  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -177,7 +177,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q6_SQL = """
 SELECT
-  sum(CAST(round((l_extendedprice * l_discount) * 100, 0) AS BIGINT)) AS revenue_cents,
+  CAST(sum(CAST(round((l_extendedprice * l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
   count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -213,7 +213,7 @@ SELECT
   c_name,
   c_acctbal,
   n_name,
-  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS revenue_cents
+  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -284,8 +284,8 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q12_SQL = """
 SELECT
   l_returnflag,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -317,10 +317,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_SQL = """
 SELECT
-  sum(CASE WHEN p_type LIKE 'PROMO%'
+  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
            THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)
-           ELSE 0 END) AS promo_cents,
-  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS total_cents,
+           ELSE 0 END) AS BIGINT) AS promo_cents,
+  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
   round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
            THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)
            ELSE 0 END) / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)), 6) AS promo_pct
@@ -442,7 +442,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q19_SQL = """
 SELECT
-  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS revenue_cents,
+  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
   count(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -563,7 +563,7 @@ SELECT
   n1.n_name AS supp_nation,
   n2.n_name AS cust_nation,
   year(l_shipdate) AS l_year,
-  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS revenue_cents
+  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -622,10 +622,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q8_SQL = """
 SELECT
   year(o_orderdate) AS o_year,
-  sum(CASE WHEN ns.n_name = 'NATION_7'
+  CAST(sum(CASE WHEN ns.n_name = 'NATION_7'
            THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)
-           ELSE 0 END) AS nation_cents,
-  sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS total_cents,
+           ELSE 0 END) AS BIGINT) AS nation_cents,
+  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
   round(sum(CASE WHEN ns.n_name = 'NATION_7'
            THEN CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)
            ELSE 0 END) * 1.0
@@ -651,7 +651,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     No partsupp in the fixture, so supply cost is modeled as 10% of
     p_retailprice per unit; profit is rounded to cents per row then summed
     exactly."""
-    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%1%"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
     o = load(spark, sf_dir, "orders")
@@ -675,14 +675,14 @@ Q9_SQL = """
 SELECT
   n_name AS nation,
   year(o_orderdate) AS o_year,
-  sum(CAST(round((l_extendedprice * (1 - l_discount)
-                  - p_retailprice * 0.1 * l_quantity) * 100, 0) AS BIGINT)) AS profit_cents
+  CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                  - p_retailprice * 0.1 * l_quantity) * 100, 0) AS BIGINT)) AS BIGINT) AS profit_cents
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN orders ON l_orderkey = o_orderkey
-WHERE p_name LIKE '%1%'
+WHERE p_name LIKE '%red%'
 GROUP BY n_name, year(o_orderdate)
 """
 
@@ -705,12 +705,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     total = per_part.agg(
-        F.sum("value_cents").alias("total_cents")
+        F.sum("value_cents").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
     )
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(
-            F.col("value_cents") > F.lit(0.005) * F.col("total_cents")
+            F.col("value_cents") * F.lit(2) * F.col("n_parts")
+            > F.lit(3) * F.col("total_cents")
         )
         .select("l_partkey", "value_cents")
     )
@@ -719,14 +721,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q11_SQL = """
 WITH per_part AS (
   SELECT l_partkey,
-         sum(CAST(round(p_retailprice * l_quantity * 100, 0) AS BIGINT)) AS value_cents
+         CAST(sum(CAST(round(p_retailprice * l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   GROUP BY l_partkey
 )
 SELECT l_partkey, value_cents
 FROM per_part
-WHERE value_cents > 0.005 * (SELECT sum(value_cents) FROM per_part)
+WHERE 2 * value_cents * (SELECT count(*) FROM per_part)
+      > 3 * (SELECT sum(value_cents) FROM per_part)
 """
 
 
@@ -791,7 +794,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q15_SQL = """
 WITH revenue AS (
   SELECT l_suppkey,
-         sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS total_revenue_cents
+         CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS BIGINT) AS total_revenue_cents
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -832,7 +835,7 @@ WITH pa AS (
   FROM lineitem GROUP BY l_partkey
 )
 SELECT
-  sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS total_cents,
+  CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents,
   count(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -849,12 +852,12 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%1%"))
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     qty = (
         l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.round(F.sum("l_quantity"), 4).alias("sq"))
-        .filter(F.col("sq") > 100)
+        .filter(F.col("sq") > 30)
         .select("l_suppkey")
         .distinct()
     )
@@ -878,11 +881,11 @@ WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
     SELECT l_suppkey
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
-    WHERE p_name LIKE '%1%'
+    WHERE p_name LIKE '%red%'
       AND l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY l_partkey, l_suppkey
-    HAVING round(sum(l_quantity), 4) > 100
+    HAVING round(sum(l_quantity), 4) > 30
   )
 """
 
@@ -963,9 +966,11 @@ GROUP BY s_name, n_name
 
 def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: above-average idle customers by country code (B9,
-    B12). No phone column, so cntrycode = c_nationkey mod 10. The average
+    B12). No phone column, so cntrycode = c_nationkey mod 10; every
+    synthetic customer has at least one order, so "idle" = no order since
+    2000-01-01 (keeps the anti join non-vacuous at every SF). The average
     is computed in exact cents (integer sum ÷ count, one deterministic
-    division) and broadcast; the no-orders test is an anti join."""
+    division) and broadcast; the no-recent-orders test is an anti join."""
     c = load(spark, sf_dir, "customer").withColumn(
         "cntrycode", F.col("c_nationkey") % 10
     ).filter(F.col("cntrycode").isin(1, 2, 3, 4, 5))
@@ -974,7 +979,11 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("c_acctbal")) / F.count(F.lit(1))
         ).alias("avg_cents")
     )
-    o = load(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(cents("c_acctbal") > F.col("avg_cents"))
@@ -999,10 +1008,12 @@ avg_bal AS (
 )
 SELECT cntrycode,
        count(*) AS numcust,
-       sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS totacctbal_cents
+       CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS totacctbal_cents
 FROM cc, avg_bal
 WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT) > avg_cents
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY cntrycode
 """
 
