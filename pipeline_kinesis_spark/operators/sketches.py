@@ -52,34 +52,50 @@ def _hash(key: str, salt: int) -> int:
 
 def _cms_partials(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
     table = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    keys: set[str] = set()
     for pdf in pdfs:
         counts = pdf.iloc[:, 0].value_counts()
         for key, cnt in counts.items():
+            keys.add(str(key))
             for d in range(CMS_DEPTH):
                 table[d, _hash(str(key), d) % CMS_WIDTH] += int(cnt)
-    yield pd.DataFrame({"sketch": [table.tobytes()]})
+    yield pd.DataFrame({"sketch": [table.tobytes()], "keys": [sorted(keys)]})
 
 
 def _bloom_partials(pdfs: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
     bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    keys: set[str] = set()
     for pdf in pdfs:
         for key in pdf.iloc[:, 0].drop_duplicates():
+            keys.add(str(key))
             for d in range(BLOOM_HASHES):
                 i = _hash(str(key), d) % BLOOM_BITS
                 bits[i >> 3] |= 1 << (i & 7)
-    yield pd.DataFrame({"sketch": [bits.tobytes()]})
+    yield pd.DataFrame({"sketch": [bits.tobytes()], "keys": [sorted(keys)]})
 
 
-def cms_build(df: DataFrame, col: str) -> np.ndarray:
-    """Merged count-min sketch of ``col``. Partials are one small row per
-    partition; the driver-side merge is O(partitions), not O(rows)."""
-    parts = df.select(col).mapInPandas(_cms_partials, "sketch BINARY")
+_PARTIAL_SCHEMA = "sketch BINARY, keys ARRAY<STRING>"
+
+
+def cms_build_with_keys(df: DataFrame, col: str) -> tuple[np.ndarray, list[str]]:
+    """Merged count-min sketch of ``col`` plus the distinct keys seen,
+    both carried out of the SAME per-partition pass — one scan total.
+    Partials are one small row per partition; the driver-side merge is
+    O(partitions), not O(rows). (Key sets stay tiny for the dimension-like
+    columns sketched here; for unbounded key spaces use the fss summary.)"""
+    parts = df.select(col).mapInPandas(_cms_partials, _PARTIAL_SCHEMA)
     merged = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    keys: set[str] = set()
     for row in parts.collect():
         merged += np.frombuffer(row.sketch, dtype=np.int64).reshape(
             CMS_DEPTH, CMS_WIDTH
         )
-    return merged
+        keys.update(row["keys"])
+    return merged, sorted(keys)
+
+
+def cms_build(df: DataFrame, col: str) -> np.ndarray:
+    return cms_build_with_keys(df, col)[0]
 
 
 def cms_estimate(sketch: np.ndarray, key: str) -> int:
@@ -91,12 +107,20 @@ def cms_estimate(sketch: np.ndarray, key: str) -> int:
     )
 
 
-def bloom_build(df: DataFrame, col: str) -> bytes:
-    parts = df.select(col).mapInPandas(_bloom_partials, "sketch BINARY")
+def bloom_build_with_keys(df: DataFrame, col: str) -> tuple[bytes, list[str]]:
+    """Merged bloom filter plus the distinct keys seen — one scan (see
+    cms_build_with_keys)."""
+    parts = df.select(col).mapInPandas(_bloom_partials, _PARTIAL_SCHEMA)
     merged = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    keys: set[str] = set()
     for row in parts.collect():
         merged |= np.frombuffer(row.sketch, dtype=np.uint8)
-    return merged.tobytes()
+        keys.update(row["keys"])
+    return merged.tobytes(), sorted(keys)
+
+
+def bloom_build(df: DataFrame, col: str) -> bytes:
+    return bloom_build_with_keys(df, col)[0]
 
 
 def bloom_might_contain(bloom: bytes, key: str) -> bool:
@@ -113,9 +137,8 @@ def cms_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the data). Event-type cardinality ≪ width ⇒ estimates are exact and
     the plain GROUP BY oracle applies."""
     e = load(spark, sf_dir, "events")
-    sketch = cms_build(e, "event_type")
-    keys = [r.event_type for r in e.select("event_type").distinct().collect()]
-    rows = [(k, cms_estimate(sketch, k)) for k in sorted(keys)]
+    sketch, keys = cms_build_with_keys(e, "event_type")
+    rows = [(k, cms_estimate(sketch, k)) for k in keys]
     return spark.createDataFrame(rows, "event_type STRING, est_count BIGINT")
 
 
@@ -132,10 +155,8 @@ def bloom_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     is far below capacity ⇒ no false positives here, so the EXISTS oracle
     applies; tests assert the no-false-negative guarantee separately."""
     o = load(spark, sf_dir, "orders")
-    bloom = bloom_build(o, "o_orderpriority")
-    probes = [r.o_orderpriority for r in
-              o.select("o_orderpriority").distinct().collect()]
-    probes = sorted(probes) + ["9-NONEXISTENT"]
+    bloom, probes = bloom_build_with_keys(o, "o_orderpriority")
+    probes = probes + ["9-NONEXISTENT"]
     rows = [(p, bloom_might_contain(bloom, p)) for p in probes]
     return spark.createDataFrame(rows, "priority STRING, present BOOLEAN")
 
@@ -188,9 +209,12 @@ def fss_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k heavy-hitter tokens across documents via mergeable summaries
     (PipelineDB fss_agg/topk analog). Shuffle is O(partitions × capacity)
     rows — never the token stream itself; the final merge is a small
-    groupBy. Columns: token, count lower bound, max overcount (0 ⇒ exact).
-    Rows-only check (heavy-hitter sets are summary-defined); tests assert
-    the top-k equals the exact top-k on the fixtures."""
+    groupBy. Oracle-able via the within-bound pattern: alongside each
+    heavy hitter we emit its EXACT count (a cheap second aggregation over
+    the 20 winners only — verification harness, not the sketch path) and
+    a boolean asserting the summary's guarantee
+    count_lb ≤ exact ≤ count_lb + max_overcount held; the oracle emits the
+    exact top-k and literal TRUE."""
     toks = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
@@ -210,17 +234,44 @@ def fss_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("count_lb"),
         F.sum("err").alias("rep_err"),
     )
-    return (
+    top = (
         merged.crossJoin(F.broadcast(tot))
         .withColumn("max_overcount", F.col("tot_err") - F.col("rep_err"))
         .orderBy(F.desc("count_lb"), F.asc("key"))
         .limit(FSS_TOPK)
-        .select(
-            F.col("key").alias("token"),
-            F.col("count_lb"),
-            F.col("max_overcount"),
-        )
     )
+    exact = (
+        toks.join(F.broadcast(top.select("key")), toks.tok == F.col("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    return top.join(exact, "key").select(
+        F.col("key").alias("token"),
+        F.col("exact_count"),
+        (
+            (F.col("exact_count") >= F.col("count_lb"))
+            & (
+                F.col("exact_count")
+                <= F.col("count_lb") + F.col("max_overcount")
+            )
+        ).alias("within_bound"),
+    )
+
+
+FSS_TOPK_TOKENS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT tok AS token, count(*) AS exact_count
+  FROM toks WHERE tok <> '' GROUP BY tok
+)
+SELECT token, exact_count, TRUE AS within_bound
+FROM cnt
+ORDER BY exact_count DESC, token ASC
+LIMIT 20
+"""
 
 
 QUERIES: dict[str, QuerySpec] = {
@@ -228,5 +279,7 @@ QUERIES: dict[str, QuerySpec] = {
     "bloom_order_priorities": QuerySpec(
         bloom_order_priorities, BLOOM_ORDER_PRIORITIES_SQL
     ),
-    "fss_topk_tokens": QuerySpec(fss_topk_tokens, None, bench=True),
+    "fss_topk_tokens": QuerySpec(
+        fss_topk_tokens, FSS_TOPK_TOKENS_SQL, bench=True
+    ),
 }

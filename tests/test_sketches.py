@@ -67,7 +67,8 @@ def test_fss_topk_matches_exact_topk(spark, sf_dir):
     for r in got:
         true_n = exact.get(r.token)
         assert true_n is not None, f"{r.token} not in exact top-k"
-        assert r.count_lb <= true_n <= r.count_lb + r.max_overcount
+        assert r.exact_count == true_n
+        assert r.within_bound, f"{r.token}: summary bound violated"
 
 
 def test_fss_partition_invariant_topset(spark, sf_dir):
