@@ -16,8 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 @dataclass(frozen=True)
 class QuerySpec:
-    """A named query: Spark impl + optional DuckDB oracle SQL + bench flag."""
+    """A named query: Spark impl + optional DuckDB oracle SQL + bench flag.
+
+    ``bench_fn``, when set, is what bench.py times instead of ``fn`` —
+    used when the oracle-gated ``fn`` carries verification-only work
+    (e.g. an exact-count join validating a sketch) that should not
+    inflate the headline number for the operator itself.
+    """
 
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     bench: bool = False  # include in bench.py headline set
+    bench_fn: Callable[[SparkSession, str], DataFrame] | None = None

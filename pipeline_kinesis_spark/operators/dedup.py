@@ -132,7 +132,14 @@ def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles, stop-shingle posting-list blowup ("the the the" in every
     doc) never reaches the join. Identical output → same oracle.
     """
-    t = JACCARD_THRESHOLD
+    return _jaccard_prefix_pairs(spark, sf_dir, JACCARD_THRESHOLD)
+
+
+def _jaccard_prefix_pairs(
+    spark: SparkSession, sf_dir: str, t: float
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard-similarity self-join at threshold
+    ``t`` (see ngram_jaccard_prefix)."""
     # the shingle table feeds the prefix index AND both verification
     # sides — materialize it once (on a cluster: checkpoint to a table)
     # instead of re-running explode+distinct per consumer.
@@ -197,7 +204,8 @@ def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NGRAM_JACCARD_SQL = r"""
+def _ngram_jaccard_sql(threshold: float) -> str:
+    return rf"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
 ), sh AS (
@@ -219,8 +227,11 @@ SELECT doc_a, doc_b, n_common,
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.5
+WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= {threshold}
 """
+
+
+NGRAM_JACCARD_SQL = _ngram_jaccard_sql(JACCARD_THRESHOLD)
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,6 +309,49 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LSH recall verification: exact high-similarity pairs (threshold chosen
+# above the LSH banding's high-probability capture zone) must be mostly
+# recovered by the candidate join. The bound mirrors
+# tests/test_dedup_similarity.py; observed recall is 1.0 at sf0.001/0.01.
+MINHASH_RECALL_THRESHOLD = 0.7
+MINHASH_RECALL_BOUND = 0.6
+
+
+def minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 gate row for MinHash LSH via the exact+within-bound pattern
+    (the oracle cannot hash xxhash64): emit the DuckDB-computable count
+    of exact Jaccard ≥ 0.7 pairs plus a Spark-verified boolean that LSH
+    recall over those pairs met the bound; the oracle emits the same
+    exact count and literal TRUE. The exact side reuses the
+    prefix-filtered (skew-safe) exact join, so the verification itself
+    is a 100 TB-shaped plan."""
+    exact = _jaccard_prefix_pairs(
+        spark, sf_dir, MINHASH_RECALL_THRESHOLD
+    ).select("doc_a", "doc_b")
+    lsh = minhash_lsh_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(lsh, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact_pairs"),
+            F.coalesce(
+                (
+                    F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1))
+                )
+                >= MINHASH_RECALL_BOUND,
+                F.lit(True),  # vacuously true when no exact pairs exist
+            ).alias("recall_ge_bound"),
+        )
+    )
+
+
+MINHASH_LSH_RECALL_SQL = f"""
+WITH pairs AS ({_ngram_jaccard_sql(MINHASH_RECALL_THRESHOLD)})
+SELECT count(*) AS n_exact_pairs, TRUE AS recall_ge_bound FROM pairs
+"""
+
+
 def _simhash(d: DataFrame) -> DataFrame:
     """doc_id → 64-bit SimHash signature (shared by signatures + pairs).
 
@@ -354,9 +408,13 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     document text, and bucket sizes concentrate near n/2^16 per band.
     Candidates are verified with bit_count(a XOR b), JVM-side, then
     deduped across bands with one distinct. No oracle (engine-specific
-    hash); tests assert exact-duplicate capture and determinism.
+    hash); simhash_planted_capture below is the driver-gate twin.
     """
-    sigs = _simhash(load(spark, sf_dir, "documents"))
+    return _banded_hamming_pairs(_simhash(load(spark, sf_dir, "documents")))
+
+
+def _banded_hamming_pairs(sigs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) → pairs within SIMHASH_MAX_DIST, banded join."""
     banded = sigs.select(
         "doc_id",
         "simhash",
@@ -397,13 +455,103 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+# Planted-duplicate verification: the corpus has no exact duplicates, so
+# the pigeonhole guarantee ("distance ≤ 3 is always captured") is
+# exercised by cloning the N_PLANTED lowest doc_ids and asserting every
+# (original, clone) pair — distance 0 by construction — comes back.
+N_PLANTED = 10
+_PLANT_OFFSET = 1_000_000
+
+
+def simhash_planted_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 gate row for SimHash via the exact+within-bound pattern (the
+    oracle cannot hash xxhash64). One row:
+
+    - ``n_planted`` — DuckDB-computable: min(#non-empty docs, N_PLANTED)
+      duplicate clones injected into the corpus.
+    - ``planted_captured`` — Spark-verified: every (original, clone)
+      pair (Hamming distance 0) appears in the banded join output —
+      the pigeonhole recall guarantee, end to end.
+    - ``banded_matches_bruteforce`` — Spark-verified: the banded join
+      returns EXACTLY the pairs a brute-force all-pairs Hamming scan
+      finds at distance ≤ 3 (recall-exactness, both directions). The
+      brute-force tier is verification harness only — O(n²) on 8-byte
+      signatures, broadcast nested-loop by construction.
+
+    The oracle emits the same count and literal TRUE booleans.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.trim(F.col("text")) != "")
+    )
+    planted = docs.orderBy("doc_id").limit(N_PLANTED)
+    clones = planted.select(
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_id"), "text"
+    )
+    sigs = _simhash(docs.unionByName(clones))
+    banded = _banded_hamming_pairs(sigs).select("doc_a", "doc_b")
+
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    brute = (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            <= SIMHASH_MAX_DIST
+        )
+        .select("doc_a", "doc_b")
+    )
+
+    planted_pairs = planted.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_b"),
+    )
+    n_planted = planted_pairs.agg(
+        F.count(F.lit(1)).alias("n_planted")
+    )
+    n_missed = planted_pairs.join(
+        banded, ["doc_a", "doc_b"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_missed"))
+    n_diff = (
+        banded.exceptAll(brute)
+        .unionAll(brute.exceptAll(banded))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    return (
+        n_planted.crossJoin(n_missed)
+        .crossJoin(n_diff)
+        .select(
+            "n_planted",
+            (F.col("n_missed") == 0).alias("planted_captured"),
+            (F.col("n_diff") == 0).alias("banded_matches_bruteforce"),
+        )
+    )
+
+
+SIMHASH_PLANTED_SQL = f"""
+SELECT
+  least(count(*), {N_PLANTED}) AS n_planted,
+  TRUE AS planted_captured,
+  TRUE AS banded_matches_bruteforce
+FROM documents
+WHERE trim(text) <> ''
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "exact_dedup": QuerySpec(exact_dedup, EXACT_DEDUP_SQL, bench=True),
     "ngram_jaccard_pairs": QuerySpec(
         ngram_jaccard_pairs, NGRAM_JACCARD_SQL, bench=True
     ),
-    "ngram_jaccard_prefix": QuerySpec(ngram_jaccard_prefix, NGRAM_JACCARD_SQL),
+    "ngram_jaccard_prefix": QuerySpec(
+        ngram_jaccard_prefix, NGRAM_JACCARD_SQL, bench=True
+    ),
     "minhash_lsh_pairs": QuerySpec(minhash_lsh_pairs, None, bench=True),
+    "minhash_lsh_recall": QuerySpec(minhash_lsh_recall, MINHASH_LSH_RECALL_SQL),
     "simhash_signatures": QuerySpec(simhash_signatures, None),
     "simhash_pairs": QuerySpec(simhash_pairs, None),
+    "simhash_planted_capture": QuerySpec(
+        simhash_planted_capture, SIMHASH_PLANTED_SQL
+    ),
 }

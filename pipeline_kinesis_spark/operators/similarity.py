@@ -306,6 +306,48 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Generous bound (observed per-query recall@10 ≥ 0.5 at sf0.01, ≥ 0.7 at
+# sf0.001 with n_cells=8, nprobe=3): a data or KMeans-init change must
+# not flake the gate (the bound asserts "the probe is useful", the tests
+# assert the tighter numbers).
+IVF_RECALL_BOUND = 0.4
+
+
+def cosine_topk_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 gate row for IVF ANN via the exact+within-bound pattern (the
+    oracle cannot run KMeans): per query, emit the DuckDB-computable
+    exact top-1 neighbor (id + similarity, from the brute-force tier)
+    plus a Spark-verified boolean that IVF recall@k over the exact
+    top-k met the bound; the oracle emits the exact top-1 rows and
+    literal TRUE."""
+    exact = cosine_topk(spark, sf_dir)
+    ivf = cosine_topk_ivf(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rnk") == 1, F.col("vec_id"))).alias(
+                "top1_vec_id"
+            ),
+            F.max(F.when(F.col("rnk") == 1, F.col("sim"))).alias("top1_sim"),
+            (
+                (F.coalesce(F.sum("hit"), F.lit(0)) / F.count(F.lit(1)))
+                >= IVF_RECALL_BOUND
+            ).alias("recall_ge_bound"),
+        )
+    )
+
+
+COSINE_IVF_RECALL_SQL = f"""
+WITH topk AS ({COSINE_TOPK_SQL})
+SELECT query_id, vec_id AS top1_vec_id, sim AS top1_sim,
+       TRUE AS recall_ge_bound
+FROM topk WHERE rnk = 1
+"""
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors in long (label, i, c) form — the
     average-pooling step of clustering / class-prototype pipelines over
@@ -345,6 +387,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "cosine_topk": QuerySpec(cosine_topk, COSINE_TOPK_SQL, bench=True),
     "cosine_topk_ivf": QuerySpec(cosine_topk_ivf, None),
+    "cosine_topk_ivf_recall": QuerySpec(
+        cosine_topk_ivf_recall, COSINE_IVF_RECALL_SQL
+    ),
     "cosine_neardup_pairs": QuerySpec(
         cosine_neardup_pairs, COSINE_NEARDUP_SQL, bench=True
     ),

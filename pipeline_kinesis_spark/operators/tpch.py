@@ -538,12 +538,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     s = load(spark, sf_dir, "supplier")
+    # NATION_20/NATION_11 chosen so the oracle is data-bearing at every
+    # fixture SF (sf0.001 included) — vacuous-lint safe.
     pair = (
-        (F.col("supp_nation") == "NATION_1")
-        & (F.col("cust_nation") == "NATION_2")
+        (F.col("supp_nation") == "NATION_20")
+        & (F.col("cust_nation") == "NATION_11")
     ) | (
-        (F.col("supp_nation") == "NATION_2")
-        & (F.col("cust_nation") == "NATION_1")
+        (F.col("supp_nation") == "NATION_11")
+        & (F.col("cust_nation") == "NATION_20")
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -570,8 +572,8 @@ JOIN customer ON o_custkey = c_custkey
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation n1 ON s_nationkey = n1.n_nationkey
 JOIN nation n2 ON c_nationkey = n2.n_nationkey
-WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
   AND l_shipdate >= TIMESTAMP '1995-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY supp_nation, cust_nation, l_year

@@ -42,39 +42,53 @@ _MODULES = (
 # timeseries/dedup/textops/similarity/sketches/multimodal/pandas-UDF)
 # sits inside that window; redundant TPC-H/relational variants that were
 # already verified green follow after.
+_WINDOW = 50
+
+# Round-3 rotation: the 3 formerly-`no_oracle` rows are replaced by their
+# exact+within-bound verification twins (minhash_lsh_recall,
+# simhash_planted_capture, cosine_topk_ivf_recall); every oracled query
+# that had never been inside the window (join_salted_skew,
+# unpivot_lineitem_measures, window_distribution, ngram_jaccard_pairs,
+# ngram_top_bigrams, doc_fingerprint, multimodal_resize,
+# multimodal_frame_sample, scaled_value_pandas) rotates in; 9 TPC-H rows
+# already driver-green once or twice (q9/q10/q11/q12/q14/q15/q17/q20/q22)
+# rotate out — they stay covered by the local sf0.01 full differential
+# (tools/compare_oracle.py) and pytest.
 _PRIORITY = (
-    # TPC-H aggregate/join shapes (incl. the formerly canon-mismatched set)
+    # TPC-H aggregate/join shapes
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q10_returned_items", "q12_shipmode_priority", "q14_promo_revenue",
-    "q15_top_supplier", "q17_small_qty_revenue", "q19_discounted_revenue",
+    "q19_discounted_revenue",
     # grouping-set family + conditional scalars
     "rollup_revenue", "cube_orders", "grouping_sets_revenue", "case_coalesce",
-    # formerly vacuous (0-row oracles) — now data-bearing at sf0.01
-    "q9_product_profit", "q11_important_stock", "q20_part_promotion",
-    "q22_global_sales",
-    # approx aggregates (B14), now oracle-able
+    # approx aggregates (B14)
     "agg_approx_distinct", "agg_approx_percentile",
-    # remaining §2B families without a green driver row yet
+    # remaining §2B families
     "pivot_priority_by_year", "window_range_frame", "agg_keyed_minmax",
-    "agg_salted_skew",
-    # timeseries (B11/B23/B24)
+    "agg_salted_skew", "join_salted_skew", "unpivot_lineitem_measures",
+    "window_distribution",
+    # timeseries (B11/B23/B24) + pandas-UDF surface (B27)
     "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
-    "asof_join", "zscore_per_user",
-    # dedup (C: exact, prefix-filtered jaccard, MinHash LSH, SimHash)
-    "exact_dedup", "ngram_jaccard_prefix", "minhash_lsh_pairs",
-    "simhash_pairs",
+    "asof_join", "zscore_per_user", "scaled_value_pandas",
+    # dedup (C1/C2: exact, jaccard both plans, MinHash LSH, SimHash)
+    "exact_dedup", "ngram_jaccard_pairs", "ngram_jaccard_prefix",
+    "minhash_lsh_recall", "simhash_planted_capture",
     # text analysis / corpus ops
     "corpus_clean", "dataset_split", "tfidf_top_terms", "token_stats",
     "text_quality", "lang_id_heuristic", "token_count_bpe",
+    "ngram_top_bigrams", "doc_fingerprint",
     # similarity search
-    "cosine_topk", "cosine_topk_ivf", "cosine_neardup_pairs",
+    "cosine_topk", "cosine_topk_ivf_recall", "cosine_neardup_pairs",
     "embedding_centroids",
     # sketches
     "cms_event_counts", "bloom_order_priorities", "fss_topk_tokens",
     # multimodal
-    "multimodal_meta_stats",
+    "multimodal_meta_stats", "multimodal_resize", "multimodal_frame_sample",
 )
+
+# The driver checks exactly the first _WINDOW entries of queries();
+# overflow would silently push curated entries out of the gate.
+assert len(_PRIORITY) == _WINDOW, f"window {len(_PRIORITY)} != {_WINDOW}"
 
 
 def all_queries() -> dict[str, QuerySpec]:
