@@ -17,7 +17,7 @@ Four tiers, all shuffle-disciplined for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipeline_kinesis_spark.functions.exprs import tokens
@@ -140,24 +140,41 @@ def _jaccard_prefix_pairs(
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard-similarity self-join at threshold
     ``t`` (see ngram_jaccard_prefix)."""
-    # the shingle table feeds the prefix index AND both verification
-    # sides — materialize it once (on a cluster: checkpoint to a table)
-    # instead of re-running explode+distinct per consumer.
+    # the shingle table feeds the frequency count AND the per-doc fold —
+    # materialize it once (on a cluster: checkpoint to a table) instead
+    # of re-running explode+distinct per consumer.
     sh = _shingle_hashes(load(spark, sf_dir, "documents")).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
 
-    # global shingle frequency → rank shingles per doc, rarest first
+    # global shingle frequency, then ONE per-doc groupBy folds
+    # everything downstream needs: the frequency-sorted shingle list
+    # (array_sort on (df, sh) structs — replaces a rank window), the
+    # set size, and the verification array. Per-doc shingle sets are
+    # bounded by document length, so the fold fits one array cell at
+    # any corpus scale.
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = sh.join(freq, "sh").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "sh")
-        ),
+    docagg = (
+        sh.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("fl"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .withColumn("arr", F.array_sort(F.transform("fl", lambda x: x["sh"])))
+        .withColumn(
+            "plen",
+            (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int"),
+        )
+        .persist()
     )
-    prefix = (
-        ranked.join(sizes, "doc_id")
-        .filter(F.col("rk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
-        .select("doc_id", "sh")
+
+    # prefix index: each doc's first plen shingles, rarest first
+    prefix = docagg.select(
+        "doc_id",
+        F.explode(
+            F.slice(
+                F.transform("fl", lambda x: x["sh"]), F.lit(1), F.col("plen")
+            )
+        ).alias("sh"),
     )
 
     a = prefix.alias("a")
@@ -175,22 +192,30 @@ def _jaccard_prefix_pairs(
         .distinct()
     )
 
-    # exact verification: intersection count for candidate pairs only.
-    # Both joins are equi (compound key on the second) — no per-pair
-    # quadratic expansion.
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("shv"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shv"))
-    common = (
-        candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shv"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # exact verification: candidate pairs joined against the per-doc
+    # arrays, intersection counted with array_intersect (sets are
+    # distinct by construction). The shingle row-table is never
+    # shuffled again; the candidate side's physical strategy is left
+    # to AQE — broadcast when the pruned set is small (typical),
+    # shuffle join when a huge corpus yields more candidates than a
+    # broadcast can hold.
+    pa = docagg.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("sz").alias("sz_a"),
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    pb = docagg.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("sz").alias("sz_b"),
+    )
     return (
-        common.join(za, "doc_a")
-        .join(zb, "doc_b")
+        pa.join(candidates, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect("arr_a", "arr_b")).cast("long"),
+        )
         .withColumn(
             "jaccard",
             F.round(
