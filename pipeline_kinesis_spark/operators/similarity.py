@@ -174,10 +174,17 @@ WHERE a.vec_id < b.vec_id
 """
 
 
-# Sign-LSH: hyperplane h (one of N_PLANES) has component d drawn
-# deterministically from xxhash64(h, d) — reproducible across engines and
-# cluster sizes without shipping a plane matrix.
-N_PLANES = 8
+# Sign-LSH, multi-table amplification: LSH_TABLES independent tables of
+# LSH_PLANES_PER_TABLE hyperplanes each. A cosine-similar pair agrees on
+# a random hyperplane's sign with probability 1 - θ/π, so per-table
+# collision is p^planes and the union over tables lifts recall to
+# 1 - (1 - p^planes)^tables — few planes per table keep buckets coarse
+# (high recall), many tables keep the candidate union precise enough to
+# prune. Hyperplane (t, p) has component d drawn deterministically from
+# xxhash64 — reproducible across engines and cluster sizes without
+# shipping a plane matrix.
+LSH_TABLES = 8
+LSH_PLANES_PER_TABLE = 4
 
 
 def _plane_component(h: int, d: Column) -> Column:
@@ -189,11 +196,12 @@ def _plane_component(h: int, d: Column) -> Column:
     )
 
 
-def _lsh_bucket(vec: Column) -> Column:
-    """64-dim dot with each hash-derived plane → sign bit → bucket id."""
-    bits = []
-    for h in range(N_PLANES):
-        proj = F.aggregate(
+def _lsh_bucket(vec: Column, table: int) -> Column:
+    """Dot with each of the table's hash-derived planes → sign bits →
+    bucket id within the table."""
+    def _proj(h: int) -> Column:
+        # expression built eagerly per plane — h is bound at call time
+        return F.aggregate(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.lit(63)),
@@ -202,25 +210,51 @@ def _lsh_bucket(vec: Column) -> Column:
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+
+    bits = []
+    for p in range(LSH_PLANES_PER_TABLE):
+        proj = _proj(table * LSH_PLANES_PER_TABLE + p)
         bits.append(
-            F.when(proj > 0, F.shiftleft(F.lit(1), h)).otherwise(F.lit(0))
+            F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
         )
-    return sum(bits).alias("bucket")
+    return sum(bits)
+
+
+def _with_lsh_tables(df: DataFrame) -> DataFrame:
+    """One (tbl, bkt) row per vector per table — the melted multi-table
+    index (same shape as MinHash banding: one equi-join key per table)."""
+    return df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _lsh_bucket(F.col("dvec"), t).alias("bkt"),
+                    )
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        df.columns + [F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")]
+    )
 
 
 def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via sign-LSH buckets: candidates share a bucket
-    with the query; exact rerank within candidates. Rows-only check (bucket
-    membership is hash-defined); recall is asserted in tests against
-    cosine_topk."""
-    e = _with_dvec(load(spark, sf_dir, "embeddings")).withColumn(
-        "bucket", _lsh_bucket(F.col("dvec"))
-    )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+    """Approximate top-k via multi-table sign-LSH: candidates share any
+    table's bucket with the query (one equi-join on (tbl, bkt), distinct
+    across tables), then exact cosine rerank within candidates. Rows-only
+    check (bucket membership is hash-defined); recall vs the exact tier
+    is asserted in tests."""
+    e = _with_dvec(load(spark, sf_dir, "embeddings"))
+    et = _with_lsh_tables(e)
+    q = et.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("dvec").alias("qvec"),
         F.col("nrm").alias("qnrm"),
-        F.col("bucket").alias("qbucket"),
+        "tbl",
+        "bkt",
     )
     sim = F.round(
         _dot(F.col("qvec"), F.col("dvec")) / (F.col("qnrm") * F.col("nrm")),
@@ -230,9 +264,10 @@ def cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("sim"), F.asc("vec_id")
     )
     return (
-        e.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        et.join(F.broadcast(q), ["tbl", "bkt"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", sim.alias("sim"))
+        .distinct()  # a pair can collide in several tables
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= TOP_K)
     )
@@ -313,19 +348,12 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_RECALL_BOUND = 0.4
 
 
-def cosine_topk_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C3 gate row for IVF ANN via the exact+within-bound pattern (the
-    oracle cannot run KMeans): per query, emit the DuckDB-computable
-    exact top-1 neighbor (id + similarity, from the brute-force tier)
-    plus a Spark-verified boolean that IVF recall@k over the exact
-    top-k met the bound; the oracle emits the exact top-1 rows and
-    literal TRUE."""
-    exact = cosine_topk(spark, sf_dir)
-    ivf = cosine_topk_ivf(spark, sf_dir).select(
-        "query_id", "vec_id", F.lit(1).alias("hit")
-    )
+def _ann_recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query exact top-1 (DuckDB-computable) + a boolean that the
+    approximate tier's recall@k over the exact top-k met the bound."""
+    hits = approx.select("query_id", "vec_id", F.lit(1).alias("hit"))
     return (
-        exact.join(ivf, ["query_id", "vec_id"], "left")
+        exact.join(hits, ["query_id", "vec_id"], "left")
         .groupBy("query_id")
         .agg(
             F.max(F.when(F.col("rnk") == 1, F.col("vec_id"))).alias(
@@ -337,6 +365,27 @@ def cosine_topk_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 >= IVF_RECALL_BOUND
             ).alias("recall_ge_bound"),
         )
+    )
+
+
+def cosine_topk_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 gate row for IVF ANN via the exact+within-bound pattern (the
+    oracle cannot run KMeans): per query, emit the DuckDB-computable
+    exact top-1 neighbor (id + similarity, from the brute-force tier)
+    plus a Spark-verified boolean that IVF recall@k over the exact
+    top-k met the bound; the oracle emits the exact top-1 rows and
+    literal TRUE."""
+    return _ann_recall_vs_exact(
+        cosine_topk(spark, sf_dir), cosine_topk_ivf(spark, sf_dir)
+    )
+
+
+def cosine_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 gate row for the multi-table sign-LSH tier, same pattern as
+    cosine_topk_ivf_recall (observed per-query recall@10 ≥ 0.6 at both
+    fixture SFs with 8 tables × 4 planes)."""
+    return _ann_recall_vs_exact(
+        cosine_topk(spark, sf_dir), cosine_topk_lsh(spark, sf_dir)
     )
 
 
@@ -394,4 +443,7 @@ QUERIES: dict[str, QuerySpec] = {
         cosine_neardup_pairs, COSINE_NEARDUP_SQL, bench=True
     ),
     "cosine_topk_lsh": QuerySpec(cosine_topk_lsh, None),
+    "cosine_topk_lsh_recall": QuerySpec(
+        cosine_topk_lsh_recall, COSINE_IVF_RECALL_SQL
+    ),
 }

@@ -82,6 +82,21 @@ def test_simhash_pairs_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_lsh_topk_recall(spark, sf_dir):
+    """Multi-table sign-LSH must actually find most true neighbors —
+    recall@10 per query ≥ 0.5 (the gate's cosine_topk_lsh_recall row
+    asserts the looser 0.4 bound; observed ≥ 0.6)."""
+    exact = {}
+    for r in cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    approx = {}
+    for r in cosine_topk_lsh(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    for q, want in exact.items():
+        rec = len(want & approx.get(q, set())) / len(want)
+        assert rec >= 0.5, f"query {q}: LSH recall {rec:.2f}"
+
+
 def test_lsh_topk_sims_match_exact(spark, sf_dir):
     """Every (query, neighbor) the LSH tier returns must carry the same
     similarity the exact tier computes — rerank must not approximate."""

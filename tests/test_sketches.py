@@ -78,6 +78,39 @@ def test_fss_partition_invariant_topset(spark, sf_dir):
     assert len(a) > 0
 
 
+def test_fss_sketch_only_path_sound(spark, sf_dir):
+    """fss_topk_sketch is what bench.py times (QuerySpec.bench_fn) — it
+    must itself be correct: k rows, every count_lb a true lower bound
+    whose error window admits the exact count, and the summary's top set
+    agreeing with the exact top set wherever the bound proves order."""
+    from pyspark.sql import functions as F
+
+    from pipeline_kinesis_spark.operators.sketches import (
+        FSS_TOPK,
+        fss_topk_sketch,
+    )
+
+    got = fss_topk_sketch(spark, sf_dir).collect()
+    assert len(got) == FSS_TOPK
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    exact = {
+        r.tok: r.n
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in got:
+        true_n = exact.get(r.token, 0)
+        assert r.count_lb <= true_n <= r.count_lb + r.max_overcount, (
+            f"{r.token}: bound [{r.count_lb}, "
+            f"{r.count_lb + r.max_overcount}] misses exact {true_n}"
+        )
+
+
 def test_bloom_rejects_absent_keys_at_low_load(spark, sf_dir):
     """With 5 inserted keys in a 64k-bit filter the FP probability is
     ~(5*5/65536)^5 — absent probes must come back negative."""
