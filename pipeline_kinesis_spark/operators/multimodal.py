@@ -157,9 +157,12 @@ FROM documents
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full plumbing query: binary payloads → mapInPandas feature
-    extraction → per-modality feature norm stats. Rows-only check (the
-    fake extractor is engine-local); the Arrow batch path is what's
-    exercised."""
+    extraction → per-row feature norm. The deterministic stand-in
+    extractor (sha256 → 16 dyadic floats) is reproducible in DuckDB
+    (sha256 + hex cast), so the ENTIRE Arrow batch path — binary column
+    in, Python worker, Arrow back — is oracle-checked end to end; both
+    engines sum squares in the same ascending order, so the IEEE result
+    is bit-identical."""
     feats = extract_features(media_from_documents(spark, sf_dir))
     norm = F.round(
         F.sqrt(
@@ -174,6 +177,33 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "modality", "n_bytes", norm.alias("feat_norm")
     )
+
+
+def _features_sql() -> str:
+    feats = ",\n         ".join(
+        f"CAST(concat('0x', substr(h, {4 * i + 1}, 4)) AS INTEGER)"
+        f" / 65536.0 AS f{i}"
+        for i in range(FEATURE_DIM)
+    )
+    sq_sum = " + ".join(f"f{i}*f{i}" for i in range(FEATURE_DIM))
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, 'text' AS modality,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS h  -- VARCHAR overload hashes the UTF-8 bytes
+  FROM documents
+), f AS (
+  SELECT media_id, modality, n_bytes,
+         {feats}
+  FROM m
+)
+SELECT media_id, modality, n_bytes,
+       round(sqrt({sq_sum}), 6) AS feat_norm
+FROM f
+"""
+
+
+MULTIMODAL_FEATURES_SQL = _features_sql()
 
 
 def mixed_media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,7 +331,9 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_meta_stats": QuerySpec(
         multimodal_meta_stats, MULTIMODAL_META_SQL
     ),
-    "multimodal_features": QuerySpec(multimodal_features, None),
+    "multimodal_features": QuerySpec(
+        multimodal_features, MULTIMODAL_FEATURES_SQL
+    ),
     "multimodal_resize": QuerySpec(multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "multimodal_frame_sample": QuerySpec(
         multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL

@@ -70,6 +70,53 @@ def test_readme_recipe_end_to_end(engine, spark, tmp_path):
     assert any(p["num_input_rows"] for p in prog)
 
 
+def test_shard_split_new_shards_consumed_without_restart(
+    engine, spark, tmp_path
+):
+    """Shard split/merge resilience: the reference fetches the shard list
+    once at consumer start (pipeline_kinesis.c:668-675), so records in
+    shards created after a resharding are never consumed until restart.
+    Here shard identity is data (`shard_id` column), not topology — a
+    RUNNING consumer picks up records from brand-new shard ids, and
+    per-shard seqnum tracking covers them immediately."""
+    src_root = tmp_path / "kinesis"
+    write_record_file(
+        str(src_root / "s"),
+        [
+            {"data": f"p{i}", "sequence_number": f"{i:04d}",
+             "shard_id": "shardId-000000000000"}
+            for i in range(10)
+        ],
+    )
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("split_stream", "payload STRING")
+    engine.consume_begin("ep", "s", "split_stream")
+    engine.wait_for_ingest()
+    assert engine.stream_table("split_stream").count() == 10
+
+    # resharding: parent closes, two children appear — no consumer restart
+    write_record_file(
+        str(src_root / "s"),
+        [
+            {"data": f"c{i}", "sequence_number": f"{100 + i:04d}",
+             "shard_id": f"shardId-{1 + i % 2:012d}"}
+            for i in range(10)
+        ],
+    )
+    engine.wait_for_ingest()
+    t = engine.stream_table("split_stream")
+    assert t.count() == 20
+    shards = {r.shard_id for r in t.select("shard_id").distinct().collect()}
+    assert shards == {
+        "shardId-000000000000",
+        "shardId-000000000001",
+        "shardId-000000000002",
+    }
+    # per-shard progress covers the children without reconfiguration
+    seq_shards = {r.shard_id for r in engine.seqnums().collect()}
+    assert shards <= seq_shards
+
+
 def test_checkpoint_resume_no_loss_no_dup(engine, spark, tmp_path):
     src_root = tmp_path / "kinesis"
     _put_foo_records(src_root / "s1", 0, 50)
