@@ -198,6 +198,55 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for winnowing via the exact+within-bound pattern (the
+    fingerprints themselves are xxhash64-valued, engine-specific). Per
+    doc: the DuckDB-computable gram/window counts, plus Spark-verified
+    booleans that the fingerprint set respects the scheme's structural
+    guarantees — between 1 and n_windows fingerprints whenever at least
+    one window exists (every window contributes its min; dedup can only
+    shrink), and every fingerprint is one of the doc's gram hashes
+    (mins are elements, not synthetic values)."""
+    k, w = 8, 4
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        f"transform(sequence(1, greatest(length(lower(trim(text))) - {k - 1}, 0)), "
+        f"i -> xxhash64(substring(lower(trim(text)), i, {k})))"
+    )
+    d = d.withColumn("_g", F.expr(grams))
+    fp = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(_g) - {w - 1}, 0)), "
+        f"j -> array_min(slice(_g, j, {w}))))"
+    )
+    d = d.withColumn("_fp", fp)
+    n_grams = F.size("_g").cast("long")
+    n_windows = F.greatest(F.size("_g") - (w - 1), F.lit(0)).cast("long")
+    n_fp = F.size("_fp").cast("long")
+    return d.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_windows.alias("n_windows"),
+        F.when(n_windows >= 1, (n_fp >= 1) & (n_fp <= n_windows))
+        .otherwise(n_fp == 0)
+        .alias("count_in_bounds"),
+        F.forall("_fp", lambda x: F.array_contains("_g", x)).alias(
+            "fingerprints_contained"
+        ),
+    )
+
+
+WINNOW_STATS_SQL = """
+SELECT
+  doc_id,
+  CAST(greatest(length(lower(trim(text))) - 7, 0) AS BIGINT) AS n_grams,
+  CAST(greatest(greatest(length(lower(trim(text))) - 7, 0) - 3, 0)
+    AS BIGINT) AS n_windows,
+  TRUE AS count_in_bounds,
+  TRUE AS fingerprints_contained
+FROM documents
+"""
+
+
 def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite pretraining-corpus pipeline in ONE declarative plan:
     quality gate → language gate → exact near-dup removal → per-doc stats
@@ -440,6 +489,9 @@ QUERIES: dict[str, QuerySpec] = {
     "token_stats": QuerySpec(token_stats, TOKEN_STATS_SQL, bench=True),
     "token_count_bpe": QuerySpec(token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "winnow_fingerprints": QuerySpec(winnow_fingerprints, None),
+    "winnow_fingerprint_stats": QuerySpec(
+        winnow_fingerprint_stats, WINNOW_STATS_SQL
+    ),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL),
     "lang_id_heuristic": QuerySpec(lang_id_heuristic, LANG_ID_SQL),
     "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),
