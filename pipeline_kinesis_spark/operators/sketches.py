@@ -300,8 +300,54 @@ LIMIT 20
 """
 
 
+def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PipelineDB-style mergeable HLL state (its hll_agg + combine): build
+    one HLL sketch per (priority, order-year) PARTIAL with
+    hll_sketch_agg, then MERGE the per-year partials per priority with
+    hll_union_agg — exactly the combine a continuous view performs across
+    micro-batches; the estimate is read from the merged sketch, never by
+    re-scanning rows. Gate form follows the exact+within-bound pattern:
+    exact distinct (DuckDB-computable) + a boolean that the merged-sketch
+    estimate landed within the HLL error envelope (default lgConfigK=12
+    → ~1.6% rsd; 5% bound is generous)."""
+    o = load(spark, sf_dir, "orders")
+    partials = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("o_year")
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    merged = partials.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        exact.join(merged, "o_orderpriority")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_bound"),
+        )
+    )
+
+
+HLL_MERGEABLE_SQL = """
+SELECT
+  o_orderpriority AS priority,
+  count(DISTINCT o_custkey) AS exact_distinct,
+  TRUE AS within_bound
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "cms_event_counts": QuerySpec(cms_event_counts, CMS_EVENT_COUNTS_SQL),
+    "hll_mergeable_distinct": QuerySpec(
+        hll_mergeable_distinct, HLL_MERGEABLE_SQL
+    ),
     "bloom_order_priorities": QuerySpec(
         bloom_order_priorities, BLOOM_ORDER_PRIORITIES_SQL
     ),
