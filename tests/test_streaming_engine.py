@@ -117,6 +117,46 @@ def test_shard_split_new_shards_consumed_without_restart(
     assert shards <= seq_shards
 
 
+def test_continuous_view_with_sketch_aggregates(engine, spark, tmp_path):
+    """PipelineDB's signature shape: a continuous view whose state is a
+    mergeable sketch (hll_agg analog) maintained incrementally across
+    micro-batches. approx_count_distinct keeps HLL state in the streaming
+    aggregation; at the fixture cardinality the estimate is exact, so the
+    view is assertable against true distinct counts."""
+    src_root = tmp_path / "kinesis"
+    write_record_file(
+        str(src_root / "s"),
+        [
+            {"data": f"k{i % 3}\tu{i % 7}", "sequence_number": f"{i:04d}"}
+            for i in range(42)
+        ],
+    )
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("sk_stream", "k STRING, u STRING")
+    engine.create_continuous_view(
+        "sk_view",
+        "SELECT k, approx_count_distinct(u) AS nd, count(*) AS n "
+        "FROM sk_stream GROUP BY k",
+        stream="sk_stream",
+    )
+    engine.consume_begin("ep", "s", "sk_stream")
+    engine.wait_for_ingest()
+    rows = {r.k: (r.nd, r.n) for r in spark.table("sk_view").collect()}
+    assert rows == {"k0": (7, 14), "k1": (7, 14), "k2": (7, 14)}
+
+    # second batch arrives → the sketch state merges incrementally
+    write_record_file(
+        str(src_root / "s"),
+        [
+            {"data": f"k{i % 3}\tw{i}", "sequence_number": f"{100 + i:04d}"}
+            for i in range(6)
+        ],
+    )
+    engine.wait_for_ingest()
+    rows = {r.k: (r.nd, r.n) for r in spark.table("sk_view").collect()}
+    assert rows == {"k0": (9, 16), "k1": (9, 16), "k2": (9, 16)}
+
+
 def test_checkpoint_resume_no_loss_no_dup(engine, spark, tmp_path):
     src_root = tmp_path / "kinesis"
     _put_foo_records(src_root / "s1", 0, 50)
