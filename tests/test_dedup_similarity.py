@@ -82,6 +82,34 @@ def test_simhash_pairs_deterministic(spark, sf_dir):
     assert a == b
 
 
+def test_ivf_cells_as_physical_partitions_prune_scan(spark, sf_dir, tmp_path):
+    """The 100 TB IVF layout the docstring promises: cell assignment
+    becomes the table's physical partitioning, so probing nprobe cells is
+    a partition-PRUNED scan — Spark reads only the probed cells'
+    directories, never the full collection."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from pipeline_kinesis_spark.operators.similarity import _with_dvec
+    from pipeline_kinesis_spark.plans.inspect import explain_str
+
+    e = _with_dvec(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    fe = e.withColumn("fvec", array_to_vector("dvec"))
+    km = KMeans(k=8, seed=42, featuresCol="fvec", predictionCol="cell")
+    assigned = km.fit(fe).transform(fe).select("vec_id", "dvec", "nrm", "cell")
+    ivf_dir = str(tmp_path / "ivf")
+    assigned.write.partitionBy("cell").parquet(ivf_dir)
+
+    probe = spark.read.parquet(ivf_dir).filter(F.col("cell").isin(1, 3, 5))
+    plan = explain_str(probe)
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the pruned scan must touch at most the probed cells' rows
+    full = spark.read.parquet(ivf_dir).count()
+    pruned = probe.count()
+    assert 0 < pruned < full
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     """Multi-table sign-LSH must actually find most true neighbors —
     recall@10 per query ≥ 0.5 (the gate's cosine_topk_lsh_recall row
