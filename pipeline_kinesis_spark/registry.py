@@ -50,15 +50,16 @@ _WINDOW = 50
 # that had never been inside the window (join_salted_skew,
 # unpivot_lineitem_measures, window_distribution, ngram_jaccard_pairs,
 # ngram_top_bigrams, doc_fingerprint, multimodal_resize,
-# multimodal_frame_sample, scaled_value_pandas) rotates in; 9 TPC-H rows
-# already driver-green once or twice (q9/q10/q11/q12/q14/q15/q17/q20/q22)
-# rotate out — they stay covered by the local sf0.01 full differential
-# (tools/compare_oracle.py) and pytest.
+# multimodal_frame_sample, scaled_value_pandas, and multimodal_features
+# now that its sha256 extractor is reproduced in DuckDB) rotates in;
+# 10 TPC-H rows already driver-green once or twice
+# (q9/q10/q11/q12/q14/q15/q17/q19/q20/q22) rotate out — they stay
+# covered by the local sf0.01 full differential (tools/compare_oracle.py)
+# and pytest.
 _PRIORITY = (
     # TPC-H aggregate/join shapes
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q19_discounted_revenue",
     # grouping-set family + conditional scalars
     "rollup_revenue", "cube_orders", "grouping_sets_revenue", "case_coalesce",
     # approx aggregates (B14)
@@ -84,6 +85,7 @@ _PRIORITY = (
     "cms_event_counts", "bloom_order_priorities", "fss_topk_tokens",
     # multimodal
     "multimodal_meta_stats", "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_features",
 )
 
 # The driver checks exactly the first _WINDOW entries of queries();
