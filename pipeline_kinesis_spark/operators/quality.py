@@ -1,0 +1,323 @@
+"""Corpus-quality / safety operators for training-data curation (§2C C4+).
+
+Three first-class curation stages a 100 TB pretraining pipeline runs
+between raw ingest and tokenization:
+
+- benchmark decontamination: flag training docs whose n-grams overlap a
+  held-out evaluation set (the standard n-gram-collision decontamination
+  from the GPT-3/PaLM appendices). The eval set is tiny at any corpus
+  scale, so its n-gram dictionary is broadcast; the train side is one
+  scan + one doc_id-keyed aggregate with map-side partials.
+- repetition metrics (Gopher-style): per-document top-bigram coverage and
+  duplicate-trigram fraction — the "repetitious text" signals of Rae et
+  al.'s quality rules — reported for the worst offenders.
+- PII redaction: regex scrub of emails / phone numbers / IPv4 addresses
+  with per-source audit counts. Patterns are RE2-compatible so the same
+  expressions run JVM-side here and in the DuckDB oracle.
+
+All hot paths are JVM expressions (split/slice/concat_ws/regexp_*) —
+no Python UDFs; whole-stage codegen covers every stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_kinesis_spark.functions.exprs import tokens
+from pipeline_kinesis_spark.io import load
+from pipeline_kinesis_spark.operators import QuerySpec
+
+# --- decontamination -------------------------------------------------------
+
+# 4-token shingles: proportionate to this corpus's 10-99-token docs (the
+# 8-13-gram literature settings assume kilotoken documents — the n-gram
+# order is the knob, the plan is unchanged).
+CONTAM_NGRAM = 4
+# Deterministic held-out "benchmark": every 50th doc_id (10 docs at every
+# fixture SF — data-bearing at sf0.001 and sf0.01 alike).
+CONTAM_BENCH_MOD = 50
+# A doc is contaminated when ≥5% of its n-gram occurrences hit the
+# benchmark dictionary.
+CONTAM_THRESHOLD = 0.05
+
+
+def _ngrams(col, n: int):
+    """Token array → overlapping n-gram strings, pure JVM (slice over a
+    generated index sequence; empty when the doc has < n tokens)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(col) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(col, i, n)))
+
+
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for each training doc that shares at
+    least one CONTAM_NGRAM-gram with the held-out benchmark docs, report
+    its overlap fraction and contamination flag.
+
+    Scale shape: the benchmark n-gram dictionary is O(eval-suite size) —
+    thousands of docs even at 100 TB training scale — so it broadcasts;
+    the training side is a single scan, the explode collapses back to one
+    row per doc via a doc_id-keyed aggregate (map-side combine), and the
+    broadcast hash join never shuffles the corpus.
+    """
+    d = load(spark, sf_dir, "documents").withColumn(
+        "grams", _ngrams(tokens("text"), CONTAM_NGRAM)
+    )
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    bench = (
+        d.filter(is_bench)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = d.filter(~is_bench).select(
+        "doc_id", F.explode("grams").alias("g")
+    )
+    frac = F.col("n_matched") / F.col("n_ngrams")
+    return (
+        train.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_matched"),
+        )
+        .filter(F.col("n_matched") > 0)
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_matched",
+            F.round(frac, 6).alias("contam_frac"),
+            (frac >= CONTAM_THRESHOLD).alias("is_contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(toks) - {CONTAM_NGRAM - 1}),
+           i -> array_to_string(toks[i:i + {CONTAM_NGRAM - 1}], ' '))) AS g
+  FROM docs
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+), train AS (
+  SELECT doc_id, g FROM grams WHERE doc_id % {CONTAM_BENCH_MOD} <> 0
+), per_doc AS (
+  SELECT t.doc_id,
+         count(*) AS n_ngrams,
+         count(b.g) AS n_matched
+  FROM train t LEFT JOIN bench b USING (g)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_ngrams, n_matched,
+       round(n_matched / n_ngrams, 6) AS contam_frac,
+       n_matched / n_ngrams >= {CONTAM_THRESHOLD} AS is_contaminated
+FROM per_doc
+WHERE n_matched > 0
+"""
+
+
+# --- Gopher-style repetition metrics ---------------------------------------
+
+REPETITION_TOP_N = 20
+
+
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (Gopher quality rules): fraction of
+    bigram occurrences taken by the most frequent bigram, and fraction of
+    trigram occurrences that are duplicates. Reports the REPETITION_TOP_N
+    most repetitive documents (score = sum of both signals).
+
+    Scale shape: the bigram mode needs a per-(doc, gram) count — explode
+    + two doc_id-keyed aggregates with map-side combine (never an
+    in-memory per-doc dictionary, so a 10k-token doc costs the same per
+    token as a 10-token doc). The trigram distinct-fraction stays inside
+    one row as array expressions. Both sides are keyed by doc_id, so the
+    join is co-partitioned; only REPETITION_TOP_N rows survive to the
+    driver-side sort.
+    """
+    d = load(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    bi = (
+        d.select("doc_id", F.explode(_ngrams(F.col("toks"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c") / F.sum("c")).alias("tb_raw"),
+        )
+    )
+    tris = _ngrams(F.col("toks"), 3)
+    tri = d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(tris)) / F.size(tris)
+        ).alias("dt_raw"),
+    )
+    return (
+        bi.join(tri, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("tb_raw", 6).alias("top_bigram_frac"),
+            F.round("dt_raw", 6).alias("dup_trigram_frac"),
+            F.round(F.col("tb_raw") + F.col("dt_raw"), 6).alias("rep_score"),
+        )
+        .orderBy(F.desc("rep_score"), F.asc("doc_id"))
+        .limit(REPETITION_TOP_N)
+    )
+
+
+GOPHER_REPETITION_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i + 1], ' '))) AS g
+  FROM docs
+), bistats AS (
+  SELECT doc_id, max(c) / sum(c) AS tb_raw
+  FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g)
+  GROUP BY doc_id
+), tristats AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         1.0 - len(list_distinct(tris)) / len(tris) AS dt_raw
+  FROM (
+    SELECT doc_id, toks,
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> array_to_string(toks[i:i + 2], ' ')) AS tris
+    FROM docs
+  )
+)
+SELECT doc_id, n_tokens,
+       round(tb_raw, 6) AS top_bigram_frac,
+       round(dt_raw, 6) AS dup_trigram_frac,
+       round(tb_raw + dt_raw, 6) AS rep_score
+FROM bistats JOIN tristats USING (doc_id)
+ORDER BY rep_score DESC, doc_id ASC
+LIMIT {REPETITION_TOP_N}
+"""
+
+
+# --- PII redaction ---------------------------------------------------------
+
+# RE2-compatible patterns (no lookaround/backrefs) so the identical regex
+# runs in Spark's Java engine and DuckDB's RE2.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d{1,2} \(\d{3}\) \d{3}-\d{4}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _planted_text():
+    """The synthetic corpus carries no PII, so the operator deterministically
+    plants some (same trick as the dedup clone-planting): every 5th doc an
+    email, every 7th a phone number, every 11th an IPv4 — overlaps give
+    multi-PII docs. Both engines reproduce the identical planted text."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 5 == 0,
+        F.concat(F.lit(" contact user"), did, F.lit("@example.com")),
+    ).otherwise("")
+    phone = F.when(
+        did % 7 == 0,
+        F.concat(
+            F.lit(" call +1 (555) "),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-0199"),
+        ),
+    ).otherwise("")
+    ip = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" host 10.0."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            (did % 100 + 1).cast("string"),
+        ),
+    ).otherwise("")
+    return F.concat(F.col("text"), email, phone, ip)
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub with audit: replace emails / phones / IPv4s with typed
+    placeholders and report per-source match counts plus total characters
+    removed.
+
+    Scale shape: pure row-local regexp_count/regexp_replace inside one
+    scan (codegen), then a groupBy on the low-cardinality source key with
+    map-side partials — the shuffle carries O(sources) rows.
+    """
+    d = load(spark, sf_dir, "documents").withColumn("raw", _planted_text())
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("raw", PII_EMAIL, "<EMAIL>"),
+            PII_PHONE,
+            "<PHONE>",
+        ),
+        PII_IPV4,
+        "<IP>",
+    )
+    return (
+        d.withColumn("redacted", redacted)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.regexp_count("raw", F.lit(PII_EMAIL))).alias("n_emails"),
+            F.sum(F.regexp_count("raw", F.lit(PII_PHONE))).alias("n_phones"),
+            F.sum(F.regexp_count("raw", F.lit(PII_IPV4))).alias("n_ips"),
+            F.sum(F.length("raw") - F.length("redacted")).alias(
+                "chars_redacted"
+            ),
+        )
+    )
+
+
+PII_REDACT_SQL = rf"""
+WITH planted AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call +1 (555) ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' host 10.0.' || (doc_id % 256) || '.' || (doc_id % 100 + 1)
+                 ELSE '' END AS raw
+  FROM documents
+), scrubbed AS (
+  SELECT source, raw,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_PHONE}', '<PHONE>', 'g'),
+           '{PII_IPV4}', '<IP>', 'g') AS redacted
+  FROM planted
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(raw, '{PII_EMAIL}'))) AS BIGINT) AS n_emails,
+       CAST(sum(len(regexp_extract_all(raw, '{PII_PHONE}'))) AS BIGINT) AS n_phones,
+       CAST(sum(len(regexp_extract_all(raw, '{PII_IPV4}'))) AS BIGINT) AS n_ips,
+       CAST(sum(length(raw) - length(redacted)) AS BIGINT) AS chars_redacted
+FROM scrubbed
+GROUP BY source
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "decontaminate_overlap": QuerySpec(
+        decontaminate_overlap, DECONTAMINATE_SQL
+    ),
+    "gopher_repetition": QuerySpec(gopher_repetition, GOPHER_REPETITION_SQL),
+    "pii_redact": QuerySpec(pii_redact, PII_REDACT_SQL),
+}

@@ -16,6 +16,7 @@ from pipeline_kinesis_spark.operators import (
     dedup,
     multimodal,
     pandas_udfs,
+    quality,
     relational,
     similarity,
     sketches,
@@ -30,6 +31,7 @@ _MODULES = (
     timeseries,
     dedup,
     textops,
+    quality,
     similarity,
     sketches,
     multimodal,
