@@ -397,6 +397,194 @@ FROM topk WHERE rnk = 1
 """
 
 
+# --- product quantization (the compression half of IVF-PQ) -----------------
+#
+# PQ splits each vector into PQ_M subvectors and replaces each with the id
+# of its nearest subspace centroid: a 64-dim float vector becomes PQ_M
+# 4-bit codes (64× smaller), and a query scores a candidate with PQ_M
+# table lookups instead of a 64-dim dot product (asymmetric distance
+# computation, ADC). At 100 TB the codes column IS the scan — the float
+# embeddings are only fetched for the final rerank of a few candidates.
+PQ_M = 8  # subspaces (64 dims / 8 per subspace)
+PQ_DSUB = 8
+PQ_K = 16  # centroids per subspace → 4-bit codes
+PQ_TRAIN_IDS = 256  # deterministic training sample: vec_id < 256
+PQ_ITERS = 15
+PQ_RERANK = 120  # ADC candidates exact-reranked per query
+
+
+def _pq_codebooks(e: DataFrame):
+    """Driver-side Lloyd k-means per subspace over a deterministic sample.
+
+    Codebook training is O(sample) — at any corpus scale it reads a fixed
+    few-thousand-row sample (like IVF's KMeans fit), so the driver-side
+    numpy here is not a scale bottleneck."""
+    import numpy as np
+
+    rows = (
+        e.filter(F.col("vec_id") < PQ_TRAIN_IDS)
+        .orderBy("vec_id")
+        .select("dvec")
+        .collect()
+    )
+    X = np.array([r.dvec for r in rows], dtype="float64")
+    rng = np.random.default_rng(42)
+    books = []
+    for m in range(PQ_M):
+        S = X[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+        C = S[rng.choice(len(S), PQ_K, replace=False)].copy()
+        for _ in range(PQ_ITERS):
+            d2 = (
+                (S * S).sum(1)[:, None]
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(1)[None, :]
+            )
+            assign = d2.argmin(1)
+            for k in range(PQ_K):
+                mask = assign == k
+                if mask.any():
+                    C[k] = S[mask].mean(0)
+        books.append(C)
+    return books
+
+
+def _pq_encode(e: DataFrame, books) -> DataFrame:
+    """vec_id → PQ codes (+ exact norm), one vectorized Arrow batch pass.
+
+    This is the write path: at scale it runs once at ingest and the codes
+    are stored columnar next to the id."""
+
+    def enc(pdfs):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["dvec"]), dtype="float64")
+            codes = np.empty((len(X), PQ_M), dtype="int32")
+            for m, C in enumerate(books):
+                S = X[:, m * PQ_DSUB : (m + 1) * PQ_DSUB]
+                d2 = (
+                    (S * S).sum(1)[:, None]
+                    - 2.0 * (S @ C.T)
+                    + (C * C).sum(1)[None, :]
+                )
+                codes[:, m] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "nrm": pdf["nrm"],
+                    "codes": list(codes),
+                }
+            )
+
+    return e.select("vec_id", "dvec", "nrm").mapInPandas(
+        enc, "vec_id BIGINT, nrm DOUBLE, codes ARRAY<INT>"
+    )
+
+
+def cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via product quantization + ADC scan + exact
+    rerank. The per-query lookup tables (PQ_M × PQ_K inner products
+    against the codebooks) are built as JVM expressions and broadcast;
+    the scan scores each code row with PQ_M element_at lookups — no
+    Python, no float vectors touched until the PQ_RERANK-candidate exact
+    rerank. Deterministic (seeded sample k-means); rows-only check +
+    recall twin below.
+    """
+    e = _with_dvec(load(spark, sf_dir, "embeddings"))
+    books = _pq_codebooks(e)
+    enc = _pq_encode(e, books)
+
+    cb = spark.createDataFrame(
+        [
+            (m, k, [float(x) for x in books[m][k]])
+            for m in range(PQ_M)
+            for k in range(PQ_K)
+        ],
+        "m INT, k INT, centroid ARRAY<DOUBLE>",
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dvec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # per-query ADC lookup table: lut[m][k] = <q_m, centroid_{m,k}>
+    qsub = F.slice(F.col("qvec"), F.col("m") * PQ_DSUB + 1, PQ_DSUB)
+    lut = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "qnrm",
+            "m",
+            "k",
+            _dot(qsub, F.col("centroid")).alias("val"),
+        )
+        .groupBy("query_id", "qnrm", "m")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "val"))),
+                lambda s: s["val"],
+            ).alias("vals")
+        )
+        .groupBy("query_id", "qnrm")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "vals"))),
+                lambda s: s["vals"],
+            ).alias("lut")
+        )
+    )
+    approx_dot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.element_at(
+            F.element_at("lut", m + 1),
+            F.element_at("codes", m + 1) + 1,
+        ),
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("vec_id")
+    )
+    cand = (
+        enc.crossJoin(F.broadcast(lut))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (approx_dot / (F.col("qnrm") * F.col("nrm"))).alias(
+                "approx_sim"
+            ),
+        )
+        .withColumn("arnk", F.row_number().over(wa))
+        .filter(F.col("arnk") <= PQ_RERANK)
+        .select("query_id", "vec_id")
+    )
+    sim = F.round(
+        _dot(F.col("qvec"), F.col("dvec")) / (F.col("qnrm") * F.col("nrm")),
+        4,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        e.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+def cosine_topk_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 gate row for the PQ tier, same exact+within-bound pattern as
+    cosine_topk_ivf_recall (the oracle cannot reproduce seeded k-means
+    codebooks)."""
+    return _ann_recall_vs_exact(
+        cosine_topk(spark, sf_dir), cosine_topk_pq(spark, sf_dir)
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid vectors in long (label, i, c) form — the
     average-pooling step of clustering / class-prototype pipelines over
@@ -445,5 +633,9 @@ QUERIES: dict[str, QuerySpec] = {
     "cosine_topk_lsh": QuerySpec(cosine_topk_lsh, None),
     "cosine_topk_lsh_recall": QuerySpec(
         cosine_topk_lsh_recall, COSINE_IVF_RECALL_SQL
+    ),
+    "cosine_topk_pq": QuerySpec(cosine_topk_pq, None),
+    "cosine_topk_pq_recall": QuerySpec(
+        cosine_topk_pq_recall, COSINE_IVF_RECALL_SQL
     ),
 }

@@ -15,6 +15,7 @@ from pipeline_kinesis_spark.operators.dedup import (
 from pipeline_kinesis_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
+    cosine_topk_pq,
 )
 
 
@@ -123,6 +124,29 @@ def test_lsh_topk_recall(spark, sf_dir):
     for q, want in exact.items():
         rec = len(want & approx.get(q, set())) / len(want)
         assert rec >= 0.5, f"query {q}: LSH recall {rec:.2f}"
+
+
+def test_pq_topk_recall_and_exact_sims(spark, sf_dir):
+    """The PQ tier must (a) recover most true neighbors through the ADC
+    scan + rerank (recall@10 per query ≥ 0.6 observed; the gate's
+    cosine_topk_pq_recall row asserts the looser 0.4 bound) and (b)
+    report the exact similarity for every neighbor it returns — the
+    quantization error must stay confined to candidate selection."""
+    exact_sims = {
+        (r.query_id, r.vec_id): r.sim
+        for r in cosine_topk(spark, sf_dir).collect()
+    }
+    exact = {}
+    for (q, v) in exact_sims:
+        exact.setdefault(q, set()).add(v)
+    approx = {}
+    for r in cosine_topk_pq(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+        if (r.query_id, r.vec_id) in exact_sims:
+            assert abs(exact_sims[(r.query_id, r.vec_id)] - r.sim) < 1e-9
+    for q, want in exact.items():
+        rec = len(want & approx.get(q, set())) / len(want)
+        assert rec >= 0.6, f"query {q}: PQ recall {rec:.2f}"
 
 
 def test_lsh_topk_sims_match_exact(spark, sf_dir):
