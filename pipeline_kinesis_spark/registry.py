@@ -57,13 +57,20 @@ _WINDOW = 50
 # 10 TPC-H rows already driver-green once or twice
 # (q9/q10/q11/q12/q14/q15/q17/q19/q20/q22) rotate out — they stay
 # covered by the local sf0.01 full differential (tools/compare_oracle.py)
-# and pytest.
+# and pytest. Late round-3 additions: the new corpus-quality operators
+# (decontaminate_overlap, gopher_repetition, pii_redact) and the PQ ANN
+# recall twin take the slots of four r02-green rows whose §2B families
+# stay represented (q6→q1 scan-agg; rollup/cube→grouping_sets+pivot;
+# case_coalesce→r01-green scalar family).
 _PRIORITY = (
     # TPC-H aggregate/join shapes
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    # grouping-set family + conditional scalars
-    "rollup_revenue", "cube_orders", "grouping_sets_revenue", "case_coalesce",
+    "q7_volume_shipping", "q8_market_share",
+    # grouping-set family rep
+    "grouping_sets_revenue",
+    # corpus-quality curation ops + PQ ANN twin (late round-3)
+    "decontaminate_overlap", "gopher_repetition", "pii_redact",
+    "cosine_topk_pq_recall",
     # approx aggregates (B14)
     "agg_approx_distinct", "agg_approx_percentile",
     # remaining §2B families
