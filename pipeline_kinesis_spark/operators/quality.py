@@ -21,7 +21,7 @@ no Python UDFs; whole-stage codegen covers every stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_kinesis_spark.functions.exprs import tokens
@@ -314,10 +314,146 @@ GROUP BY source
 """
 
 
+# --- sequence packing ------------------------------------------------------
+
+# Token budget per packed training sequence. Small relative to real
+# pretraining (2k-8k) because fixture docs are 10-99 tokens; the budget is
+# a constant knob, the plan is unchanged.
+SEQ_PACK_LEN = 512
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences
+    (concat-and-split, the standard pretraining batcher): documents are
+    concatenated in doc_id order within their source shard and the stream
+    is cut every SEQ_PACK_LEN tokens; a doc belongs to the sequence its
+    first token lands in. Emits per-sequence occupancy stats.
+
+    Scale shape: the running token sum is a window PARTITIONED BY source
+    — never a global single-partition window, so 1000 executors each pack
+    their own shards; the groupBy re-uses the same (source) keying.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        d.withColumn(
+            "seq_id", F.floor(start / SEQ_PACK_LEN).cast("long")
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_packed"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+SEQUENCE_PACK_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_tokens AS strt
+  FROM d
+)
+SELECT source,
+       CAST(floor(strt / {SEQ_PACK_LEN}) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens_packed,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM cum
+GROUP BY source, seq_id
+"""
+
+
+# --- stratified sampling ---------------------------------------------------
+
+# Per-language keep fractions — the "domain reweighting" step of corpus
+# mixing (downsample over-represented strata).
+STRATA_FRACS = {"en": 0.5, "zh": 0.2, "fr": 0.2, "es": 0.2, "de": 0.2}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling: each language stratum keeps
+    ceil(frac × n) documents, chosen by deterministic rank (doc_id order)
+    so every engine and every cluster size selects the identical subset.
+    Emits per-stratum audit counts.
+
+    Scale shape: one window rank partitioned by the stratum key, one
+    stratum-keyed aggregate — both shuffles carry the stratum partitioning;
+    quotas need the stratum totals, which ride the same aggregate (no
+    driver round-trip).
+    """
+    frac = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in STRATA_FRACS.items()
+        ],
+        F.lit(0.1),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_total", F.count(F.lit(1)).over(Window.partitionBy("lang")))
+        .withColumn("quota", F.ceil(frac * F.col("n_total")).cast("long"))
+    )
+    return d.groupBy("lang").agg(
+        F.max("n_total").cast("long").alias("n_total"),
+        F.max("quota").alias("quota"),
+        F.sum(F.when(F.col("rnk") <= F.col("quota"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.max(F.when(F.col("rnk") <= F.col("quota"), F.col("doc_id"))).alias(
+            "last_kept_doc"
+        ),
+    )
+
+
+_STRATA_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in STRATA_FRACS.items()
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n_total,
+         CAST(ceil((CASE lang {_STRATA_CASE} ELSE 0.1 END) *
+              count(*) OVER (PARTITION BY lang)) AS BIGINT) AS quota
+  FROM documents
+)
+SELECT lang,
+       CAST(max(n_total) AS BIGINT) AS n_total,
+       max(quota) AS quota,
+       CAST(sum(CASE WHEN rnk <= quota THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       max(CASE WHEN rnk <= quota THEN doc_id END) AS last_kept_doc
+FROM d
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "decontaminate_overlap": QuerySpec(
         decontaminate_overlap, DECONTAMINATE_SQL
     ),
     "gopher_repetition": QuerySpec(gopher_repetition, GOPHER_REPETITION_SQL),
     "pii_redact": QuerySpec(pii_redact, PII_REDACT_SQL),
+    "sequence_pack": QuerySpec(sequence_pack, SEQUENCE_PACK_SQL),
+    "stratified_sample": QuerySpec(stratified_sample, STRATIFIED_SAMPLE_SQL),
 }
