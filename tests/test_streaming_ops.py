@@ -107,6 +107,79 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
         q.stop()
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two LIVE streams joined on key + event-time interval (the
+    impression→click attribution shape): Structured Streaming buffers
+    both sides in watermarked state, so a match arriving in a LATER
+    micro-batch than its partner still joins — the stream-stream upgrade
+    of B7 that the reference can only express as stream-table."""
+    imp_src = str(tmp_path / "imps")
+    clk_src = str(tmp_path / "clicks")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    write_record_file(
+        imp_src,
+        [
+            {"data": "ad1", "approximate_arrival_timestamp": "2024-01-01T10:00:00"},
+            {"data": "ad2", "approximate_arrival_timestamp": "2024-01-01T10:01:00"},
+        ],
+    )
+    write_record_file(
+        clk_src,
+        [
+            # clicks ad1 within the 5-minute attribution window
+            {"data": "ad1", "approximate_arrival_timestamp": "2024-01-01T10:03:00"},
+        ],
+    )
+    imps = (
+        FileReplaySource(imp_src)
+        .read_stream(spark)
+        .selectExpr(
+            "data AS ad",
+            "approximate_arrival_timestamp AS imp_ts",
+        )
+        .withWatermark("imp_ts", "10 minutes")
+    )
+    clks = (
+        FileReplaySource(clk_src)
+        .read_stream(spark)
+        .selectExpr(
+            "data AS c_ad",
+            "approximate_arrival_timestamp AS clk_ts",
+        )
+        .withWatermark("clk_ts", "10 minutes")
+    )
+    joined = imps.join(
+        clks,
+        F.expr(
+            "ad = c_ad AND clk_ts BETWEEN imp_ts "
+            "AND imp_ts + INTERVAL 5 MINUTES"
+        ),
+    ).select("ad", "imp_ts", "clk_ts")
+    q = _mem_query(joined, name, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        rows = {(r.ad, r.clk_ts.isoformat()) for r in spark.table(name).collect()}
+        assert rows == {("ad1", "2024-01-01T10:03:00")}
+        # a click for ad2 arrives in a LATER micro-batch — the buffered
+        # impression state must still produce the match
+        write_record_file(
+            clk_src,
+            [
+                {"data": "ad2", "approximate_arrival_timestamp": "2024-01-01T10:04:00"},
+                # outside the 5-minute window: must NOT attribute
+                {"data": "ad1", "approximate_arrival_timestamp": "2024-01-01T10:30:00"},
+            ],
+        )
+        q.processAllAvailable()
+        rows = {(r.ad, r.clk_ts.isoformat()) for r in spark.table(name).collect()}
+        assert rows == {
+            ("ad1", "2024-01-01T10:03:00"),
+            ("ad2", "2024-01-01T10:04:00"),
+        }
+    finally:
+        q.stop()
+
+
 def test_upsert_to_parquet_merge_semantics(spark, tmp_path):
     """Keyed MERGE emulation (B16): second batch replaces matching keys,
     keeps others."""
