@@ -736,6 +736,22 @@ class Engine:
                     continue
         return self.spark.sql(query)
 
+    def execute(self, statement: str) -> DataFrame | str:
+        """The reference's SQL surface as a single entry point: endpoint /
+        consume control calls (``SELECT pipeline_kinesis.<fn>(...)``,
+        pipeline_kinesis--0.9.0.sql:33-82), PipelineDB DDL (CREATE STREAM
+        / CONTINUOUS VIEW / CONTINUOUS TRANSFORM, ACTIVATE/DEACTIVATE,
+        DROP), and ad-hoc reads — see sqlapi.py. Control statements
+        return 'success' (README.md:103-110); reads return a DataFrame."""
+        from pipeline_kinesis_spark.sqlapi import execute as _execute
+
+        return _execute(self, statement)
+
+    def register_proc(self, name: str, proc) -> None:
+        """Register a per-batch procedure so SQL-surface transforms can
+        reference it via THEN EXECUTE PROCEDURE name()."""
+        self._procs[name] = proc
+
     def seqnums(self) -> DataFrame:
         """Per-(consumer, shard) high-water marks — the queryable progress
         relation the reference exposes as pipeline_kinesis.seqnums

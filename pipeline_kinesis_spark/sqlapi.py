@@ -1,0 +1,382 @@
+"""SQL-statement control surface — drop-in parity with the reference's API.
+
+The reference is driven entirely through SQL (README.md:52-110): endpoint
+management and consumption via ``SELECT pipeline_kinesis.<fn>(...)`` calls
+(pipeline_kinesis--0.9.0.sql:33-82), streams and continuous views via
+PipelineDB DDL (``CREATE STREAM`` / ``CREATE CONTINUOUS VIEW`` /
+``ACTIVATE``). ``execute(engine, statement)`` accepts those exact
+statements, routes control-plane calls to the Engine's Python API on the
+driver (control flow never rides a distributed UDF), and hands everything
+else to ``Engine.sql`` — so a user's existing migration/ops script runs
+unmodified.
+
+Supported surface:
+
+- ``SELECT pipeline_kinesis.add_endpoint(name, region, credfile, url)``
+- ``SELECT pipeline_kinesis.remove_endpoint(name)``
+- ``SELECT pipeline_kinesis.consume_begin(endpoint, stream, relation,
+  format, delimiter, quote, escape, batchsize, parallelism, start_seq)``
+  — ``start_seq`` follows the reference's encoding (pipeline_kinesis.c:
+  588-605): -2 → trim_horizon, -1 → latest, NULL → trim_horizon default.
+- ``SELECT pipeline_kinesis.consume_end(endpoint, stream, relation)``
+- ``SELECT pipeline_kinesis.consume_begin()`` / ``consume_end()`` (all)
+- ``CREATE STREAM s (col pgtype, ...)`` — PG types mapped to Spark DDL
+- ``CREATE CONTINUOUS VIEW v [WITH (ttl='N seconds', ttl_column='c',
+  materialize='memory|parquet_upsert', key_cols='a,b')] AS SELECT ...``
+  — the source stream is inferred from the FROM clause
+- ``CREATE CONTINUOUS TRANSFORM t AS SELECT ...`` — output rows append to
+  the ``<t>_output`` relation (PipelineDB's output_of stream analog)
+- ``DROP CONTINUOUS VIEW|TRANSFORM`` / ``DROP STREAM`` /
+  ``ACTIVATE name`` / ``DEACTIVATE name``
+- anything else → ``Engine.sql`` (ad-hoc reads; ``pipeline_kinesis.
+  seqnums`` resolves to the live progress relation)
+
+Named-argument notation (``name := value`` / ``name => value``) is
+accepted anywhere PostgreSQL accepts it.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+# PG type → Spark DDL type (the subset PipelineDB stream DDL uses)
+_PG_TYPES = {
+    "text": "STRING",
+    "varchar": "STRING",
+    "int": "INT",
+    "int4": "INT",
+    "integer": "INT",
+    "bigint": "BIGINT",
+    "int8": "BIGINT",
+    "smallint": "SMALLINT",
+    "real": "FLOAT",
+    "float4": "FLOAT",
+    "float8": "DOUBLE",
+    "numeric": "DECIMAL(38,18)",
+    "bool": "BOOLEAN",
+    "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP",
+    "timestamptz": "TIMESTAMP",
+    "date": "DATE",
+    "json": "STRING",
+    "jsonb": "STRING",
+}
+
+_FN_CALL = re.compile(
+    r"^\s*SELECT\s+pipeline_kinesis\.(\w+)\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split a call's argument list on top-level commas (quote-aware)."""
+    out, depth, cur, i = [], 0, [], 0
+    in_str = False
+    while i < len(argstr):
+        c = argstr[i]
+        if in_str:
+            cur.append(c)
+            if c == "'":
+                if i + 1 < len(argstr) and argstr[i + 1] == "'":
+                    cur.append("'")
+                    i += 1  # escaped quote
+                else:
+                    in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _parse_value(tok: str) -> Any:
+    t = tok.strip()
+    if t.upper() == "NULL":
+        return None
+    if t.upper() in ("TRUE", "FALSE"):
+        return t.upper() == "TRUE"
+    if t.startswith("'") and t.endswith("'"):
+        return t[1:-1].replace("''", "'")
+    if re.fullmatch(r"-?\d+", t):
+        return int(t)
+    if re.fullmatch(r"-?\d*\.\d+", t):
+        return float(t)
+    raise ValueError(f"unsupported literal in control-plane call: {tok!r}")
+
+
+def _parse_call_args(argstr: str) -> tuple[list, dict]:
+    """Positional + PostgreSQL named-notation (``:=`` / ``=>``) args."""
+    pos, named = [], {}
+    for tok in _split_args(argstr):
+        m = re.match(r"^([A-Za-z_]\w*)\s*(?::=|=>)\s*(.+)$", tok, re.DOTALL)
+        if m:
+            named[m.group(1).lower()] = _parse_value(m.group(2))
+        else:
+            if named:
+                raise ValueError("positional argument after named argument")
+            pos.append(_parse_value(tok))
+    return pos, named
+
+
+def _bind(pos: list, named: dict, params: list[str]) -> dict:
+    if len(pos) > len(params):
+        raise ValueError(f"too many arguments (max {len(params)})")
+    bound = dict(zip(params, pos))
+    for k, v in named.items():
+        if k not in params:
+            raise ValueError(f"unknown argument {k!r}")
+        if k in bound:
+            raise ValueError(f"argument {k!r} given twice")
+        bound[k] = v
+    return bound
+
+
+def _start_position(start_seq: int | None) -> str:
+    # pipeline_kinesis.c:588-605: -2 → trim_horizon, -1 → latest; a saved
+    # seqnum (checkpoint) always wins, which consume_begin already does.
+    if start_seq is None or start_seq == -2:
+        return "trim_horizon"
+    if start_seq == -1:
+        return "latest"
+    raise ValueError(
+        "start_seq must be -2 (trim_horizon), -1 (latest) or NULL"
+    )
+
+
+_CREATE_STREAM = re.compile(
+    r"^\s*CREATE\s+STREAM\s+(\w+)\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_CV = re.compile(
+    r"^\s*CREATE\s+CONTINUOUS\s+VIEW\s+(\w+)\s*"
+    r"(?:WITH\s*\((.*?)\)\s*)?AS\s+(SELECT\b.*)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_CT = re.compile(
+    r"^\s*CREATE\s+CONTINUOUS\s+TRANSFORM\s+(\w+)\s*AS\s+(SELECT\b.*?)"
+    r"(?:\s+THEN\s+EXECUTE\s+PROCEDURE\s+(\w+)\s*\(\s*\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP = re.compile(
+    r"^\s*DROP\s+(CONTINUOUS\s+VIEW|CONTINUOUS\s+TRANSFORM|STREAM)\s+"
+    r"(\w+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ACTIVATE = re.compile(
+    r"^\s*(ACTIVATE|DEACTIVATE)\s+(\w+)\s*;?\s*$", re.IGNORECASE
+)
+_FROM_RELATION = re.compile(r"\bFROM\s+(\w+)", re.IGNORECASE)
+
+
+def _map_pg_schema(coldefs: str) -> str:
+    cols = []
+    for tok in _split_args(coldefs):
+        parts = tok.split(None, 1)
+        if len(parts) != 2:
+            raise ValueError(f"bad column definition: {tok!r}")
+        name, pgtype = parts[0], parts[1].strip().lower()
+        pgtype = re.sub(r"\s+not\s+null$", "", pgtype)
+        sparktype = _PG_TYPES.get(pgtype)
+        if sparktype is None:
+            # pass through anything already valid Spark DDL (INT, STRING…)
+            sparktype = parts[1]
+        cols.append(f"{name} {sparktype}")
+    return ", ".join(cols)
+
+
+def _infer_stream(engine, select_sql: str) -> str:
+    """The FROM clause names the source relation — a registered stream or
+    a transform output relation (PipelineDB output-stream chaining)."""
+    state = engine.catalog.state
+    sinks = {
+        td.get("sink_relation")
+        for td in state.transforms.values()
+        if td.get("sink_relation")
+    }
+    for rel in _FROM_RELATION.findall(select_sql):
+        if rel in state.streams or rel in sinks:
+            return rel
+    raise ValueError(
+        "continuous view must read FROM a registered stream or transform "
+        f"output (got: {select_sql!r})"
+    )
+
+
+def execute(engine, statement: str) -> DataFrame | str:
+    """Run one statement of the reference's SQL surface. Control-plane
+    statements return the reference's ``'success'`` sentinel
+    (README.md:103-110); reads return a DataFrame."""
+    m = _FN_CALL.match(statement)
+    if m:
+        fn, argstr = m.group(1).lower(), m.group(2)
+        pos, named = _parse_call_args(argstr)
+        if fn == "add_endpoint":
+            b = _bind(pos, named, ["name", "region", "credfile", "url"])
+            engine.add_endpoint(
+                b["name"],
+                region=b.get("region", "local"),
+                credfile=b.get("credfile"),
+                url=b.get("url"),
+            )
+            return "success"
+        if fn == "remove_endpoint":
+            b = _bind(pos, named, ["name"])
+            engine.remove_endpoint(b["name"])
+            return "success"
+        if fn == "consume_begin":
+            if not pos and not named:
+                engine.consume_begin_all()
+                return "success"
+            b = _bind(
+                pos,
+                named,
+                [
+                    "endpoint",
+                    "stream",
+                    "relation",
+                    "format",
+                    "delimiter",
+                    "quote",
+                    "escape",
+                    "batchsize",
+                    "parallelism",
+                    "start_seq",
+                ],
+            )
+            engine.consume_begin(
+                b["endpoint"],
+                b["stream"],
+                b["relation"],
+                fmt=b.get("format", "text"),
+                delimiter=b.get("delimiter", "\t"),
+                quote=b.get("quote"),
+                escape=b.get("escape"),
+                batchsize=b.get("batchsize", 1000),
+                parallelism=b.get("parallelism", 1),
+                start_position=_start_position(b.get("start_seq")),
+            )
+            return "success"
+        if fn == "consume_end":
+            if not pos and not named:
+                engine.consume_end_all()
+                return "success"
+            b = _bind(pos, named, ["endpoint", "stream", "relation"])
+            engine.consume_end(b["endpoint"], b["stream"], b["relation"])
+            return "success"
+        raise ValueError(f"unknown pipeline_kinesis function: {fn}")
+
+    m = _CREATE_STREAM.match(statement)
+    if m:
+        engine.create_stream(m.group(1), _map_pg_schema(m.group(2)))
+        return "success"
+
+    m = _CREATE_CV.match(statement)
+    if m:
+        name, withopts, select_sql = m.groups()
+        select_sql = select_sql.rstrip().rstrip(";")
+        kwargs: dict[str, Any] = {}
+        if withopts:
+            for tok in _split_args(withopts):
+                km = re.match(r"^(\w+)\s*=\s*(.+)$", tok.strip())
+                if not km:
+                    raise ValueError(f"bad WITH option: {tok!r}")
+                k, v = km.group(1).lower(), _parse_value(km.group(2))
+                if k == "ttl":
+                    tm = re.fullmatch(
+                        r"\s*(\d+)\s*(second|minute|hour|day)s?\s*",
+                        str(v),
+                        re.IGNORECASE,
+                    )
+                    if not tm:
+                        raise ValueError(f"bad ttl: {v!r}")
+                    mult = {
+                        "second": 1,
+                        "minute": 60,
+                        "hour": 3600,
+                        "day": 86400,
+                    }[tm.group(2).lower()]
+                    kwargs["ttl_seconds"] = int(tm.group(1)) * mult
+                elif k == "ttl_column":
+                    kwargs["ttl_column"] = v
+                elif k == "materialize":
+                    kwargs["materialize"] = v
+                elif k == "key_cols":
+                    kwargs["key_cols"] = [
+                        c.strip() for c in str(v).split(",")
+                    ]
+                elif k == "output_mode":
+                    kwargs["output_mode"] = v
+                else:
+                    raise ValueError(f"unknown WITH option: {k}")
+        engine.create_continuous_view(
+            name, select_sql, _infer_stream(engine, select_sql), **kwargs
+        )
+        return "success"
+
+    m = _CREATE_CT.match(statement)
+    if m:
+        name, select_sql, proc_name = m.groups()
+        select_sql = select_sql.rstrip().rstrip(";")
+        proc = engine._procs.get(proc_name) if proc_name else None
+        if proc_name and proc is None:
+            raise ValueError(
+                f"procedure {proc_name!r} not registered — pass it via "
+                "Engine.create_continuous_transform(proc=...) or "
+                "Engine.register_proc"
+            )
+        engine.create_continuous_transform(
+            name,
+            select_sql,
+            _infer_stream(engine, select_sql),
+            sink_relation=f"{name}_output",
+            proc=proc,
+        )
+        return "success"
+
+    m = _DROP.match(statement)
+    if m:
+        kind, name = m.group(1).upper(), m.group(2)
+        if "VIEW" in kind:
+            engine.drop_continuous_view(name)
+        elif "TRANSFORM" in kind:
+            engine.drop_continuous_transform(name)
+        else:
+            engine.drop_stream(name)
+        return "success"
+
+    m = _ACTIVATE.match(statement)
+    if m:
+        if m.group(1).upper() == "ACTIVATE":
+            engine.activate(m.group(2))
+        else:
+            engine.deactivate(m.group(2))
+        return "success"
+
+    # ad-hoc read path; expose the seqnums progress relation under its
+    # reference-qualified name (README.md:119-129)
+    if re.search(r"pipeline_kinesis\.seqnums", statement, re.IGNORECASE):
+        engine.seqnums().createOrReplaceTempView("__pk_seqnums")
+        statement = re.sub(
+            r"pipeline_kinesis\.seqnums",
+            "__pk_seqnums",
+            statement,
+            flags=re.IGNORECASE,
+        )
+    return engine.sql(statement)
