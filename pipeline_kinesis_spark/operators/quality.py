@@ -60,19 +60,29 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per doc via a doc_id-keyed aggregate (map-side combine), and the
     broadcast hash join never shuffles the corpus.
     """
-    d = load(spark, sf_dir, "documents").withColumn(
-        "grams", _ngrams(tokens("text"), CONTAM_NGRAM)
+    # materialize the token array BEFORE the n-gram lambda: an inlined
+    # split() subtree would be re-evaluated per gram position (O(n²)
+    # tokenization — measured 3× the whole query's cost at sf0.1)
+    d = (
+        load(spark, sf_dir, "documents")
+        .withColumn("toks", tokens("text"))
+        .withColumn("grams", _ngrams(F.col("toks"), CONTAM_NGRAM))
     )
     is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    # one gram-construction pass feeds both sides (persist, since the
+    # dictionary branch and the train branch would otherwise each rescan;
+    # in production the benchmark dictionary comes from a separate small
+    # eval table, making this split — and the persist — moot)
+    g = d.select(
+        "doc_id", is_bench.alias("is_b"), F.explode("grams").alias("g")
+    ).persist()
     bench = (
-        d.filter(is_bench)
-        .select(F.explode("grams").alias("g"))
+        g.filter(F.col("is_b"))
+        .select("g")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    train = d.filter(~is_bench).select(
-        "doc_id", F.explode("grams").alias("g")
-    )
+    train = g.filter(~F.col("is_b")).select("doc_id", "g")
     frac = F.col("n_matched") / F.col("n_ngrams")
     return (
         train.join(F.broadcast(bench), "g", "left")
