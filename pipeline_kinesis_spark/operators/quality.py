@@ -463,7 +463,7 @@ QUERIES: dict[str, QuerySpec] = {
         decontaminate_overlap, DECONTAMINATE_SQL
     ),
     "gopher_repetition": QuerySpec(gopher_repetition, GOPHER_REPETITION_SQL),
-    "pii_redact": QuerySpec(pii_redact, PII_REDACT_SQL),
-    "sequence_pack": QuerySpec(sequence_pack, SEQUENCE_PACK_SQL),
+    "pii_redact": QuerySpec(pii_redact, PII_REDACT_SQL, bench=True),
+    "sequence_pack": QuerySpec(sequence_pack, SEQUENCE_PACK_SQL, bench=True),
     "stratified_sample": QuerySpec(stratified_sample, STRATIFIED_SAMPLE_SQL),
 }
