@@ -448,11 +448,12 @@ def _pq_codebooks(e: DataFrame):
     return books
 
 
-def _pq_encode(e: DataFrame, books) -> DataFrame:
+def _pq_encode(e: DataFrame, books, passthrough: tuple[str, ...] = ()) -> DataFrame:
     """vec_id → PQ codes (+ exact norm), one vectorized Arrow batch pass.
 
     This is the write path: at scale it runs once at ingest and the codes
-    are stored columnar next to the id."""
+    are stored columnar next to the id (``passthrough`` rides extra
+    columns — e.g. the IVF cell id — through the batch)."""
 
     def enc(pdfs):
         import numpy as np
@@ -471,32 +472,25 @@ def _pq_encode(e: DataFrame, books) -> DataFrame:
                     + (C * C).sum(1)[None, :]
                 )
                 codes[:, m] = d2.argmin(1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "nrm": pdf["nrm"],
-                    "codes": list(codes),
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"],
+                "nrm": pdf["nrm"],
+                "codes": list(codes),
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return e.select("vec_id", "dvec", "nrm").mapInPandas(
-        enc, "vec_id BIGINT, nrm DOUBLE, codes ARRAY<INT>"
+    extra_ddl = "".join(f", {c} INT" for c in passthrough)
+    return e.select("vec_id", "dvec", "nrm", *passthrough).mapInPandas(
+        enc, f"vec_id BIGINT, nrm DOUBLE, codes ARRAY<INT>{extra_ddl}"
     )
 
 
-def cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via product quantization + ADC scan + exact
-    rerank. The per-query lookup tables (PQ_M × PQ_K inner products
-    against the codebooks) are built as JVM expressions and broadcast;
-    the scan scores each code row with PQ_M element_at lookups — no
-    Python, no float vectors touched until the PQ_RERANK-candidate exact
-    rerank. Deterministic (seeded sample k-means); rows-only check +
-    recall twin below.
-    """
-    e = _with_dvec(load(spark, sf_dir, "embeddings"))
-    books = _pq_codebooks(e)
-    enc = _pq_encode(e, books)
-
+def _pq_query_lut(spark: SparkSession, q: DataFrame, books) -> DataFrame:
+    """Per-query ADC lookup table lut[m][k] = <q_m, centroid_{m,k}> as a
+    broadcastable (query_id, qnrm, lut) frame, built with JVM expressions
+    (collect_list order normalized by array_sort on (idx, val) structs)."""
     cb = spark.createDataFrame(
         [
             (m, k, [float(x) for x in books[m][k]])
@@ -505,14 +499,8 @@ def cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "m INT, k INT, centroid ARRAY<DOUBLE>",
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("dvec").alias("qvec"),
-        F.col("nrm").alias("qnrm"),
-    )
-    # per-query ADC lookup table: lut[m][k] = <q_m, centroid_{m,k}>
     qsub = F.slice(F.col("qvec"), F.col("m") * PQ_DSUB + 1, PQ_DSUB)
-    lut = (
+    return (
         q.crossJoin(F.broadcast(cb))
         .select(
             "query_id",
@@ -536,6 +524,13 @@ def cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lut")
         )
     )
+
+
+def _adc_rerank(
+    e: DataFrame, enc_with_lut: DataFrame, q: DataFrame
+) -> DataFrame:
+    """Shared ADC tail: score code rows with PQ_M element_at lookups,
+    keep PQ_RERANK candidates per query, exact-rerank to TOP_K."""
     approx_dot = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         F.lit(0.0),
@@ -549,8 +544,7 @@ def cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("approx_sim"), F.asc("vec_id")
     )
     cand = (
-        enc.crossJoin(F.broadcast(lut))
-        .filter(F.col("vec_id") != F.col("query_id"))
+        enc_with_lut.filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
@@ -576,12 +570,106 @@ def cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _query_vectors(e: DataFrame) -> DataFrame:
+    return e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("dvec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+
+
+def cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via product quantization + ADC scan + exact
+    rerank. The per-query lookup tables (PQ_M × PQ_K inner products
+    against the codebooks) are built as JVM expressions and broadcast;
+    the scan scores each code row with PQ_M element_at lookups — no
+    Python, no float vectors touched until the PQ_RERANK-candidate exact
+    rerank. Deterministic (seeded sample k-means); rows-only check +
+    recall twin below.
+    """
+    e = _with_dvec(load(spark, sf_dir, "embeddings"))
+    books = _pq_codebooks(e)
+    enc = _pq_encode(e, books)
+    q = _query_vectors(e)
+    lut = _pq_query_lut(spark, q, books)
+    return _adc_rerank(e, enc.crossJoin(F.broadcast(lut)), q)
+
+
 def cosine_topk_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3 gate row for the PQ tier, same exact+within-bound pattern as
     cosine_topk_ivf_recall (the oracle cannot reproduce seeded k-means
     codebooks)."""
     return _ann_recall_vs_exact(
         cosine_topk(spark, sf_dir), cosine_topk_pq(spark, sf_dir)
+    )
+
+
+def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN layout (FAISS's IVFPQ
+    shape) — IVF coarse cells bound WHICH rows are scanned (nprobe cells
+    → partition-pruned scan when cells are the physical partitioning),
+    PQ codes bound HOW MUCH each scanned row costs (PQ_M table lookups on
+    a 64×-compressed code instead of a full float dot product). Composes
+    the two tiers already proven separately: the KMeans cell assignment
+    of cosine_topk_ivf and the codebooks/ADC of cosine_topk_pq; the cell
+    id rides through the encode batch so the probe is one equi-join on
+    cell. Deterministic; rows-only check + recall twin below."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n_cells, nprobe = 8, 3
+    e = _with_dvec(load(spark, sf_dir, "embeddings"))
+    fe = e.withColumn("fvec", array_to_vector("dvec"))
+    km = KMeans(k=n_cells, seed=42, featuresCol="fvec", predictionCol="cell")
+    model = km.fit(fe)
+    assigned = model.transform(fe).select("vec_id", "dvec", "nrm", "cell")
+
+    books = _pq_codebooks(e)
+    enc = _pq_encode(assigned, books, passthrough=("cell",))
+    q = _query_vectors(e)
+    lut = _pq_query_lut(spark, q, books)
+
+    centers_df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell INT, center ARRAY<DOUBLE>",
+    )
+    qcells = (
+        q.select("query_id")
+        .join(lut, "query_id")
+        .crossJoin(F.broadcast(centers_df))
+        .join(
+            q.select("query_id", "qvec"), "query_id"
+        )
+        .withColumn(
+            "cdist",
+            F.aggregate(
+                F.zip_with("qvec", "center", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("cdist", "cell")
+            ),
+        )
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qnrm", "lut", "cell")
+    )
+    # the probe: ONE equi-join on cell — only nprobe/n_cells of the code
+    # table is scanned per query
+    return _adc_rerank(e, enc.join(F.broadcast(qcells), "cell"), q)
+
+
+def cosine_topk_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 gate row for the composed IVF-PQ tier (exact top-1 anchors +
+    recall bound, oracle shared with the other ANN twins)."""
+    return _ann_recall_vs_exact(
+        cosine_topk(spark, sf_dir), cosine_topk_ivfpq(spark, sf_dir)
     )
 
 
@@ -637,5 +725,9 @@ QUERIES: dict[str, QuerySpec] = {
     "cosine_topk_pq": QuerySpec(cosine_topk_pq, None),
     "cosine_topk_pq_recall": QuerySpec(
         cosine_topk_pq_recall, COSINE_IVF_RECALL_SQL
+    ),
+    "cosine_topk_ivfpq": QuerySpec(cosine_topk_ivfpq, None),
+    "cosine_topk_ivfpq_recall": QuerySpec(
+        cosine_topk_ivfpq_recall, COSINE_IVF_RECALL_SQL
     ),
 }

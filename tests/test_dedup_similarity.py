@@ -14,6 +14,7 @@ from pipeline_kinesis_spark.operators.dedup import (
 )
 from pipeline_kinesis_spark.operators.similarity import (
     cosine_topk,
+    cosine_topk_ivfpq,
     cosine_topk_lsh,
     cosine_topk_pq,
 )
@@ -147,6 +148,22 @@ def test_pq_topk_recall_and_exact_sims(spark, sf_dir):
     for q, want in exact.items():
         rec = len(want & approx.get(q, set())) / len(want)
         assert rec >= 0.6, f"query {q}: PQ recall {rec:.2f}"
+
+
+def test_ivfpq_topk_recall(spark, sf_dir):
+    """The composed IVF-PQ tier pays two approximation layers (cell
+    pruning AND code quantization); it must still clear recall@10 ≥ 0.5
+    per query (the gate's cosine_topk_ivfpq_recall row asserts the looser
+    0.4 bound; observed ≥ 0.5 at sf0.001/sf0.01)."""
+    exact = {}
+    for r in cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    approx = {}
+    for r in cosine_topk_ivfpq(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    for q, want in exact.items():
+        rec = len(want & approx.get(q, set())) / len(want)
+        assert rec >= 0.5, f"query {q}: IVF-PQ recall {rec:.2f}"
 
 
 def test_lsh_topk_sims_match_exact(spark, sf_dir):
