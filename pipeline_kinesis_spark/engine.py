@@ -752,6 +752,13 @@ class Engine:
         reference it via THEN EXECUTE PROCEDURE name()."""
         self._procs[name] = proc
 
+    def execute_script(self, script: str) -> list:
+        """Run a multi-statement ops script (psql-style: `--` comments,
+        semicolon-terminated statements) through execute()."""
+        from pipeline_kinesis_spark.sqlapi import execute_script
+
+        return execute_script(self, script)
+
     def seqnums(self) -> DataFrame:
         """Per-(consumer, shard) high-water marks — the queryable progress
         relation the reference exposes as pipeline_kinesis.seqnums

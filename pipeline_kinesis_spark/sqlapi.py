@@ -380,3 +380,46 @@ def execute(engine, statement: str) -> DataFrame | str:
             flags=re.IGNORECASE,
         )
     return engine.sql(statement)
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a psql-style script into statements on top-level semicolons
+    (quote-aware; ``--`` line comments stripped)."""
+    lines = []
+    for line in script.splitlines():
+        in_str = False
+        out = []
+        i = 0
+        while i < len(line):
+            c = line[i]
+            if not in_str and c == "-" and line[i : i + 2] == "--":
+                break
+            out.append(c)
+            if c == "'":
+                in_str = not in_str
+            i += 1
+        lines.append("".join(out))
+    text = "\n".join(lines)
+    stmts, cur, in_str = [], [], False
+    for c in text:
+        if c == "'":
+            in_str = not in_str
+            cur.append(c)
+        elif c == ";" and not in_str:
+            s = "".join(cur).strip()
+            if s:
+                stmts.append(s)
+            cur = []
+        else:
+            cur.append(c)
+    tail = "".join(cur).strip()
+    if tail:
+        stmts.append(tail)
+    return stmts
+
+
+def execute_script(engine, script: str) -> list:
+    """Run a whole reference ops script (the README session verbatim):
+    statements split on top-level semicolons, results returned in
+    order."""
+    return [execute(engine, s) for s in split_statements(script)]

@@ -200,6 +200,31 @@ def test_activate_deactivate_and_drop_statements(engine, spark, tmp_path):
     assert engine.execute("DROP STREAM ds") == "success"
 
 
+def test_execute_script_whole_session(engine, spark, tmp_path):
+    """A psql-style script — comments, multi-line statements, literals
+    containing semicolons — runs top to bottom with one call."""
+    src_root = tmp_path / "kinesis"
+    write_record_file(str(src_root / "s"), [{"data": "a;b"}, {"data": "c"}])
+    results = engine.execute_script(
+        f"""
+        -- provision
+        SELECT pipeline_kinesis.add_endpoint('ep', url := '{src_root}');
+        CREATE STREAM scr (payload text);
+        CREATE CONTINUOUS VIEW scrv AS
+          SELECT payload, count(*) AS n
+          FROM scr GROUP BY payload;  -- trailing comment
+        SELECT pipeline_kinesis.consume_begin('ep', 's', 'scr');
+        """
+    )
+    assert results == ["success"] * 4
+    engine.wait_for_ingest()
+    rows = {
+        (r.payload, r.n)
+        for r in engine.execute("SELECT * FROM scrv").collect()
+    }
+    assert rows == {("a;b", 1), ("c", 1)}
+
+
 def test_pg_type_mapping():
     assert _map_pg_schema(
         "a text, b int, c bigint, d float8, e boolean, f timestamptz"
