@@ -21,6 +21,7 @@ into Spark's task scheduler; shard→task assignment is automatic.
 from __future__ import annotations
 
 import os
+import re
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -734,6 +735,12 @@ class Engine:
                     self.stream_table(sink).createOrReplaceTempView(sink)
                 except Exception:
                     continue
+        # the standing-query inventory is itself queryable — PipelineDB's
+        # pipeline_queries catalog relation
+        if re.search(r"\bpipeline_queries\b", query):
+            self.pipeline_queries().createOrReplaceTempView(
+                "pipeline_queries"
+            )
         return self.spark.sql(query)
 
     def execute(self, statement: str) -> DataFrame | str:

@@ -195,6 +195,14 @@ def test_activate_deactivate_and_drop_statements(engine, spark, tmp_path):
     }
     assert active == {("dview", False)}
     assert engine.execute("ACTIVATE dview") == "success"
+    # the standing-query inventory is queryable via plain SQL
+    cat = {
+        (r.name, r.kind)
+        for r in engine.execute(
+            "SELECT name, kind FROM pipeline_queries"
+        ).collect()
+    }
+    assert ("dview", "view") in cat
     assert engine.execute("DROP CONTINUOUS VIEW dview") == "success"
     assert "dview" not in engine.catalog.state.views
     assert engine.execute("DROP STREAM ds") == "success"
