@@ -624,6 +624,91 @@ class Engine:
             )
         return df
 
+    def compact_stream_table(
+        self, relation: str, target_files: int = 4
+    ) -> tuple[int, int]:
+        """Rewrite the stream relation's parquet into ``target_files``
+        files and swap atomically — the OPTIMIZE/compaction maintenance
+        op every streaming sink needs (micro-batches write a file per
+        trigger per partition; small files dominate scan cost long before
+        100 TB). Consumers for the relation must be stopped (the swap
+        cannot race an appending writer); the file-source checkpoint
+        tracks SOURCE offsets, not sink files, so consumption resumes
+        cleanly after compaction. The sink's ``_spark_metadata``
+        transaction log is rewritten as a single ``<latestId>.compact``
+        snapshot naming the compacted files, which is exactly where
+        FileStreamSink readers and the resumed sink's own log compaction
+        pick up. Returns (files_before, files_after).
+        """
+        import glob
+        import json
+        import shutil
+
+        with self._lock:
+            for c in self.catalog.all_consumers():
+                if c.relation == relation and c.id in self._queries:
+                    raise ValueError(
+                        f"stop consumers for {relation!r} before compacting"
+                    )
+            d = self.table_dir(relation)
+            if not os.path.isdir(d):
+                raise ValueError(f"no stream table for {relation!r}")
+
+            def _nfiles(p: str) -> int:
+                return len(
+                    [f for f in os.listdir(p) if f.endswith(".parquet")]
+                )
+
+            meta = os.path.join(d, "_spark_metadata")
+            latest = -1
+            if os.path.isdir(meta):
+                for f in os.listdir(meta):
+                    base = f[: -len(".compact")] if f.endswith(
+                        ".compact"
+                    ) else f
+                    if base.isdigit():
+                        latest = max(latest, int(base))
+
+            before = _nfiles(d)
+            tmp = d.rstrip("/") + ".compact.tmp"
+            bak = d.rstrip("/") + ".compact.bak"
+            (
+                self.spark.read.parquet(d)
+                .coalesce(max(target_files, 1))
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            if latest >= 0:
+                # snapshot log entry in FileStreamSinkLog v1 format: the
+                # resumed sink appends <latest+1>, readers start from the
+                # newest .compact — older per-batch entries are obsolete.
+                newmeta = os.path.join(tmp, "_spark_metadata")
+                os.makedirs(newmeta, exist_ok=True)
+                lines = ["v1"]
+                for p in sorted(glob.glob(os.path.join(tmp, "*.parquet"))):
+                    st = os.stat(p)
+                    lines.append(
+                        json.dumps(
+                            {
+                                "path": "file://" + os.path.join(d, os.path.basename(p)),
+                                "size": st.st_size,
+                                "isDir": False,
+                                "modificationTime": int(st.st_mtime * 1000),
+                                "blockReplication": 1,
+                                "blockSize": 33554432,
+                                "action": "add",
+                            }
+                        )
+                    )
+                with open(
+                    os.path.join(newmeta, f"{latest}.compact"), "w"
+                ) as fh:
+                    fh.write("\n".join(lines))
+            os.rename(d, bak)
+            os.rename(tmp, d)
+            shutil.rmtree(bak)
+            return before, _nfiles(d)
+
     def replay_dead_letters(
         self,
         relation: str,

@@ -267,6 +267,45 @@ def test_adhoc_sql_over_views_and_streams(engine, spark, tmp_path):
     assert all(r.n == r.raw for r in joined)
 
 
+def test_compact_stream_table(engine, spark, tmp_path):
+    """Small-file compaction: many micro-batch files → target_files, data
+    identical, ingestion resumes cleanly afterwards (source checkpoint
+    tracks offsets, not sink files)."""
+    src_root = tmp_path / "kinesis"
+    for i in range(5):
+        write_record_file(str(src_root / "s"), [{"data": f"r{i}"}])
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("c_stream", "payload STRING")
+    engine.consume_begin("ep", "s", "c_stream")
+    engine.wait_for_ingest()
+    before_rows = {
+        r.payload for r in engine.stream_table("c_stream").collect()
+    }
+    assert before_rows == {f"r{i}" for i in range(5)}
+
+    with pytest.raises(ValueError, match="stop consumers"):
+        engine.compact_stream_table("c_stream")
+    engine.consume_end("ep", "s", "c_stream")
+
+    nb, na = engine.compact_stream_table("c_stream", target_files=1)
+    assert nb >= 5 and na == 1
+    assert {
+        r.payload for r in engine.stream_table("c_stream").collect()
+    } == before_rows
+
+    # ingestion resumes from the checkpoint and must survive the sink
+    # log's OWN compaction boundary (CompactibleFileStreamLog compacts at
+    # batch id 9 with the default interval 10 — it unions our snapshot
+    # entry with the post-resume deltas)
+    for i in range(5, 12):
+        write_record_file(str(src_root / "s"), [{"data": f"r{i}"}])
+    engine.consume_begin("ep", "s", "c_stream")
+    engine.wait_for_ingest()
+    assert {
+        r.payload for r in engine.stream_table("c_stream").collect()
+    } == {f"r{i}" for i in range(12)}
+
+
 def test_parquet_upsert_requires_keys(engine):
     engine.create_stream("k_stream", "payload STRING")
     with pytest.raises(ValueError, match="key_cols"):
