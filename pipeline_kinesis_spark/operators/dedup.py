@@ -573,6 +573,98 @@ WHERE trim(text) <> ''
 """
 
 
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 completion — the step every pair-producing dedup tier needs
+    before it can DELETE anything: cluster near-duplicate pairs into
+    connected components and elect the min-doc_id canonical survivor per
+    cluster (transitivity: if A~B and B~C, one of the three survives,
+    even when A~C itself is below threshold).
+
+    Spark shape: iterative hash-to-min label propagation — each round a
+    node takes the min label among itself and its neighbors (one
+    equi-join + one groupBy per round), converging in O(component
+    diameter) rounds; near-dup clusters are shallow (clone families), so
+    2-3 rounds in practice. Every round is a keyed shuffle on node id —
+    no driver-side graph, works at any edge count. The driver loop only
+    checks a changed-row COUNT per round (same pattern as KMeans.fit).
+
+    Oracle: DuckDB recursive CTE computes the transitive closure and
+    takes min reachable id per node — identical components.
+    """
+    pairs = _jaccard_prefix_pairs(
+        spark, sf_dir, JACCARD_THRESHOLD
+    ).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("n"))
+        .distinct()
+        .withColumn("lbl", F.col("n"))
+        .persist()
+    )
+    while True:
+        neigh = (
+            edges.join(labels, edges.src == labels.n)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(neigh, labels.n == neigh.dst, "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new.alias("a")
+            .join(labels.alias("b"), "n")
+            .filter(F.col("a.lbl") != F.col("b.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("n").alias("doc_id"),
+            F.col("lbl").alias("component"),
+            "csize",
+            (F.col("n") == F.col("lbl")).alias("is_canonical"),
+        )
+    )
+
+
+NEARDUP_COMPONENTS_SQL = rf"""
+WITH RECURSIVE pairs AS ({_ngram_jaccard_sql(JACCARD_THRESHOLD)}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+), comp AS (
+  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+)
+SELECT doc_id, component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize,
+       doc_id = component AS is_canonical
+FROM comp
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "exact_dedup": QuerySpec(exact_dedup, EXACT_DEDUP_SQL, bench=True),
     "ngram_jaccard_pairs": QuerySpec(
@@ -587,5 +679,8 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash_pairs": QuerySpec(simhash_pairs, None),
     "simhash_planted_capture": QuerySpec(
         simhash_planted_capture, SIMHASH_PLANTED_SQL
+    ),
+    "neardup_components": QuerySpec(
+        neardup_components, NEARDUP_COMPONENTS_SQL
     ),
 }

@@ -127,6 +127,35 @@ def test_lsh_topk_recall(spark, sf_dir):
         assert rec >= 0.5, f"query {q}: LSH recall {rec:.2f}"
 
 
+def test_neardup_components_cluster_pairs(spark, sf_dir):
+    """Every near-dup pair lands in one component, the canonical doc is
+    the component minimum, and sizes count the member rows."""
+    from pipeline_kinesis_spark.operators.dedup import (
+        neardup_components,
+        ngram_jaccard_prefix,
+    )
+
+    comp = {
+        r.doc_id: (r.component, r.csize, r.is_canonical)
+        for r in neardup_components(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_prefix(spark, sf_dir).collect()
+    ]
+    assert pairs and comp
+    for a, b in pairs:
+        assert comp[a][0] == comp[b][0], f"pair ({a},{b}) split"
+    members: dict[int, set] = {}
+    for d, (c, _, _) in comp.items():
+        members.setdefault(c, set()).add(d)
+    for c, ms in members.items():
+        assert c == min(ms)
+        for d in ms:
+            assert comp[d][1] == len(ms)
+            assert comp[d][2] == (d == c)
+
+
 def test_pq_topk_recall_and_exact_sims(spark, sf_dir):
     """The PQ tier must (a) recover most true neighbors through the ADC
     scan + rerank (recall@10 per query ≥ 0.6 observed; the gate's
