@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pipeline_kinesis_spark.operators import QuerySpec
 from pipeline_kinesis_spark.shipping import ship_package
 from pipeline_kinesis_spark.operators import (
+    bpe,
     dedup,
     multimodal,
     pandas_udfs,
@@ -32,6 +33,7 @@ _MODULES = (
     dedup,
     textops,
     quality,
+    bpe,
     similarity,
     sketches,
     multimodal,
