@@ -60,19 +60,21 @@ _WINDOW = 50
 # (q9/q10/q11/q12/q14/q15/q17/q19/q20/q22) rotate out — they stay
 # covered by the local sf0.01 full differential (tools/compare_oracle.py)
 # and pytest. Late round-3 additions: the new corpus-quality operators
-# (decontaminate_overlap, gopher_repetition, pii_redact) and the PQ ANN
-# recall twin take the slots of four r02-green rows whose §2B families
-# stay represented (q6→q1 scan-agg; rollup/cube→grouping_sets+pivot;
-# case_coalesce→r01-green scalar family).
+# (decontaminate_overlap, gopher_repetition, pii_redact), the ANN
+# compression twins (PQ, IVF-PQ), dedup component clustering, and BPE
+# training take the slots of seven r02-green rows whose §2B families
+# stay represented (q6→q1 scan-agg; q3/q5/q8→q7 + asof/salted joins;
+# rollup/cube→grouping_sets+pivot; case_coalesce→r01-green scalars).
 _PRIORITY = (
     # TPC-H aggregate/join shapes
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q7_volume_shipping", "q8_market_share",
+    "q1_pricing_summary", "q7_volume_shipping",
     # grouping-set family rep
     "grouping_sets_revenue",
-    # corpus-quality curation ops + PQ ANN twin (late round-3)
+    # corpus-quality curation + dedup clustering + tokenizer training +
+    # ANN compression twins (late round-3)
     "decontaminate_overlap", "gopher_repetition", "pii_redact",
-    "cosine_topk_pq_recall",
+    "neardup_components", "bpe_train_verify",
+    "cosine_topk_pq_recall", "cosine_topk_ivfpq_recall",
     # approx aggregates (B14)
     "agg_approx_distinct", "agg_approx_percentile",
     # remaining §2B families
