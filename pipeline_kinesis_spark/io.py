@@ -51,6 +51,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-partition on ``cols`` to the session's default parallelism —
+    placed BEFORE an expensive per-row expansion (shingle/n-gram explode,
+    wide conditional aggregates).
+
+    Why this is right at every scale: the shuffle moves the SMALL
+    pre-explode rows (not the exploded output), and downstream aggregates
+    keyed on the same columns reuse the partitioning, so this replaces
+    the aggregate's exchange rather than adding one. At fixture scale it
+    additionally rescues parallelism — the testdata tables are single
+    row-group parquet files, so the scan (and everything until the first
+    exchange) otherwise runs as ONE task no matter how many cores exist.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *cols)
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql use)."""
     for name in TABLES:

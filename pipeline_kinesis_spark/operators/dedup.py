@@ -17,11 +17,11 @@ Four tiers, all shuffle-disciplined for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_kinesis_spark.functions.exprs import tokens
-from pipeline_kinesis_spark.io import load
+from pipeline_kinesis_spark.io import load, spread
 from pipeline_kinesis_spark.operators import QuerySpec
 
 # MinHash parameters: 32 permutations in 8 bands of 4 rows → catches
@@ -59,8 +59,11 @@ def _shingle_hashes(d: DataFrame, n: int = 3) -> DataFrame:
     """doc_id → distinct 64-bit shingle hashes. Hashing happens BEFORE the
     distinct so the dedup shuffle (and everything downstream) moves 8-byte
     keys instead of shingle strings — collision odds ~n²/2⁶⁴, negligible."""
-    toked = d.select("doc_id", tokens("text").alias("t")).filter(
-        F.size("t") >= n
+    toked = spread(
+        d.select("doc_id", tokens("text").alias("t")).filter(
+            F.size("t") >= n
+        ),
+        "doc_id",
     )
     return (
         toked.select(
@@ -145,21 +148,25 @@ def _jaccard_prefix_pairs(
     # of re-running explode+distinct per consumer.
     sh = _shingle_hashes(load(spark, sf_dir, "documents")).persist()
 
-    # global shingle frequency, then ONE per-doc groupBy folds
-    # everything downstream needs: the frequency-sorted shingle list
-    # (array_sort on (df, sh) structs — replaces a rank window), the
-    # set size, and the verification array. Per-doc shingle sets are
-    # bounded by document length, so the fold fits one array cell at
-    # any corpus scale.
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # global shingle frequency via a window count (ONE exchange on sh —
+    # cheaper than a groupBy+join which shuffles both sides), then ONE
+    # per-doc groupBy folds everything downstream needs: the
+    # frequency-sorted shingle list (array_sort on (df, sh) structs —
+    # replaces a rank window), the set size, and the verification array
+    # (fl's order as-is: array_intersect is order-agnostic, a second
+    # value sort would be pure waste). Per-doc shingle sets are bounded
+    # by document length, so the fold fits one array cell at any corpus
+    # scale.
+    shf = sh.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+    )
     docagg = (
-        sh.join(freq, "sh")
-        .groupBy("doc_id")
+        shf.groupBy("doc_id")
         .agg(
             F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("fl"),
             F.count(F.lit(1)).alias("sz"),
         )
-        .withColumn("arr", F.array_sort(F.transform("fl", lambda x: x["sh"])))
+        .withColumn("arr", F.transform("fl", lambda x: x["sh"]))
         .withColumn(
             "plen",
             (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int"),

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_kinesis_spark.functions.exprs import tokens
-from pipeline_kinesis_spark.io import load
+from pipeline_kinesis_spark.io import load, spread
 from pipeline_kinesis_spark.operators import QuerySpec
 
 # --- decontamination -------------------------------------------------------
@@ -73,9 +73,13 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dictionary branch and the train branch would otherwise each rescan;
     # in production the benchmark dictionary comes from a separate small
     # eval table, making this split — and the persist — moot)
-    g = d.select(
-        "doc_id", is_bench.alias("is_b"), F.explode("grams").alias("g")
-    ).persist()
+    g = (
+        spread(d, "doc_id")
+        .select(
+            "doc_id", is_bench.alias("is_b"), F.explode("grams").alias("g")
+        )
+        .persist()
+    )
     bench = (
         g.filter(F.col("is_b"))
         .select("g")
@@ -150,7 +154,10 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is co-partitioned; only REPETITION_TOP_N rows survive to the
     driver-side sort.
     """
-    d = load(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    d = spread(
+        load(spark, sf_dir, "documents").withColumn("toks", tokens("text")),
+        "doc_id",
+    )
     bi = (
         d.select("doc_id", F.explode(_ngrams(F.col("toks"), 2)).alias("g"))
         .groupBy("doc_id", "g")
