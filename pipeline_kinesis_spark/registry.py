@@ -48,23 +48,26 @@ _MODULES = (
 # already verified green follow after.
 _WINDOW = 50
 
-# Round-3 rotation: the 3 formerly-`no_oracle` rows are replaced by their
-# exact+within-bound verification twins (minhash_lsh_recall,
-# simhash_planted_capture, cosine_topk_ivf_recall); every oracled query
-# that had never been inside the window (join_salted_skew,
-# unpivot_lineitem_measures, window_distribution, ngram_jaccard_pairs,
-# ngram_top_bigrams, doc_fingerprint, multimodal_resize,
-# multimodal_frame_sample, scaled_value_pandas, and multimodal_features
-# now that its sha256 extractor is reproduced in DuckDB) rotates in;
-# 10 TPC-H rows already driver-green once or twice
-# (q9/q10/q11/q12/q14/q15/q17/q19/q20/q22) rotate out — they stay
-# covered by the local sf0.01 full differential (tools/compare_oracle.py)
-# and pytest. Late round-3 additions: the new corpus-quality operators
-# (decontaminate_overlap, gopher_repetition, pii_redact), the ANN
-# compression twins (PQ, IVF-PQ), dedup component clustering, and BPE
-# training take the slots of seven r02-green rows whose §2B families
-# stay represented (q6→q1 scan-agg; q3/q5/q8→q7 + asof/salted joins;
-# rollup/cube→grouping_sets+pivot; case_coalesce→r01-green scalars).
+# Round-4 rotation: the last 5 oracled queries that have NEVER held a
+# driver-gate row rotate in — sequence_pack, stratified_sample,
+# hll_mergeable_distinct, cosine_topk_lsh_recall,
+# winnow_fingerprint_stats (VERDICT r03 "Next round" #1). Five rows
+# green in BOTH r02 and r03 rotate out, each with its family still
+# represented inside the window:
+#   sliding_window_agg  → timeseries stays via tumbling/session/asof
+#   tfidf_top_terms     → textops stays via token_stats/text_quality/
+#                         lang_id/token_count_bpe/bigrams/fingerprints
+#   agg_approx_distinct → B14 stays via agg_approx_percentile +
+#                         hll_mergeable_distinct (same HLL family) +
+#                         cms/bloom/fss
+#   cosine_topk         → similarity stays via lsh/ivf/pq/ivfpq recall
+#                         twins (each runs the exact top-k as its
+#                         ground truth) + neardup_pairs + centroids
+#   dataset_split       → curation stays via decontaminate/gopher/pii +
+#                         sequence_pack + stratified_sample
+# Rotated-out rows remain covered by the local sf0.01 full differential
+# (tools/compare_oracle.py) and pytest; tools/gate_history.py asserts
+# every oracled registry query has held a driver-green row in some round.
 _PRIORITY = (
     # TPC-H aggregate/join shapes
     "q1_pricing_summary", "q7_volume_shipping",
@@ -76,24 +79,26 @@ _PRIORITY = (
     "neardup_components", "bpe_train_verify",
     "cosine_topk_pq_recall", "cosine_topk_ivfpq_recall",
     # approx aggregates (B14)
-    "agg_approx_distinct", "agg_approx_percentile",
+    "hll_mergeable_distinct", "agg_approx_percentile",
     # remaining §2B families
     "pivot_priority_by_year", "window_range_frame", "agg_keyed_minmax",
     "agg_salted_skew", "join_salted_skew", "unpivot_lineitem_measures",
     "window_distribution",
     # timeseries (B11/B23/B24) + pandas-UDF surface (B27)
-    "tumbling_window_agg", "sliding_window_agg", "session_window_agg",
+    "tumbling_window_agg", "session_window_agg",
     "asof_join", "zscore_per_user", "scaled_value_pandas",
     # dedup (C1/C2: exact, jaccard both plans, MinHash LSH, SimHash)
     "exact_dedup", "ngram_jaccard_pairs", "ngram_jaccard_prefix",
     "minhash_lsh_recall", "simhash_planted_capture",
     # text analysis / corpus ops
-    "corpus_clean", "dataset_split", "tfidf_top_terms", "token_stats",
+    "corpus_clean", "token_stats",
     "text_quality", "lang_id_heuristic", "token_count_bpe",
-    "ngram_top_bigrams", "doc_fingerprint",
+    "ngram_top_bigrams", "doc_fingerprint", "winnow_fingerprint_stats",
+    # corpus curation (C6, round-4 rotation)
+    "sequence_pack", "stratified_sample",
     # similarity search
-    "cosine_topk", "cosine_topk_ivf_recall", "cosine_neardup_pairs",
-    "embedding_centroids",
+    "cosine_topk_lsh_recall", "cosine_topk_ivf_recall",
+    "cosine_neardup_pairs", "embedding_centroids",
     # sketches
     "cms_event_counts", "bloom_order_priorities", "fss_topk_tokens",
     # multimodal
