@@ -628,7 +628,7 @@ class Engine:
         self, relation: str, target_files: int = 4
     ) -> tuple[int, int]:
         """Rewrite the stream relation's parquet into ``target_files``
-        files and swap atomically — the OPTIMIZE/compaction maintenance
+        files and swap directories — the OPTIMIZE/compaction maintenance
         op every streaming sink needs (micro-batches write a file per
         trigger per partition; small files dominate scan cost long before
         100 TB). Consumers for the relation must be stopped (the swap
@@ -638,7 +638,18 @@ class Engine:
         transaction log is rewritten as a single ``<latestId>.compact``
         snapshot naming the compacted files, which is exactly where
         FileStreamSink readers and the resumed sink's own log compaction
-        pick up. Returns (files_before, files_after).
+        pick up. (The snapshot's id need not land on the sink's own
+        N*compactInterval-1 boundary: FileStreamSink reads the NEWEST
+        .compact regardless of alignment — behavior the compaction tests
+        pin down.) Returns (files_before, files_after).
+
+        The swap is two os.rename calls, NOT one atomic operation: a
+        concurrent reader in the instant between them sees a missing
+        directory (consumers are required stopped for exactly this
+        reason, and the engine lock serializes engine-API readers). If
+        the second rename fails, the original directory is restored from
+        the .compact.bak snapshot before the error propagates, so the
+        relation is never left missing.
         """
         import glob
         import json
@@ -705,7 +716,11 @@ class Engine:
                 ) as fh:
                     fh.write("\n".join(lines))
             os.rename(d, bak)
-            os.rename(tmp, d)
+            try:
+                os.rename(tmp, d)
+            except BaseException:
+                os.rename(bak, d)  # restore — never leave the relation gone
+                raise
             shutil.rmtree(bak)
             return before, _nfiles(d)
 

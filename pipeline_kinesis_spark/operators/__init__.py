@@ -14,6 +14,29 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+# Cached-frame release pool. Operators that persist() intermediate frames
+# (prefix-jaccard's shingle table, neardup's edge list, decontamination's
+# gram table) register them here via pooled_persist; the NEXT operator
+# entry (or the registry's per-query wrapper) calls release_stale_caches,
+# so in a long session — the 50-query driver gate, bench, the full oracle
+# differential — cached partitions never accumulate beyond one operator.
+# Releasing keeps lineage intact (persist never truncates), so a frame
+# unpersisted while a concurrent plan still references it simply
+# recomputes — correctness is unaffected at any interleaving.
+_RELEASE_POOL: list[DataFrame] = []
+
+
+def pooled_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _RELEASE_POOL.append(df)
+    return df
+
+
+def release_stale_caches() -> None:
+    while _RELEASE_POOL:
+        _RELEASE_POOL.pop().unpersist()
+
+
 @dataclass(frozen=True)
 class QuerySpec:
     """A named query: Spark impl + optional DuckDB oracle SQL + bench flag.

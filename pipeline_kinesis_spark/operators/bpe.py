@@ -4,12 +4,13 @@ Byte-pair-encoding training needs the corpus exactly once: the word-
 frequency table. That is the scale split this operator keeps —
 
 - stage 1 (distributed, the only pass that sees 100 TB): explode tokens,
-  one groupBy — word counts, a small aggregate (vocabulary-sized) at any
-  corpus scale;
-- stage 2 (on the aggregate): the standard greedy merge loop over the
-  weighted word table — count adjacent symbol pairs, merge the most
-  frequent, repeat. Runs inside one Arrow batch on the aggregated table
-  (exactly how production tokenizer trainers consume word counts).
+  one groupBy — word counts — then a deterministic top-BPE_MAX_WORDS cap
+  (count DESC, word ASC), because a web-scale corpus has unbounded
+  distinct tokens and stage 2 consumes the table as one Arrow batch;
+- stage 2 (on the bounded aggregate): the standard greedy merge loop
+  over the weighted word table — count adjacent symbol pairs, merge the
+  most frequent, repeat. Runs inside one Arrow batch (exactly how
+  production tokenizer trainers consume capped word counts).
 
 The merge loop is deterministic: ties break on (pair_count DESC, left
 ASC, right ASC). The gate twin anchors the FIRST merge — the most
@@ -28,15 +29,30 @@ from pipeline_kinesis_spark.operators import QuerySpec
 
 BPE_N_MERGES = 8
 
+# Stage-2 input budget: the greedy merge loop consumes the word table as
+# ONE Arrow batch, so its size must be bounded regardless of corpus
+# scale. A 100 TB web corpus has billions of distinct whitespace tokens
+# (URLs, typos, numbers) — production trainers cap the word table first,
+# keeping the most frequent words; dropped tail words contribute
+# negligibly to pair counts. The cap is deterministic (count DESC, word
+# ASC) and far above any fixture vocabulary, so the oracle anchors are
+# unaffected at test scale. 256k words × ~16 chars ≈ tens of MB in the
+# single stage-2 task — comfortably one executor's work at any SF.
+BPE_MAX_WORDS = 262_144
+
 
 def _word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    wc = (
         load(spark, sf_dir, "documents")
         .select(F.explode(tokens("text")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # deterministic top-N: Spark plans global sort+limit as
+    # TakeOrderedAndProject (per-partition partial top-N, then one
+    # driver-side merge of N×partitions rows) — no full-sort shuffle.
+    return wc.orderBy(F.desc("c"), F.asc("w")).limit(BPE_MAX_WORDS)
 
 
 def _train(pdfs):
@@ -106,7 +122,13 @@ def bpe_train_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw corpus; well-formedness of the remaining merge sequence (dense
     ranks, merged = left||right, non-increasing pair counts — a BPE
     invariant: a pair created by a merge can occur at most as often as
-    the merge that created it) is Spark-verified as booleans."""
+    the merge that created it) is Spark-verified as booleans.
+
+    The gate row deliberately does NOT carry n_merges: the loop breaks
+    early when no adjacent pairs remain (degenerate/tiny corpora), so a
+    hardcoded oracle count would diverge even though both sides are
+    individually correct. The fixture-scale count is pinned by pytest
+    (tests/test_bpe.py) instead."""
     m = bpe_merges(spark, sf_dir)
     first = F.filter(
         F.col("rows"), lambda r: r["rank"] == 1
@@ -131,7 +153,6 @@ def bpe_train_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(rows_sorted.alias("rows"))
         .select(
-            F.size("rows").cast("long").alias("n_merges"),
             first["left"].alias("first_left"),
             first["right"].alias("first_right"),
             first["pair_count"].alias("first_count"),
@@ -167,8 +188,7 @@ WITH wc AS (
               i -> struct_pack(l := s[i], r := s[i + 1]))) AS t(p)
   GROUP BY p.l, p.r
 )
-SELECT CAST({BPE_N_MERGES} AS BIGINT) AS n_merges,
-       l AS first_left,
+SELECT l AS first_left,
        r AS first_right,
        pc AS first_count,
        TRUE AS ranks_dense,

@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 
 from pipeline_kinesis_spark.functions.exprs import tokens
 from pipeline_kinesis_spark.io import load, spread
-from pipeline_kinesis_spark.operators import QuerySpec
+from pipeline_kinesis_spark.operators import (
+    QuerySpec,
+    pooled_persist,
+    release_stale_caches,
+)
 
 # MinHash parameters: 32 permutations in 8 bands of 4 rows → catches
 # jaccard ≳ 0.5 with high probability while keeping signatures tiny.
@@ -145,8 +149,11 @@ def _jaccard_prefix_pairs(
     ``t`` (see ngram_jaccard_prefix)."""
     # the shingle table feeds the frequency count AND the per-doc fold —
     # materialize it once (on a cluster: checkpoint to a table) instead
-    # of re-running explode+distinct per consumer.
-    sh = _shingle_hashes(load(spark, sf_dir, "documents")).persist()
+    # of re-running explode+distinct per consumer. Pool-persisted: the
+    # next operator entry releases it, so gate/bench sessions don't
+    # accumulate cached partitions across queries.
+    release_stale_caches()
+    sh = pooled_persist(_shingle_hashes(load(spark, sf_dir, "documents")))
 
     # global shingle frequency via a window count (ONE exchange on sh —
     # cheaper than a groupBy+join which shuffles both sides), then ONE
@@ -171,8 +178,8 @@ def _jaccard_prefix_pairs(
             "plen",
             (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int"),
         )
-        .persist()
     )
+    docagg = pooled_persist(docagg)
 
     # prefix index: each doc's first plen shingles, rarest first (sz
     # rides along for the length filter below)
@@ -500,8 +507,11 @@ def _banded_hamming_pairs(sigs: DataFrame) -> DataFrame:
 # the pigeonhole guarantee ("distance ≤ 3 is always captured") is
 # exercised by cloning the N_PLANTED lowest doc_ids and asserting every
 # (original, clone) pair — distance 0 by construction — comes back.
+# Clone ids are offset by max(doc_id)+1 (computed per run, an O(1)
+# driver read over a column-pruned scan) so they can never collide with
+# real documents at any corpus scale — a fixed constant would silently
+# corrupt the capture booleans once doc_ids exceed it.
 N_PLANTED = 10
-_PLANT_OFFSET = 1_000_000
 
 
 def simhash_planted_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,9 +536,10 @@ def simhash_planted_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.trim(F.col("text")) != "")
     )
+    plant_offset = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
     planted = docs.orderBy("doc_id").limit(N_PLANTED)
     clones = planted.select(
-        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(plant_offset)).alias("doc_id"), "text"
     )
     sigs = _simhash(docs.unionByName(clones))
     banded = _banded_hamming_pairs(sigs).select("doc_a", "doc_b")
@@ -546,7 +557,7 @@ def simhash_planted_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     planted_pairs = planted.select(
         F.col("doc_id").alias("doc_a"),
-        (F.col("doc_id") + F.lit(_PLANT_OFFSET)).alias("doc_b"),
+        (F.col("doc_id") + F.lit(plant_offset)).alias("doc_b"),
     )
     n_planted = planted_pairs.agg(
         F.count(F.lit(1)).alias("n_planted")
@@ -601,10 +612,8 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_prefix_pairs(
         spark, sf_dir, JACCARD_THRESHOLD
     ).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select("doc_b", "doc_a"))
-        .toDF("src", "dst")
-        .persist()
+    edges = pooled_persist(
+        pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     )
     labels = (
         edges.select(F.col("src").alias("n"))

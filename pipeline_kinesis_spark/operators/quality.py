@@ -26,7 +26,11 @@ from pyspark.sql import functions as F
 
 from pipeline_kinesis_spark.functions.exprs import tokens
 from pipeline_kinesis_spark.io import load, spread
-from pipeline_kinesis_spark.operators import QuerySpec
+from pipeline_kinesis_spark.operators import (
+    QuerySpec,
+    pooled_persist,
+    release_stale_caches,
+)
 
 # --- decontamination -------------------------------------------------------
 
@@ -72,13 +76,13 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one gram-construction pass feeds both sides (persist, since the
     # dictionary branch and the train branch would otherwise each rescan;
     # in production the benchmark dictionary comes from a separate small
-    # eval table, making this split — and the persist — moot)
-    g = (
-        spread(d, "doc_id")
-        .select(
+    # eval table, making this split — and the persist — moot). Pooled so
+    # the next operator entry releases it (see operators.pooled_persist).
+    release_stale_caches()
+    g = pooled_persist(
+        spread(d, "doc_id").select(
             "doc_id", is_bench.alias("is_b"), F.explode("grams").alias("g")
         )
-        .persist()
     )
     bench = (
         g.filter(F.col("is_b"))

@@ -10,7 +10,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from pipeline_kinesis_spark.operators import QuerySpec
+from pipeline_kinesis_spark.operators import QuerySpec, release_stale_caches
 from pipeline_kinesis_spark.shipping import ship_package
 from pipeline_kinesis_spark.operators import (
     bpe,
@@ -133,6 +133,10 @@ def _shipped(fn: Callable[[SparkSession, str], DataFrame]):
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ship_package(spark)
+        # the PREVIOUS query's pooled caches are stale by now (its action
+        # completed before the driver moved on) — release them so a long
+        # gate session never accumulates cached partitions.
+        release_stale_caches()
         return fn(spark, sf_dir)
 
     return run

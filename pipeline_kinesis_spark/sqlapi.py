@@ -17,7 +17,8 @@ Supported surface:
 - ``SELECT pipeline_kinesis.consume_begin(endpoint, stream, relation,
   format, delimiter, quote, escape, batchsize, parallelism, start_seq)``
   — ``start_seq`` follows the reference's encoding (pipeline_kinesis.c:
-  588-605): -2 → trim_horizon, -1 → latest, NULL → trim_horizon default.
+  588-605): -2 → trim_horizon, -1 → latest; NULL defaults to -1 = latest
+  (kinesis_consume_begin_sr, pipeline_kinesis.c:922-925).
 - ``SELECT pipeline_kinesis.consume_end(endpoint, stream, relation)``
 - ``SELECT pipeline_kinesis.consume_begin()`` / ``consume_end()`` (all)
 - ``CREATE STREAM s (col pgtype, ...)`` — PG types mapped to Spark DDL
@@ -151,10 +152,14 @@ def _bind(pos: list, named: dict, params: list[str]) -> dict:
 def _start_position(start_seq: int | None) -> str:
     # pipeline_kinesis.c:588-605: -2 → trim_horizon, -1 → latest; a saved
     # seqnum (checkpoint) always wins, which consume_begin already does.
-    if start_seq is None or start_seq == -2:
-        return "trim_horizon"
-    if start_seq == -1:
+    # An omitted/NULL start_seq defaults to -1 = LATEST
+    # (kinesis_consume_begin_sr, pipeline_kinesis.c:922-925) — an ops
+    # script that omits start_seq consumes only new records, it does NOT
+    # replay stream history.
+    if start_seq is None or start_seq == -1:
         return "latest"
+    if start_seq == -2:
+        return "trim_horizon"
     raise ValueError(
         "start_seq must be -2 (trim_horizon), -1 (latest) or NULL"
     )

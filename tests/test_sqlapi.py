@@ -26,12 +26,11 @@ def engine(spark, tmp_path):
 def test_readme_script_verbatim(engine, spark, tmp_path):
     """The README's whole session, statement for statement (the only
     deviation: the endpoint's url points at the sandbox's file-backed
-    stream instead of AWS)."""
+    stream instead of AWS). consume_begin omits start_seq, which defaults
+    to -1 = LATEST (pipeline_kinesis.c:922-925), so the producer pushes
+    AFTER consumption starts — exactly the README's live-stream flow."""
     src_root = tmp_path / "kinesis"
-    write_record_file(
-        str(src_root / "test"),
-        [{"data": f"foo{i % 3}"} for i in range(9)],
-    )
+    write_record_file(str(src_root / "test"), [])
     assert (
         engine.execute(
             "SELECT pipeline_kinesis.add_endpoint('endpoint', 'us-west-2', "
@@ -55,6 +54,10 @@ def test_readme_script_verbatim(engine, spark, tmp_path):
             "'endpoint', 'test', 'foo_stream')"
         )
         == "success"
+    )
+    write_record_file(
+        str(src_root / "test"),
+        [{"data": f"foo{i % 3}"} for i in range(9)],
     )
     engine.wait_for_ingest()
     rows = {
@@ -111,11 +114,32 @@ def test_consume_begin_named_args_and_start_seq(engine, spark, tmp_path):
         )
 
 
+def test_consume_begin_null_start_seq_defaults_to_latest(
+    engine, spark, tmp_path
+):
+    """An omitted start_seq is NULL → -1 = LATEST
+    (kinesis_consume_begin_sr, pipeline_kinesis.c:922-925): pre-existing
+    records are skipped, only records arriving after begin land."""
+    src_root = tmp_path / "kinesis"
+    write_record_file(str(src_root / "s"), [{"data": '{"v": 1}'}])
+    engine.execute(
+        f"SELECT pipeline_kinesis.add_endpoint('ep', url := '{src_root}')"
+    )
+    engine.execute("CREATE STREAM nl (v int)")
+    engine.execute(
+        "SELECT pipeline_kinesis.consume_begin('ep', 's', 'nl', "
+        "format := 'json')"
+    )
+    write_record_file(str(src_root / "s"), [{"data": '{"v": 2}'}])
+    engine.wait_for_ingest()
+    got = {r.v for r in engine.stream_table("nl").select("v").collect()}
+    assert got == {2}
+
+
 def test_create_cv_with_options(engine, spark, tmp_path):
     """WITH (...) options: PipelineDB ttl plus this engine's
     materialization knobs, all through the DDL string."""
     src_root = tmp_path / "kinesis"
-    write_record_file(str(src_root / "s"), [{"data": p} for p in "aab"])
     engine.execute(
         f"SELECT pipeline_kinesis.add_endpoint('ep', url := '{src_root}')"
     )
@@ -133,6 +157,7 @@ def test_create_cv_with_options(engine, spark, tmp_path):
     engine.execute(
         "SELECT pipeline_kinesis.consume_begin('ep', 's', 'ws')"
     )
+    write_record_file(str(src_root / "s"), [{"data": p} for p in "aab"])
     engine.wait_for_ingest()
     rows = {
         (r.payload, r.n)
@@ -146,7 +171,6 @@ def test_transform_chain_and_procedure(engine, spark, tmp_path):
     relation (output-stream chaining) and THEN EXECUTE PROCEDURE fires
     per batch via a registered proc."""
     src_root = tmp_path / "kinesis"
-    write_record_file(str(src_root / "s"), [{"data": p} for p in "xyz"])
     engine.execute(
         f"SELECT pipeline_kinesis.add_endpoint('ep', url := '{src_root}')"
     )
@@ -163,6 +187,7 @@ def test_transform_chain_and_procedure(engine, spark, tmp_path):
         "SELECT p, count(*) AS n FROM upperize_output GROUP BY p"
     )
     engine.execute("SELECT pipeline_kinesis.consume_begin('ep', 's', 'ts')")
+    write_record_file(str(src_root / "s"), [{"data": p} for p in "xyz"])
     engine.wait_for_ingest()
     out = {
         r.p for r in engine.execute("SELECT p FROM upperize_output").collect()
@@ -212,7 +237,6 @@ def test_execute_script_whole_session(engine, spark, tmp_path):
     """A psql-style script — comments, multi-line statements, literals
     containing semicolons — runs top to bottom with one call."""
     src_root = tmp_path / "kinesis"
-    write_record_file(str(src_root / "s"), [{"data": "a;b"}, {"data": "c"}])
     results = engine.execute_script(
         f"""
         -- provision
@@ -225,6 +249,7 @@ def test_execute_script_whole_session(engine, spark, tmp_path):
         """
     )
     assert results == ["success"] * 4
+    write_record_file(str(src_root / "s"), [{"data": "a;b"}, {"data": "c"}])
     engine.wait_for_ingest()
     rows = {
         (r.payload, r.n)
