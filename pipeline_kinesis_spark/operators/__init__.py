@@ -32,6 +32,14 @@ def pooled_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def pool_register(df: DataFrame) -> DataFrame:
+    """Register an already-persisted/checkpointed frame for release at
+    the next operator entry (unpersist on a non-cached frame is a no-op,
+    so checkpointed frames are safe to register)."""
+    _RELEASE_POOL.append(df)
+    return df
+
+
 def release_stale_caches() -> None:
     while _RELEASE_POOL:
         _RELEASE_POOL.pop().unpersist()

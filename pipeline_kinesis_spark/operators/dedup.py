@@ -24,6 +24,7 @@ from pipeline_kinesis_spark.functions.exprs import tokens
 from pipeline_kinesis_spark.io import load, spread
 from pipeline_kinesis_spark.operators import (
     QuerySpec,
+    pool_register,
     pooled_persist,
     release_stale_caches,
 )
@@ -615,12 +616,41 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pooled_persist(
         pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     )
+    labels = _connected_components(edges)
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("n").alias("doc_id"),
+            F.col("lbl").alias("component"),
+            "csize",
+            (F.col("n") == F.col("lbl")).alias("is_canonical"),
+        )
+    )
+
+
+# Truncate the propagation loop's lineage every K converged rounds:
+# without it each round's plan embeds every prior round's joins, so a
+# pathological long-chain component (diameter D → D rounds) grows the
+# plan linearly and the optimizer/serializer cost quadratically.
+# localCheckpoint materializes the round's labels to executor storage
+# and restarts lineage from there (the KMeans.fit pattern); K=3 keeps
+# recomputation-on-block-loss bounded to two rounds of work.
+_CC_CHECKPOINT_EVERY = 3
+
+
+def _connected_components(edges: DataFrame) -> DataFrame:
+    """(src, dst) symmetric edge list → (n, lbl) min-reachable-id labels
+    via hash-to-min label propagation (see neardup_components)."""
     labels = (
         edges.select(F.col("src").alias("n"))
         .distinct()
         .withColumn("lbl", F.col("n"))
         .persist()
     )
+    rounds = 0
     while True:
         neigh = (
             edges.join(labels, edges.src == labels.n)
@@ -635,8 +665,12 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))
                 ).alias("lbl"),
             )
-            .persist()
         )
+        rounds += 1
+        if rounds % _CC_CHECKPOINT_EVERY == 0:
+            new = new.localCheckpoint(eager=True)
+        else:
+            new = new.persist()
         changed = (
             new.alias("a")
             .join(labels.alias("b"), "n")
@@ -647,18 +681,9 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new
         if changed == 0:
             break
-    sizes = labels.groupBy("lbl").agg(
-        F.count(F.lit(1)).cast("long").alias("csize")
-    )
-    return (
-        labels.join(sizes, "lbl")
-        .select(
-            F.col("n").alias("doc_id"),
-            F.col("lbl").alias("component"),
-            "csize",
-            (F.col("n") == F.col("lbl")).alias("is_canonical"),
-        )
-    )
+    # the final labels frame backs the returned plan — release it at the
+    # next operator entry, not inside this one.
+    return pool_register(labels)
 
 
 NEARDUP_COMPONENTS_SQL = rf"""

@@ -205,3 +205,34 @@ def test_lsh_topk_sims_match_exact(spark, sf_dir):
     for r in cosine_topk_lsh(spark, sf_dir).collect():
         if (r.query_id, r.vec_id) in exact:
             assert abs(exact[(r.query_id, r.vec_id)] - r.sim) < 1e-9
+
+
+def test_connected_components_long_chain_converges_bounded_plan(spark):
+    """A planted 20-node chain (diameter 19 — the label-propagation
+    worst case) must converge to one component AND keep the final plan
+    depth bounded: periodic localCheckpoint truncates lineage, so the
+    surviving plan holds at most _CC_CHECKPOINT_EVERY rounds of joins
+    no matter how many rounds ran."""
+    from pipeline_kinesis_spark.operators.dedup import (
+        _CC_CHECKPOINT_EVERY,
+        _connected_components,
+    )
+
+    n = 20
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        chain + [(b, a) for a, b in chain], "src LONG, dst LONG"
+    )
+    labels = _connected_components(edges)
+    got = {r.n: r.lbl for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+    # label 0 walks one hop per round: ~n rounds ran, so checkpoints
+    # fired and the final LOGICAL lineage carries only the rounds since
+    # the last one — ≤ _CC_CHECKPOINT_EVERY rounds × 2 joins each, not
+    # ~2 joins per round × 19 rounds. (The analyzed plan is the lineage;
+    # the optimized/physical rendering also prints cached-plan internals
+    # and would overcount.)
+    plan = labels._jdf.queryExecution().analyzed().toString()
+    n_joins = plan.count("Join")
+    assert n_joins <= 2 * _CC_CHECKPOINT_EVERY, plan
