@@ -236,3 +236,47 @@ def test_connected_components_long_chain_converges_bounded_plan(spark):
     plan = labels._jdf.queryExecution().analyzed().toString()
     n_joins = plan.count("Join")
     assert n_joins <= 2 * _CC_CHECKPOINT_EVERY, plan
+
+
+def test_ivfpq_codes_partitioned_by_cell_prune_scan(spark, sf_dir, tmp_path):
+    """The composed IVF-PQ tier at its physical layout: PQ code rows
+    written partitionBy(cell) and probed with an nprobe cell filter must
+    be a partition-PRUNED scan — every file the probe reads lives under a
+    probed cell's directory, so per-query cost is nprobe/n_cells of the
+    code table, with each row already 64x-compressed by PQ."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import functions as F
+
+    from pipeline_kinesis_spark.operators.similarity import (
+        _pq_codebooks,
+        _pq_encode,
+        _with_dvec,
+    )
+    from pipeline_kinesis_spark.plans.inspect import explain_str
+
+    e = _with_dvec(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    fe = e.withColumn("fvec", array_to_vector("dvec"))
+    km = KMeans(k=8, seed=42, featuresCol="fvec", predictionCol="cell")
+    assigned = km.fit(fe).transform(fe).select("vec_id", "dvec", "nrm", "cell")
+    enc = _pq_encode(assigned, _pq_codebooks(e), passthrough=("cell",))
+
+    codes_dir = str(tmp_path / "ivfpq_codes")
+    enc.write.partitionBy("cell").parquet(codes_dir)
+
+    nprobe_cells = (1, 3, 5)
+    probe = spark.read.parquet(codes_dir).filter(
+        F.col("cell").isin(*nprobe_cells)
+    )
+    plan = explain_str(probe)
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the decisive check: the executed scan's own metrics — exactly
+    # nprobe partition directories were read, not all n_cells (collect()
+    # drives THIS DataFrame's queryExecution, whose leaf scan carries the
+    # numPartitions metric; count() would execute a separate plan)
+    n_rows = len(probe.collect())
+    scan = probe._jdf.queryExecution().executedPlan().collectLeaves().head()
+    n_parts = scan.metrics().apply("numPartitions").value()
+    assert n_parts == len(nprobe_cells), f"scan read {n_parts} partitions"
+    # and the probe reads strictly fewer rows than the full code table
+    assert 0 < n_rows < spark.read.parquet(codes_dir).count()
