@@ -40,3 +40,10 @@ def tokens(col: Column | str) -> Column:
     ``string_split_regex(trim(text), '\\s+')``)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.trim(c), r"\s+")
+
+
+def ngrams(col: Column, n: int) -> Column:
+    """Token array → overlapping n-gram strings, pure JVM (slice over a
+    generated index sequence; empty when the doc has < n tokens)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(col) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(col, i, n)))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pipeline_kinesis_spark.functions.exprs import tokens
+from pipeline_kinesis_spark.functions.exprs import ngrams, tokens
 from pipeline_kinesis_spark.io import load, spread
 from pipeline_kinesis_spark.operators import (
     QuerySpec,
@@ -706,8 +706,82 @@ FROM comp
 """
 
 
+# --- cross-document span duplication ---------------------------------------
+
+# Span width for sub-document duplication analysis: long enough that a
+# shared span means real text reuse (boilerplate, templates, mirrored
+# passages), short enough to catch partial overlap whole-doc dedup
+# misses. The MassiveText/Gopher pipelines dedup repeated spans at
+# similar widths.
+SPAN_N = 8
+
+
+def crossdoc_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 sub-document granularity: per document, how much of it is
+    8-token spans that ALSO occur in at least one other document —
+    the boilerplate/template-reuse signal that whole-document dedup
+    (exact or near) cannot see.
+
+    Scale shape: explode all overlapping spans (cost ∝ corpus tokens),
+    ONE distinct + span-keyed count to get each span's document
+    frequency, one span-keyed join back, one doc-keyed aggregate. Every
+    shuffle is keyed on span hash or doc_id — bucketed at any scale; no
+    pair join ever forms (the per-span doc COUNT is enough, the doc×doc
+    pair list is exactly what this operator avoids materializing).
+    """
+    spans = (
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+        .select(
+            "doc_id",
+            F.explode(ngrams(tokens("text"), SPAN_N)).alias("g"),
+        )
+    )
+    gstats = (
+        spans.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    return (
+        spans.join(gstats, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.round(
+                F.avg(F.when(F.col("nd") >= 2, 1.0).otherwise(0.0)), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+CROSSDOC_SPAN_DUP_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), spans AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + {SPAN_N} - 1), ' ') AS g
+  FROM toks,
+       unnest(generate_series(1, greatest(len(t) - {SPAN_N} + 1, 0))) AS s(i)
+), gstats AS (
+  SELECT g, count(DISTINCT doc_id) AS nd FROM spans GROUP BY g
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       round(avg(CASE WHEN nd >= 2 THEN 1.0 ELSE 0.0 END), 6) AS dup_frac
+FROM spans JOIN gstats USING (g)
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "exact_dedup": QuerySpec(exact_dedup, EXACT_DEDUP_SQL, bench=True),
+    "crossdoc_span_dup": QuerySpec(
+        crossdoc_span_dup, CROSSDOC_SPAN_DUP_SQL, bench=True
+    ),
     "ngram_jaccard_pairs": QuerySpec(
         ngram_jaccard_pairs, NGRAM_JACCARD_SQL, bench=True
     ),

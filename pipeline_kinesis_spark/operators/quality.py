@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pipeline_kinesis_spark.functions.exprs import tokens
+from pipeline_kinesis_spark.functions.exprs import ngrams, tokens
 from pipeline_kinesis_spark.io import load, spread
 from pipeline_kinesis_spark.operators import (
     QuerySpec,
@@ -46,11 +46,7 @@ CONTAM_BENCH_MOD = 50
 CONTAM_THRESHOLD = 0.05
 
 
-def _ngrams(col, n: int):
-    """Token array → overlapping n-gram strings, pure JVM (slice over a
-    generated index sequence; empty when the doc has < n tokens)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(col) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(col, i, n)))
+_ngrams = ngrams  # promoted to functions.exprs; call sites unchanged
 
 
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,10 +465,109 @@ GROUP BY lang
 """
 
 
+# --- n-gram LM perplexity filtering ----------------------------------------
+
+# CCNet-style quality filtering scores each document with a language
+# model trained on the corpus (or a trusted reference corpus) and drops
+# the high-perplexity tail. The LM here is an add-k-smoothed unigram
+# model over a CAPPED vocabulary with an OOV class — the cap is what
+# makes the model broadcastable at any corpus scale (a 100 TB corpus has
+# unbounded distinct tokens; a fixed-vocab LM with an UNK bucket is
+# exactly how production LM filters bound their tables).
+LM_VOCAB_MAX = 65_536
+LM_ADD_K = 0.5
+
+
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram-LM perplexity (C6 quality filtering — the
+    CCNet recipe's scoring step).
+
+    Two corpus passes, both scale-bounded:
+    - training pass: token explode → one keyed count aggregate → a
+      deterministic top-LM_VOCAB_MAX vocabulary (count DESC, token ASC,
+      planned as TakeOrderedAndProject like the BPE cap) plus O(1)
+      totals; out-of-vocabulary mass becomes one UNK class.
+    - scoring pass: tokens LEFT-JOIN the broadcast vocabulary (bounded
+      by the cap), per-token -ln p, one doc-keyed aggregate →
+      ppl = exp(mean). The shuffle carries O(docs) rows.
+
+    Emits (doc_id, n_tokens, n_oov, ppl); filtering is a WHERE on ppl.
+    Probabilities are exact rationals of integer counts so both engines
+    compute identical doubles; ppl rounds to 6 decimals to absorb
+    summation-order jitter.
+    """
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.orderBy(F.desc("c"), F.asc("w")).limit(LM_VOCAB_MAX)
+    consts = (
+        counts.agg(F.sum("c").alias("n_tok"))
+        .crossJoin(
+            vocab.agg(
+                F.sum("c").alias("n_vocab_tok"),
+                F.count(F.lit(1)).alias("v"),
+            )
+        )
+        .select(
+            "n_tok",
+            "v",
+            (F.col("n_tok") - F.col("n_vocab_tok")).alias("c_oov"),
+        )
+    )
+    p = (F.coalesce(F.col("c"), F.col("c_oov")) + F.lit(LM_ADD_K)) / (
+        F.col("n_tok") + F.lit(LM_ADD_K) * (F.col("v") + 1)
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .withColumn("nlp", -F.log(p))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+            F.round(F.exp(F.avg("nlp")), 6).alias("ppl"),
+        )
+    )
+
+
+LM_PERPLEXITY_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+), counts AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w
+), vocab AS (
+  SELECT w, c FROM counts ORDER BY c DESC, w ASC LIMIT {LM_VOCAB_MAX}
+), consts AS (
+  SELECT (SELECT sum(c) FROM counts) AS n_tok,
+         (SELECT count(*) FROM vocab) AS v,
+         (SELECT sum(c) FROM counts) - (SELECT sum(c) FROM vocab) AS c_oov
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN vocab.c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(exp(avg(-ln(
+         (coalesce(vocab.c, consts.c_oov) + {LM_ADD_K})
+         / (consts.n_tok + {LM_ADD_K} * (consts.v + 1))
+       ))), 6) AS ppl
+FROM tok LEFT JOIN vocab USING (w) CROSS JOIN consts
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "decontaminate_overlap": QuerySpec(
         decontaminate_overlap, DECONTAMINATE_SQL
     ),
+    "lm_perplexity": QuerySpec(lm_perplexity, LM_PERPLEXITY_SQL, bench=True),
     "gopher_repetition": QuerySpec(gopher_repetition, GOPHER_REPETITION_SQL),
     "pii_redact": QuerySpec(pii_redact, PII_REDACT_SQL, bench=True),
     "sequence_pack": QuerySpec(sequence_pack, SEQUENCE_PACK_SQL, bench=True),

@@ -68,6 +68,12 @@ _WINDOW = 50
 # Rotated-out rows remain covered by the local sf0.01 full differential
 # (tools/compare_oracle.py) and pytest; tools/gate_history.py asserts
 # every oracled registry query has held a driver-green row in some round.
+# Late round-4 additions lm_perplexity (CCNet-style capped-vocab unigram
+# LM scoring) and crossdoc_span_dup (sub-document span-reuse audit) take
+# gate rows immediately so they never join the never-gated backlog;
+# ngram_jaccard_pairs (naive twin — prefix twin stays in) and
+# doc_fingerprint (fingerprint family stays via winnow_fingerprint_stats)
+# rotate out, both green in two rounds.
 _PRIORITY = (
     # TPC-H aggregate/join shapes
     "q1_pricing_summary", "q7_volume_shipping",
@@ -87,13 +93,13 @@ _PRIORITY = (
     # timeseries (B11/B23/B24) + pandas-UDF surface (B27)
     "tumbling_window_agg", "session_window_agg",
     "asof_join", "zscore_per_user", "scaled_value_pandas",
-    # dedup (C1/C2: exact, jaccard both plans, MinHash LSH, SimHash)
-    "exact_dedup", "ngram_jaccard_pairs", "ngram_jaccard_prefix",
+    # dedup (C1/C2: exact, prefix-jaccard, MinHash LSH, SimHash, spans)
+    "exact_dedup", "crossdoc_span_dup", "ngram_jaccard_prefix",
     "minhash_lsh_recall", "simhash_planted_capture",
     # text analysis / corpus ops
     "corpus_clean", "token_stats",
     "text_quality", "lang_id_heuristic", "token_count_bpe",
-    "ngram_top_bigrams", "doc_fingerprint", "winnow_fingerprint_stats",
+    "ngram_top_bigrams", "lm_perplexity", "winnow_fingerprint_stats",
     # corpus curation (C6, round-4 rotation)
     "sequence_pack", "stratified_sample",
     # similarity search

@@ -280,3 +280,31 @@ def test_ivfpq_codes_partitioned_by_cell_prune_scan(spark, sf_dir, tmp_path):
     assert n_parts == len(nprobe_cells), f"scan read {n_parts} partitions"
     # and the probe reads strictly fewer rows than the full code table
     assert 0 < n_rows < spark.read.parquet(codes_dir).count()
+
+
+def test_crossdoc_span_dup_planted_reuse(spark, tmp_path):
+    """A passage copied between two documents must light up exactly its
+    span positions in both docs; a unique doc reports zero duplication."""
+    from pipeline_kinesis_spark.operators.dedup import (
+        SPAN_N,
+        crossdoc_span_dup,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(SPAN_N))  # one shared span
+    d = tmp_path / "corpus"
+    spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta gamma delta epsilon zeta"),
+            (2, f"eta theta iota kappa lam mu {shared}"),
+            (3, "nu xi omicron pi rho sigma tau upsilon phi chi"),
+        ],
+        "doc_id LONG, text STRING",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {r.doc_id: r for r in crossdoc_span_dup(spark, str(d)).collect()}
+    # docs 1 and 2 share exactly the one planted span; every other span
+    # includes a doc-unique token so cannot repeat across docs
+    assert rows[1].n_dup_spans == 1 and rows[2].n_dup_spans == 1
+    assert rows[3].n_dup_spans == 0 and rows[3].dup_frac == 0.0
+    for doc in (1, 2):
+        n = rows[doc].n_spans
+        assert abs(rows[doc].dup_frac - round(1 / n, 6)) < 1e-6

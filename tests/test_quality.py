@@ -95,3 +95,36 @@ def test_decontaminate_fractions_well_formed(spark, sf_dir):
         assert 0.0 < r.contam_frac <= 1.0
         assert r.is_contaminated == (r.n_matched / r.n_ngrams >= 0.05)
         assert r.doc_id % 50 != 0  # benchmark docs never self-report
+
+
+def test_lm_perplexity_oov_class(spark, tmp_path, monkeypatch):
+    """With the vocabulary cap forced below the corpus vocabulary, rare
+    tokens fall into the UNK class: they count as OOV and score with the
+    shared OOV probability mass — the bounded-table behavior the 100 TB
+    path depends on."""
+    import math
+
+    from pipeline_kinesis_spark.operators import quality
+
+    d = tmp_path / "corpus"
+    spark.createDataFrame(
+        [(1, "aa aa aa bb"), (2, "aa rare1 rare2 bb")],
+        "doc_id LONG, text STRING",
+    ).write.parquet(str(d / "documents.parquet"))
+    monkeypatch.setattr(quality, "LM_VOCAB_MAX", 2)
+    rows = {
+        r.doc_id: r for r in quality.lm_perplexity(spark, str(d)).collect()
+    }
+    # vocab = {aa:4, bb:2}; n_tok=8, c_oov=2, V=2, k=0.5
+    assert rows[1].n_oov == 0 and rows[2].n_oov == 2
+    k, n, v, c_oov = 0.5, 8, 2, 2
+    denom = n + k * (v + 1)
+    p_aa, p_bb, p_oov = (4 + k) / denom, (2 + k) / denom, (c_oov + k) / denom
+    want1 = math.exp(-(3 * math.log(p_aa) + math.log(p_bb)) / 4)
+    want2 = math.exp(
+        -(math.log(p_aa) + 2 * math.log(p_oov) + math.log(p_bb)) / 4
+    )
+    assert abs(rows[1].ppl - round(want1, 6)) < 1e-6
+    assert abs(rows[2].ppl - round(want2, 6)) < 1e-6
+    # higher-perplexity doc is the one full of rare tokens
+    assert rows[2].ppl > rows[1].ppl
