@@ -97,6 +97,10 @@ class Consumer:
     batchsize: int = 1000
     parallelism: int = 1
     start_position: str = "trim_horizon"
+    # A12 pacing: max fetch rounds per second for this consumer — the
+    # analog of the reference's KINESIS_READS_PER_SEC GetRecords pacing
+    # (kinesis_consumer.cpp:364-434). None → engine default trigger.
+    rate_limit_rps: float | None = None
     # per-shard max seqnum snapshot, filled once when start_position is
     # 'latest' — the analog of resolving LATEST into a concrete iterator at
     # first start (kinesis_consumer.cpp:296-325); restarts reuse it so a

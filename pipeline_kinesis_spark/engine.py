@@ -218,6 +218,7 @@ class Engine:
         batchsize: int = 1000,
         parallelism: int = 1,
         start_position: str = "trim_horizon",
+        rate_limit_rps: float | None = None,
     ) -> Consumer:
         """Start ingesting `stream` (a directory under the endpoint url)
         into the declared `relation`, plus one incremental query per
@@ -251,10 +252,12 @@ class Engine:
                     batchsize=batchsize,
                     parallelism=parallelism,
                     start_position=start_position,
+                    rate_limit_rps=rate_limit_rps,
                 )
             )
             if self._queries.get(consumer.id):
                 return consumer  # already running
+            interval = self._trigger_for(consumer)
 
             source = FileReplaySource(
                 os.path.join(ep.url, stream),
@@ -274,7 +277,7 @@ class Engine:
                 good.writeStream.format("parquet")
                 .option("path", self.table_dir(relation))
                 .option("checkpointLocation", self._ckpt(consumer.id, "ingest"))
-                .trigger(processingTime=self.trigger_interval)
+                .trigger(processingTime=interval)
                 .start()
             )
             # (b) dead-letter quarantine (improves on the reference's
@@ -286,7 +289,7 @@ class Engine:
                     "checkpointLocation",
                     self._ckpt(consumer.id, "dead_letter"),
                 )
-                .trigger(processingTime=self.trigger_interval)
+                .trigger(processingTime=interval)
                 .start()
             )
             # (c) continuous views registered on this relation.
@@ -325,7 +328,7 @@ class Engine:
                         "checkpointLocation",
                         self._ckpt(consumer.id, f"transform_{t.name}"),
                     )
-                    .trigger(processingTime=self.trigger_interval)
+                    .trigger(processingTime=interval)
                     .start()
                 )
                 # (e) chained continuous views over this transform's sink
@@ -435,7 +438,7 @@ class Engine:
                             "checkpointLocation",
                             self._ckpt(cid, f"transform_{td.name}"),
                         )
-                        .trigger(processingTime=self.trigger_interval)
+                        .trigger(processingTime=self._trigger_for_cid(cid))
                         .start()
                     )
 
@@ -478,11 +481,31 @@ class Engine:
             "active BOOLEAN, running BOOLEAN",
         )
 
+    def _trigger_for(self, consumer: Consumer) -> str:
+        """A12 pacing: the reference caps GetRecords at a fixed request
+        rate per shard (kinesis_consumer.cpp:364-434, KINESIS_READS_PER_
+        SEC). One micro-batch trigger = one fetch round here, so a
+        consumer's ``rate_limit_rps`` maps to a processingTime trigger of
+        1/rps seconds — an ACTIVE limit on fetch rounds (and with
+        ``batchsize``/``maxFilesPerTrigger`` admission, on records/s),
+        not just a stored config value."""
+        rps = getattr(consumer, "rate_limit_rps", None)
+        if not rps or rps <= 0:
+            return self.trigger_interval
+        return f"{max(int(1000 / rps), 1)} milliseconds"
+
+    def _trigger_for_cid(self, consumer_id: int) -> str:
+        for c in self.catalog.all_consumers():
+            if c.id == consumer_id:
+                return self._trigger_for(c)
+        return self.trigger_interval
+
     def _start_view_query(
         self, consumer_id: int, view: ViewDef, vdf: DataFrame
     ) -> StreamingQuery:
         """Materialize one compiled continuous view (memory sink or keyed
         parquet upsert with optional TTL reaping)."""
+        interval = self._trigger_for_cid(consumer_id)
         if view.materialize == "parquet_upsert":
             table_dir = self.view_dir(view.name)
             key_cols = list(view.key_cols or [])
@@ -504,7 +527,7 @@ class Engine:
                     "checkpointLocation",
                     self._ckpt(consumer_id, f"view_{view.name}"),
                 )
-                .trigger(processingTime=self.trigger_interval)
+                .trigger(processingTime=interval)
                 .start()
             )
         return materialize_memory(
@@ -512,7 +535,7 @@ class Engine:
             view.name,
             self._ckpt(consumer_id, f"view_{view.name}"),
             output_mode=view.output_mode,
-            trigger_interval=self.trigger_interval,
+            trigger_interval=interval,
         )
 
     def _apply_start_position(
@@ -597,6 +620,7 @@ class Engine:
                 c.batchsize,
                 c.parallelism,
                 c.start_position,
+                getattr(c, "rate_limit_rps", None),
             )
             for c in self.catalog.all_consumers()
         ]

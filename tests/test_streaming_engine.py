@@ -254,3 +254,28 @@ def test_update_mode_view(engine, spark, tmp_path):
     _put_foo_records(src_root / "s5", 20, 30)
     engine.wait_for_ingest()
     assert spark.table("s5_total").collect()[0].n == 30
+
+
+def test_rate_limited_consumer_paces_and_ingests_all(engine, spark, tmp_path):
+    """A12 active pacing: rate_limit_rps maps the reference's GetRecords
+    request pacing (kinesis_consumer.cpp:364-434) onto the micro-batch
+    trigger — 4 req/s → one fetch round per 250 ms. The paced consumer
+    must still ingest every record, the derived trigger must follow
+    1/rps, and the knob must survive the catalog round-trip so a
+    restarted consumer stays paced."""
+    assert engine._trigger_for_cid(10**9) == engine.trigger_interval
+    src_root = tmp_path / "kinesis"
+    _put_foo_records(src_root / "s1", 0, 10)
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("rl_stream", "payload STRING")
+    c = engine.consume_begin(
+        "ep", "s1", "rl_stream", rate_limit_rps=4.0
+    )
+    assert engine._trigger_for(c) == "250 milliseconds"
+    engine.wait_for_ingest()
+    assert engine.stream_table("rl_stream").count() == 10
+
+    # catalog round-trip: the persisted consumer row carries the pacing
+    persisted = engine.catalog.find_consumer("ep", "s1", "rl_stream")
+    assert persisted.rate_limit_rps == 4.0
+    assert engine._trigger_for_cid(persisted.id) == "250 milliseconds"
