@@ -613,8 +613,19 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _jaccard_prefix_pairs(
         spark, sf_dir, JACCARD_THRESHOLD
     ).select("doc_a", "doc_b")
+    return cluster_pairs(pairs, id_col="doc_id", cluster_col="component")
+
+
+def cluster_pairs(
+    pairs: DataFrame, id_col: str, cluster_col: str
+) -> DataFrame:
+    """Undirected similarity pairs (two columns, any names) → one row per
+    member node: (id_col, cluster_col = min reachable id, csize,
+    is_canonical). The clustering step shared by every pair-producing
+    dedup tier (text jaccard, embedding cosine, ...)."""
+    a, b = pairs.columns[:2]
     edges = pooled_persist(
-        pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
+        pairs.select(a, b).union(pairs.select(b, a)).toDF("src", "dst")
     )
     labels = _connected_components(edges)
     sizes = labels.groupBy("lbl").agg(
@@ -623,8 +634,8 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.join(sizes, "lbl")
         .select(
-            F.col("n").alias("doc_id"),
-            F.col("lbl").alias("component"),
+            F.col("n").alias(id_col),
+            F.col("lbl").alias(cluster_col),
             "csize",
             (F.col("n") == F.col("lbl")).alias("is_canonical"),
         )

@@ -706,7 +706,46 @@ GROUP BY label, i
 """
 
 
+def embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, completed to the DELETE-ready step:
+    cosine pairs ≥ threshold → connected components → min-vec_id
+    canonical survivor per cluster. The vector cousin of
+    neardup_components, sharing its label-propagation core
+    (dedup.cluster_pairs: keyed joins per round, localCheckpoint lineage
+    truncation, O(diameter) rounds).
+
+    Oracle: DuckDB recursive CTE over the same exact-cosine pair set.
+    """
+    from pipeline_kinesis_spark.operators.dedup import cluster_pairs
+
+    pairs = cosine_neardup_pairs(spark, sf_dir).select("id_a", "id_b")
+    return cluster_pairs(pairs, id_col="vec_id", cluster_col="cluster")
+
+
+EMBEDDING_NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({COSINE_NEARDUP_SQL}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+), comp AS (
+  SELECT n AS vec_id, min(m) AS cluster FROM reach GROUP BY n
+)
+SELECT vec_id, cluster,
+       CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS csize,
+       vec_id = cluster AS is_canonical
+FROM comp
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "embedding_neardup_clusters": QuerySpec(
+        embedding_neardup_clusters, EMBEDDING_NEARDUP_CLUSTERS_SQL
+    ),
     "embedding_centroids": QuerySpec(
         embedding_centroids, EMBEDDING_CENTROIDS_SQL
     ),

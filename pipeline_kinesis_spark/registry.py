@@ -102,9 +102,10 @@ _PRIORITY = (
     "ngram_top_bigrams", "lm_perplexity", "winnow_fingerprint_stats",
     # corpus curation (C6, round-4 rotation)
     "sequence_pack", "stratified_sample",
-    # similarity search
+    # similarity search (embedding_centroids rotates out 2x-green for
+    # the new embedding_neardup_clusters composition)
     "cosine_topk_lsh_recall", "cosine_topk_ivf_recall",
-    "cosine_neardup_pairs", "embedding_centroids",
+    "cosine_neardup_pairs", "embedding_neardup_clusters",
     # sketches
     "cms_event_counts", "bloom_order_priorities", "fss_topk_tokens",
     # multimodal
