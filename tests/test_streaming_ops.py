@@ -315,3 +315,40 @@ def test_parquet_upsert_requires_keys(engine):
             stream="k_stream",
             materialize="parquet_upsert",
         )
+
+
+def test_sketch_in_continuous_view(engine, spark, tmp_path):
+    """B14 x B2 composition: PipelineDB's signature trick — an
+    approximate-distinct sketch maintained incrementally by a standing
+    query. approx_count_distinct runs in the continuous view's streaming
+    aggregation (partial sketches merged across micro-batches by the
+    state store), so the standing 'distinct users per event type' stays
+    O(sketch) state at any stream length."""
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("ev_stream", "etype STRING, user_id BIGINT")
+    engine.create_continuous_view(
+        "ev_users",
+        "SELECT etype, approx_count_distinct(user_id) AS approx_users, "
+        "count(*) AS n FROM ev_stream GROUP BY etype",
+        stream="ev_stream",
+    )
+    engine.consume_begin("ep", "s", "ev_stream", fmt="csv", delimiter=",")
+    write_record_file(
+        str(src_root / "s"),
+        [{"data": f"click,{u}"} for u in range(40)]
+        + [{"data": f"view,{u % 5}"} for u in range(20)],
+    )
+    engine.wait_for_ingest()
+    # second batch: overlapping users must not inflate the distinct count
+    write_record_file(
+        str(src_root / "s"),
+        [{"data": f"click,{u}"} for u in range(40)],
+    )
+    engine.wait_for_ingest()
+    rows = {r.etype: (r.approx_users, r.n) for r in
+            spark.table("ev_users").collect()}
+    assert rows["click"][1] == 80 and rows["view"][1] == 20
+    # HLL++ at default rsd=5%: 40 distinct clicks, 5 distinct viewers
+    assert abs(rows["click"][0] - 40) <= 4
+    assert abs(rows["view"][0] - 5) <= 1
