@@ -352,3 +352,37 @@ def test_sketch_in_continuous_view(engine, spark, tmp_path):
     # HLL++ at default rsd=5%: 40 distinct clicks, 5 distinct viewers
     assert abs(rows["click"][0] - 40) <= 4
     assert abs(rows["view"][0] - 5) <= 1
+
+
+def test_compact_swap_failure_restores_relation(engine, spark, tmp_path, monkeypatch):
+    """If the second rename of the compaction swap fails, the original
+    directory must be restored from the .compact.bak snapshot — the
+    relation is never left missing and its data is intact."""
+    import os as _os
+
+    src_root = tmp_path / "kinesis"
+    for i in range(3):
+        write_record_file(str(src_root / "s"), [{"data": f"x{i}"}])
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("cf_stream", "payload STRING")
+    engine.consume_begin("ep", "s", "cf_stream")
+    engine.wait_for_ingest()
+    engine.consume_end("ep", "s", "cf_stream")
+    table_dir = engine.table_dir("cf_stream")
+
+    real_rename = _os.rename
+
+    def failing_rename(src, dst):
+        if dst == table_dir and src.endswith(".compact.tmp"):
+            raise OSError("injected: second rename fails")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr("pipeline_kinesis_spark.engine.os.rename", failing_rename)
+    with pytest.raises(OSError, match="injected"):
+        engine.compact_stream_table("cf_stream", target_files=1)
+    monkeypatch.undo()
+
+    assert _os.path.isdir(table_dir), "relation directory gone after failure"
+    assert {
+        r.payload for r in engine.stream_table("cf_stream").collect()
+    } == {"x0", "x1", "x2"}
