@@ -740,11 +740,22 @@ def crossdoc_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join ever forms (the per-span doc COUNT is enough, the doc×doc
     pair list is exactly what this operator avoids materializing).
     """
+    # spans are keyed by xxhash64 of the gram, not the ~50-char string —
+    # the two keyed shuffles carry 8-byte keys (~6× less payload). A
+    # 64-bit collision merges two gram groups; at ~10^12 spans that is a
+    # handful of spans miscounted out of a trillion (birthday bound), an
+    # acceptable error for an audit statistic — switch to a
+    # two-seed 128-bit key if exactness is required.
     spans = (
         spread(load(spark, sf_dir, "documents"), "doc_id")
         .select(
             "doc_id",
-            F.explode(ngrams(tokens("text"), SPAN_N)).alias("g"),
+            F.explode(
+                F.transform(
+                    ngrams(tokens("text"), SPAN_N),
+                    lambda s: F.xxhash64(s, F.lit(42)),
+                )
+            ).alias("g"),
         )
     )
     gstats = (
