@@ -139,3 +139,96 @@ def sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming space-saving top-k (PipelineDB's continuous topk analog)
+
+TOPK_SCHEMA = "grp STRING, item STRING, est_count BIGINT, max_err BIGINT"
+_TOPK_STATE_SCHEMA = (
+    "items ARRAY<STRING>, counts ARRAY<LONG>, errs ARRAY<LONG>"
+)
+
+
+def make_streaming_topk(capacity: int, k: int):
+    """Per-group space-saving summary maintained across micro-batches.
+
+    Classic Metwally et al. semantics: a bounded summary of ``capacity``
+    (item, count, err) rows; an unseen item evicts the current minimum,
+    inheriting its count as overestimation error. Guarantees carried
+    across batches: est_count >= true count, est_count - max_err <= true
+    count, and any item with true count > min-summary-count is present.
+    Batch items merge in deterministic (batch_count DESC, item ASC)
+    order so results are independent of pandas hash order.
+    """
+
+    def update(key, pdfs, state):
+        if state.exists:
+            items, counts, errs = state.get
+            summary = {
+                i: [c, e] for i, c, e in zip(items, counts, errs)
+            }
+        else:
+            summary = {}
+
+        batch = pd.concat([pdf["item"] for pdf in pdfs])
+        bc = batch.value_counts()
+        for item in sorted(bc.index, key=lambda i: (-bc[i], i)):
+            c = int(bc[item])
+            if item in summary:
+                summary[item][0] += c
+            elif len(summary) < capacity:
+                summary[item] = [c, 0]
+            else:
+                evict = min(summary.items(), key=lambda kv: (kv[1][0], kv[0]))
+                min_item, (min_c, _) = evict
+                del summary[min_item]
+                summary[item] = [min_c + c, min_c]
+
+        rows = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update((
+            [i for i, _ in rows],
+            [c for _, (c, _) in rows],
+            [e for _, (_, e) in rows],
+        ))
+        top = rows[:k]
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(top),
+                "item": [i for i, _ in top],
+                "est_count": [c for _, (c, _) in top],
+                "max_err": [e for _, (_, e) in top],
+            }
+        )
+
+    return update
+
+
+def streaming_topk(
+    records: DataFrame,
+    group_col: str,
+    item_col: str,
+    capacity: int = 100,
+    k: int = 10,
+) -> DataFrame:
+    """Continuous heavy hitters: the current top-k per group re-emitted
+    every micro-batch (update mode) — the standing-query form of the
+    batch FSS sketch (operators/sketches.py), i.e. PipelineDB's
+    continuously-maintained topk.
+
+    Scale shape: one shuffle on the group key; state is O(capacity) per
+    group regardless of stream length; the Python boundary is one Arrow
+    batch per group per trigger.
+    """
+    ship_package(records.sparkSession)
+    prepared = records.selectExpr(
+        f"CAST({group_col} AS STRING) AS grp",
+        f"CAST({item_col} AS STRING) AS item",
+    )
+    return prepared.groupBy("grp").applyInPandasWithState(
+        make_streaming_topk(capacity, k),
+        outputStructType=TOPK_SCHEMA,
+        stateStructType=_TOPK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
