@@ -799,10 +799,137 @@ GROUP BY doc_id
 """
 
 
+def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE step of sub-document dedup (the "deduplicating training
+    data" recipe): rewrite every document with its cross-document
+    duplicated 8-token spans REMOVED — tokens covered by any span that
+    also occurs in another document are dropped, the survivors rejoin in
+    order. crossdoc_span_dup above is the audit; this is the action.
+
+    Scale shape: span table with positions (explode, doc-keyed), one
+    span-keyed doc-frequency aggregate, one span-keyed join back to
+    positions, covered-position explode (≤ SPAN_N per dup span), one
+    doc-keyed anti-join of token positions against covered positions,
+    one doc-keyed fold to rebuild the text. Every shuffle keys on span
+    hash or doc_id — no pair join, no driver state. Span keys are
+    xxhash64 internally (the oracle joins on gram strings — identical
+    groups at any realistic collision rate; output carries no key).
+    """
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", tokens("text").alias("t")
+    )
+    # (doc_id, pos, g): pos is 1-based to match the oracle's
+    # generate_series indexing
+    spans = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                ngrams(F.col("t"), SPAN_N),
+                lambda s: F.xxhash64(s, F.lit(42)),
+            )
+        ).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    dup_g = (
+        spans.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    covered = (
+        spans.join(dup_g, "g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (SPAN_N - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    tok_pos = d.select(
+        "doc_id", F.posexplode("t").alias("tpos0", "tok")
+    ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    kept = tok_pos.join(
+        covered,
+        (tok_pos.doc_id == covered.doc_id) & (tok_pos.tpos == covered.cpos),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean"),
+    )
+    totals = d.select(
+        "doc_id", F.size("t").cast("long").alias("n_tokens")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+DEDUP_SPANS_REWRITE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), spans AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(t, i, i + {SPAN_N} - 1), ' ') AS g
+  FROM toks,
+       unnest(generate_series(1, greatest(len(t) - {SPAN_N} + 1, 0))) AS s(i)
+), dup_g AS (
+  SELECT g FROM (
+    SELECT g, count(DISTINCT doc_id) AS nd FROM spans GROUP BY g
+  ) WHERE nd >= 2
+), covered AS (
+  SELECT DISTINCT doc_id, pos + off AS cpos
+  FROM (SELECT doc_id, pos FROM spans JOIN dup_g USING (g)),
+       unnest(generate_series(0, {SPAN_N} - 1)) AS o(off)
+), tok_pos AS (
+  SELECT doc_id, i AS tpos, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS s(i)
+), kept AS (
+  SELECT tp.doc_id, tp.tpos, tp.tok
+  FROM tok_pos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c
+    WHERE c.doc_id = tp.doc_id AND c.cpos = tp.tpos
+  )
+), rebuilt AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY tpos) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       coalesce(r.n_kept, 0) AS n_kept,
+       CAST(len(t.t) AS BIGINT) - coalesce(r.n_kept, 0) AS n_removed,
+       coalesce(r.text_clean, '') AS text_clean
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "exact_dedup": QuerySpec(exact_dedup, EXACT_DEDUP_SQL, bench=True),
     "crossdoc_span_dup": QuerySpec(
         crossdoc_span_dup, CROSSDOC_SPAN_DUP_SQL, bench=True
+    ),
+    "dedup_spans_rewrite": QuerySpec(
+        dedup_spans_rewrite, DEDUP_SPANS_REWRITE_SQL
     ),
     "ngram_jaccard_pairs": QuerySpec(
         ngram_jaccard_pairs, NGRAM_JACCARD_SQL, bench=True

@@ -96,10 +96,11 @@ _PRIORITY = (
     # dedup (C1/C2: exact, prefix-jaccard, MinHash LSH, SimHash, spans)
     "exact_dedup", "crossdoc_span_dup", "ngram_jaccard_prefix",
     "minhash_lsh_recall", "simhash_planted_capture",
-    # text analysis / corpus ops
+    # text analysis / corpus ops (ngram_top_bigrams rotates out 2x-green
+    # for the new dedup_spans_rewrite DELETE-step operator)
     "corpus_clean", "token_stats",
     "text_quality", "lang_id_heuristic", "token_count_bpe",
-    "ngram_top_bigrams", "lm_perplexity", "winnow_fingerprint_stats",
+    "dedup_spans_rewrite", "lm_perplexity", "winnow_fingerprint_stats",
     # corpus curation (C6, round-4 rotation)
     "sequence_pack", "stratified_sample",
     # similarity search (embedding_centroids rotates out 2x-green for

@@ -308,3 +308,34 @@ def test_crossdoc_span_dup_planted_reuse(spark, tmp_path):
     for doc in (1, 2):
         n = rows[doc].n_spans
         assert abs(rows[doc].dup_frac - round(1 / n, 6)) < 1e-6
+
+
+def test_dedup_spans_rewrite_removes_shared_passage(spark, tmp_path):
+    """The planted shared passage is excised from BOTH docs (every token
+    its spans cover), unique docs come back verbatim, and token
+    accounting holds: n_kept + n_removed == n_tokens."""
+    from pipeline_kinesis_spark.operators.dedup import (
+        SPAN_N,
+        dedup_spans_rewrite,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(SPAN_N))
+    uniq1 = "alpha beta gamma delta epsilon zeta"
+    uniq2 = "eta theta iota kappa lam mu"
+    uniq3 = "nu xi omicron pi rho sigma tau upsilon"
+    d = tmp_path / "corpus"
+    spark.createDataFrame(
+        [
+            (1, f"{shared} {uniq1}"),
+            (2, f"{uniq2} {shared}"),
+            (3, uniq3),
+        ],
+        "doc_id LONG, text STRING",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {r.doc_id: r for r in dedup_spans_rewrite(spark, str(d)).collect()}
+    assert rows[1].text_clean == uniq1
+    assert rows[2].text_clean == uniq2
+    assert rows[3].text_clean == uniq3 and rows[3].n_removed == 0
+    for r in rows.values():
+        assert r.n_kept + r.n_removed == r.n_tokens
+    assert rows[1].n_removed == SPAN_N and rows[2].n_removed == SPAN_N
