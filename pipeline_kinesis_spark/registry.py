@@ -15,6 +15,7 @@ from pipeline_kinesis_spark.shipping import ship_package
 from pipeline_kinesis_spark.operators import (
     bpe,
     dedup,
+    events,
     multimodal,
     pandas_udfs,
     quality,
@@ -38,6 +39,7 @@ _MODULES = (
     sketches,
     multimodal,
     pandas_udfs,
+    events,
 )
 
 # The external correctness gate checks the FIRST 50 entries of queries()
@@ -86,8 +88,10 @@ _PRIORITY = (
     "cosine_topk_pq_recall", "cosine_topk_ivfpq_recall",
     # approx aggregates (B14)
     "hll_mergeable_distinct", "agg_approx_percentile",
-    # remaining §2B families
-    "pivot_priority_by_year", "window_range_frame", "agg_keyed_minmax",
+    # remaining §2B families (pivot_priority_by_year rotates out
+    # 2x-green for funnel_conversion; B15 stays via grouping_sets +
+    # unpivot)
+    "funnel_conversion", "window_range_frame", "agg_keyed_minmax",
     "agg_salted_skew", "join_salted_skew", "unpivot_lineitem_measures",
     "window_distribution",
     # timeseries (B11/B23/B24) + pandas-UDF surface (B27)
@@ -107,8 +111,9 @@ _PRIORITY = (
     # the new embedding_neardup_clusters composition)
     "cosine_topk_lsh_recall", "cosine_topk_ivf_recall",
     "cosine_neardup_pairs", "embedding_neardup_clusters",
-    # sketches
-    "cms_event_counts", "bloom_order_priorities", "fss_topk_tokens",
+    # sketches (cms_event_counts rotates out 2x-green for
+    # cohort_retention; B14 stays via hll/percentile/bloom/fss)
+    "cohort_retention", "bloom_order_priorities", "fss_topk_tokens",
     # multimodal
     "multimodal_meta_stats", "multimodal_resize", "multimodal_frame_sample",
     "multimodal_features",
