@@ -170,6 +170,32 @@ class Catalog:
             self.state.streams[sd.name] = asdict(sd)
             self._save()
 
+    def alter_stream_add_column(
+        self, name: str, col_name: str, col_type: str
+    ) -> StreamDef:
+        """ALTER STREAM ... ADD COLUMN (PipelineDB stream evolution):
+        append a column to the declared schema. Existing archived rows
+        read back NULL for it (the archive is read with the declared
+        schema, so old parquet files simply lack the column)."""
+        with self._lock:
+            sd = self.stream(name)
+            existing = [
+                f.strip().split()[0].lower()
+                for f in sd.schema_ddl.split(",")
+            ]
+            if col_name.lower() in existing:
+                raise ValueError(
+                    f"column {col_name!r} already exists on {name!r}"
+                )
+            if col_name.lower() == "arrival_timestamp":
+                raise ValueError(
+                    "arrival_timestamp is engine-injected; do not declare it"
+                )
+            sd.schema_ddl = f"{sd.schema_ddl}, {col_name} {col_type}"
+            self.state.streams[name] = asdict(sd)
+            self._save()
+            return sd
+
     def drop_stream(self, name: str) -> None:
         with self._lock:
             dependent = [

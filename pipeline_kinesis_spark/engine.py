@@ -638,14 +638,51 @@ class Engine:
 
     # ---------------------------------------------------------- inspection
 
+    def alter_stream_add_column(
+        self, relation: str, col_name: str, col_type: str
+    ) -> None:
+        """ALTER STREAM ... ADD COLUMN (stream schema evolution): append
+        a column to the declared schema. Consumers must be stopped first
+        — the parse schema binds when a consumer's standing queries
+        start, and a restart re-binds it (same contract as compaction).
+        Archived rows written under the old schema read back NULL for
+        the new column (mergeSchema parquet read + declared-schema
+        fill-in in stream_table)."""
+        with self._lock:
+            for c in self.catalog.all_consumers():
+                if c.relation == relation and c.id in self._queries:
+                    raise ValueError(
+                        f"stop consumers for {relation!r} before altering"
+                    )
+            self.catalog.alter_stream_add_column(relation, col_name, col_type)
+
     def stream_table(self, relation: str) -> DataFrame:
         """Ad-hoc batch reads over the archived stream relation (ingested
-        rows plus any recovered via replay_dead_letters)."""
-        df = self.spark.read.parquet(self.table_dir(relation))
+        rows plus any recovered via replay_dead_letters). mergeSchema
+        unions file schemas across ALTER STREAM generations; declared
+        columns present in no file yet are filled with typed NULLs."""
+        df = self.spark.read.option("mergeSchema", "true").parquet(
+            self.table_dir(relation)
+        )
         if os.path.isdir(self._replayed_dir(relation)):
             df = df.unionByName(
-                self.spark.read.parquet(self._replayed_dir(relation))
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    self._replayed_dir(relation)
+                ),
+                allowMissingColumns=True,
             )
+        try:
+            sd = self.catalog.stream(relation)
+        except KeyError:
+            return df  # transform sink relations have no declared schema
+        present = set(df.columns)
+        from pyspark.sql.types import StructType
+
+        for field in StructType.fromDDL(sd.schema_ddl).fields:
+            if field.name not in present:
+                df = df.withColumn(
+                    field.name, F.lit(None).cast(field.dataType)
+                )
         return df
 
     def compact_stream_table(

@@ -179,6 +179,11 @@ _CREATE_CT = re.compile(
     r"(?:\s+THEN\s+EXECUTE\s+PROCEDURE\s+(\w+)\s*\(\s*\))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_ALTER_STREAM = re.compile(
+    r"^\s*ALTER\s+STREAM\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()]+)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DROP = re.compile(
     r"^\s*DROP\s+(CONTINUOUS\s+VIEW|CONTINUOUS\s+TRANSFORM|STREAM)\s+"
     r"(\w+)\s*;?\s*$",
@@ -290,6 +295,13 @@ def execute(engine, statement: str) -> DataFrame | str:
     m = _CREATE_STREAM.match(statement)
     if m:
         engine.create_stream(m.group(1), _map_pg_schema(m.group(2)))
+        return "success"
+
+    m = _ALTER_STREAM.match(statement)
+    if m:
+        name, col, pgtype = m.groups()
+        spark_ddl = _map_pg_schema(f"{col} {pgtype}")
+        engine.alter_stream_add_column(name, *spark_ddl.split(" ", 1))
         return "success"
 
     m = _CREATE_CV.match(statement)

@@ -279,3 +279,32 @@ def test_rate_limited_consumer_paces_and_ingests_all(engine, spark, tmp_path):
     persisted = engine.catalog.find_consumer("ep", "s1", "rl_stream")
     assert persisted.rate_limit_rps == 4.0
     assert engine._trigger_for_cid(persisted.id) == "250 milliseconds"
+
+
+def test_alter_stream_add_column_evolution(engine, spark, tmp_path):
+    """ALTER STREAM ADD COLUMN: rows archived under the old schema read
+    back NULL for the new column; a restarted consumer parses the new
+    schema; the alter is refused while consumers run."""
+    src_root = tmp_path / "kinesis"
+    write_record_file(str(src_root / "s"), [{"data": '{"k": "a"}'}])
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("ev_s", "k STRING")
+    engine.consume_begin("ep", "s", "ev_s", fmt="json")
+    engine.wait_for_ingest()
+
+    with pytest.raises(ValueError, match="stop consumers"):
+        engine.alter_stream_add_column("ev_s", "v", "BIGINT")
+    engine.consume_end("ep", "s", "ev_s")
+
+    # SQL surface form (PG type mapped), then resume with the new schema
+    assert engine.execute("ALTER STREAM ev_s ADD COLUMN v bigint") == (
+        "success"
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        engine.alter_stream_add_column("ev_s", "v", "BIGINT")
+    write_record_file(str(src_root / "s"), [{"data": '{"k": "b", "v": 7}'}])
+    engine.consume_begin("ep", "s", "ev_s", fmt="json")
+    engine.wait_for_ingest()
+
+    rows = {r.k: r.v for r in engine.stream_table("ev_s").collect()}
+    assert rows == {"a": None, "b": 7}
