@@ -563,11 +563,119 @@ GROUP BY doc_id
 """
 
 
+# --- composite curation report ---------------------------------------------
+
+# Keep/drop thresholds. Tuned to the fixture corpus so both keep and
+# drop branches are exercised; in production these are the pipeline's
+# policy knobs.
+CURATE_MIN_UNIQ = 0.30       # uniq_ratio below → repetitive junk
+CURATE_MAX_DUP_FRAC = 0.50   # cross-doc span reuse above → boilerplate
+CURATE_MAX_PPL_RATIO = 1.5   # ppl above 1.5× corpus median → outlier
+
+
+def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE top-level curation artifact: one row per document joining the
+    per-doc quality signals — lexical quality, benchmark contamination,
+    LM perplexity, cross-document span reuse — into a keep/drop verdict
+    with per-signal reason flags. This is the table a data engineer
+    inspects before the DELETE; every signal column is itself an
+    oracle-checked operator.
+
+    Scale shape: each constituent is doc-keyed; the report is three
+    doc-keyed equi-joins (contamination is a left join — clean docs have
+    no row) plus one broadcast of the O(1) corpus-median row. No new
+    shuffle shapes beyond the constituents'.
+    """
+    from pipeline_kinesis_spark.operators.dedup import crossdoc_span_dup
+    from pipeline_kinesis_spark.operators.textops import text_quality
+
+    tq = text_quality(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens", "uniq_ratio"
+    )
+    contam = decontaminate_overlap(spark, sf_dir).select(
+        "doc_id", "is_contaminated"
+    )
+    lm = lm_perplexity(spark, sf_dir).select("doc_id", "ppl")
+    spans = crossdoc_span_dup(spark, sf_dir).select("doc_id", "dup_frac")
+    med = lm.agg(
+        F.median("ppl").alias("med_ppl")
+    )
+    flags = (
+        tq.join(lm, "doc_id")
+        .join(spans, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .crossJoin(F.broadcast(med))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "uniq_ratio",
+            "ppl",
+            F.coalesce("dup_frac", F.lit(0.0)).alias("dup_frac"),
+            F.coalesce("is_contaminated", F.lit(False)).alias(
+                "flag_contaminated"
+            ),
+            (F.col("uniq_ratio") < CURATE_MIN_UNIQ).alias("flag_repetitive"),
+            (
+                F.coalesce("dup_frac", F.lit(0.0)) > CURATE_MAX_DUP_FRAC
+            ).alias("flag_boilerplate"),
+            (
+                F.col("ppl") > CURATE_MAX_PPL_RATIO * F.col("med_ppl")
+            ).alias("flag_ppl_outlier"),
+        )
+    )
+    return flags.withColumn(
+        "keep",
+        ~(
+            F.col("flag_contaminated")
+            | F.col("flag_repetitive")
+            | F.col("flag_boilerplate")
+            | F.col("flag_ppl_outlier")
+        ),
+    )
+
+
+CURATION_REPORT_SQL = f"""
+WITH tq AS ({{tq}}), contam AS ({{contam}}), lm AS ({{lm}}),
+     spans AS ({{spans}}),
+     med AS (SELECT median(ppl) AS med_ppl FROM lm)
+SELECT tq.doc_id, tq.lang, tq.n_tokens, tq.uniq_ratio, lm.ppl,
+       coalesce(spans.dup_frac, 0.0) AS dup_frac,
+       coalesce(contam.is_contaminated, FALSE) AS flag_contaminated,
+       tq.uniq_ratio < {CURATE_MIN_UNIQ} AS flag_repetitive,
+       coalesce(spans.dup_frac, 0.0) > {CURATE_MAX_DUP_FRAC}
+         AS flag_boilerplate,
+       lm.ppl > {CURATE_MAX_PPL_RATIO} * med.med_ppl AS flag_ppl_outlier,
+       NOT (coalesce(contam.is_contaminated, FALSE)
+            OR tq.uniq_ratio < {CURATE_MIN_UNIQ}
+            OR coalesce(spans.dup_frac, 0.0) > {CURATE_MAX_DUP_FRAC}
+            OR lm.ppl > {CURATE_MAX_PPL_RATIO} * med.med_ppl) AS keep
+FROM tq
+JOIN lm ON lm.doc_id = tq.doc_id
+LEFT JOIN spans ON spans.doc_id = tq.doc_id
+LEFT JOIN contam ON contam.doc_id = tq.doc_id
+CROSS JOIN med
+"""
+
+
+def _curation_report_sql() -> str:
+    from pipeline_kinesis_spark.operators.dedup import CROSSDOC_SPAN_DUP_SQL
+    from pipeline_kinesis_spark.operators.textops import TEXT_QUALITY_SQL
+
+    return CURATION_REPORT_SQL.format(
+        tq=TEXT_QUALITY_SQL,
+        contam=DECONTAMINATE_SQL,
+        lm=LM_PERPLEXITY_SQL,
+        spans=CROSSDOC_SPAN_DUP_SQL,
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "decontaminate_overlap": QuerySpec(
         decontaminate_overlap, DECONTAMINATE_SQL
     ),
     "lm_perplexity": QuerySpec(lm_perplexity, LM_PERPLEXITY_SQL, bench=True),
+    "curation_report": QuerySpec(curation_report, _curation_report_sql()),
     "gopher_repetition": QuerySpec(gopher_repetition, GOPHER_REPETITION_SQL),
     "pii_redact": QuerySpec(pii_redact, PII_REDACT_SQL, bench=True),
     "sequence_pack": QuerySpec(sequence_pack, SEQUENCE_PACK_SQL, bench=True),

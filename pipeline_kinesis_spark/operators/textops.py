@@ -479,8 +479,49 @@ GROUP BY 1, 2
 """
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization text normalization (the step every corpus
+    pipeline runs before dedup/tokenization): strip HTML-ish tags,
+    collapse whitespace runs, trim, lowercase. Emits the normalized
+    text plus audit columns (chars removed, whether anything changed).
+
+    Scale shape: pure row-local regexp_replace chain inside one scan —
+    whole-stage codegen, zero shuffles besides none (the output is
+    row-per-doc with no aggregate). Identical RE2-compatible patterns on
+    both engines.
+    """
+    d = load(spark, sf_dir, "documents")
+    stripped = F.regexp_replace("text", "<[^>]*>", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    norm = F.lower(collapsed)
+    return d.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        (F.length("text") - F.length(norm)).cast("long").alias(
+            "chars_removed"
+        ),
+        (norm != F.col("text")).alias("changed"),
+    )
+
+
+TEXT_NORMALIZE_SQL = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         lower(trim(regexp_replace(
+           regexp_replace(text, '<[^>]*>', ' ', 'g'),
+           '\s+', ' ', 'g'))) AS text_norm
+  FROM documents
+)
+SELECT doc_id, text_norm,
+       CAST(length(text) - length(text_norm) AS BIGINT) AS chars_removed,
+       text_norm <> text AS changed
+FROM n
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "corpus_clean": QuerySpec(corpus_clean, CORPUS_CLEAN_SQL, bench=True),
+    "text_normalize": QuerySpec(text_normalize, TEXT_NORMALIZE_SQL),
     "dataset_split": QuerySpec(dataset_split, DATASET_SPLIT_SQL),
     "tfidf_top_terms": QuerySpec(tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "ngram_top_bigrams": QuerySpec(

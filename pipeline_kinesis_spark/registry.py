@@ -94,16 +94,20 @@ _PRIORITY = (
     "funnel_conversion", "window_range_frame", "agg_keyed_minmax",
     "agg_salted_skew", "join_salted_skew", "unpivot_lineitem_measures",
     "window_distribution",
-    # timeseries (B11/B23/B24) + pandas-UDF surface (B27)
-    "tumbling_window_agg", "session_window_agg",
+    # timeseries (B11/B23/B24) + pandas-UDF surface (B27);
+    # tumbling_window_agg rotates out 2x-green for curation_report
+    # (timeseries stays via session+asof)
+    "curation_report", "session_window_agg",
     "asof_join", "zscore_per_user", "scaled_value_pandas",
     # dedup (C1/C2: exact, prefix-jaccard, MinHash LSH, SimHash, spans)
     "exact_dedup", "crossdoc_span_dup", "ngram_jaccard_prefix",
     "minhash_lsh_recall", "simhash_planted_capture",
     # text analysis / corpus ops (ngram_top_bigrams rotates out 2x-green
     # for the new dedup_spans_rewrite DELETE-step operator)
+    # (text_quality rotates out 2x-green for text_normalize; its signal
+    # columns are embedded verbatim inside curation_report's gate row)
     "corpus_clean", "token_stats",
-    "text_quality", "lang_id_heuristic", "token_count_bpe",
+    "text_normalize", "lang_id_heuristic", "token_count_bpe",
     "dedup_spans_rewrite", "lm_perplexity", "winnow_fingerprint_stats",
     # corpus curation (C6, round-4 rotation)
     "sequence_pack", "stratified_sample",

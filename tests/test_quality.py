@@ -128,3 +128,21 @@ def test_lm_perplexity_oov_class(spark, tmp_path, monkeypatch):
     assert abs(rows[2].ppl - round(want2, 6)) < 1e-6
     # higher-perplexity doc is the one full of rare tokens
     assert rows[2].ppl > rows[1].ppl
+
+
+def test_curation_report_ppl_outlier_flag(spark, tmp_path):
+    """The perplexity flag (never exercised on the uniform fixture
+    corpus) must fire for a doc of corpus-rare tokens: its unigram ppl
+    exceeds 1.5x the corpus median."""
+    from pipeline_kinesis_spark.operators.quality import curation_report
+
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    d = tmp_path / "corpus"
+    spark.createDataFrame(
+        [(i, "en", f"src{i}", common, len(common)) for i in range(8)]
+        + [(8, "en", "src8", "zzq xvw qqj zzk wwx vvz jjq kkz", 31)],
+        "doc_id LONG, lang STRING, source STRING, text STRING, n_chars LONG",
+    ).write.parquet(str(d / "documents.parquet"))
+    rows = {r.doc_id: r for r in curation_report(spark, str(d)).collect()}
+    assert rows[8].flag_ppl_outlier and not rows[8].keep
+    assert not rows[0].flag_ppl_outlier
