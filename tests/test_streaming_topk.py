@@ -98,3 +98,45 @@ def test_streaming_topk_eviction_guarantees(spark, tmp_path):
             assert est - err <= true[item]
     finally:
         q.stop()
+
+
+def test_streaming_topk_state_survives_restart(spark, tmp_path):
+    """The space-saving summary lives in the state store: a stopped and
+    restarted query (same checkpoint) must resume the counts, not start
+    from zero. (foreachBatch sink — the memory sink cannot recover from
+    a checkpoint.)"""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    emitted: list[tuple] = []
+
+    def _run():
+        df = streaming_topk(_records(spark, src), "grp", "item", 10, 3)
+        return (
+            df.writeStream.foreachBatch(
+                lambda bdf, bid: emitted.extend(
+                    (r.grp, r.item, r.est_count) for r in bdf.collect()
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _put(src, [("g", "a")] * 3)
+    q = _run()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    _put(src, [("g", "a")] * 2 + [("g", "b")])
+    q2 = _run()
+    try:
+        q2.processAllAvailable()
+        latest = {}
+        for grp, item, est in emitted:
+            latest[(grp, item)] = est
+        assert latest[("g", "a")] == 5  # 3 before restart + 2 after
+        assert latest[("g", "b")] == 1
+    finally:
+        q2.stop()
