@@ -850,9 +850,14 @@ def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_pos = d.select(
         "doc_id", F.posexplode("t").alias("tpos0", "tok")
     ).select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
-    kept = tok_pos.join(
-        covered,
-        (tok_pos.doc_id == covered.doc_id) & (tok_pos.tpos == covered.cpos),
+    # explicit aliases: tok_pos and covered share lineage through d, so
+    # unaliased doc_id == doc_id would rely on Spark's implicit
+    # self-join disambiguation (it resolves correctly but warns)
+    tp, cv = tok_pos.alias("tp"), covered.alias("cv")
+    kept = tp.join(
+        cv,
+        (F.col("tp.doc_id") == F.col("cv.doc_id"))
+        & (F.col("tp.tpos") == F.col("cv.cpos")),
         "left_anti",
     )
     rebuilt = kept.groupBy("doc_id").agg(
