@@ -10,7 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pipeline_kinesis_spark.functions.exprs import cents, revenue_cents
+from pipeline_kinesis_spark.functions.exprs import (
+    cents,
+    revenue_cents,
+    tokens,
+)
 from pipeline_kinesis_spark.io import load
 from pipeline_kinesis_spark.operators import QuerySpec
 
@@ -1117,7 +1121,123 @@ GROUP BY year(o_orderdate)
 """
 
 
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (B12 completeness): per-lang correlation,
+    sample covariance/stddev, and the least-squares fit of n_chars on
+    token count over the documents table — one map-side-combinable
+    aggregate (all of corr/covar/regr_* are algebraic: they reduce to
+    sums/products, so partial aggregation holds at any scale).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(tokens("text")).cast("double").alias("x"),
+        F.col("n_chars").cast("double").alias("y"),
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("x", "y"), 6).alias("corr_xy"),
+        F.round(F.covar_samp("x", "y"), 6).alias("covar_xy"),
+        F.round(F.stddev_samp("y"), 6).alias("stddev_y"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
+
+
+AGG_CORR_REGRESSION_SQL = r"""
+WITH d AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS x,
+         CAST(n_chars AS DOUBLE) AS y
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(x, y), 6) AS corr_xy,
+       round(covar_samp(x, y), 6) AS covar_xy,
+       round(stddev_samp(y), 6) AS stddev_y,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM d GROUP BY lang
+"""
+
+
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (B14's exact counterpart — the
+    approx twin is agg_approx_percentile): p50/p90/p99 of extended
+    price per return flag via percentile_cont interpolation.
+
+    Scale note: exact percentiles require a per-group sort — the
+    deliberate heavy tier, used when the group count is modest and
+    auditability matters; approx_percentile is the 100 TB default.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.round(
+                F.percentile(F.col("l_extendedprice"), F.lit(q)), 6
+            ).alias(f"p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ],
+    )
+
+
+AGG_EXACT_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+HIST_BUCKETS = 10
+HIST_LO, HIST_HI = 0.0, 100.0
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-range value histogram per event type (width_bucket
+    semantics): one scan, one (type, bucket)-keyed count — the shuffle
+    carries O(types × buckets) rows at any event volume.
+    """
+    e = load(spark, sf_dir, "events")
+    width = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = F.when(F.col("value") < HIST_LO, 0).when(
+        F.col("value") >= HIST_HI, HIST_BUCKETS + 1
+    ).otherwise(
+        F.floor((F.col("value") - HIST_LO) / width).cast("int") + 1
+    )
+    return (
+        e.select("event_type", bucket.cast("long").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT event_type,
+       CAST(CASE WHEN value < {HIST_LO} THEN 0
+                 WHEN value >= {HIST_HI} THEN {HIST_BUCKETS + 1}
+                 ELSE floor((value - {HIST_LO})
+                      / {(HIST_HI - HIST_LO) / HIST_BUCKETS}) + 1
+            END AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "agg_corr_regression": QuerySpec(
+        agg_corr_regression, AGG_CORR_REGRESSION_SQL
+    ),
+    "agg_exact_percentiles": QuerySpec(
+        agg_exact_percentiles, AGG_EXACT_PERCENTILES_SQL
+    ),
+    "value_histogram": QuerySpec(value_histogram, VALUE_HISTOGRAM_SQL),
     "filter_predicates": QuerySpec(filter_predicates, FILTER_PREDICATES_SQL),
     "join_left_outer": QuerySpec(join_left_outer, JOIN_LEFT_OUTER_SQL),
     "join_right_outer": QuerySpec(join_right_outer, JOIN_RIGHT_OUTER_SQL),

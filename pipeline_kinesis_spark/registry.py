@@ -91,7 +91,9 @@ _PRIORITY = (
     # remaining §2B families (pivot_priority_by_year rotates out
     # 2x-green for funnel_conversion; B15 stays via grouping_sets +
     # unpivot)
-    "funnel_conversion", "window_range_frame", "agg_keyed_minmax",
+    # (agg_keyed_minmax rotates out 2x-green for agg_corr_regression —
+    # B12 keyed aggregates stay via salted-skew + q1)
+    "funnel_conversion", "window_range_frame", "agg_corr_regression",
     "agg_salted_skew", "join_salted_skew", "unpivot_lineitem_measures",
     "window_distribution",
     # timeseries (B11/B23/B24) + pandas-UDF surface (B27);
@@ -104,10 +106,13 @@ _PRIORITY = (
     "minhash_lsh_recall", "simhash_planted_capture",
     # text analysis / corpus ops (ngram_top_bigrams rotates out 2x-green
     # for the new dedup_spans_rewrite DELETE-step operator)
-    # (text_quality rotates out 2x-green for text_normalize; its signal
-    # columns are embedded verbatim inside curation_report's gate row)
+    # (text_quality, lang_id_heuristic, token_count_bpe rotate out
+    # 2x-green for text_normalize + the exact-percentile and histogram
+    # aggregates; text_quality's signals are embedded verbatim inside
+    # curation_report's gate row, textops stays via corpus_clean/
+    # token_stats/text_normalize, bpe stays via bpe_train_verify)
     "corpus_clean", "token_stats",
-    "text_normalize", "lang_id_heuristic", "token_count_bpe",
+    "text_normalize", "agg_exact_percentiles", "value_histogram",
     "dedup_spans_rewrite", "lm_perplexity", "winnow_fingerprint_stats",
     # corpus curation (C6, round-4 rotation)
     "sequence_pack", "stratified_sample",
