@@ -386,3 +386,45 @@ def test_compact_swap_failure_restores_relation(engine, spark, tmp_path, monkeyp
     assert {
         r.payload for r in engine.stream_table("cf_stream").collect()
     } == {"x0", "x1", "x2"}
+
+
+def test_stream_table_join_in_continuous_view(engine, spark, tmp_path):
+    """PipelineDB's signature stream-table join INSIDE a continuous
+    view: the standing aggregate enriches stream rows against a static
+    dimension (broadcast side) before grouping — declared in plain SQL,
+    incrementalized by the engine."""
+    spark.createDataFrame(
+        [("us", "americas"), ("de", "emea"), ("jp", "apac")],
+        "cc STRING, region STRING",
+    ).createOrReplaceTempView("geo_dim")
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("stj_stream", "cc STRING, amount BIGINT")
+    engine.create_continuous_view(
+        "region_rev",
+        "SELECT g.region, sum(s.amount) AS revenue, count(*) AS n "
+        "FROM stj_stream s JOIN geo_dim g ON s.cc = g.cc "
+        "GROUP BY g.region",
+        stream="stj_stream",
+    )
+    engine.consume_begin("ep", "s", "stj_stream", fmt="csv", delimiter=",")
+    write_record_file(
+        str(src_root / "s"),
+        [{"data": d} for d in ["us,10", "us,5", "de,7", "xx,99"]],
+    )
+    engine.wait_for_ingest()
+    rows = {
+        r.region: (r.revenue, r.n)
+        for r in spark.table("region_rev").collect()
+    }
+    # inner join drops the unknown country; aggregates are per region
+    assert rows == {"americas": (15, 2), "emea": (7, 1)}
+
+    # second batch updates the standing aggregate incrementally
+    write_record_file(str(src_root / "s"), [{"data": "jp,3"}, {"data": "us,1"}])
+    engine.wait_for_ingest()
+    rows = {
+        r.region: (r.revenue, r.n)
+        for r in spark.table("region_rev").collect()
+    }
+    assert rows == {"americas": (16, 3), "emea": (7, 1), "apac": (3, 1)}
