@@ -65,6 +65,17 @@ class ViewDef:
     # PipelineDB ACTIVATE/DEACTIVATE: inactive queries keep their
     # definition and materialized state but are not maintained.
     active: bool = True
+    # PipelineDB sliding-window views (WITH (sw = '1 hour')): the view
+    # always answers over the trailing sw window. Implemented the way
+    # PipelineDB does (step-factor design): the standing query maintains
+    # per-(group, time-step) PARTIAL aggregates; reads recombine the
+    # steps inside the window. sw_aggs maps output alias → combinable
+    # aggregate (count/sum/min/max — the same restriction PipelineDB
+    # places on sw views); sw_group_cols are the user's group columns.
+    sw_seconds: int | None = None
+    sw_step_seconds: int | None = None
+    sw_aggs: dict | None = None
+    sw_group_cols: list[str] | None = None
 
 
 @dataclass

@@ -43,6 +43,9 @@ from pipeline_kinesis_spark.sources.records import RECORD_SCHEMA
 from pipeline_kinesis_spark.streaming.continuous_view import (
     compile_view,
     materialize_memory,
+    parse_sw_view_sql,
+    sw_combine,
+    sw_rewrite_sql,
     upsert_to_parquet,
 )
 
@@ -117,16 +120,38 @@ class Engine:
         key_cols: list[str] | None = None,
         ttl_seconds: int | None = None,
         ttl_column: str | None = None,
+        sw_seconds: int | None = None,
+        sw_step_seconds: int | None = None,
     ) -> None:
         """ttl_seconds/ttl_column mirror PipelineDB's
         `WITH (ttl='...', ttl_column='...')`: view rows whose ttl_column
         falls more than ttl behind the wall clock are expired — reaped at
         write time for parquet_upsert views (state stays bounded), filtered
-        at read time (view_table) for memory views."""
+        at read time (view_table) for memory views.
+
+        sw_seconds mirrors PipelineDB's `WITH (sw = '...')` sliding-window
+        views: reads always answer over the trailing window. The standing
+        query maintains per-(group, step) PARTIAL aggregates (step =
+        sw_step_seconds, default sw/20) and view_table recombines the live
+        steps — aggregates must be combinable count/sum/min/max with
+        aliases, the PipelineDB sw restriction. Memory materialization
+        only (the partials table is bounded: groups × steps)."""
         if materialize == "parquet_upsert" and not key_cols:
             raise ValueError("parquet_upsert materialization requires key_cols")
         if (ttl_seconds is None) != (ttl_column is None):
             raise ValueError("ttl_seconds and ttl_column go together")
+        sw_aggs = sw_group_cols = None
+        if sw_seconds is not None:
+            if materialize != "memory":
+                raise ValueError("sw views support memory materialization")
+            if ttl_seconds is not None:
+                raise ValueError("sw and ttl are mutually exclusive")
+            sw_step_seconds = sw_step_seconds or max(sw_seconds // 20, 1)
+            if sw_step_seconds > sw_seconds:
+                raise ValueError("sw_step must not exceed sw")
+            sw_group_cols, sw_aggs = parse_sw_view_sql(sql)
+        elif sw_step_seconds is not None:
+            raise ValueError("sw_step requires sw")
         self.catalog.create_view(
             ViewDef(
                 name,
@@ -137,8 +162,19 @@ class Engine:
                 key_cols,
                 ttl_seconds,
                 ttl_column,
+                sw_seconds=sw_seconds,
+                sw_step_seconds=sw_step_seconds,
+                sw_aggs=sw_aggs,
+                sw_group_cols=sw_group_cols,
             )
         )
+
+    def _view_compile_sql(self, view: ViewDef) -> str:
+        """The SQL the standing query actually runs: sw views compile to
+        their per-step partial form."""
+        if view.sw_seconds is not None:
+            return sw_rewrite_sql(view.sql, view.sw_step_seconds)
+        return view.sql
 
     def create_continuous_transform(
         self,
@@ -184,7 +220,7 @@ class Engine:
             self.catalog.drop_view(name)
             for queries in self._queries.values():
                 for q in list(queries):
-                    if q.name == name:
+                    if q.name in (name, f"{name}__sw_raw"):
                         q.stop()
                         queries.remove(q)
 
@@ -296,7 +332,9 @@ class Engine:
             for view in self.catalog.views_on(relation):
                 if not view.active:
                     continue
-                vdf = compile_view(self.spark, good, relation, view.sql)
+                vdf = compile_view(
+                    self.spark, good, relation, self._view_compile_sql(view)
+                )
                 queries.append(self._start_view_query(consumer.id, view, vdf))
             # (d) continuous transforms registered on this relation:
             # row-wise standing queries, append-mode, output → sink
@@ -350,7 +388,8 @@ class Engine:
                         )
                         for view in chained:
                             vdf = compile_view(
-                                self.spark, src, t.sink_relation, view.sql
+                                self.spark, src, t.sink_relation,
+                                self._view_compile_sql(view),
                             )
                             queries.append(
                                 self._start_view_query(
@@ -387,7 +426,10 @@ class Engine:
                 if kind == "view":
                     vd = ViewDef(**self.catalog.state.views[name])
                     if vd.stream == relation:
-                        vdf = compile_view(self.spark, good, relation, vd.sql)
+                        vdf = compile_view(
+                            self.spark, good, relation,
+                            self._view_compile_sql(vd),
+                        )
                         self._queries[cid].append(
                             self._start_view_query(cid, vd, vdf)
                         )
@@ -405,7 +447,8 @@ class Engine:
                                 .parquet(sink_dir)
                             )
                             vdf = compile_view(
-                                self.spark, src, t.sink_relation, vd.sql
+                                self.spark, src, t.sink_relation,
+                                self._view_compile_sql(vd),
                             )
                             self._queries[cid].append(
                                 self._start_view_query(cid, vd, vdf)
@@ -461,7 +504,7 @@ class Engine:
                     v["stream"],
                     v.get("materialize", "memory"),
                     bool(v.get("active", True)),
-                    v["name"] in live,
+                    v["name"] in live or f"{v['name']}__sw_raw" in live,
                 )
             )
         for t in self.catalog.state.transforms.values():
@@ -530,9 +573,17 @@ class Engine:
                 .trigger(processingTime=interval)
                 .start()
             )
+        # sw views keep their per-step partials under a raw-suffixed sink
+        # name: view_table / sql() recombine them under the public name,
+        # which must never shadow the sink table in the catalog
+        sink_name = (
+            f"{view.name}__sw_raw"
+            if view.sw_seconds is not None
+            else view.name
+        )
         return materialize_memory(
             vdf,
-            view.name,
+            sink_name,
             self._ckpt(consumer_id, f"view_{view.name}"),
             output_mode=view.output_mode,
             trigger_interval=interval,
@@ -862,6 +913,15 @@ class Engine:
         filter them at read time."""
         vd = self.catalog.state.views.get(view_name)
         if vd is not None and vd.get("materialize") != "parquet_upsert":
+            if vd.get("sw_seconds") is not None:
+                # sliding-window view: the raw memory table holds
+                # per-step partials — recombine the steps in the window
+                return sw_combine(
+                    self.spark.table(f"{view_name}__sw_raw"),
+                    vd["sw_seconds"],
+                    vd["sw_aggs"],
+                    vd.get("sw_group_cols") or [],
+                )
             df = self.spark.table(view_name)
             ttl, col = vd.get("ttl_seconds"), vd.get("ttl_column")
             if ttl is not None and col is not None:
@@ -878,7 +938,13 @@ class Engine:
         (README.md:78-88), available mid-stream. Views resolve to their
         CURRENT materialized state at call time."""
         for name, vd in self.catalog.state.views.items():
-            if vd.get("materialize") == "parquet_upsert":
+            if (
+                vd.get("materialize") == "parquet_upsert"
+                or vd.get("sw_seconds") is not None
+            ):
+                # parquet views and sliding-window views resolve through
+                # view_table (sw: per-step partials recombined); plain
+                # memory views are already queryable by name
                 try:
                     self.view_table(name).createOrReplaceTempView(name)
                 except Exception:

@@ -315,21 +315,30 @@ def execute(engine, statement: str) -> DataFrame | str:
                 if not km:
                     raise ValueError(f"bad WITH option: {tok!r}")
                 k, v = km.group(1).lower(), _parse_value(km.group(2))
-                if k == "ttl":
+
+                def _duration_secs(val, what):
                     tm = re.fullmatch(
                         r"\s*(\d+)\s*(second|minute|hour|day)s?\s*",
-                        str(v),
+                        str(val),
                         re.IGNORECASE,
                     )
                     if not tm:
-                        raise ValueError(f"bad ttl: {v!r}")
+                        raise ValueError(f"bad {what}: {val!r}")
                     mult = {
                         "second": 1,
                         "minute": 60,
                         "hour": 3600,
                         "day": 86400,
                     }[tm.group(2).lower()]
-                    kwargs["ttl_seconds"] = int(tm.group(1)) * mult
+                    return int(tm.group(1)) * mult
+
+                if k == "ttl":
+                    kwargs["ttl_seconds"] = _duration_secs(v, "ttl")
+                elif k == "sw":
+                    # PipelineDB sliding-window views: WITH (sw='1 hour')
+                    kwargs["sw_seconds"] = _duration_secs(v, "sw")
+                elif k == "sw_step":
+                    kwargs["sw_step_seconds"] = _duration_secs(v, "sw_step")
                 elif k == "ttl_column":
                     kwargs["ttl_column"] = v
                 elif k == "materialize":

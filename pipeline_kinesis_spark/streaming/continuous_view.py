@@ -103,3 +103,127 @@ def upsert_to_parquet(
     ).delete(
         spark._jvm.org.apache.hadoop.fs.Path(tmp), True
     )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window continuous views (PipelineDB WITH (sw = '...'))
+#
+# PipelineDB's flagship view type: the view always answers over the
+# trailing window. Its design — and this one — keeps per-time-step
+# PARTIAL aggregates in the materialization and recombines the steps
+# inside the window at read time, so maintenance stays incremental and
+# read cost is O(groups × steps). The same restriction applies:
+# aggregates must be combinable (count/sum/min/max here).
+
+import re as _re
+
+SW_BUCKET_COL = "_sw_win"
+
+_SW_ITEM = _re.compile(
+    r"^(count|sum|min|max)\s*\(.+\)\s+AS\s+(\w+)$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_SW_ALIAS = _re.compile(r"\s+AS\s+(\w+)\s*$", _re.IGNORECASE)
+_SW_COMBINE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+def _split_select_items(select_list: str) -> list[str]:
+    items, depth, cur, in_str = [], 0, [], False
+    for c in select_list:
+        if c == "'":
+            in_str = not in_str
+        elif not in_str:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0:
+                items.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(c)
+    if "".join(cur).strip():
+        items.append("".join(cur).strip())
+    return items
+
+
+def parse_sw_view_sql(sql: str) -> tuple[list[str], dict[str, str]]:
+    """SELECT-list analysis for a sliding-window view: returns
+    (group-item output names, alias → combinable-aggregate map).
+    Every aggregate must be aliased count/sum/min/max (the PipelineDB
+    sw restriction); every non-aggregate item needs a resolvable output
+    name (bare column or ``expr AS name``)."""
+    m = _re.match(r"^\s*SELECT\s+(.*?)\s+FROM\s", sql, _re.I | _re.S)
+    if not m:
+        raise ValueError("sw view SQL must be a single SELECT ... FROM ...")
+    group_names, aggs = [], {}
+    for item in _split_select_items(m.group(1)):
+        am = _SW_ITEM.match(item)
+        if am:
+            aggs[am.group(2)] = am.group(1).lower()
+            continue
+        if _re.match(r"^\w+\s*\(", item):
+            # function call that is not a combinable aggregate — reject
+            # instead of silently treating it as a group column (avg,
+            # expressions, nested calls): pre-compute it on the stream
+            # or in a transform, or use count/sum/min/max.
+            raise ValueError(
+                f"sw views support only combinable aggregates "
+                f"(count/sum/min/max) and plain group columns; got {item!r}"
+            )
+        alias = _SW_ALIAS.search(item)
+        if alias:
+            group_names.append(alias.group(1))
+        elif _re.fullmatch(r"\w+", item):
+            group_names.append(item)
+        else:
+            raise ValueError(
+                f"sw view group expression needs an alias: {item!r}"
+            )
+    if not aggs:
+        raise ValueError(
+            "sw views need at least one combinable aggregate "
+            "(count/sum/min/max ... AS alias)"
+        )
+    return group_names, aggs
+
+
+def sw_rewrite_sql(sql: str, step_seconds: int) -> str:
+    """Inject the time-step bucket into the view SQL: the standing query
+    groups by (user groups, window(arrival_timestamp, step)) and its
+    aggregates become per-step partials."""
+    bucket = f"window(arrival_timestamp, '{int(step_seconds)} seconds')"
+    m = _re.match(r"^(\s*SELECT\s+)(.*?)(\s+FROM\s.*)$", sql, _re.I | _re.S)
+    if not m:
+        raise ValueError("sw view SQL must be a single SELECT ... FROM ...")
+    head, select_list, rest = m.groups()
+    rewritten = f"{head}{select_list}, {bucket} AS {SW_BUCKET_COL}{rest}"
+    gm = _re.search(r"\bGROUP\s+BY\b", rewritten, _re.I)
+    if gm:
+        # append the bucket to the existing GROUP BY list
+        return _re.sub(
+            r"(\bGROUP\s+BY\b)", r"\1 " + bucket + ",", rewritten,
+            count=1, flags=_re.I,
+        )
+    return rewritten + f" GROUP BY {bucket}"
+
+
+def sw_combine(
+    df: DataFrame,
+    sw_seconds: int,
+    sw_aggs: dict[str, str],
+    sw_group_cols: list[str],
+) -> DataFrame:
+    """Read-time recombination: keep the steps whose bucket end falls
+    inside the trailing window, re-aggregate partials per group."""
+    cutoff = F.current_timestamp() - F.expr(
+        f"INTERVAL {int(sw_seconds)} SECOND"
+    )
+    live = df.filter(F.col(f"{SW_BUCKET_COL}.end") > cutoff)
+    aggs = [
+        _SW_COMBINE[fn](F.col(alias)).alias(alias)
+        for alias, fn in sw_aggs.items()
+    ]
+    if sw_group_cols:
+        return live.groupBy(*sw_group_cols).agg(*aggs)
+    return live.agg(*aggs)

@@ -1,0 +1,107 @@
+"""Sliding-window continuous views (PipelineDB WITH (sw = '...')):
+reads always answer over the trailing window; the standing query keeps
+per-(group, step) partial aggregates and view_table recombines the live
+steps. Time travels through the records' arrival timestamps (the parse
+honors source arrival time), so expiry is tested against real planted
+ages without sleeping."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from pipeline_kinesis_spark.engine import Engine
+from pipeline_kinesis_spark.sources.file_replay import write_record_file
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    yield eng
+    eng.consume_end_all()
+
+
+def _iso(age_secs: float) -> str:
+    return (
+        datetime.now(timezone.utc).replace(tzinfo=None)
+        - timedelta(seconds=age_secs)
+    ).isoformat()
+
+
+def test_sw_view_answers_over_trailing_window(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("sw_s", "k STRING, v BIGINT")
+    # SQL surface form: WITH (sw='1 hour', sw_step='3 minutes')
+    assert engine.execute(
+        "CREATE CONTINUOUS VIEW sw_view WITH (sw = '1 hour', "
+        "sw_step = '3 minutes') AS "
+        "SELECT k, count(*) AS n, sum(v) AS total, max(v) AS mx "
+        "FROM sw_s GROUP BY k"
+    ) == "success"
+    engine.consume_begin("ep", "s", "sw_s", fmt="csv", delimiter=",")
+    # two in-window events in DIFFERENT steps (30 s and 10 min old), one
+    # expired event (2 h old) that must not count, plus another group
+    write_record_file(
+        str(src_root / "s"),
+        [
+            {"data": "a,5", "approximate_arrival_timestamp": _iso(30)},
+            {"data": "a,2", "approximate_arrival_timestamp": _iso(600)},
+            {"data": "a,9", "approximate_arrival_timestamp": _iso(7200)},
+            {"data": "b,4", "approximate_arrival_timestamp": _iso(60)},
+        ],
+    )
+    engine.wait_for_ingest()
+
+    rows = {
+        r.k: (r.n, r.total, r.mx)
+        for r in engine.view_table("sw_view").collect()
+    }
+    # the expired a,9 contributes to neither count, sum, nor max —
+    # and the two live 'a' events sit in different steps, proving the
+    # read-time recombination across partials
+    assert rows == {"a": (2, 7, 5), "b": (1, 4, 4)}
+
+    # the raw partials table holds per-step rows (>= 3 live buckets)
+    raw = spark.table("sw_view__sw_raw")
+    assert raw.count() >= 3 and "_sw_win" in raw.columns
+
+    # ad-hoc SQL resolves the view to its recombined form
+    got = {
+        (r.k, r.n)
+        for r in engine.sql("SELECT k, n FROM sw_view").collect()
+    }
+    assert got == {("a", 2), ("b", 1)}
+
+    # second batch updates the standing partials incrementally
+    write_record_file(
+        str(src_root / "s"),
+        [{"data": "b,6", "approximate_arrival_timestamp": _iso(5)}],
+    )
+    engine.wait_for_ingest()
+    rows = {
+        r.k: (r.n, r.total, r.mx)
+        for r in engine.view_table("sw_view").collect()
+    }
+    assert rows["b"] == (2, 10, 6)
+
+
+def test_sw_view_restrictions(engine):
+    engine.create_stream("sw_r", "k STRING, v BIGINT")
+    with pytest.raises(ValueError, match="combinable"):
+        engine.create_continuous_view(
+            "bad1", "SELECT k, avg(v) AS a FROM sw_r GROUP BY k",
+            stream="sw_r", sw_seconds=3600,
+        )
+    with pytest.raises(ValueError, match="memory"):
+        engine.create_continuous_view(
+            "bad2", "SELECT k, count(*) AS n FROM sw_r GROUP BY k",
+            stream="sw_r", sw_seconds=3600,
+            materialize="parquet_upsert", key_cols=["k"],
+        )
+    with pytest.raises(ValueError, match="sw_step requires sw"):
+        engine.create_continuous_view(
+            "bad3", "SELECT k, count(*) AS n FROM sw_r GROUP BY k",
+            stream="sw_r", sw_step_seconds=60,
+        )
