@@ -70,6 +70,11 @@ _FN_CALL = re.compile(
     r"^\s*SELECT\s+pipeline_kinesis\.(\w+)\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+# extension version parity (pipeline_kinesis.control: default_version)
+_VERSION_CALL = re.compile(
+    r"^\s*SELECT\s+pipeline_version\s*\(\s*\)\s*;?\s*$", re.IGNORECASE
+)
+PIPELINE_VERSION = "pipeline_kinesis_spark (pipeline_kinesis 0.9.0 parity)"
 
 
 def _split_args(argstr: str) -> list[str]:
@@ -233,6 +238,9 @@ def execute(engine, statement: str) -> DataFrame | str:
     """Run one statement of the reference's SQL surface. Control-plane
     statements return the reference's ``'success'`` sentinel
     (README.md:103-110); reads return a DataFrame."""
+    if _VERSION_CALL.match(statement):
+        return PIPELINE_VERSION
+
     m = _FN_CALL.match(statement)
     if m:
         fn, argstr = m.group(1).lower(), m.group(2)

@@ -285,3 +285,8 @@ def test_unknown_function_and_bad_option(engine):
         engine.execute(
             "CREATE CONTINUOUS VIEW ev AS SELECT x FROM not_a_stream"
         )
+
+
+def test_pipeline_version(engine):
+    out = engine.execute("SELECT pipeline_version()")
+    assert "0.9.0" in out
