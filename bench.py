@@ -48,7 +48,7 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — warmup only
                 pass
 
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")), 1)
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     total_rows = 0

@@ -134,8 +134,18 @@ class Engine:
         query maintains per-(group, step) PARTIAL aggregates (step =
         sw_step_seconds, default sw/20) and view_table recombines the live
         steps — aggregates must be combinable count/sum/min/max with
-        aliases, the PipelineDB sw restriction. Memory materialization
-        only (the partials table is bounded: groups × steps)."""
+        aliases, the PipelineDB sw restriction (DISTINCT rejected: per-
+        step distinct partials don't combine). Memory materialization
+        only.
+
+        Known retention gap: expired steps are filtered at READ time but
+        their partial rows are never evicted from the complete-mode
+        aggregation state, so partials grow with runtime (one row per
+        group per step ever touched), not with the window — PipelineDB's
+        step GC has no analog here yet. Bounded by (groups × steps per
+        process lifetime); a periodic DEACTIVATE/ACTIVATE cycle with a
+        fresh checkpoint is the operational reset until step eviction is
+        implemented."""
         if materialize == "parquet_upsert" and not key_cols:
             raise ValueError("parquet_upsert materialization requires key_cols")
         if (ttl_seconds is None) != (ttl_column is None):
@@ -408,10 +418,15 @@ class Engine:
         keep ingesting."""
         with self._lock:
             kind = self.catalog.set_active(name, False)
-            qname = name if kind == "view" else f"transform_{name}"
+            qnames = (
+                # sw views run under the raw-suffixed sink name
+                {name, f"{name}__sw_raw"}
+                if kind == "view"
+                else {f"transform_{name}"}
+            )
             for queries in self._queries.values():
                 for q in list(queries):
-                    if q.name == qname:
+                    if q.name in qnames:
                         q.stop()
                         queries.remove(q)
 

@@ -44,6 +44,16 @@ def tokens(col: Column | str) -> Column:
 
 def ngrams(col: Column, n: int) -> Column:
     """Token array → overlapping n-gram strings, pure JVM (slice over a
-    generated index sequence; empty when the doc has < n tokens)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(col) - (n - 1), F.lit(0)))
+    generated index sequence; empty when the doc has < n tokens).
+
+    The short-doc guard must produce a genuinely EMPTY index array:
+    sequence(1, 0) is NOT empty (Spark descends when start > stop,
+    yielding [1, 0], and slice(col, 0, n) then throws
+    INVALID_PARAMETER_VALUE.START), so documents shorter than n tokens
+    take an explicit empty-array branch.
+    """
+    upper = F.size(col) - (n - 1)
+    idx = F.when(upper >= 1, F.sequence(F.lit(1), upper)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(col, i, n)))

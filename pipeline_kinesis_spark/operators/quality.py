@@ -501,7 +501,13 @@ def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(tokens("text")).alias("w"))
         .filter(F.col("w") != "")
     )
-    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # counts feeds three consumers (totals, vocab cap, broadcast LM) —
+    # pool-persist so the corpus explode+aggregate runs ONCE, released
+    # at the next operator entry like the other cached intermediates
+    release_stale_caches()
+    counts = pooled_persist(
+        tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
     vocab = counts.orderBy(F.desc("c"), F.asc("w")).limit(LM_VOCAB_MAX)
     consts = (
         counts.agg(F.sum("c").alias("n_tok"))

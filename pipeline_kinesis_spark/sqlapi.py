@@ -185,8 +185,9 @@ _CREATE_CT = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ALTER_STREAM = re.compile(
-    r"^\s*ALTER\s+STREAM\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+([\w()]+)"
-    r"\s*;?\s*$",
+    # type may be parameterized incl. commas: numeric(10,2), varchar(255)
+    r"^\s*ALTER\s+STREAM\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+"
+    r"(\w+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*;?\s*$",
     re.IGNORECASE,
 )
 _DROP = re.compile(

@@ -119,8 +119,12 @@ import re as _re
 
 SW_BUCKET_COL = "_sw_win"
 
+# DISTINCT is rejected (negative lookahead): per-step distinct partials
+# are NOT combinable — summing them double-counts values that appear in
+# several steps. PipelineDB rejects DISTINCT in sw views for the same
+# reason.
 _SW_ITEM = _re.compile(
-    r"^(count|sum|min|max)\s*\(.+\)\s+AS\s+(\w+)$",
+    r"^(count|sum|min|max)\s*\(\s*(?!distinct\b).+\)\s+AS\s+(\w+)$",
     _re.IGNORECASE | _re.DOTALL,
 )
 _SW_ALIAS = _re.compile(r"\s+AS\s+(\w+)\s*$", _re.IGNORECASE)

@@ -146,3 +146,29 @@ def test_curation_report_ppl_outlier_flag(spark, tmp_path):
     rows = {r.doc_id: r for r in curation_report(spark, str(d)).collect()}
     assert rows[8].flag_ppl_outlier and not rows[8].keep
     assert not rows[0].flag_ppl_outlier
+
+
+def test_span_operators_survive_short_docs(spark, tmp_path):
+    """Regression: docs with fewer than SPAN_N tokens (or empty text)
+    must yield zero spans, not crash — sequence(1, 0) in Spark is [1, 0]
+    (descending), so the ngrams() short-doc branch must produce a
+    genuinely empty array."""
+    from pipeline_kinesis_spark.operators.dedup import (
+        crossdoc_span_dup,
+        dedup_spans_rewrite,
+    )
+
+    d = tmp_path / "corpus"
+    spark.createDataFrame(
+        [
+            (0, "only three tokens", "en", "s", 17),
+            (1, "", "en", "s", 0),
+            (2, " ".join(f"w{i}" for i in range(30)), "en", "s", 100),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    ).write.parquet(str(d / "documents.parquet"))
+    # crossdoc excludes span-less docs; rewrite keeps them verbatim
+    assert crossdoc_span_dup(spark, str(d)).count() == 1
+    rows = {r.doc_id: r for r in dedup_spans_rewrite(spark, str(d)).collect()}
+    assert len(rows) == 3 and rows[0].n_removed == 0
+    assert rows[0].text_clean == "only three tokens"

@@ -105,3 +105,38 @@ def test_sw_view_restrictions(engine):
             "bad3", "SELECT k, count(*) AS n FROM sw_r GROUP BY k",
             stream="sw_r", sw_step_seconds=60,
         )
+
+
+def test_sw_view_rejects_distinct(engine):
+    """count(DISTINCT x) per-step partials are not combinable — summing
+    them double-counts values spanning steps; rejected at CREATE."""
+    engine.create_stream("sw_d", "k STRING, v BIGINT")
+    with pytest.raises(ValueError, match="combinable"):
+        engine.create_continuous_view(
+            "bad_d",
+            "SELECT k, count(DISTINCT v) AS u FROM sw_d GROUP BY k",
+            stream="sw_d", sw_seconds=3600,
+        )
+
+
+def test_deactivate_stops_sw_view_query(engine, spark, tmp_path):
+    """DEACTIVATE must stop the sw view's standing query (it runs under
+    the raw-suffixed sink name)."""
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("sw_x", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "swx_view", "SELECT k, count(*) AS n FROM sw_x GROUP BY k",
+        stream="sw_x", sw_seconds=3600,
+    )
+    engine.consume_begin("ep", "s", "sw_x", fmt="csv", delimiter=",")
+    write_record_file(str(src_root / "s"), [{"data": "a,1"}])
+    engine.wait_for_ingest()
+    engine.deactivate("swx_view")
+    assert "swx_view__sw_raw" not in {
+        q.name for q in spark.streams.active if q.name
+    }
+    running = {
+        r.name: r.running for r in engine.pipeline_queries().collect()
+    }
+    assert running["swx_view"] is False

@@ -308,3 +308,12 @@ def test_alter_stream_add_column_evolution(engine, spark, tmp_path):
 
     rows = {r.k: r.v for r in engine.stream_table("ev_s").collect()}
     assert rows == {"a": None, "b": 7}
+
+
+def test_alter_stream_parameterized_type(engine):
+    """ALTER STREAM accepts parameterized PG types incl. commas."""
+    engine.create_stream("alt_p", "k STRING")
+    assert engine.execute(
+        "ALTER STREAM alt_p ADD COLUMN price numeric(10,2)"
+    ) == "success"
+    assert "price" in engine.catalog.stream("alt_p").schema_ddl
