@@ -41,6 +41,7 @@ from pipeline_kinesis_spark.shipping import ship_package
 from pipeline_kinesis_spark.sources.file_replay import FileReplaySource
 from pipeline_kinesis_spark.sources.records import RECORD_SCHEMA
 from pipeline_kinesis_spark.streaming.continuous_view import (
+    SW_BUCKET_COL,
     compile_view,
     materialize_memory,
     parse_sw_view_sql,
@@ -135,33 +136,52 @@ class Engine:
         sw_step_seconds, default sw/20) and view_table recombines the live
         steps — aggregates must be combinable count/sum/min/max with
         aliases, the PipelineDB sw restriction (DISTINCT rejected: per-
-        step distinct partials don't combine). Memory materialization
-        only.
+        step distinct partials don't combine).
 
-        Known retention gap: expired steps are filtered at READ time but
-        their partial rows are never evicted from the complete-mode
-        aggregation state, so partials grow with runtime (one row per
-        group per step ever touched), not with the window — PipelineDB's
-        step GC has no analog here yet. Bounded by (groups × steps per
-        process lifetime); a periodic DEACTIVATE/ACTIVATE cycle with a
-        fresh checkpoint is the operational reset until step eviction is
-        implemented."""
-        if materialize == "parquet_upsert" and not key_cols:
-            raise ValueError("parquet_upsert materialization requires key_cols")
-        if (ttl_seconds is None) != (ttl_column is None):
-            raise ValueError("ttl_seconds and ttl_column go together")
+        Two sw materializations:
+        - ``memory`` (default): complete-mode partials in the memory
+          sink. Simple and exact, but expired steps are only filtered at
+          READ time — complete mode never evicts aggregation state, so
+          partials grow with process runtime (one row per group per step
+          ever touched). Fine for sessions; use the durable form for
+          long-running deployments.
+        - ``parquet_upsert``: the production form, PipelineDB-step-GC
+          equivalent. Update-mode partials under an event-time watermark
+          (per-bucket aggregation state EVICTS two steps behind the
+          max arrival) upserted into a parquet store keyed on
+          (group cols, bucket) whose merge-time TTL reaper drops buckets
+          past sw + 2 steps — state AND store bounded by the window at
+          any runtime."""
         sw_aggs = sw_group_cols = None
         if sw_seconds is not None:
-            if materialize != "memory":
-                raise ValueError("sw views support memory materialization")
             if ttl_seconds is not None:
                 raise ValueError("sw and ttl are mutually exclusive")
             sw_step_seconds = sw_step_seconds or max(sw_seconds // 20, 1)
             if sw_step_seconds > sw_seconds:
                 raise ValueError("sw_step must not exceed sw")
             sw_group_cols, sw_aggs = parse_sw_view_sql(sql)
+            if materialize == "parquet_upsert":
+                # durable sw: per-step partials keyed by (groups, bucket)
+                # upserted each batch; the merge's TTL reaper drops
+                # buckets past the retention, and the update-mode query
+                # runs under a watermark so per-bucket aggregation state
+                # evicts too — sw state bounded by the WINDOW, not by
+                # process lifetime (closes the memory-mode retention gap).
+                key_cols = key_cols or [*sw_group_cols, SW_BUCKET_COL]
+                ttl_seconds = sw_seconds + 2 * sw_step_seconds
+                ttl_column = f"{SW_BUCKET_COL}.end"
+                output_mode = "update"
+            elif materialize != "memory":
+                raise ValueError(
+                    "sw views support memory or parquet_upsert "
+                    "materialization"
+                )
         elif sw_step_seconds is not None:
             raise ValueError("sw_step requires sw")
+        if materialize == "parquet_upsert" and not key_cols:
+            raise ValueError("parquet_upsert materialization requires key_cols")
+        if (ttl_seconds is None) != (ttl_column is None):
+            raise ValueError("ttl_seconds and ttl_column go together")
         self.catalog.create_view(
             ViewDef(
                 name,
@@ -185,6 +205,20 @@ class Engine:
         if view.sw_seconds is not None:
             return sw_rewrite_sql(view.sql, view.sw_step_seconds)
         return view.sql
+
+    def _view_stream_df(self, view: ViewDef, src: DataFrame) -> DataFrame:
+        """Durable sw views aggregate under an event-time watermark on
+        arrival_timestamp so update-mode per-bucket state EVICTS once the
+        bucket falls two steps behind the max observed arrival — without
+        it the windowed aggregation keeps every bucket ever touched."""
+        if (
+            view.sw_seconds is not None
+            and view.materialize == "parquet_upsert"
+        ):
+            return src.withWatermark(
+                "arrival_timestamp", f"{2 * view.sw_step_seconds} seconds"
+            )
+        return src
 
     def create_continuous_transform(
         self,
@@ -343,7 +377,10 @@ class Engine:
                 if not view.active:
                     continue
                 vdf = compile_view(
-                    self.spark, good, relation, self._view_compile_sql(view)
+                    self.spark,
+                    self._view_stream_df(view, good),
+                    relation,
+                    self._view_compile_sql(view),
                 )
                 queries.append(self._start_view_query(consumer.id, view, vdf))
             # (d) continuous transforms registered on this relation:
@@ -442,7 +479,9 @@ class Engine:
                     vd = ViewDef(**self.catalog.state.views[name])
                     if vd.stream == relation:
                         vdf = compile_view(
-                            self.spark, good, relation,
+                            self.spark,
+                            self._view_stream_df(vd, good),
+                            relation,
                             self._view_compile_sql(vd),
                         )
                         self._queries[cid].append(
@@ -945,7 +984,17 @@ class Engine:
                     >= F.current_timestamp() - F.expr(f"INTERVAL {ttl} SECOND")
                 )
             return df
-        return self.spark.read.parquet(self.view_dir(view_name))
+        df = self.spark.read.parquet(self.view_dir(view_name))
+        if vd is not None and vd.get("sw_seconds") is not None:
+            # durable sw view: the parquet store holds per-step partials
+            # (already reaped to the retention) — recombine the live ones
+            return sw_combine(
+                df,
+                vd["sw_seconds"],
+                vd["sw_aggs"],
+                vd.get("sw_group_cols") or [],
+            )
+        return df
 
     def sql(self, query: str) -> DataFrame:
         """Ad-hoc SQL with every registered continuous view queryable as a

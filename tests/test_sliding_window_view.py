@@ -94,11 +94,10 @@ def test_sw_view_restrictions(engine):
             "bad1", "SELECT k, avg(v) AS a FROM sw_r GROUP BY k",
             stream="sw_r", sw_seconds=3600,
         )
-    with pytest.raises(ValueError, match="memory"):
+    with pytest.raises(ValueError, match="memory or parquet_upsert"):
         engine.create_continuous_view(
             "bad2", "SELECT k, count(*) AS n FROM sw_r GROUP BY k",
-            stream="sw_r", sw_seconds=3600,
-            materialize="parquet_upsert", key_cols=["k"],
+            stream="sw_r", sw_seconds=3600, materialize="delta",
         )
     with pytest.raises(ValueError, match="sw_step requires sw"):
         engine.create_continuous_view(
@@ -140,3 +139,56 @@ def test_deactivate_stops_sw_view_query(engine, spark, tmp_path):
         r.name: r.running for r in engine.pipeline_queries().collect()
     }
     assert running["swx_view"] is False
+
+
+def test_durable_sw_view_reaps_expired_steps(engine, spark, tmp_path):
+    """The parquet_upsert sw form — PipelineDB's step GC equivalent:
+    partials land keyed on (group, bucket) and the merge-time reaper
+    DROPS buckets past the retention, so the materialized store (not
+    just the read) stays bounded by the window at any runtime."""
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("swd_s", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "swd_view",
+        "SELECT k, count(*) AS n, sum(v) AS total FROM swd_s GROUP BY k",
+        stream="swd_s",
+        materialize="parquet_upsert",
+        sw_seconds=3600,
+        sw_step_seconds=180,
+    )
+    engine.consume_begin("ep", "s", "swd_s", fmt="csv", delimiter=",")
+    write_record_file(
+        str(src_root / "s"),
+        [
+            {"data": "a,5", "approximate_arrival_timestamp": _iso(30)},
+            {"data": "a,2", "approximate_arrival_timestamp": _iso(600)},
+            # far beyond retention (sw + 2 steps = 3960 s): must be
+            # REAPED from the store by the merge, not merely filtered
+            {"data": "a,9", "approximate_arrival_timestamp": _iso(7200)},
+        ],
+    )
+    engine.wait_for_ingest()
+
+    rows = {
+        r.k: (r.n, r.total) for r in engine.view_table("swd_view").collect()
+    }
+    assert rows == {"a": (2, 7)}
+    # the STORE itself carries no expired bucket
+    raw = spark.read.parquet(engine.view_dir("swd_view"))
+    assert raw.count() == 2  # two live steps, expired step reaped
+    assert raw.filter("_sw_win.end < current_timestamp() - INTERVAL 3960 SECOND").count() == 0
+
+    # incremental update into an existing bucket's partial
+    write_record_file(
+        str(src_root / "s"),
+        [{"data": "a,1", "approximate_arrival_timestamp": _iso(20)}],
+    )
+    engine.wait_for_ingest()
+    rows = {
+        r.k: (r.n, r.total) for r in engine.view_table("swd_view").collect()
+    }
+    assert rows == {"a": (3, 8)}
+    # ad-hoc SQL resolves the durable sw view to its recombined form
+    got = engine.sql("SELECT k, n FROM swd_view").collect()
+    assert [(r.k, r.n) for r in got] == [("a", 3)]
