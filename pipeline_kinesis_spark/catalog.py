@@ -17,6 +17,8 @@ import os
 import threading
 from dataclasses import asdict, dataclass, field
 
+from pyspark.sql.types import StructType
+
 
 @dataclass
 class Endpoint:
@@ -190,9 +192,12 @@ class Catalog:
         schema, so old parquet files simply lack the column)."""
         with self._lock:
             sd = self.stream(name)
+            # real DDL parse (same as stream_table): a naive comma split
+            # would yield phantom tokens for parameterized types like
+            # DECIMAL(10,2)
             existing = [
-                f.strip().split()[0].lower()
-                for f in sd.schema_ddl.split(",")
+                f.name.lower()
+                for f in StructType.fromDDL(sd.schema_ddl).fields
             ]
             if col_name.lower() in existing:
                 raise ValueError(

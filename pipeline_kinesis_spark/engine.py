@@ -41,6 +41,7 @@ from pipeline_kinesis_spark.shipping import ship_package
 from pipeline_kinesis_spark.sources.file_replay import FileReplaySource
 from pipeline_kinesis_spark.sources.records import RECORD_SCHEMA
 from pipeline_kinesis_spark.streaming.continuous_view import (
+    KB_COL,
     SW_BUCKET_COL,
     compile_view,
     materialize_memory,
@@ -167,7 +168,16 @@ class Engine:
                 # runs under a watermark so per-bucket aggregation state
                 # evicts too — sw state bounded by the WINDOW, not by
                 # process lifetime (closes the memory-mode retention gap).
-                key_cols = key_cols or [*sw_group_cols, SW_BUCKET_COL]
+                if key_cols is not None:
+                    # the key IS derived: (group cols, step bucket). A
+                    # caller-supplied key that omits the bucket would
+                    # upsert-overwrite partials across steps and silently
+                    # undercount the recombined window.
+                    raise ValueError(
+                        "sw parquet_upsert views derive key_cols "
+                        "(group columns + window bucket); do not pass it"
+                    )
+                key_cols = [*sw_group_cols, SW_BUCKET_COL]
                 ttl_seconds = sw_seconds + 2 * sw_step_seconds
                 ttl_column = f"{SW_BUCKET_COL}.end"
                 output_mode = "update"
@@ -615,6 +625,7 @@ class Engine:
                             _k,
                             ttl_seconds=_v.ttl_seconds,
                             ttl_column=_v.ttl_column,
+                            batch_id=bid,
                         )
                     )
                 )
@@ -985,6 +996,10 @@ class Engine:
                 )
             return df
         df = self.spark.read.parquet(self.view_dir(view_name))
+        if KB_COL in df.columns:
+            # hash-bucket partition column — physical store layout, not
+            # part of the view's schema
+            df = df.drop(KB_COL)
         if vd is not None and vd.get("sw_seconds") is not None:
             # durable sw view: the parquet store holds per-step partials
             # (already reaped to the retention) — recombine the live ones
@@ -994,6 +1009,16 @@ class Engine:
                 vd["sw_aggs"],
                 vd.get("sw_group_cols") or [],
             )
+        if vd is not None:
+            # TTL rides the merge for touched buckets and a round-robin
+            # sweep covers the rest within n batches; this read-time
+            # filter guarantees sweep lag is never visible to queries.
+            ttl, col = vd.get("ttl_seconds"), vd.get("ttl_column")
+            if ttl is not None and col is not None:
+                df = df.filter(
+                    F.col(col)
+                    >= F.current_timestamp() - F.expr(f"INTERVAL {ttl} SECOND")
+                )
         return df
 
     def sql(self, query: str) -> DataFrame:

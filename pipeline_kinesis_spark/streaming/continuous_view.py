@@ -18,6 +18,8 @@ Sink strategy:
 
 from __future__ import annotations
 
+import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,54 +57,200 @@ def materialize_memory(
     )
 
 
+# Hash-bucket partitioning for the upsert store: rows live under
+# <table_dir>/<KB_COL>=<i>/ with i = pmod(xxhash64(key_cols), n). A
+# micro-batch then reads, merges, and REWRITES ONLY the buckets its keys
+# hash into — write amplification per batch is (touched buckets / n) of
+# the table instead of 2× the whole table. No leading underscore in the
+# column name: Spark's file listing hides `_`-prefixed paths, which would
+# make the partition dirs invisible to readers.
+UPSERT_BUCKETS = 16
+KB_COL = "upsert_kb"
+_NB_MARKER = "_upsert_nb"  # `_` prefix: invisible to Spark's listing
+_BAK_PREFIX = ".bak."  # `.` prefix: hidden from partition discovery
+
+
+def _store_buckets(table_dir: str, default: int) -> int:
+    """Bucket count is a physical property of the store layout — persist
+    it in a marker file so restarts (or changed defaults) can never hash
+    the same key into a different directory."""
+    try:
+        with open(os.path.join(table_dir, _NB_MARKER)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return default
+
+
+def _write_bucket_marker(table_dir: str, n: int) -> None:
+    with open(os.path.join(table_dir, _NB_MARKER), "w") as f:
+        f.write(str(n))
+
+
+def _recover_bucket_baks(table_dir: str) -> None:
+    """Crash recovery: a `.bak.<KB_COL>=i` dir left behind means a prior
+    swap died mid-flight. If the live dir is missing, the bak IS the
+    data — restore it; if the live dir exists, the swap completed and
+    the bak is stale — drop it."""
+    for name in os.listdir(table_dir):
+        if not name.startswith(_BAK_PREFIX):
+            continue
+        live = os.path.join(table_dir, name[len(_BAK_PREFIX):])
+        bak = os.path.join(table_dir, name)
+        if os.path.isdir(live):
+            shutil.rmtree(bak)
+        else:
+            os.rename(bak, live)
+
+
+def _swap_bucket(table_dir: str, tmp: str, bucket: int) -> None:
+    """Rename-swap one bucket dir with a restore guard (the
+    compact_stream_table pattern): live → .bak, tmp → live, drop .bak;
+    on failure the .bak is restored so the bucket is never left missing.
+    A tmp dir absent for a touched bucket means the merge emptied it
+    (every row replaced or TTL-reaped) — the live dir is removed."""
+    src = os.path.join(tmp, f"{KB_COL}={bucket}")
+    dst = os.path.join(table_dir, f"{KB_COL}={bucket}")
+    bak = os.path.join(table_dir, f"{_BAK_PREFIX}{KB_COL}={bucket}")
+    has_src, has_dst = os.path.isdir(src), os.path.isdir(dst)
+    if not has_src and not has_dst:
+        return
+    if has_dst:
+        os.rename(dst, bak)
+    if has_src:
+        try:
+            os.rename(src, dst)
+        except OSError:
+            if has_dst:
+                os.rename(bak, dst)
+            raise
+    if has_dst:
+        shutil.rmtree(bak)
+
+
 def upsert_to_parquet(
     batch_df: DataFrame,
     table_dir: str,
     key_cols: list[str],
     ttl_seconds: int | None = None,
     ttl_column: str | None = None,
+    batch_id: int | None = None,
+    num_buckets: int = UPSERT_BUCKETS,
 ) -> None:
-    """MERGE-style keyed upsert into a parquet dir (foreachBatch body).
+    """MERGE-style keyed upsert into a hash-bucketed parquet dir
+    (foreachBatch body) — the plain-parquet stand-in for Delta
+    ``MERGE INTO``, the reference's ON CONFLICT DO UPDATE analog
+    (pipeline_kinesis.c:543-579).
 
-    Reads current state, anti-joins out replaced keys, appends the new
-    rows, atomically swaps. Plain parquet stand-in for Delta MERGE — at
-    cluster scale, partition the table by a key prefix and rewrite only
-    touched partitions.
+    The store is partitioned by ``pmod(xxhash64(key_cols), n)``. Each
+    batch: hash the incoming keys, read ONLY the buckets they land in
+    (partition pruning), anti-join out replaced keys, union the new
+    rows, write those buckets ONCE to a tmp dir, and rename-swap each
+    bucket with a restore guard — untouched buckets are never read,
+    never rewritten, and their files stay byte-identical. Scale shape:
+    per-batch IO is proportional to touched buckets, not table size,
+    and the swap window is per-bucket rename, not a full-table
+    overwrite. On a cluster with a transactional format this whole
+    function becomes ``MERGE INTO`` on a table clustered by the key.
 
-    With ttl_seconds/ttl_column set (PipelineDB TTL views), rows whose
-    ttl_column trails the wall clock by more than the TTL are dropped
-    during the rewrite — the reaper rides the merge, so materialized
-    state stays bounded with no extra pass.
+    With ttl_seconds/ttl_column set (PipelineDB TTL views), expired
+    rows are dropped from every touched bucket during the merge, and
+    one additional bucket per batch (``batch_id % n``, round-robin) is
+    probed for expired rows and reaped if any — so even buckets no new
+    data hashes into are swept within n batches and the store stays
+    bounded. view_table additionally filters expired rows at read time,
+    so lag in the sweep is never visible to queries.
     """
     spark = batch_df.sparkSession
-    new = batch_df.dropDuplicates(key_cols)
-    try:
-        current = spark.read.parquet(table_dir)
-        exists = True
-    except Exception:  # first batch: nothing materialized yet
-        exists = False
-    if exists:
+    if KB_COL in batch_df.columns:
+        raise ValueError(f"column name {KB_COL!r} is reserved")
+    exists = os.path.isdir(table_dir)
+    n = _store_buckets(table_dir, num_buckets) if exists else num_buckets
+    kb = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n)).cast(
+        "int"
+    )
+    new = batch_df.dropDuplicates(key_cols).withColumn(KB_COL, kb)
+    ttl_pred = None
+    if ttl_seconds is not None and ttl_column is not None:
+        ttl_pred = F.col(ttl_column) >= F.current_timestamp() - F.expr(
+            f"INTERVAL {int(ttl_seconds)} SECOND"
+        )
+
+    legacy = exists and any(
+        f.endswith(".parquet") for f in os.listdir(table_dir)
+    )
+    if exists and not legacy:
+        _recover_bucket_baks(table_dir)
+
+    if not exists or legacy:
+        # first materialization (or one-time migration of a flat legacy
+        # store): full merge, written bucketed, whole-dir swap.
+        if legacy:
+            current = spark.read.parquet(table_dir).withColumn(KB_COL, kb)
+            keep = current.join(
+                F.broadcast(new.select(*key_cols)), key_cols, "left_anti"
+            )
+            merged = keep.unionByName(new)
+        else:
+            merged = new
+        if ttl_pred is not None:
+            merged = merged.filter(ttl_pred)
+        tmp = f"{table_dir}__tmp_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").partitionBy(KB_COL).parquet(tmp)
+        _write_bucket_marker(tmp, n)
+        bak = f"{table_dir}__legacy_bak"
+        if legacy:
+            os.rename(table_dir, bak)
+        try:
+            os.rename(tmp, table_dir)
+        except OSError:
+            if legacy:
+                os.rename(bak, table_dir)
+            raise
+        if legacy:
+            shutil.rmtree(bak)
+        return
+
+    touched = {
+        r[0] for r in new.select(KB_COL).distinct().collect()
+    }  # O(buckets) driver-side, bounded by n
+    if ttl_pred is not None and batch_id is not None:
+        sweep = int(batch_id) % n
+        sweep_dir = os.path.join(table_dir, f"{KB_COL}={sweep}")
+        if (
+            sweep not in touched
+            and os.path.isdir(sweep_dir)
+            and spark.read.parquet(sweep_dir)
+            .filter(~ttl_pred)
+            .limit(1)
+            .count()
+            > 0
+        ):
+            touched.add(sweep)
+    if not touched:
+        return
+
+    have_data = any(
+        name.startswith(f"{KB_COL}=") for name in os.listdir(table_dir)
+    )
+    if have_data:
+        current = spark.read.parquet(table_dir).filter(
+            F.col(KB_COL).isin([int(b) for b in touched])
+        )
         keep = current.join(
             F.broadcast(new.select(*key_cols)), key_cols, "left_anti"
         )
         merged = keep.unionByName(new)
-    else:
+    else:  # store dir exists but holds no buckets yet (empty first batch)
         merged = new
-    if ttl_seconds is not None and ttl_column is not None:
-        merged = merged.filter(
-            F.col(ttl_column)
-            >= F.current_timestamp()
-            - F.expr(f"INTERVAL {int(ttl_seconds)} SECOND")
-        )
+    if ttl_pred is not None:
+        merged = merged.filter(ttl_pred)
     tmp = f"{table_dir}__tmp_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(table_dir)
-    spark._jvm.org.apache.hadoop.fs.FileSystem.get(  # noqa: SLF001
-        spark._jsc.hadoopConfiguration()
-    ).delete(
-        spark._jvm.org.apache.hadoop.fs.Path(tmp), True
-    )
+    merged.write.mode("overwrite").partitionBy(KB_COL).parquet(tmp)
+    try:
+        for b in sorted(touched):
+            _swap_bucket(table_dir, tmp, int(b))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------
@@ -151,12 +299,49 @@ def _split_select_items(select_list: str) -> list[str]:
     return items
 
 
+def _outside_string_mask(sql: str) -> list[bool]:
+    """Per-character: True where the char sits at paren depth 0 and
+    outside a single-quoted literal."""
+    mask, depth, in_str = [], 0, False
+    for c in sql:
+        mask.append(depth == 0 and not in_str)
+        if c == "'":
+            in_str = not in_str
+        elif not in_str:
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+    return mask
+
+
 def parse_sw_view_sql(sql: str) -> tuple[list[str], dict[str, str]]:
     """SELECT-list analysis for a sliding-window view: returns
     (group-item output names, alias → combinable-aggregate map).
     Every aggregate must be aliased count/sum/min/max (the PipelineDB
     sw restriction); every non-aggregate item needs a resolvable output
-    name (bare column or ``expr AS name``)."""
+    name (bare column or ``expr AS name``).
+
+    HAVING and subqueries are rejected HERE, at CREATE time: the
+    standing query evaluates per-step PARTIALS, so a HAVING would
+    filter steps, not the recombined window (a group passing over the
+    full window but in no single step would silently vanish), and a
+    nested GROUP BY would catch the step-bucket injection meant for
+    the outer query. Filter the recombined view at read time instead."""
+    strmask = _outside_string_mask(sql)
+    for m in _re.finditer(r"\bHAVING\b", sql, _re.I):
+        if strmask[m.start()]:
+            raise ValueError(
+                "sw views do not support HAVING (it would filter "
+                "per-step partials, not the window); filter the view "
+                "at read time"
+            )
+    # any SELECT beyond the first — parenthesized or not — is a subquery
+    selects = list(_re.finditer(r"\bSELECT\b", sql, _re.I))
+    if len(selects) > 1:
+        raise ValueError(
+            "sw view SQL must be a single flat SELECT (no subqueries)"
+        )
     m = _re.match(r"^\s*SELECT\s+(.*?)\s+FROM\s", sql, _re.I | _re.S)
     if not m:
         raise ValueError("sw view SQL must be a single SELECT ... FROM ...")
@@ -202,13 +387,15 @@ def sw_rewrite_sql(sql: str, step_seconds: int) -> str:
         raise ValueError("sw view SQL must be a single SELECT ... FROM ...")
     head, select_list, rest = m.groups()
     rewritten = f"{head}{select_list}, {bucket} AS {SW_BUCKET_COL}{rest}"
-    gm = _re.search(r"\bGROUP\s+BY\b", rewritten, _re.I)
-    if gm:
-        # append the bucket to the existing GROUP BY list
-        return _re.sub(
-            r"(\bGROUP\s+BY\b)", r"\1 " + bucket + ",", rewritten,
-            count=1, flags=_re.I,
-        )
+    # anchor to the OUTER query's GROUP BY: only a match at paren depth
+    # 0 outside string literals qualifies (a subquery's GROUP BY sits
+    # inside parens — parse_sw_view_sql rejects those at CREATE, this
+    # keeps the injection correct regardless)
+    strmask = _outside_string_mask(rewritten)
+    for gm in _re.finditer(r"\bGROUP\s+BY\b", rewritten, _re.I):
+        if strmask[gm.start()]:
+            i = gm.end()
+            return f"{rewritten[:i]} {bucket},{rewritten[i:]}"
     return rewritten + f" GROUP BY {bucket}"
 
 

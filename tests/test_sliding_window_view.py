@@ -104,6 +104,32 @@ def test_sw_view_restrictions(engine):
             "bad3", "SELECT k, count(*) AS n FROM sw_r GROUP BY k",
             stream="sw_r", sw_step_seconds=60,
         )
+    # HAVING would filter per-STEP partials, not the window — a group
+    # passing over the full window but in no single step would vanish.
+    # Rejected at CREATE, not at consume_begin.
+    with pytest.raises(ValueError, match="HAVING"):
+        engine.create_continuous_view(
+            "bad4",
+            "SELECT k, count(*) AS n FROM sw_r GROUP BY k HAVING count(*) > 2",
+            stream="sw_r", sw_seconds=3600,
+        )
+    # a subquery's GROUP BY would catch the step-bucket injection meant
+    # for the outer query
+    with pytest.raises(ValueError, match="subquer"):
+        engine.create_continuous_view(
+            "bad5",
+            "SELECT k, count(*) AS n FROM "
+            "(SELECT k FROM sw_r GROUP BY k) t GROUP BY k",
+            stream="sw_r", sw_seconds=3600,
+        )
+    # durable sw keys are derived (group cols + bucket); a caller key
+    # omitting the bucket would overwrite partials across steps
+    with pytest.raises(ValueError, match="derive key_cols"):
+        engine.create_continuous_view(
+            "bad6", "SELECT k, count(*) AS n FROM sw_r GROUP BY k",
+            stream="sw_r", sw_seconds=3600,
+            materialize="parquet_upsert", key_cols=["k"],
+        )
 
 
 def test_sw_view_rejects_distinct(engine):

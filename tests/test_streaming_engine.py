@@ -317,3 +317,12 @@ def test_alter_stream_parameterized_type(engine):
         "ALTER STREAM alt_p ADD COLUMN price numeric(10,2)"
     ) == "success"
     assert "price" in engine.catalog.stream("alt_p").schema_ddl
+    # the duplicate check must parse the DDL (a naive comma split would
+    # see phantom tokens like '2)') — both directions still correct:
+    with pytest.raises(ValueError, match="already exists"):
+        engine.alter_stream_add_column("alt_p", "PRICE", "STRING")
+    assert engine.execute(
+        "ALTER STREAM alt_p ADD COLUMN qty bigint"
+    ) == "success"
+    ddl = engine.catalog.stream("alt_p").schema_ddl.lower()
+    assert all(n in ddl for n in ["k", "price", "qty"])

@@ -196,6 +196,100 @@ def test_upsert_to_parquet_merge_semantics(spark, tmp_path):
     assert rows == {("a", 1), ("b", 20), ("c", 3)}
 
 
+def test_upsert_recovers_interrupted_bucket_swap(spark, tmp_path):
+    """A swap that died between renames leaves a hidden `.bak.` dir and a
+    missing live bucket; the next batch restores it before merging —
+    the store is never left missing a bucket's rows."""
+    import os
+
+    from pipeline_kinesis_spark.streaming.continuous_view import KB_COL
+
+    d = str(tmp_path / "tbl")
+    upsert_to_parquet(
+        spark.createDataFrame(
+            [(f"k{i}", i) for i in range(20)], "k STRING, v INT"
+        ),
+        d,
+        ["k"],
+    )
+    want = {(f"k{i}", i) for i in range(20)}
+    assert {(r.k, r.v) for r in spark.read.parquet(d).collect()} == want
+    victim = next(
+        n for n in sorted(os.listdir(d)) if n.startswith(f"{KB_COL}=")
+    )
+    os.rename(os.path.join(d, victim), os.path.join(d, f".bak.{victim}"))
+    # empty batch: nothing to merge, but recovery still runs
+    upsert_to_parquet(
+        spark.createDataFrame([], "k STRING, v INT"), d, ["k"]
+    )
+    assert {(r.k, r.v) for r in spark.read.parquet(d).collect()} == want
+
+
+def test_upsert_migrates_legacy_flat_store(spark, tmp_path):
+    """A pre-bucketing flat parquet store is migrated in one pass on the
+    first merge: same rows, hash-bucketed layout from then on."""
+    import os
+
+    from pipeline_kinesis_spark.streaming.continuous_view import KB_COL
+
+    d = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [("a", 1), ("b", 2)], "k STRING, v INT"
+    ).write.parquet(d)
+    upsert_to_parquet(
+        spark.createDataFrame([("b", 20), ("c", 3)], "k STRING, v INT"),
+        d,
+        ["k"],
+    )
+    rows = {(r.k, r.v) for r in spark.read.parquet(d).collect()}
+    assert rows == {("a", 1), ("b", 20), ("c", 3)}
+    names = os.listdir(d)
+    assert any(n.startswith(f"{KB_COL}=") for n in names)
+    assert not any(n.endswith(".parquet") for n in names)
+
+
+def test_upsert_ttl_sweep_reaps_untouched_bucket(spark, tmp_path):
+    """The round-robin sweep: an expired row in a bucket NO new key
+    hashes into is still physically reaped once batch_id % n lands on
+    its bucket — the store stays bounded without full-table rewrites."""
+    from pipeline_kinesis_spark.streaming.continuous_view import (
+        UPSERT_BUCKETS,
+    )
+
+    d = str(tmp_path / "tbl")
+    from datetime import datetime
+
+    old = datetime(2000, 1, 1)
+    far = datetime(2200, 1, 1)
+    # seed WITHOUT ttl so the stale row lands in the store
+    upsert_to_parquet(
+        spark.createDataFrame(
+            [("stale", old), ("live", far)], "k STRING, ts TIMESTAMP"
+        ),
+        d,
+        ["k"],
+    )
+    stale_b, fresh_b = (
+        spark.sql(
+            f"SELECT CAST(pmod(xxhash64('stale'), {UPSERT_BUCKETS}) AS INT),"
+            f" CAST(pmod(xxhash64('fresh'), {UPSERT_BUCKETS}) AS INT)"
+        )
+        .collect()[0]
+    )
+    assert stale_b != fresh_b  # fixed hash: 'fresh' lands elsewhere
+    # batch touches only fresh's bucket; batch_id sweeps stale's bucket
+    upsert_to_parquet(
+        spark.createDataFrame([("fresh", far)], "k STRING, ts TIMESTAMP"),
+        d,
+        ["k"],
+        ttl_seconds=3600,
+        ttl_column="ts",
+        batch_id=stale_b,
+    )
+    rows = {r.k for r in spark.read.parquet(d).collect()}
+    assert rows == {"live", "fresh"}
+
+
 @pytest.fixture
 def engine(spark, tmp_path):
     eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
@@ -304,6 +398,74 @@ def test_compact_stream_table(engine, spark, tmp_path):
     assert {
         r.payload for r in engine.stream_table("c_stream").collect()
     } == {f"r{i}" for i in range(12)}
+
+
+def test_upsert_rewrites_only_touched_buckets(engine, spark, tmp_path):
+    """The hash-bucketed upsert store's scale contract: a micro-batch
+    rewrites ONLY the buckets its keys hash into — every other bucket's
+    files are byte-identical across the batch (no read, no rewrite, no
+    write amplification proportional to table size)."""
+    import hashlib
+    import os
+
+    from pipeline_kinesis_spark.streaming.continuous_view import KB_COL
+
+    src_root = tmp_path / "kinesis"
+    write_record_file(
+        str(src_root / "s"), [{"data": f"k{i}"} for i in range(40)]
+    )
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("b_stream", "payload STRING")
+    engine.create_continuous_view(
+        "b_counts",
+        "SELECT payload, count(*) AS n FROM b_stream GROUP BY payload",
+        stream="b_stream",
+        materialize="parquet_upsert",
+        key_cols=["payload"],
+    )
+    engine.consume_begin("ep", "s", "b_stream")
+    engine.wait_for_ingest()
+    vdir = engine.view_dir("b_counts")
+
+    def snap():
+        out = {}
+        for root, _, files in os.walk(vdir):
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, vdir)] = hashlib.sha256(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    before = snap()
+    write_record_file(str(src_root / "s"), [{"data": "k0"}])
+    engine.wait_for_ingest()
+    after = snap()
+
+    nb = int(
+        open(os.path.join(vdir, "_upsert_nb")).read().strip()
+    )
+    touched = spark.sql(
+        f"SELECT CAST(pmod(xxhash64('k0'), {nb}) AS INT) AS b"
+    ).collect()[0].b
+    touched_prefix = f"{KB_COL}={touched}/"
+    untouched = [
+        p
+        for p in before
+        if p.startswith(f"{KB_COL}=") and not p.startswith(touched_prefix)
+    ]
+    assert untouched, "expected multiple populated buckets"
+    for p in untouched:  # byte-identical: never read, never rewritten
+        assert after.get(p) == before[p]
+    changed = {
+        p
+        for p in set(before) | set(after)
+        if before.get(p) != after.get(p)
+    }
+    assert changed and all(p.startswith(touched_prefix) for p in changed)
+    rows = {(r.payload, r.n) for r in engine.view_table("b_counts").collect()}
+    assert rows == {("k0", 2)} | {(f"k{i}", 1) for i in range(1, 40)}
 
 
 def test_parquet_upsert_requires_keys(engine):
