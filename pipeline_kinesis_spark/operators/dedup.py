@@ -17,7 +17,7 @@ Four tiers, all shuffle-disciplined for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pipeline_kinesis_spark.functions.exprs import ngrams, tokens
@@ -156,18 +156,23 @@ def _jaccard_prefix_pairs(
     release_stale_caches()
     sh = pooled_persist(_shingle_hashes(load(spark, sf_dir, "documents")))
 
-    # global shingle frequency via a window count (ONE exchange on sh —
-    # cheaper than a groupBy+join which shuffles both sides), then ONE
-    # per-doc groupBy folds everything downstream needs: the
+    # global shingle frequency via groupBy + join-back, NOT a
+    # count-over-window: window functions get no map-side partial
+    # aggregation and no AQE skew splitting, so a stop-shingle present
+    # in ~every doc ("the the the") would put its entire posting list
+    # in ONE task — a skew bottleneck inside the operator whose whole
+    # point is skew immunity. groupBy collapses each hot key map-side
+    # (partial_count) so the exchange carries one row per distinct
+    # shingle, and the join back to `sh` is AQE skew-join-eligible.
+    # Then ONE per-doc groupBy folds everything downstream needs: the
     # frequency-sorted shingle list (array_sort on (df, sh) structs —
     # replaces a rank window), the set size, and the verification array
     # (fl's order as-is: array_intersect is order-agnostic, a second
     # value sort would be pure waste). Per-doc shingle sets are bounded
     # by document length, so the fold fits one array cell at any corpus
     # scale.
-    shf = sh.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-    )
+    df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    shf = sh.join(df_counts, "sh")
     docagg = (
         shf.groupBy("doc_id")
         .agg(

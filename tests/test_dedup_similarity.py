@@ -127,6 +127,47 @@ def test_lsh_topk_recall(spark, sf_dir):
         assert rec >= 0.5, f"query {q}: LSH recall {rec:.2f}"
 
 
+def test_prefix_jaccard_hot_shingle_skew(spark, tmp_path):
+    """A stop-shingle planted in 50% of docs: (a) output still matches
+    the naive exact twin, and (b) the document-frequency pass is a
+    partial-aggregating groupBy, NOT a count-over-window — a window on
+    the shingle key would put the hot shingle's whole posting list in
+    one task at scale (no map-side combine, no AQE skew split)."""
+    from pipeline_kinesis_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_prefix,
+    )
+
+    hot = "alpha beta gamma"  # one trigram shingle shared by half the docs
+    rows = []
+    for i in range(40):
+        uniq = " ".join(f"u{i}_{j}" for j in range(8))
+        text = f"{hot} {uniq}" if i % 2 == 0 else uniq
+        rows.append((i, text))
+    # plus a genuine near-dup pair that must survive the skew
+    rows.append((100, "the quick brown fox jumps over the lazy dog today"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog now"))
+    d = tmp_path / "corpus"
+    spark.createDataFrame(rows, "doc_id LONG, text STRING").write.parquet(
+        str(d / "documents.parquet")
+    )
+
+    out = ngram_jaccard_prefix(spark, str(d))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, "df pass lost map-side partial agg"
+    assert "Window" not in plan, "df pass regressed to a window function"
+
+    got = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard) for r in out.collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.n_common, r.jaccard)
+        for r in ngram_jaccard_pairs(spark, str(d)).collect()
+    }
+    assert got == want
+    assert any(a == 100 and b == 101 for a, b, _, _ in got)
+
+
 def test_neardup_components_cluster_pairs(spark, sf_dir):
     """Every near-dup pair lands in one component, the canonical doc is
     the component minimum, and sizes count the member rows."""
