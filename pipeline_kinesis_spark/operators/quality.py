@@ -442,9 +442,82 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold stratified sampling — the SCALE path twin of
+    ``stratified_sample``. Each document keeps independently iff its
+    Knuth multiplicative hash bucket (0..9999, salted so it is
+    uncorrelated with dataset_split's buckets) falls below
+    floor(frac × 10000) for its stratum.
+
+    Why a twin: the exact-quota sampler's rank serializes each stratum
+    into ONE sort task (~5 strata → 5 tasks, billions of rows each at
+    100 TB). This sampler has NO per-stratum sort and NO window — one
+    narrow projection and one stratum-keyed aggregate, embarrassingly
+    parallel at any scale. The kept set is deterministic (same docs in
+    any engine — plain integer arithmetic, oracle-checkable) and its
+    size concentrates tightly around frac × n (binomial; ±0.5% at a
+    billion rows). Keep exact-quota as the audit anchor where the quota
+    must be met exactly; run this form in production.
+    """
+    frac = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in STRATA_FRACS.items()
+        ],
+        F.lit(0.1),
+    )
+    # fold before multiply keeps the product in signed-64 range for the
+    # DuckDB oracle (it errors on overflow; Spark would wrap); +7919
+    # decorrelates from dataset_split's unsalted buckets
+    bucket = (
+        ((F.col("doc_id") + 7919) % 1000003)
+        * F.lit(2654435761).cast("long")
+    ) % 4294967296 % 10000
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .withColumn("threshold", F.floor(frac * 10000).cast("long"))
+        .withColumn("kept", bucket < F.col("threshold"))
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("threshold").alias("threshold"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.min(F.when(F.col("kept"), F.col("doc_id"))).alias(
+            "first_kept_doc"
+        ),
+        F.max(F.when(F.col("kept"), F.col("doc_id"))).alias(
+            "last_kept_doc"
+        ),
+    )
+
+
 _STRATA_CASE = " ".join(
     f"WHEN '{k}' THEN {v}" for k, v in STRATA_FRACS.items()
 )
+
+STRATIFIED_SAMPLE_HASH_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(floor((CASE lang {_STRATA_CASE} ELSE 0.1 END) * 10000)
+              AS BIGINT) AS threshold,
+         (((doc_id + 7919) % 1000003) * 2654435761)
+           % 4294967296 % 10000 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       max(threshold) AS threshold,
+       CAST(sum(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       min(CASE WHEN bucket < threshold THEN doc_id END) AS first_kept_doc,
+       max(CASE WHEN bucket < threshold THEN doc_id END) AS last_kept_doc
+FROM d
+GROUP BY lang
+"""
+
 
 STRATIFIED_SAMPLE_SQL = f"""
 WITH d AS (
@@ -686,4 +759,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pii_redact": QuerySpec(pii_redact, PII_REDACT_SQL, bench=True),
     "sequence_pack": QuerySpec(sequence_pack, SEQUENCE_PACK_SQL, bench=True),
     "stratified_sample": QuerySpec(stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "stratified_sample_hash": QuerySpec(
+        stratified_sample_hash, STRATIFIED_SAMPLE_HASH_SQL
+    ),
 }

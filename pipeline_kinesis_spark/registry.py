@@ -50,32 +50,28 @@ _MODULES = (
 # already verified green follow after.
 _WINDOW = 50
 
-# Round-4 rotation: the last 5 oracled queries that have NEVER held a
-# driver-gate row rotate in — sequence_pack, stratified_sample,
-# hll_mergeable_distinct, cosine_topk_lsh_recall,
-# winnow_fingerprint_stats (VERDICT r03 "Next round" #1). Five rows
-# green in BOTH r02 and r03 rotate out, each with its family still
-# represented inside the window:
-#   sliding_window_agg  → timeseries stays via tumbling/session/asof
-#   tfidf_top_terms     → textops stays via token_stats/text_quality/
-#                         lang_id/token_count_bpe/bigrams/fingerprints
-#   agg_approx_distinct → B14 stays via agg_approx_percentile +
-#                         hll_mergeable_distinct (same HLL family) +
-#                         cms/bloom/fss
-#   cosine_topk         → similarity stays via lsh/ivf/pq/ivfpq recall
-#                         twins (each runs the exact top-k as its
-#                         ground truth) + neardup_pairs + centroids
-#   dataset_split       → curation stays via decontaminate/gopher/pii +
-#                         sequence_pack + stratified_sample
+# Round-5 rotation (VERDICT r04 "Next round" #7): the five stalest
+# oracled queries — each last driver-green in r02/r03 — rotate back in
+# (agg_approx_distinct, agg_keyed_minmax, tumbling_window_agg,
+# tfidf_top_terms, dataset_split), plus the new
+# stratified_sample_hash (scale-path sampler twin) takes a gate row
+# immediately. Six rows green in 2-3 consecutive rounds incl. r04
+# rotate out, each with its family still represented inside the window:
+#   agg_approx_percentile → B14 stays via hll_mergeable_distinct +
+#                           fss_topk_tokens + agg_approx_distinct
+#   bloom_order_priorities → same B14 coverage
+#   session_window_agg    → timeseries stays via asof_join +
+#                           tumbling_window_agg (rotating back in)
+#   corpus_clean          → textops stays via token_stats,
+#                           text_normalize, tfidf_top_terms, winnow
+#   agg_salted_skew       → B12 stays via q1/corr/exact-percentiles/
+#                           histogram + agg_keyed_minmax; skew
+#                           discipline stays via join_salted_skew
+#   cosine_neardup_pairs  → similarity stays via the four recall twins
+#                           + embedding_neardup_clusters
 # Rotated-out rows remain covered by the local sf0.01 full differential
 # (tools/compare_oracle.py) and pytest; tools/gate_history.py asserts
 # every oracled registry query has held a driver-green row in some round.
-# Late round-4 additions lm_perplexity (CCNet-style capped-vocab unigram
-# LM scoring) and crossdoc_span_dup (sub-document span-reuse audit) take
-# gate rows immediately so they never join the never-gated backlog;
-# ngram_jaccard_pairs (naive twin — prefix twin stays in) and
-# doc_fingerprint (fingerprint family stays via winnow_fingerprint_stats)
-# rotate out, both green in two rounds.
 _PRIORITY = (
     # TPC-H aggregate/join shapes
     "q1_pricing_summary", "q7_volume_shipping",
@@ -87,19 +83,19 @@ _PRIORITY = (
     "neardup_components", "bpe_train_verify",
     "cosine_topk_pq_recall", "cosine_topk_ivfpq_recall",
     # approx aggregates (B14)
-    "hll_mergeable_distinct", "agg_approx_percentile",
+    "hll_mergeable_distinct", "agg_approx_distinct",
     # remaining §2B families (pivot_priority_by_year rotates out
     # 2x-green for funnel_conversion; B15 stays via grouping_sets +
     # unpivot)
     # (agg_keyed_minmax rotates out 2x-green for agg_corr_regression —
     # B12 keyed aggregates stay via salted-skew + q1)
     "funnel_conversion", "window_range_frame", "agg_corr_regression",
-    "agg_salted_skew", "join_salted_skew", "unpivot_lineitem_measures",
+    "agg_keyed_minmax", "join_salted_skew", "unpivot_lineitem_measures",
     "window_distribution",
     # timeseries (B11/B23/B24) + pandas-UDF surface (B27);
     # tumbling_window_agg rotates out 2x-green for curation_report
     # (timeseries stays via session+asof)
-    "curation_report", "session_window_agg",
+    "curation_report", "tumbling_window_agg",
     "asof_join", "zscore_per_user", "scaled_value_pandas",
     # dedup (C1/C2: exact, prefix-jaccard, MinHash LSH, SimHash, spans)
     "exact_dedup", "crossdoc_span_dup", "ngram_jaccard_prefix",
@@ -111,18 +107,19 @@ _PRIORITY = (
     # aggregates; text_quality's signals are embedded verbatim inside
     # curation_report's gate row, textops stays via corpus_clean/
     # token_stats/text_normalize, bpe stays via bpe_train_verify)
-    "corpus_clean", "token_stats",
+    "tfidf_top_terms", "token_stats",
     "text_normalize", "agg_exact_percentiles", "value_histogram",
     "dedup_spans_rewrite", "lm_perplexity", "winnow_fingerprint_stats",
-    # corpus curation (C6, round-4 rotation)
-    "sequence_pack", "stratified_sample",
+    # corpus curation (C6: exact-quota sampler + its hash-threshold
+    # scale twin + the deterministic-split primitive)
+    "sequence_pack", "stratified_sample", "stratified_sample_hash",
+    "dataset_split",
     # similarity search (embedding_centroids rotates out 2x-green for
     # the new embedding_neardup_clusters composition)
     "cosine_topk_lsh_recall", "cosine_topk_ivf_recall",
-    "cosine_neardup_pairs", "embedding_neardup_clusters",
-    # sketches (cms_event_counts rotates out 2x-green for
-    # cohort_retention; B14 stays via hll/percentile/bloom/fss)
-    "cohort_retention", "bloom_order_priorities", "fss_topk_tokens",
+    "embedding_neardup_clusters",
+    # sketches / events
+    "cohort_retention", "fss_topk_tokens",
     # multimodal
     "multimodal_meta_stats", "multimodal_resize", "multimodal_frame_sample",
     "multimodal_features",
