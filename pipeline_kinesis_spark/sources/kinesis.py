@@ -20,6 +20,7 @@ Reference flow parity:
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -79,6 +80,19 @@ class KinesisSource:
             opts["awsCredentialsFile"] = self.credfile
         return opts
 
+    def poller(
+        self,
+        client,
+        checkpoints: dict[str, str] | None = None,
+        sleep=time.sleep,
+    ) -> "KinesisShardPoller":
+        """Bind this source config to a Kinesis client (boto3 in
+        production, an in-process fake in tests) and return the
+        consumer-protocol engine."""
+        return KinesisShardPoller(
+            client, self, checkpoints=checkpoints, sleep=sleep
+        )
+
     def read_stream(self, spark: SparkSession) -> DataFrame:
         try:
             import boto3  # noqa: F401
@@ -95,3 +109,214 @@ class KinesisSource:
             "driver-side boto3 polling source is not implemented; use a "
             "JVM Kinesis connector with reader_options()"
         )
+
+
+# --------------------------------------------------------------------------
+# Consumer-protocol engine
+#
+# The reference's per-shard polling loop (kinesis_consumer.cpp:364-434:
+# GetRecords → follow NextShardIterator → linear 1-5 s backoff on
+# throttle; shard discovery :200-234; iterator resolution :258-325)
+# re-expressed client-agnostically: anything exposing boto3-shaped
+# describe_stream / get_shard_iterator / get_records drives it, so the
+# protocol logic — NOT the network — is the unit under test. In
+# production the client is boto3; in tests an in-process fake returns
+# canned responses (test_kinesis_protocol.py).
+
+# linear backoff: 1 s, 2 s, ... capped at 5 s, reset on success —
+# kinesis_consumer.cpp:395-430 parity
+BACKOFF_STEP_S = 1.0
+BACKOFF_MAX_S = 5.0
+
+
+@dataclass
+class ShardState:
+    """Per-shard consumer position (the seqnums-relation row analog)."""
+
+    shard_id: str
+    iterator: str | None = None
+    last_seq: str | None = None
+    millis_behind: int | None = None
+    closed: bool = False
+    backoff_s: float = 0.0
+    parents: tuple[str, ...] = ()
+
+
+class KinesisShardPoller:
+    """Drives the Kinesis consumer protocol over an injected client.
+
+    Covered behaviors (reference parity):
+    - shard discovery with DescribeStream pagination (HasMoreShards);
+    - per-shard iterator resolution: checkpointed seqnum →
+      AFTER_SEQUENCE_NUMBER, else the source's start_position mapping
+      (trim_horizon/latest/after_sequence_number:X);
+    - GetRecords loop following NextShardIterator;
+    - ProvisionedThroughputExceeded → linear 1-5 s backoff (reset on a
+      successful fetch);
+    - ExpiredIterator → re-acquire from the last checkpointed seqnum
+      (no loss, no duplicates);
+    - resharding: a closed shard (null NextShardIterator) drains fully,
+      then rediscovery picks up child shards, started at TRIM_HORIZON
+      so no record between parent end and child start is missed;
+    - MillisBehindLatest surfaced per shard (the lag metric feed).
+    """
+
+    def __init__(
+        self,
+        client,
+        source: KinesisSource,
+        checkpoints: dict[str, str] | None = None,
+        sleep=time.sleep,
+    ) -> None:
+        self.client = client
+        self.source = source
+        self.checkpoints = dict(checkpoints or {})
+        self.sleep = sleep
+        self.shards: dict[str, ShardState] = {}
+
+    # -- discovery ---------------------------------------------------------
+
+    def discover_shards(self) -> list[dict]:
+        """DescribeStream, following HasMoreShards pagination
+        (kinesis_consumer.cpp:200-234)."""
+        shards: list[dict] = []
+        start_id = None
+        while True:
+            kwargs = {"StreamName": self.source.stream_name}
+            if start_id is not None:
+                kwargs["ExclusiveStartShardId"] = start_id
+            resp = self.client.describe_stream(**kwargs)
+            desc = resp["StreamDescription"]
+            shards.extend(desc["Shards"])
+            if not desc.get("HasMoreShards"):
+                return shards
+            start_id = shards[-1]["ShardId"]
+
+    def refresh_shards(self) -> list[str]:
+        """Register newly discovered shards (split/merge children appear
+        here mid-stream — no restart needed, improves the reference's
+        restart-to-reshard). Returns the new shard ids."""
+        new = []
+        for sh in self.discover_shards():
+            sid = sh["ShardId"]
+            if sid in self.shards:
+                continue
+            self.shards[sid] = ShardState(
+                sid,
+                parents=tuple(
+                    p
+                    for p in (
+                        sh.get("ParentShardId"),
+                        sh.get("AdjacentParentShardId"),
+                    )
+                    if p
+                ),
+            )
+            new.append(sid)
+        return new
+
+    # -- iterator resolution -----------------------------------------------
+
+    def _acquire_iterator(self, st: ShardState) -> None:
+        """GetShardIterator (kinesis_consumer.cpp:258-325): a
+        checkpointed position always wins (resume AFTER it); child
+        shards of a reshard start at TRIM_HORIZON regardless of the
+        configured start (records between parent end and child start
+        must not be skipped); otherwise the configured start maps via
+        iterator_type()."""
+        seq = self.checkpoints.get(st.shard_id) or st.last_seq
+        if seq is not None:
+            it_type, start_seq = "AFTER_SEQUENCE_NUMBER", seq
+        elif st.parents:
+            it_type, start_seq = "TRIM_HORIZON", None
+        else:
+            it_type, start_seq = iterator_type(self.source.start_position)
+        kwargs = {
+            "StreamName": self.source.stream_name,
+            "ShardId": st.shard_id,
+            "ShardIteratorType": it_type,
+        }
+        if start_seq is not None:
+            kwargs["StartingSequenceNumber"] = start_seq
+        st.iterator = self.client.get_shard_iterator(**kwargs)[
+            "ShardIterator"
+        ]
+
+    # -- polling -----------------------------------------------------------
+
+    def _parent_pending(self, st: ShardState) -> bool:
+        """A child shard must not be consumed until every parent has
+        drained (ordering across a reshard boundary)."""
+        return any(
+            p in self.shards and not self.shards[p].closed
+            for p in st.parents
+        )
+
+    def poll_shard(self, st: ShardState) -> list[dict]:
+        """One GetRecords call for one shard, with backoff/expiry/close
+        handling (kinesis_consumer.cpp:364-434)."""
+        if st.closed or self._parent_pending(st):
+            return []
+        if st.iterator is None:
+            self._acquire_iterator(st)
+        try:
+            resp = self.client.get_records(
+                ShardIterator=st.iterator, Limit=self.source.batch_size
+            )
+        except Exception as exc:  # noqa: BLE001 — classify by code/name
+            name = getattr(exc, "code", type(exc).__name__)
+            if "ProvisionedThroughputExceeded" in name:
+                st.backoff_s = min(st.backoff_s + BACKOFF_STEP_S, BACKOFF_MAX_S)
+                self.sleep(st.backoff_s)
+                return []
+            if "ExpiredIterator" in name:
+                st.iterator = None  # next poll re-acquires from last_seq
+                return []
+            raise
+        st.backoff_s = 0.0
+        st.millis_behind = resp.get("MillisBehindLatest")
+        out = []
+        for rec in resp["Records"]:
+            st.last_seq = rec["SequenceNumber"]
+            self.checkpoints[st.shard_id] = rec["SequenceNumber"]
+            out.append(
+                {
+                    "shard_id": st.shard_id,
+                    "sequence_number": rec["SequenceNumber"],
+                    "partition_key": rec.get("PartitionKey"),
+                    "data": rec["Data"],
+                    "approximate_arrival_timestamp": rec.get(
+                        "ApproximateArrivalTimestamp"
+                    ),
+                }
+            )
+        nxt = resp.get("NextShardIterator")
+        if nxt is None:
+            # shard closed by a reshard: fully drained once GetRecords
+            # returns no successor iterator — children become eligible
+            st.closed = True
+            st.iterator = None
+        else:
+            st.iterator = nxt
+        return out
+
+    def step(self) -> list[dict]:
+        """One polling round over every live shard; rediscovers shards
+        when any closed (reshard boundary)."""
+        if not self.shards:
+            self.refresh_shards()
+        out = []
+        for st in list(self.shards.values()):
+            out.extend(self.poll_shard(st))
+        if any(s.closed for s in self.shards.values()):
+            self.refresh_shards()
+        return out
+
+    def lag(self) -> dict[str, int | None]:
+        """MillisBehindLatest per live shard (lag-metrics feed,
+        consumer_status analog)."""
+        return {
+            sid: st.millis_behind
+            for sid, st in self.shards.items()
+            if not st.closed
+        }

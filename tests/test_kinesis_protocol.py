@@ -1,0 +1,263 @@
+"""Kinesis consumer-protocol engine against an in-process fake client.
+
+The fake returns canned boto3-shaped DescribeStream / GetShardIterator /
+GetRecords responses, so the PROTOCOL logic is the unit under test —
+iterator-type resolution, NextShardIterator follow, linear 1-5 s
+throttle backoff (kinesis_consumer.cpp:395-430 parity), expired-iterator
+re-acquisition, mid-stream resharding, and MillisBehindLatest surfacing.
+No network, no boto3.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pipeline_kinesis_spark.sources.kinesis import (
+    BACKOFF_MAX_S,
+    KinesisSource,
+)
+
+
+class ProvisionedThroughputExceededException(Exception):
+    pass
+
+
+class ExpiredIteratorException(Exception):
+    pass
+
+
+class FakeKinesisClient:
+    """Canned-response Kinesis: shards hold ordered records; iterators
+    encode (shard, offset); reshard() closes parents and adds children."""
+
+    def __init__(self, shards: dict[str, list[bytes]], page_size: int = 100):
+        # shard_id -> list of record payloads (seq = "<shard>-<i>")
+        self.shards = {s: list(rs) for s, rs in shards.items()}
+        self.meta: dict[str, dict] = {s: {} for s in shards}
+        self.closed: set[str] = set()
+        self.page_size = page_size
+        self.throttle_next: int = 0  # fail the next N get_records calls
+        self.expire_next: int = 0
+        self.calls: list[str] = []
+        self.millis_behind: int = 0
+
+    # -- stream mutation hooks --------------------------------------------
+
+    def append(self, shard: str, data: bytes) -> None:
+        self.shards[shard].append(data)
+
+    def reshard(self, parent: str, children: list[str]) -> None:
+        self.closed.add(parent)
+        for c in children:
+            self.shards[c] = []
+            self.meta[c] = {"ParentShardId": parent}
+
+    # -- boto3-shaped API --------------------------------------------------
+
+    def describe_stream(self, StreamName, ExclusiveStartShardId=None):
+        self.calls.append("describe_stream")
+        ids = sorted(self.shards)
+        if ExclusiveStartShardId is not None:
+            ids = [s for s in ids if s > ExclusiveStartShardId]
+        page, rest = ids[: self.page_size], ids[self.page_size:]
+        return {
+            "StreamDescription": {
+                "StreamName": StreamName,
+                "Shards": [
+                    {"ShardId": s, **self.meta.get(s, {})} for s in page
+                ],
+                "HasMoreShards": bool(rest),
+            }
+        }
+
+    def get_shard_iterator(
+        self,
+        StreamName,
+        ShardId,
+        ShardIteratorType,
+        StartingSequenceNumber=None,
+    ):
+        self.calls.append(f"get_shard_iterator:{ShardIteratorType}")
+        n = len(self.shards[ShardId])
+        if ShardIteratorType == "TRIM_HORIZON":
+            off = 0
+        elif ShardIteratorType == "LATEST":
+            off = n
+        elif ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
+            off = int(StartingSequenceNumber.rsplit("-", 1)[1]) + 1
+        else:
+            raise ValueError(ShardIteratorType)
+        return {"ShardIterator": f"{ShardId}@{off}"}
+
+    def get_records(self, ShardIterator, Limit):
+        self.calls.append("get_records")
+        if self.throttle_next > 0:
+            self.throttle_next -= 1
+            raise ProvisionedThroughputExceededException("slow down")
+        if self.expire_next > 0:
+            self.expire_next -= 1
+            raise ExpiredIteratorException("iterator expired")
+        shard, off = ShardIterator.rsplit("@", 1)
+        off = int(off)
+        recs = self.shards[shard][off : off + Limit]
+        new_off = off + len(recs)
+        drained = new_off >= len(self.shards[shard])
+        nxt = (
+            None
+            if (shard in self.closed and drained)
+            else f"{shard}@{new_off}"
+        )
+        return {
+            "Records": [
+                {
+                    "SequenceNumber": f"{shard}-{off + i}",
+                    "PartitionKey": f"pk{off + i}",
+                    "Data": d,
+                    "ApproximateArrivalTimestamp": None,
+                }
+                for i, d in enumerate(recs)
+            ],
+            "NextShardIterator": nxt,
+            "MillisBehindLatest": self.millis_behind,
+        }
+
+
+def _src(start="trim_horizon", **kw):
+    return KinesisSource(
+        stream_name="events", region="us-east-1", start_position=start, **kw
+    )
+
+
+def _drain(poller, rounds=10):
+    out = []
+    for _ in range(rounds):
+        out.extend(poller.step())
+    return out
+
+
+def test_trim_horizon_reads_everything_and_follows_iterator():
+    fake = FakeKinesisClient(
+        {"shardId-000": [b"a", b"b", b"c"], "shardId-001": [b"d"]}
+    )
+    p = _src(batch_size=2).poller(fake)  # batch 2 forces iterator follow
+    got = _drain(p, rounds=3)
+    assert [r["data"] for r in got if r["shard_id"] == "shardId-000"] == [
+        b"a",
+        b"b",
+        b"c",
+    ]
+    assert [r["data"] for r in got if r["shard_id"] == "shardId-001"] == [b"d"]
+    # NextShardIterator was followed, not re-acquired: one GetShardIterator
+    # per shard despite multiple GetRecords pages
+    assert fake.calls.count("get_shard_iterator:TRIM_HORIZON") == 2
+    # sequence numbers surface for checkpointing
+    assert p.checkpoints["shardId-000"] == "shardId-000-2"
+
+
+def test_latest_skips_backlog_then_sees_new_records():
+    fake = FakeKinesisClient({"shardId-000": [b"old1", b"old2"]})
+    p = _src(start="latest").poller(fake)
+    assert _drain(p, rounds=2) == []
+    fake.append("shardId-000", b"fresh")
+    got = _drain(p, rounds=2)
+    assert [r["data"] for r in got] == [b"fresh"]
+
+
+def test_after_sequence_number_and_checkpoint_resume():
+    fake = FakeKinesisClient({"shardId-000": [b"a", b"b", b"c", b"d"]})
+    # explicit start position
+    p = _src(start="after_sequence_number:shardId-000-1").poller(fake)
+    assert [r["data"] for r in _drain(p, 2)] == [b"c", b"d"]
+    # checkpoint beats configured start (resume semantics)
+    fake2 = FakeKinesisClient({"shardId-000": [b"a", b"b", b"c", b"d"]})
+    p2 = _src(start="trim_horizon").poller(
+        fake2, checkpoints={"shardId-000": "shardId-000-2"}
+    )
+    assert [r["data"] for r in _drain(p2, 2)] == [b"d"]
+    assert "get_shard_iterator:AFTER_SEQUENCE_NUMBER" in fake2.calls
+
+
+def test_throttle_backoff_is_linear_and_capped_and_resets():
+    fake = FakeKinesisClient({"shardId-000": [b"a"]})
+    fake.throttle_next = 7
+    slept: list[float] = []
+    p = _src().poller(fake, sleep=slept.append)
+    got = _drain(p, rounds=9)
+    # linear 1,2,3,4 then capped at 5 (kinesis_consumer.cpp:395-430)
+    assert slept == [1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 5.0]
+    assert [r["data"] for r in got] == [b"a"]
+    # a successful fetch resets the backoff ramp
+    st = p.shards["shardId-000"]
+    assert st.backoff_s == 0.0
+    fake.throttle_next = 1
+    _drain(p, rounds=2)
+    assert slept[-1] == 1.0
+    assert max(slept) <= BACKOFF_MAX_S
+
+
+def test_expired_iterator_reacquires_without_loss_or_dup():
+    fake = FakeKinesisClient({"shardId-000": [b"a", b"b", b"c"]})
+    p = _src(batch_size=1).poller(fake)
+    first = p.step()  # reads 'a'
+    fake.expire_next = 1
+    rest = _drain(p, rounds=4)
+    assert [r["data"] for r in first + rest] == [b"a", b"b", b"c"]
+    seqs = [r["sequence_number"] for r in first + rest]
+    assert len(seqs) == len(set(seqs))  # no duplicates after re-acquire
+    # re-acquired AFTER the checkpointed seq, not from the stream start
+    assert fake.calls.count("get_shard_iterator:TRIM_HORIZON") == 1
+    assert "get_shard_iterator:AFTER_SEQUENCE_NUMBER" in fake.calls
+
+
+def test_resharding_children_after_parent_drains():
+    fake = FakeKinesisClient({"shardId-000": [b"p1", b"p2"]})
+    p = _src(batch_size=1).poller(fake)
+    p.step()  # p1
+    # split mid-stream: parent closes, children appear with records
+    fake.reshard("shardId-000", ["shardId-001", "shardId-002"])
+    fake.append("shardId-001", b"c1")
+    fake.append("shardId-002", b"c2")
+    got = _drain(p, rounds=6)
+    datas = [r["data"] for r in got]
+    assert datas[0] == b"p2"  # parent drains first
+    assert set(datas[1:]) == {b"c1", b"c2"}
+    # children started at TRIM_HORIZON (no gap), parent marked closed
+    assert p.shards["shardId-000"].closed
+    assert not p.shards["shardId-001"].closed
+    # child records were NOT consumed before the parent closed
+    parent_close_idx = datas.index(b"p2")
+    assert all(d in (b"c1", b"c2") for d in datas[parent_close_idx + 1 :])
+
+
+def test_describe_stream_pagination():
+    fake = FakeKinesisClient(
+        {f"shardId-{i:03d}": [bytes([65 + i])] for i in range(5)},
+        page_size=2,
+    )
+    p = _src().poller(fake)
+    got = _drain(p, rounds=2)
+    assert len(got) == 5  # every shard found across 3 DescribeStream pages
+    assert fake.calls.count("describe_stream") >= 3
+
+
+def test_millis_behind_latest_surfaces_in_lag():
+    fake = FakeKinesisClient({"shardId-000": [b"a"], "shardId-001": []})
+    fake.millis_behind = 1234
+    p = _src().poller(fake)
+    p.step()
+    assert p.lag() == {"shardId-000": 1234, "shardId-001": 1234}
+
+
+def test_unknown_client_error_propagates():
+    class Boom(Exception):
+        pass
+
+    fake = FakeKinesisClient({"shardId-000": [b"a"]})
+
+    def bad(**kw):
+        raise Boom("auth failure")
+
+    fake.get_records = bad
+    p = _src().poller(fake)
+    with pytest.raises(Boom):
+        p.step()
