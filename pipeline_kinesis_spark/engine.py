@@ -136,8 +136,11 @@ class Engine:
         query maintains per-(group, step) PARTIAL aggregates (step =
         sw_step_seconds, default sw/20) and view_table recombines the live
         steps — aggregates must be combinable count/sum/min/max with
-        aliases, the PipelineDB sw restriction (DISTINCT rejected: per-
-        step distinct partials don't combine).
+        aliases, the PipelineDB sw restriction, plus
+        approx_count_distinct (kept as per-step mergeable HLL sketches,
+        union-estimated at read — PipelineDB's own sw count(DISTINCT)
+        mechanism). Exact DISTINCT is rejected: per-step distinct
+        partials don't combine.
 
         Two sw materializations:
         - ``memory`` (default): complete-mode partials in the memory

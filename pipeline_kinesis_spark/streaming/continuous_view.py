@@ -261,22 +261,44 @@ def upsert_to_parquet(
 # PARTIAL aggregates in the materialization and recombines the steps
 # inside the window at read time, so maintenance stays incremental and
 # read cost is O(groups × steps). The same restriction applies:
-# aggregates must be combinable (count/sum/min/max here).
+# aggregates must be combinable — count/sum/min/max, plus
+# approx_count_distinct via mergeable HLL sketch partials.
 
 import re as _re
 
 SW_BUCKET_COL = "_sw_win"
 
-# DISTINCT is rejected (negative lookahead): per-step distinct partials
-# are NOT combinable — summing them double-counts values that appear in
-# several steps. PipelineDB rejects DISTINCT in sw views for the same
-# reason.
+# Exact DISTINCT is rejected (negative lookahead): per-step distinct
+# partials are NOT combinable — summing them double-counts values that
+# appear in several steps. PipelineDB's own sw count(DISTINCT) recovers
+# the answer through mergeable HLL partials; here that is spelled
+# approx_count_distinct(x): the standing query keeps an hll_sketch_agg
+# SKETCH per (group, step) and the read path unions the live steps'
+# sketches before estimating — set semantics across steps, within HLL
+# error (~1.6% rsd at default lgConfigK), unbounded distinct cardinality
+# in O(sketch) state. That approximation contract is why the exact
+# spelling stays an error instead of being silently rewritten.
 _SW_ITEM = _re.compile(
     r"^(count|sum|min|max)\s*\(\s*(?!distinct\b).+\)\s+AS\s+(\w+)$",
     _re.IGNORECASE | _re.DOTALL,
 )
+_SW_APPROX = _re.compile(
+    r"^approx_count_distinct\s*\((.+)\)\s+AS\s+(\w+)$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+_SW_EXACT_DISTINCT = _re.compile(
+    r"^\w+\s*\(\s*distinct\b", _re.IGNORECASE
+)
 _SW_ALIAS = _re.compile(r"\s+AS\s+(\w+)\s*$", _re.IGNORECASE)
-_SW_COMBINE = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+_SW_COMBINE = {
+    "count": F.sum,
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "approx_count_distinct": lambda c: F.hll_sketch_estimate(
+        F.hll_union_agg(c)
+    ),
+}
 
 
 def _split_select_items(select_list: str) -> list[str]:
@@ -351,6 +373,18 @@ def parse_sw_view_sql(sql: str) -> tuple[list[str], dict[str, str]]:
         if am:
             aggs[am.group(2)] = am.group(1).lower()
             continue
+        am = _SW_APPROX.match(item)
+        if am:
+            aggs[am.group(2)] = "approx_count_distinct"
+            continue
+        if _SW_EXACT_DISTINCT.match(item):
+            raise ValueError(
+                "per-step DISTINCT partials are not combinable (values "
+                "spanning steps would double-count); use "
+                "approx_count_distinct(x) — the sw view then keeps "
+                "mergeable HLL partials per step, PipelineDB's own "
+                "sw count(DISTINCT) mechanism"
+            )
         if _re.match(r"^\w+\s*\(", item):
             # function call that is not a combinable aggregate — reject
             # instead of silently treating it as a group column (avg,
@@ -380,12 +414,24 @@ def parse_sw_view_sql(sql: str) -> tuple[list[str], dict[str, str]]:
 def sw_rewrite_sql(sql: str, step_seconds: int) -> str:
     """Inject the time-step bucket into the view SQL: the standing query
     groups by (user groups, window(arrival_timestamp, step)) and its
-    aggregates become per-step partials."""
+    aggregates become per-step partials. approx_count_distinct items are
+    rewritten to hll_sketch_agg — the per-step partial must be the
+    MERGEABLE sketch state, not a per-step estimate (estimates don't
+    union; sketches do)."""
     bucket = f"window(arrival_timestamp, '{int(step_seconds)} seconds')"
     m = _re.match(r"^(\s*SELECT\s+)(.*?)(\s+FROM\s.*)$", sql, _re.I | _re.S)
     if not m:
         raise ValueError("sw view SQL must be a single SELECT ... FROM ...")
     head, select_list, rest = m.groups()
+    items = []
+    for item in _split_select_items(select_list):
+        am = _SW_APPROX.match(item)
+        items.append(
+            f"hll_sketch_agg({am.group(1)}) AS {am.group(2)}"
+            if am
+            else item
+        )
+    select_list = ", ".join(items)
     rewritten = f"{head}{select_list}, {bucket} AS {SW_BUCKET_COL}{rest}"
     # anchor to the OUTER query's GROUP BY: only a match at paren depth
     # 0 outside string literals qualifies (a subquery's GROUP BY sits

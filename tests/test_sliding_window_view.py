@@ -167,6 +167,107 @@ def test_deactivate_stops_sw_view_query(engine, spark, tmp_path):
     assert running["swx_view"] is False
 
 
+def test_sw_view_approx_count_distinct_hll(engine, spark, tmp_path):
+    """sw count(DISTINCT) via mergeable HLL partials (PipelineDB's own
+    sw-distinct mechanism): the standing query keeps an hll_sketch_agg
+    sketch per (group, step); the read unions the LIVE steps' sketches
+    before estimating — a value seen in several steps counts once, an
+    expired step's values drop out, and at these cardinalities the HLL
+    estimate is exact."""
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("sw_h", "k STRING, u BIGINT")
+    engine.create_continuous_view(
+        "swh_view",
+        "SELECT k, approx_count_distinct(u) AS uniq, count(*) AS n "
+        "FROM sw_h GROUP BY k",
+        stream="sw_h",
+        sw_seconds=3600,
+        sw_step_seconds=180,
+    )
+    engine.consume_begin("ep", "s", "sw_h", fmt="csv", delimiter=",")
+    write_record_file(
+        str(src_root / "s"),
+        [
+            # step 1 (~30 s old): users 1,2
+            {"data": "a,1", "approximate_arrival_timestamp": _iso(30)},
+            {"data": "a,2", "approximate_arrival_timestamp": _iso(35)},
+            # step 2 (~10 min old): user 2 AGAIN + user 3 — 2 must not
+            # double-count across steps
+            {"data": "a,2", "approximate_arrival_timestamp": _iso(600)},
+            {"data": "a,3", "approximate_arrival_timestamp": _iso(610)},
+            # expired (2 h old): users 8,9 must not count at all
+            {"data": "a,8", "approximate_arrival_timestamp": _iso(7200)},
+            {"data": "a,9", "approximate_arrival_timestamp": _iso(7205)},
+            {"data": "b,7", "approximate_arrival_timestamp": _iso(45)},
+        ],
+    )
+    engine.wait_for_ingest()
+    rows = {
+        r.k: (r.uniq, r.n) for r in engine.view_table("swh_view").collect()
+    }
+    assert rows == {"a": (3, 4), "b": (1, 1)}
+    # ad-hoc SQL resolves the recombined form too
+    got = {
+        (r.k, r.uniq)
+        for r in engine.sql("SELECT k, uniq FROM swh_view").collect()
+    }
+    assert got == {("a", 3), ("b", 1)}
+
+
+def test_durable_sw_approx_distinct_survives_restart(spark, tmp_path):
+    """The durable form persists per-step HLL sketches as binary parquet
+    columns; a NEW engine over the same metadata recombines them — the
+    sketch state, not just its estimate, survives restarts."""
+    src_root = tmp_path / "kinesis"
+    meta = str(tmp_path / "meta")
+    eng = Engine(spark, metadata_dir=meta)
+    eng.add_endpoint("ep", url=str(src_root))
+    eng.create_stream("sw_hd", "k STRING, u BIGINT")
+    eng.create_continuous_view(
+        "swhd_view",
+        "SELECT k, approx_count_distinct(u) AS uniq FROM sw_hd GROUP BY k",
+        stream="sw_hd",
+        materialize="parquet_upsert",
+        sw_seconds=3600,
+        sw_step_seconds=180,
+    )
+    eng.consume_begin("ep", "s", "sw_hd", fmt="csv", delimiter=",")
+    write_record_file(
+        str(src_root / "s"),
+        [
+            {"data": "a,1", "approximate_arrival_timestamp": _iso(30)},
+            {"data": "a,2", "approximate_arrival_timestamp": _iso(600)},
+            {"data": "a,2", "approximate_arrival_timestamp": _iso(35)},
+        ],
+    )
+    eng.wait_for_ingest()
+    assert {
+        r.k: r.uniq for r in eng.view_table("swhd_view").collect()
+    } == {"a": 2}
+    eng.consume_end_all()
+
+    # restart: fresh engine, same metadata — recombine from the store,
+    # then ingest more (user 2 again + new user 4) and recombine again
+    eng2 = Engine(spark, metadata_dir=meta)
+    assert {
+        r.k: r.uniq for r in eng2.view_table("swhd_view").collect()
+    } == {"a": 2}
+    eng2.consume_begin("ep", "s", "sw_hd", fmt="csv", delimiter=",")
+    write_record_file(
+        str(src_root / "s"),
+        [
+            {"data": "a,2", "approximate_arrival_timestamp": _iso(20)},
+            {"data": "a,4", "approximate_arrival_timestamp": _iso(25)},
+        ],
+    )
+    eng2.wait_for_ingest()
+    assert {
+        r.k: r.uniq for r in eng2.view_table("swhd_view").collect()
+    } == {"a": 3}
+    eng2.consume_end_all()
+
+
 def test_durable_sw_view_reaps_expired_steps(engine, spark, tmp_path):
     """The parquet_upsert sw form — PipelineDB's step GC equivalent:
     partials land keyed on (group, bucket) and the merge-time reaper
