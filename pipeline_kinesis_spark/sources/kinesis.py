@@ -320,3 +320,50 @@ class KinesisShardPoller:
             for sid, st in self.shards.items()
             if not st.closed
         }
+
+
+class KinesisReplayBridge:
+    """Glue from the consumer-protocol engine to the ingestion path: each
+    pump() drains one polling round into an atomic record file under the
+    stream's endpoint directory, which the standard FileReplaySource →
+    parse → archive → continuous-view pipeline then consumes. Sequence
+    numbers, shard ids, partition keys and arrival timestamps ride
+    through, so downstream dedup/checkpoint semantics are identical to
+    file-fed streams — this runs the reference's ENTIRE flow (wire
+    protocol included) against a boto3 client in production or the
+    canned fake in tests."""
+
+    def __init__(self, poller: KinesisShardPoller, stream_dir: str) -> None:
+        self.poller = poller
+        self.stream_dir = stream_dir
+
+    def pump(self) -> int:
+        """One poll round → one record file (if any records). Returns the
+        number of records landed."""
+        from pipeline_kinesis_spark.sources.file_replay import (
+            write_record_file,
+        )
+
+        recs = self.poller.step()
+        if not recs:
+            return 0
+        rows = []
+        for r in recs:
+            data = r["data"]
+            row = {
+                "data": (
+                    data.decode("utf-8", "replace")
+                    if isinstance(data, (bytes, bytearray))
+                    else data
+                ),
+                "sequence_number": r["sequence_number"],
+                "partition_key": r["partition_key"],
+                "shard_id": r["shard_id"],
+            }
+            if r.get("approximate_arrival_timestamp") is not None:
+                row["approximate_arrival_timestamp"] = r[
+                    "approximate_arrival_timestamp"
+                ]
+            rows.append(row)
+        write_record_file(self.stream_dir, rows)
+        return len(rows)

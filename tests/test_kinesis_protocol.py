@@ -248,6 +248,56 @@ def test_millis_behind_latest_surfaces_in_lag():
     assert p.lag() == {"shardId-000": 1234, "shardId-001": 1234}
 
 
+def test_bridge_end_to_end_with_engine(spark, tmp_path):
+    """The complete reference flow with the wire faked: canned Kinesis
+    responses → protocol poller → record files → FileReplaySource →
+    parse → continuous view. A mid-stream reshard's child records flow
+    through subsequent pumps with no restart."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.kinesis import KinesisReplayBridge
+
+    fake = FakeKinesisClient(
+        {"shardId-000": [b"a,1", b"a,2"], "shardId-001": [b"b,5"]}
+    )
+    src_root = tmp_path / "kinesis"
+    bridge = KinesisReplayBridge(_src().poller(fake), str(src_root / "s"))
+    assert bridge.pump() == 3
+
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    eng.add_endpoint("ep", url=str(src_root))
+    eng.create_stream("k_in", "k STRING, v BIGINT")
+    eng.create_continuous_view(
+        "k_counts",
+        "SELECT k, count(*) AS n, sum(v) AS total FROM k_in GROUP BY k",
+        stream="k_in",
+    )
+    eng.consume_begin("ep", "s", "k_in", fmt="csv", delimiter=",")
+    eng.wait_for_ingest()
+    rows = {
+        r.k: (r.n, r.total) for r in eng.view_table("k_counts").collect()
+    }
+    assert rows == {"a": (2, 3), "b": (1, 5)}
+
+    # live reshard: shardId-001 splits; its child's records arrive via
+    # later pumps and the SAME standing query picks them up
+    fake.reshard("shardId-001", ["shardId-002"])
+    fake.append("shardId-002", b"c,9")
+    for _ in range(4):
+        bridge.pump()
+    eng.wait_for_ingest()
+    rows = {
+        r.k: (r.n, r.total) for r in eng.view_table("k_counts").collect()
+    }
+    assert rows == {"a": (2, 3), "b": (1, 5), "c": (1, 9)}
+    # shard lineage rode through to the archived stream relation
+    shard_ids = {
+        r.shard_id
+        for r in eng.stream_table("k_in").select("shard_id").collect()
+    }
+    assert shard_ids == {"shardId-000", "shardId-001", "shardId-002"}
+    eng.consume_end_all()
+
+
 def test_unknown_client_error_propagates():
     class Boom(Exception):
         pass
