@@ -78,6 +78,12 @@ class ViewDef:
     sw_step_seconds: int | None = None
     sw_aggs: dict | None = None
     sw_group_cols: list[str] | None = None
+    # hash-bucket count for the parquet_upsert store layout (None →
+    # library default). A physical sizing knob: buckets bound the
+    # per-batch rewrite granularity, so size ~O(table_size / desired
+    # rewrite unit); the store pins its creation-time value in a marker
+    # file, so changing this later never rehashes existing data.
+    upsert_buckets: int | None = None
 
 
 @dataclass

@@ -124,6 +124,7 @@ class Engine:
         ttl_column: str | None = None,
         sw_seconds: int | None = None,
         sw_step_seconds: int | None = None,
+        upsert_buckets: int | None = None,
     ) -> None:
         """ttl_seconds/ttl_column mirror PipelineDB's
         `WITH (ttl='...', ttl_column='...')`: view rows whose ttl_column
@@ -209,6 +210,7 @@ class Engine:
                 sw_step_seconds=sw_step_seconds,
                 sw_aggs=sw_aggs,
                 sw_group_cols=sw_group_cols,
+                upsert_buckets=upsert_buckets,
             )
         )
 
@@ -629,6 +631,11 @@ class Engine:
                             ttl_seconds=_v.ttl_seconds,
                             ttl_column=_v.ttl_column,
                             batch_id=bid,
+                            **(
+                                {"num_buckets": _v.upsert_buckets}
+                                if _v.upsert_buckets
+                                else {}
+                            ),
                         )
                     )
                 )

@@ -358,6 +358,8 @@ def execute(engine, statement: str) -> DataFrame | str:
                     ]
                 elif k == "output_mode":
                     kwargs["output_mode"] = v
+                elif k == "upsert_buckets":
+                    kwargs["upsert_buckets"] = int(v)
                 else:
                     raise ValueError(f"unknown WITH option: {k}")
         engine.create_continuous_view(

@@ -468,6 +468,38 @@ def test_upsert_rewrites_only_touched_buckets(engine, spark, tmp_path):
     assert rows == {("k0", 2)} | {(f"k{i}", 1) for i in range(1, 40)}
 
 
+def test_upsert_buckets_option_flows_to_store_layout(engine, spark, tmp_path):
+    """The per-view bucket-count sizing knob reaches the store: marker
+    file pins it and partition dirs stay within range."""
+    import os
+
+    from pipeline_kinesis_spark.streaming.continuous_view import KB_COL
+
+    src_root = tmp_path / "kinesis"
+    write_record_file(
+        str(src_root / "s"), [{"data": f"k{i}"} for i in range(12)]
+    )
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("nb_stream", "payload STRING")
+    assert engine.execute(
+        "CREATE CONTINUOUS VIEW nb_counts WITH "
+        "(materialize = 'parquet_upsert', key_cols = 'payload', "
+        "upsert_buckets = '4') AS "
+        "SELECT payload, count(*) AS n FROM nb_stream GROUP BY payload"
+    ) == "success"
+    engine.consume_begin("ep", "s", "nb_stream")
+    engine.wait_for_ingest()
+    vdir = engine.view_dir("nb_counts")
+    assert open(os.path.join(vdir, "_upsert_nb")).read().strip() == "4"
+    buckets = {
+        int(n.split("=")[1])
+        for n in os.listdir(vdir)
+        if n.startswith(f"{KB_COL}=")
+    }
+    assert buckets and all(0 <= b < 4 for b in buckets)
+    assert engine.view_table("nb_counts").count() == 12
+
+
 def test_parquet_upsert_requires_keys(engine):
     engine.create_stream("k_stream", "payload STRING")
     with pytest.raises(ValueError, match="key_cols"):
