@@ -78,6 +78,10 @@ class ViewDef:
     sw_step_seconds: int | None = None
     sw_aggs: dict | None = None
     sw_group_cols: list[str] | None = None
+    # HAVING clause of an sw view, applied to the RECOMBINED window at
+    # read time (PipelineDB overlay placement) — never to per-step
+    # partials; references only output columns (validated at CREATE).
+    sw_having: str | None = None
     # hash-bucket count for the parquet_upsert store layout (None →
     # library default). A physical sizing knob: buckets bound the
     # per-batch rewrite granularity, so size ~O(table_size / desired

@@ -46,9 +46,11 @@ from pipeline_kinesis_spark.streaming.continuous_view import (
     compile_view,
     materialize_memory,
     parse_sw_view_sql,
+    split_having,
     sw_combine,
     sw_rewrite_sql,
     upsert_to_parquet,
+    validate_having,
 )
 
 # Reference caps parallelism at 8 bgworkers (pipeline_kinesis.c:54). We keep
@@ -157,14 +159,24 @@ class Engine:
           (group cols, bucket) whose merge-time TTL reaper drops buckets
           past sw + 2 steps — state AND store bounded by the window at
           any runtime."""
-        sw_aggs = sw_group_cols = None
+        sw_aggs = sw_group_cols = sw_having = None
         if sw_seconds is not None:
             if ttl_seconds is not None:
                 raise ValueError("sw and ttl are mutually exclusive")
             sw_step_seconds = sw_step_seconds or max(sw_seconds // 20, 1)
             if sw_step_seconds > sw_seconds:
                 raise ValueError("sw_step must not exceed sw")
-            sw_group_cols, sw_aggs = parse_sw_view_sql(sql)
+            # HAVING never reaches the standing query: it is stripped
+            # here and applied to the RECOMBINED window at read time
+            # (view_table) — PipelineDB's overlay-view placement. A
+            # per-step HAVING would silently drop groups that pass over
+            # the window but in no single step.
+            base_sql, sw_having = split_having(sql)
+            sw_group_cols, sw_aggs = parse_sw_view_sql(base_sql)
+            if sw_having is not None:
+                validate_having(
+                    sw_having, set(sw_group_cols) | set(sw_aggs)
+                )
             if materialize == "parquet_upsert":
                 # durable sw: per-step partials keyed by (groups, bucket)
                 # upserted each batch; the merge's TTL reaper drops
@@ -210,15 +222,19 @@ class Engine:
                 sw_step_seconds=sw_step_seconds,
                 sw_aggs=sw_aggs,
                 sw_group_cols=sw_group_cols,
+                sw_having=sw_having,
                 upsert_buckets=upsert_buckets,
             )
         )
 
     def _view_compile_sql(self, view: ViewDef) -> str:
         """The SQL the standing query actually runs: sw views compile to
-        their per-step partial form."""
+        their per-step partial form, with any HAVING stripped (it
+        belongs to the read-time recombination, never to partials)."""
         if view.sw_seconds is not None:
-            return sw_rewrite_sql(view.sql, view.sw_step_seconds)
+            return sw_rewrite_sql(
+                split_having(view.sql)[0], view.sw_step_seconds
+            )
         return view.sql
 
     def _view_stream_df(self, view: ViewDef, src: DataFrame) -> DataFrame:
@@ -991,12 +1007,15 @@ class Engine:
             if vd.get("sw_seconds") is not None:
                 # sliding-window view: the raw memory table holds
                 # per-step partials — recombine the steps in the window
-                return sw_combine(
+                df = sw_combine(
                     self.spark.table(f"{view_name}__sw_raw"),
                     vd["sw_seconds"],
                     vd["sw_aggs"],
                     vd.get("sw_group_cols") or [],
                 )
+                if vd.get("sw_having"):
+                    df = df.filter(F.expr(vd["sw_having"]))
+                return df
             df = self.spark.table(view_name)
             ttl, col = vd.get("ttl_seconds"), vd.get("ttl_column")
             if ttl is not None and col is not None:
@@ -1013,12 +1032,15 @@ class Engine:
         if vd is not None and vd.get("sw_seconds") is not None:
             # durable sw view: the parquet store holds per-step partials
             # (already reaped to the retention) — recombine the live ones
-            return sw_combine(
+            df = sw_combine(
                 df,
                 vd["sw_seconds"],
                 vd["sw_aggs"],
                 vd.get("sw_group_cols") or [],
             )
+            if vd.get("sw_having"):
+                df = df.filter(F.expr(vd["sw_having"]))
+            return df
         if vd is not None:
             # TTL rides the merge for touched buckets and a round-robin
             # sweep covers the rest within n batches; this read-time

@@ -337,6 +337,60 @@ def _outside_string_mask(sql: str) -> list[bool]:
     return mask
 
 
+def split_having(sql: str) -> tuple[str, str | None]:
+    """Split a trailing depth-0 HAVING clause off sw view SQL.
+
+    PipelineDB's sw HAVING is evaluated by the read-time overlay over
+    COMBINED partials — never per step (a group passing over the full
+    window but in no single step must not vanish). The engine therefore
+    strips it here, runs the standing query without it, and view_table
+    applies it to the recombined window."""
+    strmask = _outside_string_mask(sql)
+    for m in _re.finditer(r"\bHAVING\b", sql, _re.I):
+        if strmask[m.start()]:
+            return (
+                sql[: m.start()].rstrip(),
+                sql[m.end():].strip().rstrip(";") or None,
+            )
+    return sql, None
+
+
+_HAVING_KEYWORDS = {
+    "and", "or", "not", "between", "in", "like", "is", "null",
+    "true", "false", "case", "when", "then", "else", "end", "cast",
+    "as", "int", "bigint", "double", "float", "string", "long",
+}
+
+
+def validate_having(having: str, allowed: set[str]) -> None:
+    """HAVING over a recombined sw view may reference only the view's
+    OUTPUT columns (group names + aggregate aliases) — per-step input
+    columns no longer exist at read time. Rejected at CREATE, not at
+    first read."""
+    stripped = _re.sub(r"'[^']*'", "", having)
+    for m in _re.finditer(r"[A-Za-z_]\w*", stripped):
+        word = m.group(0)
+        if stripped[m.end():].lstrip().startswith("("):
+            if word.lower() in (
+                "count", "sum", "min", "max", "avg",
+                "approx_count_distinct",
+            ):
+                raise ValueError(
+                    f"sw HAVING cannot re-run the aggregate "
+                    f"{word!r}; reference its output alias instead "
+                    f"(outputs: {sorted(allowed)})"
+                )
+            continue  # scalar function name
+        if word.lower() in _HAVING_KEYWORDS or word in allowed:
+            continue
+        raise ValueError(
+            f"sw HAVING references {word!r}, which is not an output "
+            f"column of the view (outputs: {sorted(allowed)}); HAVING "
+            "runs over the recombined window, so only output columns "
+            "are in scope"
+        )
+
+
 def parse_sw_view_sql(sql: str) -> tuple[list[str], dict[str, str]]:
     """SELECT-list analysis for a sliding-window view: returns
     (group-item output names, alias → combinable-aggregate map).
@@ -345,18 +399,21 @@ def parse_sw_view_sql(sql: str) -> tuple[list[str], dict[str, str]]:
     name (bare column or ``expr AS name``).
 
     HAVING and subqueries are rejected HERE, at CREATE time: the
-    standing query evaluates per-step PARTIALS, so a HAVING would
-    filter steps, not the recombined window (a group passing over the
-    full window but in no single step would silently vanish), and a
-    nested GROUP BY would catch the step-bucket injection meant for
-    the outer query. Filter the recombined view at read time instead."""
+    standing query evaluates per-step PARTIALS, so a HAVING in the
+    COMPILED query would filter steps, not the recombined window (a
+    group passing over the full window but in no single step would
+    silently vanish), and a nested GROUP BY would catch the step-bucket
+    injection meant for the outer query. The engine supports user-facing
+    HAVING by stripping it first (split_having) and applying it to the
+    recombined window at read time — PipelineDB's own overlay-view
+    placement."""
     strmask = _outside_string_mask(sql)
     for m in _re.finditer(r"\bHAVING\b", sql, _re.I):
         if strmask[m.start()]:
             raise ValueError(
-                "sw views do not support HAVING (it would filter "
-                "per-step partials, not the window); filter the view "
-                "at read time"
+                "HAVING must not reach the sw standing query (it would "
+                "filter per-step partials, not the window); strip it "
+                "with split_having and apply it at read time"
             )
     # any SELECT beyond the first — parenthesized or not — is a subquery
     selects = list(_re.finditer(r"\bSELECT\b", sql, _re.I))

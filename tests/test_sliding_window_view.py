@@ -104,13 +104,19 @@ def test_sw_view_restrictions(engine):
             "bad3", "SELECT k, count(*) AS n FROM sw_r GROUP BY k",
             stream="sw_r", sw_step_seconds=60,
         )
-    # HAVING would filter per-STEP partials, not the window — a group
-    # passing over the full window but in no single step would vanish.
-    # Rejected at CREATE, not at consume_begin.
-    with pytest.raises(ValueError, match="HAVING"):
+    # HAVING is applied to the recombined WINDOW at read time, so it may
+    # only reference output columns — re-running the aggregate or naming
+    # a per-step input column is rejected at CREATE, not at consume_begin
+    with pytest.raises(ValueError, match="output alias"):
         engine.create_continuous_view(
             "bad4",
             "SELECT k, count(*) AS n FROM sw_r GROUP BY k HAVING count(*) > 2",
+            stream="sw_r", sw_seconds=3600,
+        )
+    with pytest.raises(ValueError, match="not an output"):
+        engine.create_continuous_view(
+            "bad4b",
+            "SELECT k, count(*) AS n FROM sw_r GROUP BY k HAVING v > 2",
             stream="sw_r", sw_seconds=3600,
         )
     # a subquery's GROUP BY would catch the step-bucket injection meant
@@ -165,6 +171,81 @@ def test_deactivate_stops_sw_view_query(engine, spark, tmp_path):
         r.name: r.running for r in engine.pipeline_queries().collect()
     }
     assert running["swx_view"] is False
+
+
+def test_sw_view_having_filters_recombined_window(engine, spark, tmp_path):
+    """HAVING runs over the RECOMBINED window, never per step: a group
+    whose per-step partials are each below the threshold but whose
+    window total passes must survive — the exact case a per-step HAVING
+    would silently drop."""
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("sw_hv", "k STRING, v BIGINT")
+    assert engine.execute(
+        "CREATE CONTINUOUS VIEW hv_view WITH (sw = '1 hour', "
+        "sw_step = '3 minutes') AS "
+        "SELECT k, count(*) AS n, sum(v) AS total FROM sw_hv "
+        "GROUP BY k HAVING n >= 3"
+    ) == "success"
+    engine.consume_begin("ep", "s", "sw_hv", fmt="csv", delimiter=",")
+    write_record_file(
+        str(src_root / "s"),
+        [
+            # group a: 2 events in one step + 1 in another — NO single
+            # step reaches 3, the window does
+            {"data": "a,1", "approximate_arrival_timestamp": _iso(30)},
+            {"data": "a,2", "approximate_arrival_timestamp": _iso(40)},
+            {"data": "a,4", "approximate_arrival_timestamp": _iso(600)},
+            # group b: window total 2 — filtered out
+            {"data": "b,5", "approximate_arrival_timestamp": _iso(50)},
+            {"data": "b,6", "approximate_arrival_timestamp": _iso(610)},
+            # group c: 3 events but one expired — window total 2, out
+            {"data": "c,1", "approximate_arrival_timestamp": _iso(60)},
+            {"data": "c,2", "approximate_arrival_timestamp": _iso(620)},
+            {"data": "c,3", "approximate_arrival_timestamp": _iso(7200)},
+        ],
+    )
+    engine.wait_for_ingest()
+    rows = {
+        r.k: (r.n, r.total) for r in engine.view_table("hv_view").collect()
+    }
+    assert rows == {"a": (3, 7)}
+    # ad-hoc SQL sees the filtered view too
+    assert {
+        (r.k, r.n) for r in engine.sql("SELECT k, n FROM hv_view").collect()
+    } == {("a", 3)}
+
+
+def test_durable_sw_view_having(spark, tmp_path):
+    """The durable (parquet_upsert) sw form applies HAVING at read over
+    the recombined store as well."""
+    src_root = tmp_path / "kinesis"
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    eng.add_endpoint("ep", url=str(src_root))
+    eng.create_stream("sw_hd2", "k STRING, v BIGINT")
+    eng.create_continuous_view(
+        "hvd_view",
+        "SELECT k, sum(v) AS total FROM sw_hd2 GROUP BY k "
+        "HAVING total > 10",
+        stream="sw_hd2",
+        materialize="parquet_upsert",
+        sw_seconds=3600,
+        sw_step_seconds=180,
+    )
+    eng.consume_begin("ep", "s", "sw_hd2", fmt="csv", delimiter=",")
+    write_record_file(
+        str(src_root / "s"),
+        [
+            {"data": "a,6", "approximate_arrival_timestamp": _iso(30)},
+            {"data": "a,7", "approximate_arrival_timestamp": _iso(600)},
+            {"data": "b,4", "approximate_arrival_timestamp": _iso(45)},
+        ],
+    )
+    eng.wait_for_ingest()
+    assert {
+        r.k: r.total for r in eng.view_table("hvd_view").collect()
+    } == {"a": 13}
+    eng.consume_end_all()
 
 
 def test_sw_view_approx_count_distinct_hll(engine, spark, tmp_path):
