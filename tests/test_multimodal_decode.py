@@ -73,6 +73,41 @@ def test_compressed_codecs_stay_gated():
         decode_media(bytes(bad))
 
 
+def test_codec_round_trips_property():
+    """Property check across dimensions/content: encode→decode is the
+    identity for every supported container, including widths that hit
+    each BMP padding residue and odd/even WAV chunk lengths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 13),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def image_rt(h, w, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_media(encode_ppm(px)) == px).all()
+        assert (decode_media(encode_bmp(px)) == px).all()
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n=st.integers(1, 300),
+        ch=st.integers(1, 2),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_rt(n, ch, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-(2**15), 2**15, size=(n, ch)).astype(np.int16)
+        rate, got = decode_media(encode_wav(16000, s))
+        assert rate == 16000 and (got == s).all()
+
+    image_rt()
+    wav_rt()
+
+
 def test_decode_pixel_stats_through_spark_plumbing(spark):
     """Planted solid-color images of known mean: the REAL decode runs
     inside Arrow-batched mapInPandas and the per-image statistics come

@@ -173,6 +173,32 @@ def test_deactivate_stops_sw_view_query(engine, spark, tmp_path):
     assert running["swx_view"] is False
 
 
+def test_sw_view_where_clause_passes_through(engine, spark, tmp_path):
+    """WHERE in an sw view filters INPUT rows before the per-step
+    partials (row-level predicate — safe per step, unlike HAVING)."""
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("sw_w", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "sww_view",
+        "SELECT k, count(*) AS n FROM sw_w WHERE v >= 10 GROUP BY k",
+        stream="sw_w",
+        sw_seconds=3600,
+    )
+    engine.consume_begin("ep", "s", "sw_w", fmt="csv", delimiter=",")
+    write_record_file(
+        str(src_root / "s"),
+        [
+            {"data": "a,15", "approximate_arrival_timestamp": _iso(30)},
+            {"data": "a,5", "approximate_arrival_timestamp": _iso(40)},
+            {"data": "b,3", "approximate_arrival_timestamp": _iso(50)},
+        ],
+    )
+    engine.wait_for_ingest()
+    rows = {r.k: r.n for r in engine.view_table("sww_view").collect()}
+    assert rows == {"a": 1}
+
+
 def test_sw_view_having_filters_recombined_window(engine, spark, tmp_path):
     """HAVING runs over the RECOMBINED window, never per step: a group
     whose per-step partials are each below the threshold but whose
