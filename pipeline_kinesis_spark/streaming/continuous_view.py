@@ -168,7 +168,27 @@ def upsert_to_parquet(
     kb = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n)).cast(
         "int"
     )
-    new = batch_df.dropDuplicates(key_cols).withColumn(KB_COL, kb)
+    # three consumers this batch (touched-bucket collect, anti-join
+    # broadcast, final write) — persist so the micro-batch dedup runs once
+    new = batch_df.dropDuplicates(key_cols).withColumn(KB_COL, kb).persist()
+    try:
+        _upsert_batch(spark, new, table_dir, key_cols, n, ttl_seconds,
+                      ttl_column, batch_id)
+    finally:
+        new.unpersist()
+
+
+def _upsert_batch(
+    spark,
+    new: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    n: int,
+    ttl_seconds: int | None,
+    ttl_column: str | None,
+    batch_id: int | None,
+) -> None:
+    exists = os.path.isdir(table_dir)
     ttl_pred = None
     if ttl_seconds is not None and ttl_column is not None:
         ttl_pred = F.col(ttl_column) >= F.current_timestamp() - F.expr(
@@ -185,6 +205,9 @@ def upsert_to_parquet(
         # first materialization (or one-time migration of a flat legacy
         # store): full merge, written bucketed, whole-dir swap.
         if legacy:
+            kb = F.pmod(
+                F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n)
+            ).cast("int")
             current = spark.read.parquet(table_dir).withColumn(KB_COL, kb)
             keep = current.join(
                 F.broadcast(new.select(*key_cols)), key_cols, "left_anti"
