@@ -88,6 +88,14 @@ class ViewDef:
     # rewrite unit); the store pins its creation-time value in a marker
     # file, so changing this later never rehashes existing data.
     upsert_buckets: int | None = None
+    # combine() support (PipelineDB read-time re-aggregation): output
+    # alias → {fn, arg} for every combinable aggregate in the view's
+    # SELECT list. Decomposable aggregates (avg/stddev/variance/
+    # approx_count_distinct) make the standing query carry hidden
+    # partial-state columns in the matrel; view_table hides them,
+    # Engine.combine / SQL combine(alias) merges them. None → the SQL
+    # shape was out of parse scope and combine() is unavailable.
+    combine_aggs: dict | None = None
 
 
 @dataclass

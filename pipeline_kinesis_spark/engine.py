@@ -43,8 +43,14 @@ from pipeline_kinesis_spark.sources.records import RECORD_SCHEMA
 from pipeline_kinesis_spark.streaming.continuous_view import (
     KB_COL,
     SW_BUCKET_COL,
+    combine_rewrite_sql,
+    combine_select_expr,
+    combine_view,
     compile_view,
+    drop_partial_cols,
+    has_hidden_partials,
     materialize_memory,
+    parse_combine_view_sql,
     parse_sw_view_sql,
     split_having,
     sw_combine,
@@ -160,6 +166,15 @@ class Engine:
           past sw + 2 steps — state AND store bounded by the window at
           any runtime."""
         sw_aggs = sw_group_cols = sw_having = None
+        combine_aggs = None
+        if sw_seconds is None:
+            # combine() support (PipelineDB re-aggregation at coarser
+            # groupings): best-effort SELECT-list analysis; decomposable
+            # aggregates make the standing query carry hidden partial
+            # state. sw views get their combine map from sw_aggs below —
+            # their recombined count/sum/min/max finals are themselves
+            # combinable.
+            combine_aggs = parse_combine_view_sql(sql)
         if sw_seconds is not None:
             if ttl_seconds is not None:
                 raise ValueError("sw and ttl are mutually exclusive")
@@ -173,6 +188,15 @@ class Engine:
             # the window but in no single step.
             base_sql, sw_having = split_having(sql)
             sw_group_cols, sw_aggs = parse_sw_view_sql(base_sql)
+            # combine() over an sw view re-aggregates the RECOMBINED
+            # window's finals — count/sum/min/max finals combine
+            # exactly; the approx-distinct final is an estimate, not a
+            # mergeable state, so it stays out of the map.
+            combine_aggs = {
+                a: {"fn": fn, "arg": a}
+                for a, fn in sw_aggs.items()
+                if fn in ("count", "sum", "min", "max")
+            } or None
             if sw_having is not None:
                 validate_having(
                     sw_having, set(sw_group_cols) | set(sw_aggs)
@@ -224,6 +248,7 @@ class Engine:
                 sw_group_cols=sw_group_cols,
                 sw_having=sw_having,
                 upsert_buckets=upsert_buckets,
+                combine_aggs=combine_aggs,
             )
         )
 
@@ -235,6 +260,11 @@ class Engine:
             return sw_rewrite_sql(
                 split_having(view.sql)[0], view.sw_step_seconds
             )
+        if view.combine_aggs:
+            # hidden partial-state columns ride the same hash-aggregate
+            # pass as the user's aggregates — combine() maintenance is
+            # free at write time
+            return combine_rewrite_sql(view.sql, view.combine_aggs)
         return view.sql
 
     def _view_stream_df(self, view: ViewDef, src: DataFrame) -> DataFrame:
@@ -666,12 +696,16 @@ class Engine:
             )
         # sw views keep their per-step partials under a raw-suffixed sink
         # name: view_table / sql() recombine them under the public name,
-        # which must never shadow the sink table in the catalog
-        sink_name = (
-            f"{view.name}__sw_raw"
-            if view.sw_seconds is not None
-            else view.name
-        )
+        # which must never shadow the sink table in the catalog. Views
+        # carrying hidden combine() partial columns likewise sink under
+        # a matrel-suffixed name so the public name always shows the
+        # declared schema (PipelineDB's <v>_mrel / overlay-view split).
+        if view.sw_seconds is not None:
+            sink_name = f"{view.name}__sw_raw"
+        elif has_hidden_partials(view.combine_aggs):
+            sink_name = f"{view.name}__mrel"
+        else:
+            sink_name = view.name
         return materialize_memory(
             vdf,
             sink_name,
@@ -996,6 +1030,65 @@ class Engine:
             replayed, ["sequence_number", "shard_id"], "left_anti"
         )
 
+    def _sink_name(self, vd: dict) -> str:
+        """Memory-sink table name for a view dict — mirrors
+        _start_view_query's naming (sw partials / combine matrel /
+        plain)."""
+        if vd.get("sw_seconds") is not None:
+            return f"{vd['name']}__sw_raw"
+        if has_hidden_partials(vd.get("combine_aggs")):
+            return f"{vd['name']}__mrel"
+        return vd["name"]
+
+    def matrel(self, view_name: str) -> DataFrame:
+        """The view's raw materialization — PipelineDB's ``<v>_mrel``:
+        partial-state columns included, one row per declared group (per
+        (group, step) for sw views). combine() reads this; ordinary
+        reads go through view_table, which hides the partials."""
+        vd = self.catalog.state.views.get(view_name)
+        if vd is None:
+            raise KeyError(f"unknown continuous view {view_name!r}")
+        if vd.get("materialize") == "parquet_upsert":
+            df = self.spark.read.parquet(self.view_dir(view_name))
+            return df.drop(KB_COL) if KB_COL in df.columns else df
+        return self.spark.table(self._sink_name(vd))
+
+    def combine(
+        self, view_name: str, group_cols: list[str] | None = None
+    ) -> DataFrame:
+        """PipelineDB ``combine()``: re-aggregate a continuous view at a
+        COARSER grouping with exact semantics — avg merges as
+        (Σsum/Σcount) over hidden partials, never avg-of-avgs;
+        stddev/variance merge their (n, Σx, Σx²) states;
+        approx_count_distinct unions the mergeable HLL sketches. The
+        merge is one hash aggregate over O(view groups) matrel rows —
+        the raw stream is never rescanned, which is the whole point of
+        the feature at scale. SQL spelling:
+        ``SELECT g, combine(alias) AS x FROM v GROUP BY g``."""
+        vd = self.catalog.state.views.get(view_name)
+        if vd is None:
+            raise KeyError(f"unknown continuous view {view_name!r}")
+        specs = vd.get("combine_aggs")
+        if not specs:
+            raise ValueError(
+                f"view {view_name!r} has no combinable aggregates "
+                "(or its SQL shape is outside combine() parse scope)"
+            )
+        if vd.get("sw_seconds") is not None:
+            # sw: combine over the RECOMBINED trailing window — the
+            # window semantics always come first
+            base = self.view_table(view_name)
+        else:
+            base = self.matrel(view_name)
+        group_cols = list(group_cols or [])
+        missing = [c for c in group_cols if c not in base.columns]
+        if missing:
+            raise ValueError(
+                f"group columns {missing} not in view output "
+                f"{[c for c in base.columns if '__pkpart_' not in c]}"
+            )
+        return combine_view(base, group_cols, specs)
+
     def view_table(self, view_name: str) -> DataFrame:
         """Query a continuous view's current materialized state, whatever
         its sink (memory table or parquet_upsert directory). TTL views
@@ -1016,7 +1109,7 @@ class Engine:
                 if vd.get("sw_having"):
                     df = df.filter(F.expr(vd["sw_having"]))
                 return df
-            df = self.spark.table(view_name)
+            df = drop_partial_cols(self.spark.table(self._sink_name(vd)))
             ttl, col = vd.get("ttl_seconds"), vd.get("ttl_column")
             if ttl is not None and col is not None:
                 df = df.filter(
@@ -1029,6 +1122,7 @@ class Engine:
             # hash-bucket partition column — physical store layout, not
             # part of the view's schema
             df = df.drop(KB_COL)
+        df = drop_partial_cols(df)
         if vd is not None and vd.get("sw_seconds") is not None:
             # durable sw view: the parquet store holds per-step partials
             # (already reaped to the retention) — recombine the live ones
@@ -1062,14 +1156,18 @@ class Engine:
             if (
                 vd.get("materialize") == "parquet_upsert"
                 or vd.get("sw_seconds") is not None
+                or has_hidden_partials(vd.get("combine_aggs"))
             ):
-                # parquet views and sliding-window views resolve through
-                # view_table (sw: per-step partials recombined); plain
-                # memory views are already queryable by name
+                # parquet views, sliding-window views and views carrying
+                # hidden combine() partials resolve through view_table
+                # (sw: per-step partials recombined; combine: partial
+                # columns hidden); plain memory views are already
+                # queryable by name
                 try:
                     self.view_table(name).createOrReplaceTempView(name)
                 except Exception:
                     continue  # not materialized yet — leave unregistered
+        query = self._rewrite_combine(query)
         for name in self.catalog.state.streams:
             try:
                 self.stream_table(name).createOrReplaceTempView(name)
@@ -1090,6 +1188,55 @@ class Engine:
                 "pipeline_queries"
             )
         return self.spark.sql(query)
+
+    _COMBINE_CALL = re.compile(r"\bcombine\s*\(\s*(\w+)\s*\)", re.IGNORECASE)
+
+    def _rewrite_combine(self, query: str) -> str:
+        """SQL spelling of PipelineDB's combine(): each ``combine(alias)``
+        in an ad-hoc query over ONE continuous view becomes that alias's
+        partial-merge expression, and the view name is re-pointed at its
+        matrel (partials visible) for this query. The rewrite is textual
+        but anchored: it fires only when exactly one registered view both
+        appears in the query and exposes every referenced alias."""
+        aliases = {m.group(1) for m in self._COMBINE_CALL.finditer(query)}
+        if not aliases:
+            return query
+        cands = [
+            (name, vd)
+            for name, vd in self.catalog.state.views.items()
+            if re.search(rf"\b{re.escape(name)}\b", query)
+            and vd.get("combine_aggs")
+            and aliases <= set(vd["combine_aggs"])
+        ]
+        if not cands:
+            known = {
+                n: sorted(vd["combine_aggs"])
+                for n, vd in self.catalog.state.views.items()
+                if vd.get("combine_aggs")
+            }
+            raise ValueError(
+                f"combine() over {sorted(aliases)}: no referenced "
+                f"continuous view exposes those aggregates "
+                f"(combinable: {known})"
+            )
+        if len(cands) > 1:
+            raise ValueError(
+                "combine() is ambiguous between views "
+                f"{[n for n, _ in cands]}; query one view at a time"
+            )
+        name, vd = cands[0]
+        if vd.get("sw_seconds") is None:
+            # point the view name at the matrel so partial columns are
+            # in scope (sw views stay on the recombined window — their
+            # finals are the combinable state)
+            self.matrel(name).createOrReplaceTempView(name)
+        specs = vd["combine_aggs"]
+        return self._COMBINE_CALL.sub(
+            lambda m: combine_select_expr(
+                m.group(1), specs[m.group(1)]["fn"]
+            ),
+            query,
+        )
 
     def execute(self, statement: str) -> DataFrame | str:
         """The reference's SQL surface as a single entry point: endpoint /

@@ -525,6 +525,168 @@ def sw_rewrite_sql(sql: str, step_seconds: int) -> str:
     return rewritten + f" GROUP BY {bucket}"
 
 
+# --------------------------------------------------------------------------
+# combine(): PipelineDB's read-time re-aggregation over matrel partials.
+#
+# PipelineDB lets a user query a continuous view's materialization at a
+# COARSER grouping than the view declares and still get exact answers:
+#   CREATE CONTINUOUS VIEW v AS
+#     SELECT minute(x) m, url, avg(latency) lat FROM s GROUP BY m, url;
+#   SELECT url, combine(lat) FROM v GROUP BY url;   -- true avg per url
+# Naively re-aggregating finals is wrong (avg of avgs weights every
+# minute equally); PipelineDB stores aggregate TRANSITION STATE in the
+# matrel and combine() merges states. Spark-first equivalent: at CREATE,
+# the standing query is rewritten to carry hidden partial-state columns
+# for every decomposable aggregate (avg → (sum, count); stddev/variance
+# → (count, sum, sum-of-squares); approx_count_distinct → a mergeable
+# HLL sketch). count/sum/min/max are their own partials. view_table
+# hides the partial columns (PipelineDB's overlay view over the mrel);
+# combine() re-aggregates them under any regrouping.
+
+PARTIAL_SEP = "__pkpart_"
+
+# aggregates whose FINAL value is its own combinable partial
+_CB_DIRECT = {"count": "count", "sum": "sum", "min": "min", "max": "max"}
+# aggregates needing hidden state columns; canonical-name map
+_CB_DECOMP = {
+    "avg": "avg",
+    "mean": "avg",
+    "stddev": "stddev_samp",
+    "stddev_samp": "stddev_samp",
+    "variance": "var_samp",
+    "var_samp": "var_samp",
+    "approx_count_distinct": "approx_count_distinct",
+}
+_CB_ITEM = _re.compile(
+    r"^(\w+)\s*\(\s*(?!distinct\b)(.+?)\s*\)\s+AS\s+(\w+)$",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+
+def parse_combine_view_sql(sql: str) -> dict[str, dict] | None:
+    """Best-effort SELECT-list analysis for combine() support: returns
+    alias → {fn, arg} for every combinable aggregate in a single flat
+    SELECT, or None when the SQL shape (joins-with-subqueries, UNION,
+    nested SELECT) is out of scope — the view still works, combine()
+    just reports itself unavailable. Non-combinable items (exact
+    DISTINCT aggregates, expressions over aggregates) are simply left
+    out of the map: combine() on them raises with the available set."""
+    strmask = _outside_string_mask(sql)
+    selects = [
+        m for m in _re.finditer(r"\bSELECT\b", sql, _re.I)
+        if strmask[m.start()]
+    ]
+    if len(selects) != 1 or _re.search(r"\bUNION\b", sql, _re.I):
+        return None
+    m = _re.match(r"^\s*SELECT\s+(.*?)\s+FROM\s", sql, _re.I | _re.S)
+    if not m:
+        return None
+    specs: dict[str, dict] = {}
+    for item in _split_select_items(m.group(1)):
+        am = _CB_ITEM.match(item)
+        if not am:
+            continue
+        fn, arg, alias = am.group(1).lower(), am.group(2), am.group(3)
+        if fn in _CB_DIRECT:
+            specs[alias] = {"fn": _CB_DIRECT[fn], "arg": arg}
+        elif fn in _CB_DECOMP:
+            specs[alias] = {"fn": _CB_DECOMP[fn], "arg": arg}
+    return specs or None
+
+
+def combine_partial_cols(specs: dict[str, dict]) -> dict[str, str]:
+    """Hidden partial-state columns the standing query must carry:
+    column name → aggregate SQL producing it. Sums feeding avg/variance
+    are cast to DOUBLE so combine's division is exact float math
+    regardless of the input's integral type."""
+    cols: dict[str, str] = {}
+    for alias, spec in specs.items():
+        fn, arg = spec["fn"], spec["arg"]
+        d = f"CAST(({arg}) AS DOUBLE)"
+        if fn == "avg":
+            cols[f"{alias}{PARTIAL_SEP}s"] = f"sum({d})"
+            cols[f"{alias}{PARTIAL_SEP}c"] = f"count({arg})"
+        elif fn in ("stddev_samp", "var_samp"):
+            cols[f"{alias}{PARTIAL_SEP}s"] = f"sum({d})"
+            cols[f"{alias}{PARTIAL_SEP}c"] = f"count({arg})"
+            cols[f"{alias}{PARTIAL_SEP}q"] = f"sum({d} * {d})"
+        elif fn == "approx_count_distinct":
+            # the partial is the MERGEABLE sketch, not the estimate
+            cols[f"{alias}{PARTIAL_SEP}h"] = f"hll_sketch_agg({arg})"
+    return cols
+
+
+def combine_rewrite_sql(sql: str, specs: dict[str, dict]) -> str:
+    """Append the hidden partial-state columns to the view's SELECT list
+    (the sw_rewrite_sql pattern): they are aggregates, so the GROUP BY
+    is untouched and Catalyst computes them in the same hash-aggregate
+    pass as the user's columns — partial maintenance is free at write
+    time, paid only by matrel width."""
+    extras = combine_partial_cols(specs)
+    if not extras:
+        return sql
+    m = _re.match(r"^(\s*SELECT\s+)(.*?)(\s+FROM\s.*)$", sql, _re.I | _re.S)
+    if not m:
+        return sql
+    head, select_list, rest = m.groups()
+    extra_sql = ", ".join(f"{expr} AS {name}" for name, expr in extras.items())
+    return f"{head}{select_list}, {extra_sql}{rest}"
+
+
+def combine_select_expr(alias: str, fn: str) -> str:
+    """The SQL expression that merges partials for one aggregate under a
+    new grouping — exactly PipelineDB's combine() transition-state
+    merge, spelled as stock Spark SQL so it stays whole-stage-codegen
+    JVM work at any scale."""
+    s, c, q = (f"{alias}{PARTIAL_SEP}{k}" for k in ("s", "c", "q"))
+    if fn in ("count", "sum"):
+        return f"sum({alias})"
+    if fn == "min":
+        return f"min({alias})"
+    if fn == "max":
+        return f"max({alias})"
+    if fn == "avg":
+        return f"(sum({s}) / sum({c}))"
+    if fn == "var_samp":
+        return (
+            f"((sum({q}) - pow(sum({s}), 2) / sum({c})) / (sum({c}) - 1))"
+        )
+    if fn == "stddev_samp":
+        return (
+            f"sqrt((sum({q}) - pow(sum({s}), 2) / sum({c}))"
+            f" / (sum({c}) - 1))"
+        )
+    if fn == "approx_count_distinct":
+        return f"hll_sketch_estimate(hll_union_agg({alias}{PARTIAL_SEP}h))"
+    raise ValueError(f"no combine merge for aggregate {fn!r}")
+
+
+def has_hidden_partials(specs: dict[str, dict] | None) -> bool:
+    return bool(specs) and any(
+        s["fn"] not in ("count", "sum", "min", "max") for s in specs.values()
+    )
+
+
+def drop_partial_cols(df: DataFrame) -> DataFrame:
+    hidden = [c for c in df.columns if PARTIAL_SEP in c]
+    return df.drop(*hidden) if hidden else df
+
+
+def combine_view(
+    df: DataFrame, group_cols: list[str], specs: dict[str, dict]
+) -> DataFrame:
+    """Re-aggregate a matrel (partials included) under group_cols —
+    the Python-API form of ``SELECT g, combine(a) FROM v GROUP BY g``.
+    One hash aggregate over O(view groups) rows, never the raw stream."""
+    aggs = [
+        F.expr(combine_select_expr(alias, spec["fn"])).alias(alias)
+        for alias, spec in specs.items()
+    ]
+    if group_cols:
+        return df.groupBy(*group_cols).agg(*aggs)
+    return df.agg(*aggs)
+
+
 def sw_combine(
     df: DataFrame,
     sw_seconds: int,

@@ -1,0 +1,237 @@
+"""PipelineDB combine(): read-time re-aggregation of a continuous view at
+a coarser grouping than the view declares, with exact semantics.
+
+The reference's host engine stores aggregate transition state in the
+view's matrel so ``SELECT g, combine(agg) FROM v GROUP BY g`` merges
+states instead of wrongly re-aggregating finals (avg-of-avgs). Here the
+standing query carries hidden partial-state columns (avg → (Σx, n);
+stddev/variance → (n, Σx, Σx²); approx_count_distinct → mergeable HLL
+sketch) and combine() re-aggregates them — one hash aggregate over
+O(view groups) matrel rows, never a raw-stream rescan.
+"""
+
+from __future__ import annotations
+
+import statistics
+
+import pytest
+
+from pipeline_kinesis_spark.engine import Engine
+from pipeline_kinesis_spark.sources.file_replay import write_record_file
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    yield eng
+    eng.consume_end_all()
+
+
+def _put(stream_dir, rows, start=1):
+    write_record_file(
+        str(stream_dir),
+        [
+            {
+                "data": data,
+                "partition_key": data.split(",")[0],
+                "shard_id": "shardId-000000000000",
+                "sequence_number": f"{i:056d}",
+            }
+            for i, data in enumerate(rows, start)
+        ],
+    )
+
+
+# group sizes are deliberately skewed so avg-of-avgs ≠ true avg:
+# a: x→[1,2,3,4], y→[10]  (true avg 4.0; avg-of-avgs 6.25)
+# b: x→[5,5],     y→[7,8,9]
+_ROWS = [
+    "a,x,1", "a,x,2", "a,x,3", "a,x,4", "a,y,10",
+    "b,x,5", "b,x,5", "b,y,7", "b,y,8", "b,y,9",
+]
+_VALS = {"a": [1, 2, 3, 4, 10], "b": [5, 5, 7, 8, 9]}
+
+
+def _start_view(engine, tmp_path, view_sql, rows=_ROWS, **view_kwargs):
+    src_root = tmp_path / "kinesis"
+    _put(src_root / "s1", rows)
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("cst", "k STRING, g STRING, v BIGINT")
+    engine.create_continuous_view("cv", view_sql, "cst", **view_kwargs)
+    engine.consume_begin("ep", "s1", "cst", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+
+
+_VIEW_SQL = (
+    "SELECT k, g, count(*) AS cnt, sum(v) AS total, avg(v) AS mean "
+    "FROM cst GROUP BY k, g"
+)
+
+
+def test_combine_avg_regroup_is_exact_not_avg_of_avgs(engine, tmp_path):
+    _start_view(engine, tmp_path, _VIEW_SQL)
+
+    got = {
+        r.k: (r.cnt, r.total, r.mean)
+        for r in engine.combine("cv", ["k"]).collect()
+    }
+    for k, vals in _VALS.items():
+        cnt, total, mean = got[k]
+        assert cnt == len(vals)
+        assert total == sum(vals)
+        assert mean == pytest.approx(sum(vals) / len(vals))
+    # the distinguishing case: naive avg-of-avgs for 'a' would be 6.25
+    assert got["a"][2] == pytest.approx(4.0)
+
+
+def test_combine_sql_spelling(engine, tmp_path):
+    _start_view(engine, tmp_path, _VIEW_SQL)
+    rows = engine.sql(
+        "SELECT k, combine(mean) AS mean, combine(cnt) AS cnt, "
+        "combine(total) AS total FROM cv GROUP BY k ORDER BY k"
+    ).collect()
+    assert [(r.k, r.mean, r.cnt, r.total) for r in rows] == [
+        ("a", pytest.approx(4.0), 5, 20),
+        ("b", pytest.approx(6.8), 5, 34),
+    ]
+    # the same surface works through execute() (reference SQL entry point)
+    df = engine.execute("SELECT combine(cnt) AS n FROM cv")
+    assert df.collect()[0].n == 10
+
+
+def test_view_table_hides_partial_columns(engine, tmp_path):
+    _start_view(engine, tmp_path, _VIEW_SQL)
+    assert set(engine.view_table("cv").columns) == {
+        "k", "g", "cnt", "total", "mean"
+    }
+    # plain ad-hoc reads see the declared schema too
+    assert set(engine.sql("SELECT * FROM cv").columns) == {
+        "k", "g", "cnt", "total", "mean"
+    }
+    # ...while the matrel exposes the partial state (PipelineDB _mrel)
+    mrel_cols = set(engine.matrel("cv").columns)
+    assert {"mean__pkpart_s", "mean__pkpart_c"} <= mrel_cols
+    # per-group finals themselves are unaffected by the hidden columns
+    row = {
+        (r.k, r.g): r.mean for r in engine.view_table("cv").collect()
+    }
+    assert row[("a", "x")] == pytest.approx(2.5)
+    assert row[("a", "y")] == pytest.approx(10.0)
+
+
+def test_combine_stddev_variance(engine, tmp_path):
+    _start_view(
+        engine,
+        tmp_path,
+        "SELECT k, g, stddev_samp(v) AS sd, var_samp(v) AS vr "
+        "FROM cst GROUP BY k, g",
+    )
+    got = {r.k: (r.sd, r.vr) for r in engine.combine("cv", ["k"]).collect()}
+    for k, vals in _VALS.items():
+        assert got[k][0] == pytest.approx(statistics.stdev(vals), rel=1e-9)
+        assert got[k][1] == pytest.approx(statistics.variance(vals), rel=1e-9)
+    # global combine (no GROUP BY)
+    allv = [v for vs in _VALS.values() for v in vs]
+    g = engine.combine("cv", []).collect()[0]
+    assert g.sd == pytest.approx(statistics.stdev(allv), rel=1e-9)
+
+
+def test_combine_approx_distinct_unions_sketches(engine, tmp_path):
+    # u values OVERLAP across the fine groups: a has {1,2,3}∪{2,3,4}=4
+    # distinct. Summing per-group estimates would say ~6; sketch union
+    # must say 4 (HLL is exact at this cardinality).
+    rows = [
+        "a,x,1", "a,x,2", "a,x,3", "a,y,2", "a,y,3", "a,y,4",
+        "b,x,7", "b,y,7", "b,y,8",
+    ]
+    _start_view(
+        engine,
+        tmp_path,
+        "SELECT k, g, approx_count_distinct(v) AS du FROM cst GROUP BY k, g",
+        rows=rows,
+    )
+    got = {r.k: r.du for r in engine.combine("cv", ["k"]).collect()}
+    assert got == {"a": 4, "b": 2}
+    sql_got = {
+        r.k: r.du
+        for r in engine.sql(
+            "SELECT k, combine(du) AS du FROM cv GROUP BY k"
+        ).collect()
+    }
+    assert sql_got == {"a": 4, "b": 2}
+
+
+def test_combine_parquet_upsert_view(engine, tmp_path):
+    _start_view(
+        engine,
+        tmp_path,
+        _VIEW_SQL,
+        materialize="parquet_upsert",
+        key_cols=["k", "g"],
+    )
+    got = {r.k: (r.cnt, r.mean) for r in engine.combine("cv", ["k"]).collect()}
+    assert got["a"] == (5, pytest.approx(4.0))
+    assert got["b"] == (5, pytest.approx(6.8))
+    # durable store read path hides partials too
+    assert set(engine.view_table("cv").columns) == {
+        "k", "g", "cnt", "total", "mean"
+    }
+
+
+def test_combine_over_sliding_window_view(engine, tmp_path):
+    _start_view(
+        engine,
+        tmp_path,
+        "SELECT k, count(*) AS cnt, sum(v) AS total FROM cst GROUP BY k",
+        sw_seconds=3600,
+    )
+    g = engine.combine("cv", []).collect()[0]
+    assert (g.cnt, g.total) == (10, 54)
+    row = engine.sql("SELECT combine(cnt) AS n FROM cv").collect()[0]
+    assert row.n == 10
+
+
+def test_combine_errors(engine, tmp_path):
+    _start_view(engine, tmp_path, _VIEW_SQL)
+    with pytest.raises(ValueError, match="no referenced continuous view"):
+        engine.sql("SELECT k, combine(nope) FROM cv GROUP BY k")
+    with pytest.raises(ValueError, match="not in view output"):
+        engine.combine("cv", ["missing_col"])
+    with pytest.raises(KeyError):
+        engine.combine("no_such_view", ["k"])
+
+
+def test_exact_distinct_is_not_combinable(engine, tmp_path):
+    # count(DISTINCT x) finals don't merge across groups — the alias is
+    # simply absent from the combinable set and combine() on it errors
+    # with guidance (approx_count_distinct is the mergeable spelling).
+    # (Spark streaming rejects exact DISTINCT aggregation outright, so
+    # the view is only declared, never started — the combine() contract
+    # is a CREATE-time property.)
+    engine.create_stream("cst", "k STRING, g STRING, v BIGINT")
+    engine.create_continuous_view(
+        "cv",
+        "SELECT k, g, count(DISTINCT v) AS dv, count(*) AS cnt "
+        "FROM cst GROUP BY k, g",
+        "cst",
+    )
+    specs = engine.catalog.state.views["cv"]["combine_aggs"]
+    assert "dv" not in specs and "cnt" in specs
+    with pytest.raises(ValueError, match="combinable"):
+        engine.sql("SELECT k, combine(dv) FROM cv GROUP BY k")
+
+
+def test_combine_survives_restart(engine, spark, tmp_path):
+    """Partial columns live in the durable store — a fresh Engine over
+    the same metadata combines without the original process."""
+    _start_view(
+        engine,
+        tmp_path,
+        _VIEW_SQL,
+        materialize="parquet_upsert",
+        key_cols=["k", "g"],
+    )
+    engine.consume_end_all()
+    eng2 = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    got = {r.k: r.mean for r in eng2.combine("cv", ["k"]).collect()}
+    assert got["a"] == pytest.approx(4.0)

@@ -141,7 +141,7 @@ def test_continuous_view_with_sketch_aggregates(engine, spark, tmp_path):
     )
     engine.consume_begin("ep", "s", "sk_stream")
     engine.wait_for_ingest()
-    rows = {r.k: (r.nd, r.n) for r in spark.table("sk_view").collect()}
+    rows = {r.k: (r.nd, r.n) for r in engine.view_table("sk_view").collect()}
     assert rows == {"k0": (7, 14), "k1": (7, 14), "k2": (7, 14)}
 
     # second batch arrives → the sketch state merges incrementally
@@ -153,7 +153,7 @@ def test_continuous_view_with_sketch_aggregates(engine, spark, tmp_path):
         ],
     )
     engine.wait_for_ingest()
-    rows = {r.k: (r.nd, r.n) for r in spark.table("sk_view").collect()}
+    rows = {r.k: (r.nd, r.n) for r in engine.view_table("sk_view").collect()}
     assert rows == {"k0": (9, 16), "k1": (9, 16), "k2": (9, 16)}
 
 

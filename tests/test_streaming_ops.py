@@ -541,7 +541,7 @@ def test_sketch_in_continuous_view(engine, spark, tmp_path):
     )
     engine.wait_for_ingest()
     rows = {r.etype: (r.approx_users, r.n) for r in
-            spark.table("ev_users").collect()}
+            engine.view_table("ev_users").collect()}
     assert rows["click"][1] == 80 and rows["view"][1] == 20
     # HLL++ at default rsd=5%: 40 distinct clicks, 5 distinct viewers
     assert abs(rows["click"][0] - 40) <= 4
