@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import threading
 from dataclasses import asdict, dataclass, field
 
@@ -252,14 +253,23 @@ class Catalog:
 
     # -- continuous views --
 
+    def _is_source_relation(self, rel: str) -> bool:
+        """A standing query may read a declared stream, a transform's
+        output relation, or a continuous view's output stream
+        (``<view>_osrel`` — PipelineDB's output_of chaining)."""
+        if rel in self.state.streams:
+            return True
+        if any(
+            t.get("sink_relation") == rel
+            for t in self.state.transforms.values()
+        ):
+            return True
+        m = re.match(r"^(\w+)_osrel$", rel)
+        return bool(m and m.group(1) in self.state.views)
+
     def create_view(self, vd: ViewDef) -> None:
         with self._lock:
-            # a view reads either a declared stream or a transform's
-            # output relation (PipelineDB's output-stream chaining)
-            if vd.stream not in self.state.streams and not any(
-                t.get("sink_relation") == vd.stream
-                for t in self.state.transforms.values()
-            ):
+            if not self._is_source_relation(vd.stream):
                 raise KeyError(f"unknown stream {vd.stream!r}")
             self.state.views[vd.name] = asdict(vd)
             self._save()
@@ -280,7 +290,8 @@ class Catalog:
 
     def create_transform(self, td: TransformDef) -> None:
         with self._lock:
-            self.stream(td.stream)  # must exist
+            if not self._is_source_relation(td.stream):
+                raise KeyError(f"unknown stream {td.stream!r}")
             self.state.transforms[td.name] = asdict(td)
             self._save()
 

@@ -42,6 +42,7 @@ from pipeline_kinesis_spark.sources.file_replay import FileReplaySource
 from pipeline_kinesis_spark.sources.records import RECORD_SCHEMA
 from pipeline_kinesis_spark.streaming.continuous_view import (
     KB_COL,
+    PARTIAL_SEP,
     SW_BUCKET_COL,
     combine_rewrite_sql,
     combine_select_expr,
@@ -165,6 +166,7 @@ class Engine:
           (group cols, bucket) whose merge-time TTL reaper drops buckets
           past sw + 2 steps — state AND store bounded by the window at
           any runtime."""
+        self._validate_osrel_source(stream)
         sw_aggs = sw_group_cols = sw_having = None
         combine_aggs = None
         if sw_seconds is None:
@@ -252,6 +254,39 @@ class Engine:
             )
         )
 
+    def _validate_osrel_source(self, stream: str) -> None:
+        """A standing query reading ``<v>_osrel`` chains on view v's
+        output stream — v must exist and be a parquet_upsert view (the
+        only materialization whose merge sees old and new rows
+        together). Checked here so the error surfaces at CREATE, not at
+        consume_begin."""
+        m = re.match(r"^(\w+)_osrel$", stream)
+        if not m:
+            return
+        base = self.catalog.state.views.get(m.group(1))
+        if base is None:
+            raise KeyError(
+                f"output stream {stream!r} has no continuous view "
+                f"{m.group(1)!r}"
+            )
+        if base.get("materialize") != "parquet_upsert":
+            raise ValueError(
+                "output streams are emitted by parquet_upsert views; "
+                f"{m.group(1)!r} materializes as "
+                f"{base.get('materialize')!r}"
+            )
+
+    def output_stream(self, view_name: str) -> DataFrame:
+        """Batch read of a view's output stream history — every (old,
+        new, arrival_timestamp) delta tuple emitted so far. The live
+        streaming form is a chained view/transform FROM
+        ``<view>_osrel`` (SQL: ``FROM output_of('view')``)."""
+        d = self.osrel_dir(view_name)
+        return (
+            self.spark.read.option("recursiveFileLookup", "true")
+            .parquet(d)
+        )
+
     def _view_compile_sql(self, view: ViewDef) -> str:
         """The SQL the standing query actually runs: sw views compile to
         their per-step partial form, with any HAVING stripped (it
@@ -299,6 +334,7 @@ class Engine:
         """
         if sink_relation is None and proc is None:
             raise ValueError("transform needs a sink_relation and/or a proc")
+        self._validate_osrel_source(stream)
         self.catalog.create_transform(
             TransformDef(name, sql, stream, sink_relation)
         )
@@ -339,6 +375,12 @@ class Engine:
 
     def view_dir(self, view_name: str) -> str:
         return os.path.join(self.metadata_dir, "views", view_name)
+
+    def osrel_dir(self, view_name: str) -> str:
+        """Directory backing the view's output stream (PipelineDB
+        ``<view>_osrel``): one ``b<batch>`` subdir of delta tuples per
+        upsert batch."""
+        return os.path.join(self.metadata_dir, "osrel", view_name)
 
     def _ckpt(self, consumer_id: int, kind: str) -> str:
         return os.path.join(
@@ -433,7 +475,10 @@ class Engine:
                 .trigger(processingTime=interval)
                 .start()
             )
-            # (c) continuous views registered on this relation.
+            # (c) continuous views registered on this relation; each may
+            # fan out further through its output stream (PipelineDB
+            # output_of chaining): delta emission turns on only when the
+            # view has active downstream consumers.
             for view in self.catalog.views_on(relation):
                 if not view.active:
                     continue
@@ -443,7 +488,16 @@ class Engine:
                     relation,
                     self._view_compile_sql(view),
                 )
-                queries.append(self._start_view_query(consumer.id, view, vdf))
+                delta_dir = self._osrel_delta_dir(view)
+                queries.append(
+                    self._start_view_query(
+                        consumer.id, view, vdf, delta_dir=delta_dir
+                    )
+                )
+                if delta_dir is not None:
+                    self._start_osrel_consumers(
+                        consumer.id, view, vdf.schema, queries
+                    )
             # (d) continuous transforms registered on this relation:
             # row-wise standing queries, append-mode, output → sink
             # relation parquet and/or per-batch proc.
@@ -456,26 +510,8 @@ class Engine:
                     if t.sink_relation
                     else None
                 )
-                proc = self._procs.get(t.name)
-
-                def _transform_batch(
-                    bdf: DataFrame, bid: int, _dir=sink_dir, _p=proc
-                ) -> None:
-                    if _dir is not None:
-                        bdf.write.mode("append").parquet(_dir)
-                    if _p is not None:
-                        _p(bdf, bid)
-
                 queries.append(
-                    tdf.writeStream.foreachBatch(_transform_batch)
-                    .queryName(f"transform_{t.name}")
-                    .outputMode("append")
-                    .option(
-                        "checkpointLocation",
-                        self._ckpt(consumer.id, f"transform_{t.name}"),
-                    )
-                    .trigger(processingTime=interval)
-                    .start()
+                    self._start_transform_query(consumer.id, t, tdf)
                 )
                 # (e) chained continuous views over this transform's sink
                 # relation (PipelineDB: views reading an output stream).
@@ -543,6 +579,59 @@ class Engine:
                             self.spark,
                             self._view_stream_df(vd, good),
                             relation,
+                            self._view_compile_sql(vd),
+                        )
+                        self._queries[cid].append(
+                            self._start_view_query(
+                                cid,
+                                vd,
+                                vdf,
+                                delta_dir=self._osrel_delta_dir(vd),
+                            )
+                        )
+                        continue
+                    # chained view on another view's OUTPUT STREAM: make
+                    # sure the base merge emits deltas (restart it with
+                    # emission on — checkpoint resume, nothing lost),
+                    # then chain this view on the osrel file stream.
+                    m_os = re.match(r"^(\w+)_osrel$", vd.stream)
+                    if m_os and m_os.group(1) in self.catalog.state.views:
+                        base = ViewDef(
+                            **self.catalog.state.views[m_os.group(1)]
+                        )
+                        if base.stream != relation or not base.active:
+                            continue
+                        base_vdf = compile_view(
+                            self.spark,
+                            self._view_stream_df(base, good),
+                            relation,
+                            self._view_compile_sql(base),
+                        )
+                        for q in list(self._queries[cid]):
+                            if q.name == base.name:
+                                q.stop()
+                                self._queries[cid].remove(q)
+                        self._queries[cid].append(
+                            self._start_view_query(
+                                cid,
+                                base,
+                                base_vdf,
+                                delta_dir=self._osrel_delta_dir(base),
+                            )
+                        )
+                        src = (
+                            self.spark.readStream.schema(
+                                self._osrel_schema(base_vdf.schema)
+                            ).parquet(
+                                os.path.join(
+                                    self.osrel_dir(base.name), "b*"
+                                )
+                            )
+                        )
+                        vdf = compile_view(
+                            self.spark,
+                            self._view_stream_df(vd, src),
+                            vd.stream,
                             self._view_compile_sql(vd),
                         )
                         self._queries[cid].append(
@@ -658,11 +747,124 @@ class Engine:
                 return self._trigger_for(c)
         return self.trigger_interval
 
+    def _osrel_delta_dir(self, view: ViewDef) -> str | None:
+        """Where this view's output stream lands — or None when no
+        active downstream consumer reads it (emission off, zero cost).
+        Only parquet_upsert views emit: their foreachBatch merge is the
+        one place old and new matrel rows coexist."""
+        if view.materialize != "parquet_upsert":
+            return None
+        osrel = f"{view.name}_osrel"
+        has_consumers = any(
+            v.active for v in self.catalog.views_on(osrel)
+        ) or any(t.active for t in self.catalog.transforms_on(osrel))
+        if not has_consumers:
+            return None
+        d = self.osrel_dir(view.name)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _osrel_schema(self, view_schema) -> "StructType":
+        """Schema of a view's output stream: (old, new) structs of the
+        DECLARED view columns (hidden combine partials excluded) plus
+        arrival_timestamp — PipelineDB's (old, new) delta records."""
+        from pyspark.sql.types import (
+            StructField,
+            StructType,
+            TimestampType,
+        )
+
+        row = StructType(
+            [f for f in view_schema.fields if PARTIAL_SEP not in f.name]
+        )
+        return StructType(
+            [
+                StructField("old", row, True),
+                StructField("new", row, True),
+                StructField("arrival_timestamp", TimestampType(), True),
+            ]
+        )
+
+    def _start_osrel_consumers(
+        self,
+        consumer_id: int,
+        view: ViewDef,
+        view_schema,
+        queries: list,
+    ) -> None:
+        """Start the standing queries chained on this view's output
+        stream: a glob file-stream over the delta dir's ``b<batch>``
+        subdirs (rename-published, so readers never see half a batch)
+        feeding each downstream view/transform — PipelineDB's
+        ``SELECT ... FROM output_of('v')`` cascade."""
+        osrel = f"{view.name}_osrel"
+        src = (
+            self.spark.readStream.schema(self._osrel_schema(view_schema))
+            .parquet(os.path.join(self.osrel_dir(view.name), "b*"))
+        )
+        for cv in self.catalog.views_on(osrel):
+            if not cv.active:
+                continue
+            cvdf = compile_view(
+                self.spark,
+                self._view_stream_df(cv, src),
+                osrel,
+                self._view_compile_sql(cv),
+            )
+            queries.append(self._start_view_query(consumer_id, cv, cvdf))
+        for t in self.catalog.transforms_on(osrel):
+            if not t.active:
+                continue
+            tdf = compile_view(self.spark, src, osrel, t.sql)
+            queries.append(
+                self._start_transform_query(consumer_id, t, tdf)
+            )
+
+    def _start_transform_query(
+        self, consumer_id: int, t: TransformDef, tdf: DataFrame
+    ) -> StreamingQuery:
+        """Run one compiled continuous transform: append-mode standing
+        query whose batches land in the sink relation and/or invoke the
+        registered per-batch procedure."""
+        interval = self._trigger_for_cid(consumer_id)
+        sink_dir = (
+            self.table_dir(t.sink_relation) if t.sink_relation else None
+        )
+        proc = self._procs.get(t.name)
+
+        def _transform_batch(
+            bdf: DataFrame, bid: int, _dir=sink_dir, _p=proc
+        ) -> None:
+            if _dir is not None:
+                bdf.write.mode("append").parquet(_dir)
+            if _p is not None:
+                _p(bdf, bid)
+
+        return (
+            tdf.writeStream.foreachBatch(_transform_batch)
+            .queryName(f"transform_{t.name}")
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                self._ckpt(consumer_id, f"transform_{t.name}"),
+            )
+            .trigger(processingTime=interval)
+            .start()
+        )
+
     def _start_view_query(
-        self, consumer_id: int, view: ViewDef, vdf: DataFrame
+        self,
+        consumer_id: int,
+        view: ViewDef,
+        vdf: DataFrame,
+        delta_dir: str | None = None,
     ) -> StreamingQuery:
         """Materialize one compiled continuous view (memory sink or keyed
-        parquet upsert with optional TTL reaping)."""
+        parquet upsert with optional TTL reaping). delta_dir switches on
+        output-stream emission (PipelineDB ``<view>_osrel``): the merge
+        also appends (old, new, arrival_timestamp) change tuples there —
+        only requested when the view has active downstream consumers, so
+        unconsumed output streams cost nothing."""
         interval = self._trigger_for_cid(consumer_id)
         if view.materialize == "parquet_upsert":
             table_dir = self.view_dir(view.name)
@@ -677,6 +879,7 @@ class Engine:
                             ttl_seconds=_v.ttl_seconds,
                             ttl_column=_v.ttl_column,
                             batch_id=bid,
+                            delta_dir=delta_dir,
                             **(
                                 {"num_buckets": _v.upsert_buckets}
                                 if _v.upsert_buckets
@@ -1152,6 +1355,17 @@ class Engine:
         table — the reference's `SELECT * FROM foo_view` read path
         (README.md:78-88), available mid-stream. Views resolve to their
         CURRENT materialized state at call time."""
+        # PipelineDB spelling output_of('v') → the <v>_osrel relation;
+        # emitted delta history is batch-queryable like any relation
+        query = re.sub(
+            r"output_of\(\s*'(\w+)'\s*\)", r"\1_osrel", query, flags=re.I
+        )
+        for name in self.catalog.state.views:
+            osrel = f"{name}_osrel"
+            if re.search(rf"\b{osrel}\b", query) and os.path.isdir(
+                self.osrel_dir(name)
+            ):
+                self.output_stream(name).createOrReplaceTempView(osrel)
         for name, vd in self.catalog.state.views.items():
             if (
                 vd.get("materialize") == "parquet_upsert"

@@ -217,21 +217,25 @@ def _map_pg_schema(coldefs: str) -> str:
     return ", ".join(cols)
 
 
+_OUTPUT_OF = re.compile(r"output_of\(\s*'(\w+)'\s*\)", re.IGNORECASE)
+
+
+def _rewrite_output_of(select_sql: str) -> str:
+    """PipelineDB's ``FROM output_of('v')`` spelling → the ``<v>_osrel``
+    relation the engine registers for view delta streams."""
+    return _OUTPUT_OF.sub(lambda m: f"{m.group(1)}_osrel", select_sql)
+
+
 def _infer_stream(engine, select_sql: str) -> str:
-    """The FROM clause names the source relation — a registered stream or
-    a transform output relation (PipelineDB output-stream chaining)."""
-    state = engine.catalog.state
-    sinks = {
-        td.get("sink_relation")
-        for td in state.transforms.values()
-        if td.get("sink_relation")
-    }
+    """The FROM clause names the source relation — a registered stream,
+    a transform output relation, or a view's output stream
+    (``<v>_osrel`` / ``output_of('v')``) — PipelineDB chaining."""
     for rel in _FROM_RELATION.findall(select_sql):
-        if rel in state.streams or rel in sinks:
+        if engine.catalog._is_source_relation(rel):
             return rel
     raise ValueError(
-        "continuous view must read FROM a registered stream or transform "
-        f"output (got: {select_sql!r})"
+        "continuous view must read FROM a registered stream, transform "
+        f"output, or view output stream (got: {select_sql!r})"
     )
 
 
@@ -316,7 +320,7 @@ def execute(engine, statement: str) -> DataFrame | str:
     m = _CREATE_CV.match(statement)
     if m:
         name, withopts, select_sql = m.groups()
-        select_sql = select_sql.rstrip().rstrip(";")
+        select_sql = _rewrite_output_of(select_sql.rstrip().rstrip(";"))
         kwargs: dict[str, Any] = {}
         if withopts:
             for tok in _split_args(withopts):
@@ -370,7 +374,7 @@ def execute(engine, statement: str) -> DataFrame | str:
     m = _CREATE_CT.match(statement)
     if m:
         name, select_sql, proc_name = m.groups()
-        select_sql = select_sql.rstrip().rstrip(";")
+        select_sql = _rewrite_output_of(select_sql.rstrip().rstrip(";"))
         proc = engine._procs.get(proc_name) if proc_name else None
         if proc_name and proc is None:
             raise ValueError(

@@ -127,6 +127,57 @@ def _swap_bucket(table_dir: str, tmp: str, bucket: int) -> None:
         shutil.rmtree(bak)
 
 
+def _emit_delta(
+    new: DataFrame,
+    current: DataFrame | None,
+    key_cols: list[str],
+    delta_dir: str,
+    batch_id: int,
+) -> None:
+    """Append this batch's change tuples to the view's output stream
+    (PipelineDB ``<view>_osrel``): one row per upserted key with
+    ``old`` (the pre-merge matrel row, NULL on first insert), ``new``
+    (the post-merge row) and ``arrival_timestamp``. Exactly-once under
+    foreachBatch retries: the batch's rows land in a ``b<id>`` subdir
+    via tmp-write + rename, and an already-present subdir means the
+    batch was emitted before the crash — skip. Downstream standing
+    queries discover the renamed subdirs through a ``b*`` glob source,
+    so a half-written tmp dir is never visible to readers.
+
+    MUST run before the merge swaps buckets: ``current`` reads the
+    live store lazily, and evaluating it after the swap would show
+    post-merge values as ``old``."""
+    bdir = os.path.join(delta_dir, f"b{int(batch_id):012d}")
+    if os.path.isdir(bdir):
+        return
+    data_cols = [
+        c for c in new.columns if c != KB_COL and PARTIAL_SEP not in c
+    ]
+    new_side = new.select(
+        *key_cols, F.struct(*[F.col(c) for c in data_cols]).alias("new")
+    )
+    if current is not None:
+        # semi-filter the touched-bucket read down to this batch's keys
+        # BEFORE building the old side — it stays O(batch), never
+        # O(bucket), so the broadcast below is always small
+        old_side = current.join(
+            F.broadcast(new.select(*key_cols)), key_cols, "left_semi"
+        ).select(
+            *key_cols,
+            F.struct(*[F.col(c) for c in data_cols]).alias("old"),
+        )
+        delta = new_side.join(F.broadcast(old_side), key_cols, "left")
+    else:
+        struct_type = new_side.schema["new"].dataType
+        delta = new_side.withColumn("old", F.lit(None).cast(struct_type))
+    out = delta.select(
+        "old", "new", F.current_timestamp().alias("arrival_timestamp")
+    )
+    tmp = f"{bdir}__tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    os.rename(tmp, bdir)
+
+
 def upsert_to_parquet(
     batch_df: DataFrame,
     table_dir: str,
@@ -135,6 +186,7 @@ def upsert_to_parquet(
     ttl_column: str | None = None,
     batch_id: int | None = None,
     num_buckets: int = UPSERT_BUCKETS,
+    delta_dir: str | None = None,
 ) -> None:
     """MERGE-style keyed upsert into a hash-bucketed parquet dir
     (foreachBatch body) — the plain-parquet stand-in for Delta
@@ -173,7 +225,7 @@ def upsert_to_parquet(
     new = batch_df.dropDuplicates(key_cols).withColumn(KB_COL, kb).persist()
     try:
         _upsert_batch(spark, new, table_dir, key_cols, n, ttl_seconds,
-                      ttl_column, batch_id)
+                      ttl_column, batch_id, delta_dir)
     finally:
         new.unpersist()
 
@@ -187,6 +239,7 @@ def _upsert_batch(
     ttl_seconds: int | None,
     ttl_column: str | None,
     batch_id: int | None,
+    delta_dir: str | None = None,
 ) -> None:
     exists = os.path.isdir(table_dir)
     ttl_pred = None
@@ -214,7 +267,10 @@ def _upsert_batch(
             )
             merged = keep.unionByName(new)
         else:
+            current = None
             merged = new
+        if delta_dir is not None and batch_id is not None:
+            _emit_delta(new, current, key_cols, delta_dir, batch_id)
         if ttl_pred is not None:
             merged = merged.filter(ttl_pred)
         tmp = f"{table_dir}__tmp_{uuid.uuid4().hex[:8]}"
@@ -264,7 +320,11 @@ def _upsert_batch(
         )
         merged = keep.unionByName(new)
     else:  # store dir exists but holds no buckets yet (empty first batch)
+        current = None
         merged = new
+    if delta_dir is not None and batch_id is not None:
+        # before the swap: 'current' must still read pre-merge buckets
+        _emit_delta(new, current, key_cols, delta_dir, batch_id)
     if ttl_pred is not None:
         merged = merged.filter(ttl_pred)
     tmp = f"{table_dir}__tmp_{uuid.uuid4().hex[:8]}"

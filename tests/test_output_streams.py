@@ -1,0 +1,197 @@
+"""View output streams — PipelineDB's ``output_of('v')`` delta chaining.
+
+Every parquet_upsert continuous view can emit an output stream of
+(old, new, arrival_timestamp) change tuples as its matrel merges —
+exactly PipelineDB's view output streams, where downstream transforms
+and views chain with ``FROM output_of('v')``. Emission is demand-driven
+(off with no consumers), exactly-once under foreachBatch retries
+(rename-published per-batch subdirs), and the old struct always shows
+the PRE-merge row (NULL on first insert).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pipeline_kinesis_spark.engine import Engine
+from pipeline_kinesis_spark.sources.file_replay import write_record_file
+
+
+@pytest.fixture
+def engine(spark, tmp_path):
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    yield eng
+    eng.consume_end_all()
+
+
+def _put(stream_dir, rows, start=1):
+    write_record_file(
+        str(stream_dir),
+        [
+            {
+                "data": data,
+                "partition_key": data.split(",")[0],
+                "shard_id": "shardId-000000000000",
+                "sequence_number": f"{i:056d}",
+            }
+            for i, data in enumerate(rows, start)
+        ],
+    )
+
+
+_BASE_SQL = "SELECT k, count(*) AS cnt, sum(v) AS total FROM st GROUP BY k"
+
+
+def _setup_base(engine, tmp_path):
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("st", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "agg",
+        _BASE_SQL,
+        "st",
+        materialize="parquet_upsert",
+        key_cols=["k"],
+    )
+    return src_root
+
+
+def test_deltas_old_new_and_chained_view(engine, spark, tmp_path):
+    src_root = _setup_base(engine, tmp_path)
+    # downstream view counts versions per key as the base view updates
+    engine.create_continuous_view(
+        "changes",
+        "SELECT new.k AS k, count(*) AS versions, max(new.cnt) AS last_cnt "
+        "FROM agg_osrel GROUP BY new.k",
+        "agg_osrel",
+    )
+    # file 1 → upsert batch 1 (all inserts: old is NULL)
+    _put(src_root / "s1", ["a,1", "a,2", "b,5"])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    # file 2 → upsert batch 2 ('a' updates: old shows the pre-merge row)
+    _put(src_root / "s1", ["a,10"], start=100)
+    engine.wait_for_ingest()
+
+    deltas = engine.output_stream("agg").collect()
+    by_batch = {}
+    for r in deltas:
+        by_batch.setdefault(r.new.k, []).append(r)
+    a_rows = sorted(by_batch["a"], key=lambda r: r.new.cnt)
+    assert a_rows[0].old is None  # first insert
+    assert (a_rows[0].new.cnt, a_rows[0].new.total) == (2, 3)
+    assert (a_rows[1].old.cnt, a_rows[1].old.total) == (2, 3)
+    assert (a_rows[1].new.cnt, a_rows[1].new.total) == (3, 13)
+    (b_row,) = by_batch["b"]
+    assert b_row.old is None and (b_row.new.cnt, b_row.new.total) == (1, 5)
+
+    chained = {
+        r.k: (r.versions, r.last_cnt)
+        for r in engine.view_table("changes").collect()
+    }
+    assert chained == {"a": (2, 3), "b": (1, 1)}
+
+
+def test_output_of_sql_surface(engine, spark, tmp_path):
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.execute("CREATE STREAM st (k text, v bigint)")
+    engine.execute(
+        "CREATE CONTINUOUS VIEW agg WITH (materialize='parquet_upsert', "
+        f"key_cols='k') AS {_BASE_SQL}"
+    )
+    engine.execute(
+        "CREATE CONTINUOUS VIEW changes AS SELECT new.k AS k, "
+        "count(*) AS versions FROM output_of('agg') GROUP BY new.k"
+    )
+    _put(src_root / "s1", ["a,1", "b,2"])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    _put(src_root / "s1", ["b,3"], start=10)
+    engine.wait_for_ingest()
+
+    # ad-hoc reads accept the PipelineDB spelling too
+    n = engine.sql(
+        "SELECT count(*) AS n FROM output_of('agg')"
+    ).collect()[0].n
+    assert n == 3  # a insert, b insert, b update
+    got = {
+        r.k: r.versions
+        for r in engine.sql("SELECT * FROM changes").collect()
+    }
+    assert got == {"a": 1, "b": 2}
+
+
+def test_chained_transform_on_output_stream(engine, spark, tmp_path):
+    src_root = _setup_base(engine, tmp_path)
+    # transform turns update deltas into an audit relation of cnt jumps
+    engine.create_continuous_transform(
+        "audit",
+        "SELECT new.k AS k, old.cnt AS prev_cnt, new.cnt AS cnt "
+        "FROM agg_osrel WHERE old IS NOT NULL",
+        stream="agg_osrel",
+        sink_relation="agg_audit",
+    )
+    _put(src_root / "s1", ["a,1"])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    _put(src_root / "s1", ["a,2", "a,3"], start=10)
+    engine.wait_for_ingest()
+
+    rows = [
+        (r.k, r.prev_cnt, r.cnt)
+        for r in engine.stream_table("agg_audit").collect()
+    ]
+    assert rows == [("a", 1, 3)]
+
+
+def test_no_consumers_no_emission(engine, spark, tmp_path):
+    src_root = _setup_base(engine, tmp_path)
+    _put(src_root / "s1", ["a,1"])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    assert not os.path.isdir(engine.osrel_dir("agg"))
+
+
+def test_osrel_source_validation(engine, tmp_path):
+    engine.create_stream("st", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "mem_view", "SELECT k, count(*) AS cnt FROM st GROUP BY k", "st"
+    )
+    with pytest.raises(ValueError, match="parquet_upsert"):
+        engine.create_continuous_view(
+            "bad",
+            "SELECT new.k AS k FROM mem_view_osrel",
+            "mem_view_osrel",
+        )
+    with pytest.raises(KeyError, match="no continuous view"):
+        engine.create_continuous_view(
+            "bad2", "SELECT new.k AS k FROM ghost_osrel", "ghost_osrel"
+        )
+
+
+def test_activate_deactivate_chained_view(engine, spark, tmp_path):
+    """Deactivating a chained view pauses it without disturbing the
+    base; reactivating resumes it with the deltas that accrued while
+    inactive (checkpoint resume, no loss)."""
+    src_root = _setup_base(engine, tmp_path)
+    engine.create_continuous_view(
+        "changes",
+        "SELECT new.k AS k, count(*) AS versions "
+        "FROM agg_osrel GROUP BY new.k",
+        "agg_osrel",
+    )
+    _put(src_root / "s1", ["a,1"])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    engine.deactivate("changes")
+    _put(src_root / "s1", ["a,2"], start=10)
+    engine.wait_for_ingest()
+    engine.activate("changes")
+    engine.wait_for_ingest()
+    got = {
+        r.k: r.versions for r in engine.view_table("changes").collect()
+    }
+    assert got == {"a": 2}
