@@ -40,6 +40,7 @@ from pipeline_kinesis_spark.ingest.parse import parse_records, split_quarantine
 from pipeline_kinesis_spark.shipping import ship_package
 from pipeline_kinesis_spark.sources.file_replay import FileReplaySource
 from pipeline_kinesis_spark.sources.records import RECORD_SCHEMA
+from pipeline_kinesis_spark.streaming.listeners import QueryMetricsListener
 from pipeline_kinesis_spark.streaming.continuous_view import (
     KB_COL,
     PARTIAL_SEP,
@@ -100,6 +101,25 @@ class Engine:
         # ACTIVATE can wire a query onto an already-running consumer.
         self._parsed: dict[int, tuple[str, DataFrame]] = {}
         self._lock = threading.RLock()
+        # stats listener behind pipeline_query_stats — attached lazily
+        # at the first consume_begin and detached at consume_end_all so
+        # many short-lived Engines over one SparkSession never stack
+        # listeners on the shared streams bus.
+        self._metrics = QueryMetricsListener()
+        self._metrics_attached = False
+
+    def _attach_metrics(self) -> None:
+        if not self._metrics_attached:
+            self.spark.streams.addListener(self._metrics)
+            self._metrics_attached = True
+
+    def _detach_metrics(self) -> None:
+        if self._metrics_attached:
+            try:
+                self.spark.streams.removeListener(self._metrics)
+            except Exception:
+                pass
+            self._metrics_attached = False
 
     # ------------------------------------------------------------- catalog
 
@@ -454,10 +474,12 @@ class Engine:
             )
             good, bad = split_quarantine(parsed)
 
+            self._attach_metrics()
             queries: list[StreamingQuery] = []
             # (a) exactly-once durable archive of the parsed stream.
             queries.append(
                 good.writeStream.format("parquet")
+                .queryName(f"ingest_{relation}_c{consumer.id}")
                 .option("path", self.table_dir(relation))
                 .option("checkpointLocation", self._ckpt(consumer.id, "ingest"))
                 .trigger(processingTime=interval)
@@ -467,6 +489,7 @@ class Engine:
             # whole-batch drop, pipeline_kinesis.c:740-758).
             queries.append(
                 bad.writeStream.format("parquet")
+                .queryName(f"deadletter_{relation}_c{consumer.id}")
                 .option("path", self.dead_letter_dir(relation))
                 .option(
                     "checkpointLocation",
@@ -726,6 +749,54 @@ class Engine:
             rows,
             "name STRING, kind STRING, stream STRING, sink STRING, "
             "active BOOLEAN, running BOOLEAN",
+        )
+
+    def pipeline_query_stats(self) -> DataFrame:
+        """The pipeline_query_stats catalog relation (PipelineDB's
+        per-CQ stats view): cumulative counters per standing query —
+        micro-batches that carried input, rows ingested, high-water
+        batch id, error tallies — collected by the engine's streaming
+        listener since the first consume_begin. Also queryable in SQL:
+        ``SELECT * FROM pipeline_query_stats``. Counters are
+        process-lifetime (a restart starts fresh), matching the
+        reference's in-memory stats, while seqnums() stays the durable
+        progress ledger."""
+        views = set(self.catalog.state.views)
+        rows = []
+        for qname, t in self._metrics.totals().items():
+            if qname == "__terminated__":
+                kind, entity = "terminated", ""
+            elif qname.startswith("transform_"):
+                kind, entity = "transform", qname[len("transform_"):]
+            elif qname.startswith("ingest_"):
+                kind, entity = "ingest", qname[len("ingest_"):]
+            elif qname.startswith("deadletter_"):
+                kind, entity = "dead_letter", qname[len("deadletter_"):]
+            elif qname.endswith("__sw_raw") and qname[:-8] in views:
+                kind, entity = "view", qname[:-8]
+            elif qname.endswith("__mrel") and qname[:-6] in views:
+                kind, entity = "view", qname[:-6]
+            elif qname in views:
+                kind, entity = "view", qname
+            else:
+                kind, entity = "query", qname
+            rows.append(
+                (
+                    qname,
+                    kind,
+                    entity,
+                    t["batches"],
+                    t["input_rows"],
+                    t["last_batch_id"],
+                    t["errors"],
+                    t["last_error"],
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "query STRING, kind STRING, name STRING, batches BIGINT, "
+            "input_rows BIGINT, last_batch_id BIGINT, errors BIGINT, "
+            "last_error STRING",
         )
 
     def _trigger_for(self, consumer: Consumer) -> str:
@@ -1013,6 +1084,7 @@ class Engine:
                 del self._queries[cid]
                 self._parsed.pop(cid, None)
                 n += 1
+            self._detach_metrics()
             return n
 
     # ---------------------------------------------------------- inspection
@@ -1400,6 +1472,12 @@ class Engine:
         if re.search(r"\bpipeline_queries\b", query):
             self.pipeline_queries().createOrReplaceTempView(
                 "pipeline_queries"
+            )
+        # per-CQ cumulative stats relation (PipelineDB
+        # pipeline_query_stats)
+        if re.search(r"\bpipeline_query_stats\b", query):
+            self.pipeline_query_stats().createOrReplaceTempView(
+                "pipeline_query_stats"
             )
         return self.spark.sql(query)
 

@@ -23,6 +23,10 @@ class QueryMetricsListener(StreamingQueryListener):
         self._history: dict[str, deque] = defaultdict(
             lambda: deque(maxlen=self.max_history)
         )
+        # cumulative per-query-NAME counters — the ring buffer above is
+        # for recent-batch inspection; these survive its eviction and
+        # back the pipeline_query_stats catalog relation
+        self._totals: dict[str, dict] = {}
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
         pass
@@ -40,12 +44,50 @@ class QueryMetricsListener(StreamingQueryListener):
                     "duration_ms": dict(p.durationMs or {}),
                 }
             )
+            if p.name:
+                t = self._totals.setdefault(
+                    p.name,
+                    {
+                        "batches": 0,
+                        "input_rows": 0,
+                        "last_batch_id": -1,
+                        "errors": 0,
+                        "last_error": None,
+                    },
+                )
+                if p.numInputRows:
+                    t["batches"] += 1
+                    t["input_rows"] += p.numInputRows
+                t["last_batch_id"] = max(t["last_batch_id"], p.batchId)
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
-        pass
+        exc = getattr(event, "exception", None)
+        if not exc:
+            return
+        with self._lock:
+            # terminated-with-error events carry no name; count it under
+            # every known name is wrong — keep a global error ledger
+            t = self._totals.setdefault(
+                "__terminated__",
+                {
+                    "batches": 0,
+                    "input_rows": 0,
+                    "last_batch_id": -1,
+                    "errors": 0,
+                    "last_error": None,
+                },
+            )
+            t["errors"] += 1
+            t["last_error"] = str(exc)[:500]
+
+    def totals(self) -> dict[str, dict]:
+        """Cumulative per-query-name stats since this listener attached
+        (batches with input, rows in, high-water batch id, errors)."""
+        with self._lock:
+            return {k: dict(v) for k, v in self._totals.items()}
 
     def history(self, query_id: str | None = None) -> list[dict]:
         with self._lock:

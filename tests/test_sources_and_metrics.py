@@ -126,3 +126,47 @@ def test_metrics_listener_collects_progress(spark, tmp_path):
     finally:
         q.stop()
         spark.streams.removeListener(listener)
+
+def test_pipeline_query_stats_relation(spark, tmp_path):
+    """PipelineDB pipeline_query_stats analog: the engine's listener
+    accumulates per-standing-query counters, labeled by kind, and the
+    relation is queryable through sql()."""
+    from pipeline_kinesis_spark.engine import Engine
+
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    try:
+        src_root = tmp_path / "kinesis"
+        write_record_file(
+            str(src_root / "s"), [{"data": f"k{i % 2},1"} for i in range(10)]
+        )
+        eng.add_endpoint("ep", url=str(src_root))
+        eng.create_stream("qs_stream", "k STRING, v BIGINT")
+        eng.create_continuous_view(
+            "qs_view",
+            "SELECT k, count(*) AS cnt FROM qs_stream GROUP BY k",
+            "qs_stream",
+        )
+        eng.consume_begin("ep", "s", "qs_stream", fmt="csv", delimiter=",")
+        eng.wait_for_ingest()
+        # listener callbacks arrive asynchronously — poll for the rows
+        deadline = time.time() + 15
+        while time.time() < deadline:
+            stats = {
+                (r.kind, r.name): r
+                for r in eng.pipeline_query_stats().collect()
+            }
+            ing = stats.get(("ingest", "qs_stream_c1"))
+            vw = stats.get(("view", "qs_view"))
+            if ing and vw and ing.input_rows >= 10 and vw.input_rows >= 10:
+                break
+            time.sleep(0.2)
+        assert ing.input_rows >= 10 and ing.batches >= 1
+        assert vw.input_rows >= 10 and vw.errors == 0
+        # SQL-surface read
+        n = eng.sql(
+            "SELECT sum(input_rows) AS n FROM pipeline_query_stats "
+            "WHERE kind = 'ingest'"
+        ).collect()[0].n
+        assert n >= 10
+    finally:
+        eng.consume_end_all()
