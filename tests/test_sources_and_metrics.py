@@ -146,6 +146,9 @@ def test_pipeline_query_stats_relation(spark, tmp_path):
             "SELECT k, count(*) AS cnt FROM qs_stream GROUP BY k",
             "qs_stream",
         )
+        # collection is demand-driven: first call attaches the listener,
+        # so observe BEFORE consume_begin to count from batch zero
+        assert eng.pipeline_query_stats().count() == 0
         eng.consume_begin("ep", "s", "qs_stream", fmt="csv", delimiter=",")
         eng.wait_for_ingest()
         # listener callbacks arrive asynchronously — poll for the rows
