@@ -749,6 +749,72 @@ def _curation_report_sql() -> str:
     )
 
 
+# ------------------------------------------------------ domain balance
+# Per-source document caps (RefinedWeb-style domain balancing): keep at
+# most DOMAIN_CAP documents per source, preferring longer documents
+# (n_chars DESC, doc_id ASC as the deterministic tiebreak). The rank
+# predicate compiles to Spark's WindowGroupLimit: each mapper keeps
+# only its local top-CAP rows per source BEFORE the shuffle, so the
+# exchange carries O(sources × cap × mappers) rows — never the corpus.
+# That makes the grouped-top-N form scale-safe where a bare
+# row_number() materialization would not be.
+DOMAIN_CAP = 40
+
+
+def domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    kept = ranked.filter(F.col("rk") <= DOMAIN_CAP)
+    totals = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    per_source = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("min_kept_doc"),
+        F.max("doc_id").alias("max_kept_doc"),
+    )
+    return totals.join(per_source, "source").select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "kept_chars",
+        "min_kept_doc",
+        "max_kept_doc",
+    )
+
+
+DOMAIN_BALANCE_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM documents
+),
+kept AS (SELECT * FROM ranked WHERE rk <= {DOMAIN_CAP}),
+totals AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+)
+SELECT t.source,
+       t.n_docs,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(k.n_chars) AS BIGINT) AS kept_chars,
+       min(k.doc_id) AS min_kept_doc,
+       max(k.doc_id) AS max_kept_doc
+FROM totals t JOIN kept k ON t.source = k.source
+GROUP BY t.source, t.n_docs
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "decontaminate_overlap": QuerySpec(
         decontaminate_overlap, DECONTAMINATE_SQL
@@ -762,4 +828,5 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample_hash": QuerySpec(
         stratified_sample_hash, STRATIFIED_SAMPLE_HASH_SQL
     ),
+    "domain_balance": QuerySpec(domain_balance, DOMAIN_BALANCE_SQL),
 }

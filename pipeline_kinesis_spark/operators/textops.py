@@ -519,6 +519,161 @@ FROM n
 """
 
 
+# ---------------------------------------------------------- chunking
+# Context-window chunking for LLM training: split each document into
+# overlapping token windows (size CHUNK_W, stride CHUNK_S) — the
+# standard prep step before sequence packing. One narrow projection,
+# one explode of O(words/stride) chunk starts per doc, everything JVM
+# higher-order functions: embarrassingly parallel at any corpus size,
+# no shuffle at all.
+CHUNK_W = 32
+CHUNK_S = 24
+
+
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks per document. Output one row per
+    chunk with its index, token count and content hash (md5 keeps the
+    compared payload small and engine-neutral). Scale shape: a pure
+    map-side explode — chunk rows never shuffle; downstream packing
+    (sequence_pack) is where grouping happens."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("ws"))
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("ws") - 1, F.lit(0)),
+        F.lit(CHUNK_S),
+    )
+    c = d.select(
+        "doc_id", "ws", F.explode(starts).alias("start")
+    ).select(
+        "doc_id",
+        (F.col("start") / CHUNK_S).cast("long").alias("chunk_idx"),
+        F.slice(F.col("ws"), F.col("start") + 1, CHUNK_W).alias("chunk"),
+    )
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+    )
+
+
+DOC_CHUNK_SQL = rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents
+),
+s AS (
+  -- range() is end-exclusive, so range(0, len, S) == Spark's
+  -- sequence(0, len-1, S); greatest(len, 1) keeps one chunk for
+  -- empty docs on both engines
+  SELECT doc_id, ws,
+         unnest(range(0, greatest(len(ws), 1), {CHUNK_S})) AS start
+  FROM w
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_S} AS BIGINT) AS chunk_idx,
+       CAST(len(ws[start + 1 : start + {CHUNK_W}]) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ws[start + 1 : start + {CHUNK_W}], ' '))
+         AS chunk_md5
+FROM s
+"""
+
+
+# ----------------------------------------------------- vocabulary OOV
+# Vocabulary-coverage filtering: score each document by its
+# out-of-vocabulary rate against the corpus's own top-K word vocabulary
+# (the cheap proxy for "will the tokenizer shred this doc"). Two
+# bounded aggregates: word counts (map-side combined), a K-row
+# TakeOrderedAndProject for the vocab, then a BROADCAST membership
+# check per token — no shuffle carries doc text, integer arithmetic
+# end to end (rate in basis points) so the oracle matches bit-for-bit.
+# K=16 against this synthetic corpus's 31-word vocabulary keeps the
+# OOV signal non-trivial (≈half the type inventory lands out-of-vocab);
+# production would use a BPE-derived vocab orders of magnitude larger —
+# the plan shape (bounded top-K + broadcast membership) is unchanged.
+OOV_VOCAB_K = 16
+OOV_BP_THRESHOLD = 2500  # flag docs with >25% OOV tokens
+
+
+def oov_rate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", tokens("text").alias("ws"))
+    )
+    words = d.select(F.explode("ws").alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), F.asc("w"))
+        .limit(OOV_VOCAB_K)
+        .select("w")
+    )
+    vset = F.array(
+        *[F.lit(r.w) for r in vocab.collect()]
+    )  # K=64 driver-side constants → pure codegen membership test
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter("ws", lambda t: ~F.array_contains(vset, t))
+        )
+        .cast("long")
+        .alias("n_oov"),
+    ).withColumn(
+        "oov_bp",
+        F.floor(F.col("n_oov") * 10000 / F.col("n_tokens")).cast("long"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_oov").alias("total_oov"),
+        F.max("oov_bp").alias("max_oov_bp"),
+        F.sum(
+            F.when(F.col("oov_bp") > OOV_BP_THRESHOLD, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_flagged"),
+    )
+
+
+OOV_RATE_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+  FROM documents
+),
+vocab AS (
+  SELECT w
+  FROM (
+    SELECT unnest(ws) AS w FROM d
+  ) GROUP BY w
+  ORDER BY count(*) DESC, w ASC
+  LIMIT {OOV_VOCAB_K}
+),
+scored AS (
+  SELECT doc_id, lang,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(ws, t -> NOT list_contains(vl.l, t)))
+              AS BIGINT) AS n_oov
+  FROM d, (SELECT list(w) AS l FROM vocab) vl
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_oov) AS BIGINT) AS total_oov,
+       CAST(max(CAST(floor(n_oov * 10000 / n_tokens) AS BIGINT)) AS BIGINT)
+         AS max_oov_bp,
+       CAST(sum(CASE WHEN floor(n_oov * 10000 / n_tokens)
+                          > {OOV_BP_THRESHOLD}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM scored
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "corpus_clean": QuerySpec(corpus_clean, CORPUS_CLEAN_SQL, bench=True),
     "text_normalize": QuerySpec(text_normalize, TEXT_NORMALIZE_SQL),
@@ -536,4 +691,6 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL),
     "lang_id_heuristic": QuerySpec(lang_id_heuristic, LANG_ID_SQL),
     "doc_fingerprint": QuerySpec(doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "doc_chunk_overlap": QuerySpec(doc_chunk_overlap, DOC_CHUNK_SQL),
+    "oov_rate_filter": QuerySpec(oov_rate_filter, OOV_RATE_SQL),
 }
