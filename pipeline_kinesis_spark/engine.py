@@ -890,7 +890,20 @@ class Engine:
                 osrel,
                 self._view_compile_sql(cv),
             )
-            queries.append(self._start_view_query(consumer_id, cv, cvdf))
+            # multi-level cascades: the chained view may itself have
+            # output-stream consumers (creation order makes cycles
+            # impossible — a view can only chain on views that already
+            # exist)
+            cv_delta = self._osrel_delta_dir(cv)
+            queries.append(
+                self._start_view_query(
+                    consumer_id, cv, cvdf, delta_dir=cv_delta
+                )
+            )
+            if cv_delta is not None:
+                self._start_osrel_consumers(
+                    consumer_id, cv, cvdf.schema, queries
+                )
         for t in self.catalog.transforms_on(osrel):
             if not t.active:
                 continue

@@ -133,6 +133,7 @@ def _emit_delta(
     key_cols: list[str],
     delta_dir: str,
     batch_id: int,
+    ttl_pred=None,
 ) -> None:
     """Append this batch's change tuples to the view's output stream
     (PipelineDB ``<view>_osrel``): one row per upserted key with
@@ -153,6 +154,10 @@ def _emit_delta(
     data_cols = [
         c for c in new.columns if c != KB_COL and PARTIAL_SEP not in c
     ]
+    if ttl_pred is not None:
+        # rows already expired on arrival never reach the store — the
+        # stream must agree with the matrel and not announce them
+        new = new.filter(ttl_pred)
     new_side = new.select(
         *key_cols, F.struct(*[F.col(c) for c in data_cols]).alias("new")
     )
@@ -173,6 +178,23 @@ def _emit_delta(
     out = delta.select(
         "old", "new", F.current_timestamp().alias("arrival_timestamp")
     )
+    if ttl_pred is not None and current is not None:
+        # TTL reap → DELETE tuples (old, new = NULL): stored rows in the
+        # touched buckets that fail the TTL and are not replaced this
+        # batch vanish from the matrel now, so the stream says so —
+        # PipelineDB's old-only delete delta
+        dels = (
+            current.filter(~ttl_pred)
+            .join(F.broadcast(new.select(*key_cols)), key_cols, "left_anti")
+            .select(
+                F.struct(*[F.col(c) for c in data_cols]).alias("old"),
+                F.lit(None)
+                .cast(new_side.schema["new"].dataType)
+                .alias("new"),
+                F.current_timestamp().alias("arrival_timestamp"),
+            )
+        )
+        out = out.unionByName(dels)
     tmp = f"{bdir}__tmp"
     out.write.mode("overwrite").parquet(tmp)
     os.rename(tmp, bdir)
@@ -270,7 +292,9 @@ def _upsert_batch(
             current = None
             merged = new
         if delta_dir is not None and batch_id is not None:
-            _emit_delta(new, current, key_cols, delta_dir, batch_id)
+            _emit_delta(
+                new, current, key_cols, delta_dir, batch_id, ttl_pred
+            )
         if ttl_pred is not None:
             merged = merged.filter(ttl_pred)
         tmp = f"{table_dir}__tmp_{uuid.uuid4().hex[:8]}"
@@ -324,7 +348,7 @@ def _upsert_batch(
         merged = new
     if delta_dir is not None and batch_id is not None:
         # before the swap: 'current' must still read pre-merge buckets
-        _emit_delta(new, current, key_cols, delta_dir, batch_id)
+        _emit_delta(new, current, key_cols, delta_dir, batch_id, ttl_pred)
     if ttl_pred is not None:
         merged = merged.filter(ttl_pred)
     tmp = f"{table_dir}__tmp_{uuid.uuid4().hex[:8]}"

@@ -195,3 +195,81 @@ def test_activate_deactivate_chained_view(engine, spark, tmp_path):
         r.k: r.versions for r in engine.view_table("changes").collect()
     }
     assert got == {"a": 2}
+
+def test_ttl_reap_emits_delete_tuples(engine, spark, tmp_path):
+    """TTL reaping is a matrel change too: rows the merge expires emit
+    (old, new=NULL) delete tuples — PipelineDB's old-only delta."""
+    import datetime as dt
+
+    now = dt.datetime.utcnow().replace(microsecond=0)
+    soon_dead = now.strftime("%Y-%m-%d %H:%M:%S")
+    alive = (now + dt.timedelta(hours=1)).strftime("%Y-%m-%d %H:%M:%S")
+
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("st", "k STRING, ts TIMESTAMP")
+    engine.create_continuous_view(
+        "agg",
+        "SELECT k, count(*) AS n, max(ts) AS last_ts FROM st GROUP BY k",
+        "st",
+        materialize="parquet_upsert",
+        key_cols=["k"],
+        ttl_seconds=2,
+        ttl_column="last_ts",
+        upsert_buckets=1,  # one bucket → every batch touches it
+    )
+    engine.create_continuous_transform(
+        "deltas",
+        "SELECT old.k AS old_k, new.k AS new_k FROM agg_osrel",
+        stream="agg_osrel",
+        sink_relation="agg_deltas",
+    )
+    _put(src_root / "s1", [f"gone,{soon_dead}", f"keep,{alive}"])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    import time as _t
+
+    _t.sleep(3)  # 'gone' passes its 2 s TTL
+    _put(src_root / "s1", [f"fresh,{alive}"], start=100)
+    engine.wait_for_ingest()
+
+    rows = {
+        (r.old_k, r.new_k)
+        for r in engine.stream_table("agg_deltas").collect()
+    }
+    assert ("gone", None) in rows  # the delete tuple
+    assert (None, "fresh") in rows and (None, "keep") in rows
+    # and the matrel agrees: 'gone' is physically absent
+    assert {r.k for r in engine.view_table("agg").collect()} == {
+        "keep",
+        "fresh",
+    }
+
+
+def test_two_level_cascade(engine, spark, tmp_path):
+    """view → output stream → view → output stream → view: multi-level
+    delta cascades, each level a standing query."""
+    src_root = _setup_base(engine, tmp_path)
+    engine.create_continuous_view(
+        "changes",
+        "SELECT new.k AS k, count(*) AS versions FROM agg_osrel "
+        "GROUP BY new.k",
+        "agg_osrel",
+        materialize="parquet_upsert",
+        key_cols=["k"],
+    )
+    engine.create_continuous_view(
+        "final",
+        "SELECT new.k AS k, max(new.versions) AS v FROM changes_osrel "
+        "GROUP BY new.k",
+        "changes_osrel",
+    )
+    _put(src_root / "s1", ["a,1", "b,2"])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    _put(src_root / "s1", ["a,9"], start=50)
+    engine.wait_for_ingest()
+    engine.wait_for_ingest()  # second pass drains the cascade tail
+
+    got = {r.k: r.v for r in engine.view_table("final").collect()}
+    assert got == {"a": 2, "b": 1}
