@@ -381,8 +381,19 @@ class Engine:
     def drop_continuous_view(self, name: str) -> None:
         """Unregister the view and stop any running query materializing it
         (running consumers keep ingesting; only this view's maintenance
-        stops — the PipelineDB DROP CONTINUOUS VIEW contract)."""
+        stops — the PipelineDB DROP CONTINUOUS VIEW contract). A view
+        with standing output-stream consumers cannot be dropped — drop
+        the dependents first (PipelineDB's dependent-object error)."""
         with self._lock:
+            osrel = f"{name}_osrel"
+            deps = [v.name for v in self.catalog.views_on(osrel)] + [
+                t.name for t in self.catalog.transforms_on(osrel)
+            ]
+            if deps:
+                raise ValueError(
+                    f"continuous view {name!r} has output-stream "
+                    f"consumers {deps}; drop them first"
+                )
             self.catalog.drop_view(name)
             for queries in self._queries.values():
                 for q in list(queries):

@@ -273,3 +273,24 @@ def test_two_level_cascade(engine, spark, tmp_path):
 
     got = {r.k: r.v for r in engine.view_table("final").collect()}
     assert got == {"a": 2, "b": 1}
+
+
+def test_drop_refused_with_osrel_dependents(engine, tmp_path):
+    """DROP of a view with standing output-stream consumers errors
+    (PipelineDB dependent-object semantics); dropping the dependent
+    first unblocks it."""
+    engine.create_stream("st", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "agg", _BASE_SQL, "st",
+        materialize="parquet_upsert", key_cols=["k"],
+    )
+    engine.create_continuous_view(
+        "changes",
+        "SELECT new.k AS k, count(*) AS n FROM agg_osrel GROUP BY new.k",
+        "agg_osrel",
+    )
+    with pytest.raises(ValueError, match="output-stream consumers"):
+        engine.drop_continuous_view("agg")
+    engine.drop_continuous_view("changes")
+    engine.drop_continuous_view("agg")
+    assert "agg" not in engine.catalog.state.views
