@@ -97,6 +97,10 @@ class ViewDef:
     # Engine.combine / SQL combine(alias) merges them. None → the SQL
     # shape was out of parse scope and combine() is unavailable.
     combine_aggs: dict | None = None
+    # output-stream history retention: keep the last N per-batch delta
+    # subdirs (None → keep everything). Size it well above the longest
+    # plausible consumer lag — reaped batches are gone for late readers.
+    osrel_keep_batches: int | None = None
 
 
 @dataclass

@@ -159,6 +159,7 @@ class Engine:
         sw_seconds: int | None = None,
         sw_step_seconds: int | None = None,
         upsert_buckets: int | None = None,
+        osrel_keep_batches: int | None = None,
     ) -> None:
         """ttl_seconds/ttl_column mirror PipelineDB's
         `WITH (ttl='...', ttl_column='...')`: view rows whose ttl_column
@@ -276,6 +277,7 @@ class Engine:
                 sw_having=sw_having,
                 upsert_buckets=upsert_buckets,
                 combine_aggs=combine_aggs,
+                osrel_keep_batches=osrel_keep_batches,
             )
         )
 
@@ -983,6 +985,7 @@ class Engine:
                             ttl_column=_v.ttl_column,
                             batch_id=bid,
                             delta_dir=delta_dir,
+                            delta_keep_batches=_v.osrel_keep_batches,
                             **(
                                 {"num_buckets": _v.upsert_buckets}
                                 if _v.upsert_buckets

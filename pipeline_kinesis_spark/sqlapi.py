@@ -364,6 +364,8 @@ def execute(engine, statement: str) -> DataFrame | str:
                     kwargs["output_mode"] = v
                 elif k == "upsert_buckets":
                     kwargs["upsert_buckets"] = int(v)
+                elif k == "osrel_keep_batches":
+                    kwargs["osrel_keep_batches"] = int(v)
                 else:
                     raise ValueError(f"unknown WITH option: {k}")
         engine.create_continuous_view(

@@ -200,6 +200,32 @@ def _emit_delta(
     os.rename(tmp, bdir)
 
 
+def reap_delta_batches(
+    delta_dir: str, batch_id: int, keep_batches: int
+) -> None:
+    """Bound the output-stream history: drop ``b<id>`` subdirs more than
+    keep_batches behind the current batch. Without retention the delta
+    dir grows with stream lifetime — fine for audit-everything
+    deployments, wrong as a default at 100 TB. Retention must be
+    generous enough that every standing consumer has processed the
+    reaped batches (consumers run on the same trigger cadence, so a
+    few-hundred-batch window is already hours of slack); ad-hoc history
+    reads see only the retained window. Skipping the batch currently
+    being (re)emitted is guaranteed by arithmetic: cutoff < batch_id."""
+    cutoff = int(batch_id) - int(keep_batches)
+    if cutoff <= 0:
+        return
+    for name in os.listdir(delta_dir):
+        if not name.startswith("b") or name.endswith("__tmp"):
+            continue
+        try:
+            bid = int(name[1:])
+        except ValueError:
+            continue
+        if bid < cutoff:
+            shutil.rmtree(os.path.join(delta_dir, name), ignore_errors=True)
+
+
 def upsert_to_parquet(
     batch_df: DataFrame,
     table_dir: str,
@@ -209,6 +235,7 @@ def upsert_to_parquet(
     batch_id: int | None = None,
     num_buckets: int = UPSERT_BUCKETS,
     delta_dir: str | None = None,
+    delta_keep_batches: int | None = None,
 ) -> None:
     """MERGE-style keyed upsert into a hash-bucketed parquet dir
     (foreachBatch body) — the plain-parquet stand-in for Delta
@@ -248,6 +275,12 @@ def upsert_to_parquet(
     try:
         _upsert_batch(spark, new, table_dir, key_cols, n, ttl_seconds,
                       ttl_column, batch_id, delta_dir)
+        if (
+            delta_dir is not None
+            and delta_keep_batches is not None
+            and batch_id is not None
+        ):
+            reap_delta_batches(delta_dir, batch_id, delta_keep_batches)
     finally:
         new.unpersist()
 

@@ -294,3 +294,41 @@ def test_drop_refused_with_osrel_dependents(engine, tmp_path):
     engine.drop_continuous_view("changes")
     engine.drop_continuous_view("agg")
     assert "agg" not in engine.catalog.state.views
+
+
+def test_osrel_retention_reaps_old_batches(engine, spark, tmp_path):
+    """WITH (osrel_keep_batches=N) bounds the delta history: old batch
+    subdirs are reaped after emission while standing consumers (which
+    processed them already) keep their full aggregate."""
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("st", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "agg",
+        _BASE_SQL,
+        "st",
+        materialize="parquet_upsert",
+        key_cols=["k"],
+        osrel_keep_batches=1,
+    )
+    engine.create_continuous_view(
+        "changes",
+        "SELECT new.k AS k, count(*) AS versions FROM agg_osrel "
+        "GROUP BY new.k",
+        "agg_osrel",
+    )
+    _put(src_root / "s1", ["a,1"])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    _put(src_root / "s1", ["a,2"], start=10)
+    engine.wait_for_ingest()
+    _put(src_root / "s1", ["a,3"], start=20)
+    engine.wait_for_ingest()
+
+    batches = sorted(
+        n for n in os.listdir(engine.osrel_dir("agg")) if n.startswith("b")
+    )
+    assert len(batches) <= 2  # history bounded by the retention window
+    # the standing consumer saw every delta before any reap
+    got = {r.k: r.versions for r in engine.view_table("changes").collect()}
+    assert got == {"a": 3}
