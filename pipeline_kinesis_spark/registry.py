@@ -55,7 +55,14 @@ _WINDOW = 50
 # (agg_approx_distinct, agg_keyed_minmax, tumbling_window_agg,
 # tfidf_top_terms, dataset_split), plus the new
 # stratified_sample_hash (scale-path sampler twin) takes a gate row
-# immediately. Six rows green in 2-3 consecutive rounds incl. r04
+# immediately. Late-round-5 additions (domain_balance,
+# doc_chunk_overlap, oov_rate_filter) take gate rows too; three
+# 3x-green rows retire for them with families still represented:
+#   grouping_sets_revenue → B15 stays via unpivot_lineitem_measures
+#   zscore_per_user       → B27 stays via scaled_value_pandas
+#   fss_topk_tokens       → B14 stays via hll_mergeable_distinct +
+#                           agg_approx_distinct
+# Six rows green in 2-3 consecutive rounds incl. r04
 # rotate out, each with its family still represented inside the window:
 #   agg_approx_percentile → B14 stays via hll_mergeable_distinct +
 #                           fss_topk_tokens + agg_approx_distinct
@@ -75,8 +82,6 @@ _WINDOW = 50
 _PRIORITY = (
     # TPC-H aggregate/join shapes
     "q1_pricing_summary", "q7_volume_shipping",
-    # grouping-set family rep
-    "grouping_sets_revenue",
     # corpus-quality curation + dedup clustering + tokenizer training +
     # ANN compression twins (late round-3)
     "decontaminate_overlap", "gopher_repetition", "pii_redact",
@@ -96,7 +101,7 @@ _PRIORITY = (
     # tumbling_window_agg rotates out 2x-green for curation_report
     # (timeseries stays via session+asof)
     "curation_report", "tumbling_window_agg",
-    "asof_join", "zscore_per_user", "scaled_value_pandas",
+    "asof_join", "scaled_value_pandas",
     # dedup (C1/C2: exact, prefix-jaccard, MinHash LSH, SimHash, spans)
     "exact_dedup", "crossdoc_span_dup", "ngram_jaccard_prefix",
     "minhash_lsh_recall", "simhash_planted_capture",
@@ -119,7 +124,9 @@ _PRIORITY = (
     "cosine_topk_lsh_recall", "cosine_topk_ivf_recall",
     "embedding_neardup_clusters",
     # sketches / events
-    "cohort_retention", "fss_topk_tokens",
+    "cohort_retention",
+    # late-round-5 curation additions (C4/C6)
+    "domain_balance", "doc_chunk_overlap", "oov_rate_filter",
     # multimodal
     "multimodal_meta_stats", "multimodal_resize", "multimodal_frame_sample",
     "multimodal_features",

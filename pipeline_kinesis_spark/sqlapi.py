@@ -23,10 +23,18 @@ Supported surface:
 - ``SELECT pipeline_kinesis.consume_begin()`` / ``consume_end()`` (all)
 - ``CREATE STREAM s (col pgtype, ...)`` — PG types mapped to Spark DDL
 - ``CREATE CONTINUOUS VIEW v [WITH (ttl='N seconds', ttl_column='c',
-  materialize='memory|parquet_upsert', key_cols='a,b')] AS SELECT ...``
-  — the source stream is inferred from the FROM clause
+  materialize='memory|parquet_upsert', key_cols='a,b',
+  sw='1 hour', sw_step='3 minutes', upsert_buckets=N,
+  osrel_keep_batches=N)] AS SELECT ...``
+  — the source stream is inferred from the FROM clause; a FROM of
+  ``output_of('v')`` (or ``<v>_osrel``) chains on view v's delta stream
 - ``CREATE CONTINUOUS TRANSFORM t AS SELECT ...`` — output rows append to
-  the ``<t>_output`` relation (PipelineDB's output_of stream analog)
+  the ``<t>_output`` relation (PipelineDB's output_of stream analog);
+  transforms may also read ``output_of('v')``
+- ``SELECT g, combine(alias) FROM v GROUP BY g`` in ad-hoc reads —
+  PipelineDB's re-aggregation over matrel partials (engine.sql rewrite)
+- catalog relations: ``pipeline_queries``, ``pipeline_query_stats``,
+  ``pipeline_kinesis.seqnums``, ``<v>_osrel`` delta history
 - ``DROP CONTINUOUS VIEW|TRANSFORM`` / ``DROP STREAM`` /
   ``ACTIVATE name`` / ``DEACTIVATE name``
 - anything else → ``Engine.sql`` (ad-hoc reads; ``pipeline_kinesis.
