@@ -25,7 +25,8 @@ SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 
 # one per major plan family: scan-agg, broadcast join tree, window,
 # inverted-index self-join, banded LSH join, ANN scan, span rewrite,
-# LM two-pass, event funnel
+# LM two-pass, event funnel, grouped top-N (WindowGroupLimit),
+# map-side chunk explode, bounded-vocab broadcast membership
 PROBE = (
     "q1_pricing_summary",
     "q9_product_profit",
@@ -36,6 +37,9 @@ PROBE = (
     "crossdoc_span_dup",
     "lm_perplexity",
     "funnel_conversion",
+    "domain_balance",
+    "doc_chunk_overlap",
+    "oov_rate_filter",
 )
 
 
