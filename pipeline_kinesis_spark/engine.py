@@ -22,7 +22,9 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,6 +47,7 @@ from pipeline_kinesis_spark.streaming.continuous_view import (
     KB_COL,
     PARTIAL_SEP,
     SW_BUCKET_COL,
+    _swap_bucket,
     combine_rewrite_sql,
     combine_select_expr,
     combine_view,
@@ -767,6 +770,58 @@ class Engine:
             "name STRING, kind STRING, stream STRING, sink STRING, "
             "active BOOLEAN, running BOOLEAN",
         )
+
+    def ttl_expire(self, view_name: str) -> int:
+        """``pipeline_ttl_expire('<view>')`` analog: synchronously reap
+        every expired row from a TTL parquet_upsert view's store, not
+        just the buckets recent batches touched — returns the number of
+        rows removed. The background path already guarantees
+        correctness (merge-time reap + round-robin sweep + read-time
+        filter); this is the ops hammer for reclaiming space NOW.
+        Per-bucket rewrite via the same tmp-write + rename-swap the
+        merge uses, so readers never see a half-rewritten bucket; only
+        buckets that actually hold expired rows are rewritten."""
+        vd = self.catalog.state.views.get(view_name)
+        if vd is None:
+            raise KeyError(f"unknown continuous view {view_name!r}")
+        ttl, col = vd.get("ttl_seconds"), vd.get("ttl_column")
+        if ttl is None or col is None:
+            raise ValueError(f"view {view_name!r} has no TTL")
+        if vd.get("materialize") != "parquet_upsert":
+            raise ValueError(
+                "memory TTL views filter expired rows at read time; "
+                "there is no store to reap"
+            )
+        table_dir = self.view_dir(view_name)
+        if not os.path.isdir(table_dir):
+            return 0
+        alive = F.col(col) >= F.current_timestamp() - F.expr(
+            f"INTERVAL {int(ttl)} SECOND"
+        )
+        reaped = 0
+        for name in sorted(os.listdir(table_dir)):
+            if not name.startswith(f"{KB_COL}="):
+                continue
+            bucket = int(name.split("=", 1)[1])
+            bdir = os.path.join(table_dir, name)
+            cur = self.spark.read.parquet(bdir)
+            n_dead = cur.filter(~alive).count()
+            if n_dead == 0:
+                continue
+            tmp = f"{table_dir}__expire_{uuid.uuid4().hex[:8]}"
+            (
+                cur.filter(alive)
+                .withColumn(KB_COL, F.lit(bucket))
+                .write.mode("overwrite")
+                .partitionBy(KB_COL)
+                .parquet(tmp)
+            )
+            try:
+                _swap_bucket(table_dir, tmp, bucket)
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            reaped += n_dead
+        return reaped
 
     def pipeline_query_stats(self) -> DataFrame:
         """The pipeline_query_stats catalog relation (PipelineDB's

@@ -82,6 +82,11 @@ _FN_CALL = re.compile(
 _VERSION_CALL = re.compile(
     r"^\s*SELECT\s+pipeline_version\s*\(\s*\)\s*;?\s*$", re.IGNORECASE
 )
+# PipelineDB's manual TTL sweep: SELECT pipeline_ttl_expire('view')
+_TTL_EXPIRE = re.compile(
+    r"^\s*SELECT\s+pipeline_ttl_expire\s*\(\s*'(\w+)'\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 PIPELINE_VERSION = "pipeline_kinesis_spark (pipeline_kinesis 0.9.0 parity)"
 
 
@@ -253,6 +258,11 @@ def execute(engine, statement: str) -> DataFrame | str:
     (README.md:103-110); reads return a DataFrame."""
     if _VERSION_CALL.match(statement):
         return PIPELINE_VERSION
+
+    m = _TTL_EXPIRE.match(statement)
+    if m:
+        # returns the reaped-row count, the reference's return value
+        return str(engine.ttl_expire(m.group(1)))
 
     m = _FN_CALL.match(statement)
     if m:

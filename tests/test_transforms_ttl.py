@@ -286,3 +286,62 @@ def test_ttl_requires_both_knobs(engine):
         engine.create_continuous_view(
             "v", "SELECT k FROM e_in", stream="e_in", ttl_seconds=10
         )
+
+
+def test_manual_ttl_expire_sweeps_all_buckets(engine, spark, tmp_path):
+    """pipeline_ttl_expire('<view>') analog: a synchronous full-store
+    sweep reaps expired rows from EVERY bucket (the background merge
+    only reaps touched + one round-robin bucket per batch) and returns
+    the reaped count; the SQL spelling works too."""
+    src_root = tmp_path / "kinesis"
+    _put(
+        src_root / "s1",
+        [
+            "dead1,2000-01-01 00:00:00",
+            "dead2,2000-06-01 00:00:00",
+            "live,2200-01-01 00:00:00",
+        ],
+    )
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("e_in", "k STRING, ts TIMESTAMP")
+    engine.create_continuous_view(
+        "sweep_up",
+        "SELECT k, count(*) AS n, max(ts) AS last_ts FROM e_in GROUP BY k",
+        stream="e_in",
+        materialize="parquet_upsert",
+        key_cols=["k"],
+        ttl_seconds=3600,
+        ttl_column="last_ts",
+    )
+    engine.consume_begin("ep", "s1", "e_in", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    # the merge already reaps arriving-expired rows, so nothing dead is
+    # stored; plant expired rows directly in the store to simulate rows
+    # that aged out AFTER materialization, across arbitrary buckets
+    import pyspark.sql.functions as F
+
+    store = engine.view_dir("sweep_up")
+    planted = spark.createDataFrame(
+        [("old_a", 1), ("old_b", 2)], "k STRING, n BIGINT"
+    ).withColumn("last_ts", F.expr("timestamp'2000-01-01 00:00:00'"))
+    from pipeline_kinesis_spark.streaming.continuous_view import (
+        upsert_to_parquet,
+    )
+
+    engine.consume_end_all()
+    upsert_to_parquet(planted, store, ["k"], batch_id=999)
+
+    n = engine.ttl_expire("sweep_up")
+    assert n == 2
+    assert {r.k for r in engine.view_table("sweep_up").collect()} == {"live"}
+    # idempotent; SQL spelling returns the count string
+    assert engine.execute("SELECT pipeline_ttl_expire('sweep_up')") == "0"
+
+
+def test_ttl_expire_rejects_memory_and_nonttl(engine):
+    engine.create_stream("e2", "k STRING, ts TIMESTAMP")
+    engine.create_continuous_view(
+        "m1", "SELECT k, count(*) AS n FROM e2 GROUP BY k", stream="e2"
+    )
+    with pytest.raises(ValueError, match="no TTL"):
+        engine.ttl_expire("m1")
