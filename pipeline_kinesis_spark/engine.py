@@ -219,14 +219,13 @@ class Engine:
             # the window but in no single step.
             base_sql, sw_having = split_having(sql)
             sw_group_cols, sw_aggs = parse_sw_view_sql(base_sql)
-            # combine() over an sw view re-aggregates the RECOMBINED
-            # window's finals — count/sum/min/max finals combine
-            # exactly; the approx-distinct final is an estimate, not a
-            # mergeable state, so it stays out of the map.
+            # combine() over an sw view merges the per-(group, step)
+            # PARTIALS inside the live window — count/sum/min/max
+            # combine arithmetically and approx_count_distinct unions
+            # the stored HLL sketches (set semantics across both steps
+            # AND regrouped keys, never sum-of-estimates).
             combine_aggs = {
-                a: {"fn": fn, "arg": a}
-                for a, fn in sw_aggs.items()
-                if fn in ("count", "sum", "min", "max")
+                a: {"fn": fn, "arg": a} for a, fn in sw_aggs.items()
             } or None
             if sw_having is not None:
                 validate_having(
@@ -1439,13 +1438,25 @@ class Engine:
                 f"view {view_name!r} has no combinable aggregates "
                 "(or its SQL shape is outside combine() parse scope)"
             )
-        if vd.get("sw_seconds") is not None:
-            # sw: combine over the RECOMBINED trailing window — the
-            # window semantics always come first
-            base = self.view_table(view_name)
-        else:
-            base = self.matrel(view_name)
         group_cols = list(group_cols or [])
+        if vd.get("sw_seconds") is not None:
+            # sw: merge the per-(group, step) partials inside the live
+            # window directly — sketches union, so approx-distinct
+            # regroups with set semantics; the window always applies
+            allowed = set(vd.get("sw_group_cols") or [])
+            missing = [c for c in group_cols if c not in allowed]
+            if missing:
+                raise ValueError(
+                    f"group columns {missing} not in sw view groups "
+                    f"{sorted(allowed)}"
+                )
+            return sw_combine(
+                self.matrel(view_name),
+                vd["sw_seconds"],
+                vd["sw_aggs"],
+                group_cols,
+            )
+        base = self.matrel(view_name)
         missing = [c for c in group_cols if c not in base.columns]
         if missing:
             raise ValueError(
@@ -1607,15 +1618,25 @@ class Engine:
                 f"{[n for n, _ in cands]}; query one view at a time"
             )
         name, vd = cands[0]
-        if vd.get("sw_seconds") is None:
+        is_sw = vd.get("sw_seconds") is not None
+        if is_sw:
+            # point the view name at the LIVE-window slice of the raw
+            # per-step partials: count/sum/min/max merge arithmetically
+            # and approx-distinct unions the stored sketches
+            live = self.matrel(name).filter(
+                F.col(f"{SW_BUCKET_COL}.end")
+                > F.current_timestamp()
+                - F.expr(f"INTERVAL {int(vd['sw_seconds'])} SECOND")
+            )
+            live.createOrReplaceTempView(name)
+        else:
             # point the view name at the matrel so partial columns are
-            # in scope (sw views stay on the recombined window — their
-            # finals are the combinable state)
+            # in scope
             self.matrel(name).createOrReplaceTempView(name)
         specs = vd["combine_aggs"]
         return self._COMBINE_CALL.sub(
             lambda m: combine_select_expr(
-                m.group(1), specs[m.group(1)]["fn"]
+                m.group(1), specs[m.group(1)]["fn"], sw=is_sw
             ),
             query,
         )

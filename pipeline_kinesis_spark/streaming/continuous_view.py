@@ -750,11 +750,13 @@ def combine_rewrite_sql(sql: str, specs: dict[str, dict]) -> str:
     return f"{head}{select_list}, {extra_sql}{rest}"
 
 
-def combine_select_expr(alias: str, fn: str) -> str:
+def combine_select_expr(alias: str, fn: str, sw: bool = False) -> str:
     """The SQL expression that merges partials for one aggregate under a
     new grouping — exactly PipelineDB's combine() transition-state
     merge, spelled as stock Spark SQL so it stays whole-stage-codegen
-    JVM work at any scale."""
+    JVM work at any scale. In an sw view's matrel the approx-distinct
+    SKETCH lives in the alias column itself (one per (group, step));
+    non-sw views keep it in a hidden partial column."""
     s, c, q = (f"{alias}{PARTIAL_SEP}{k}" for k in ("s", "c", "q"))
     if fn in ("count", "sum"):
         return f"sum({alias})"
@@ -774,7 +776,8 @@ def combine_select_expr(alias: str, fn: str) -> str:
             f" / (sum({c}) - 1))"
         )
     if fn == "approx_count_distinct":
-        return f"hll_sketch_estimate(hll_union_agg({alias}{PARTIAL_SEP}h))"
+        col = alias if sw else f"{alias}{PARTIAL_SEP}h"
+        return f"hll_sketch_estimate(hll_union_agg({col}))"
     raise ValueError(f"no combine merge for aggregate {fn!r}")
 
 

@@ -235,3 +235,29 @@ def test_combine_survives_restart(engine, spark, tmp_path):
     eng2 = Engine(spark, metadata_dir=str(tmp_path / "meta"))
     got = {r.k: r.mean for r in eng2.combine("cv", ["k"]).collect()}
     assert got["a"] == pytest.approx(4.0)
+
+
+def test_combine_sw_approx_distinct_unions_sketches(engine, tmp_path):
+    """combine() over an sw view merges the per-(group, step) HLL
+    sketch partials: regrouping approx_count_distinct keeps SET
+    semantics across both steps and keys — values shared between keys
+    count once, never a sum of per-key estimates."""
+    rows = ["a,x,1", "a,x,2", "a,y,3", "b,x,2", "b,y,3", "b,y,4"]
+    _start_view(
+        engine,
+        tmp_path,
+        "SELECT k, approx_count_distinct(v) AS du, count(*) AS cnt "
+        "FROM cst GROUP BY k",
+        rows=rows,
+        sw_seconds=3600,
+    )
+    # per-key window answers first (sanity): a has {1,2,3}, b has {2,3,4}
+    per_k = {r.k: (r.du, r.cnt) for r in engine.view_table("cv").collect()}
+    assert per_k == {"a": (3, 3), "b": (3, 3)}
+    # global regroup: distinct across keys is 4, not 3+3
+    g = engine.combine("cv", []).collect()[0]
+    assert (g.du, g.cnt) == (4, 6)
+    row = engine.sql(
+        "SELECT combine(du) AS du, combine(cnt) AS cnt FROM cv"
+    ).collect()[0]
+    assert (row.du, row.cnt) == (4, 6)
