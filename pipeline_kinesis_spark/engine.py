@@ -282,6 +282,13 @@ class Engine:
                 osrel_keep_batches=osrel_keep_batches,
             )
         )
+        # PipelineDB starts materializing the moment the view exists —
+        # wire it onto any consumer already running for its stream
+        # (consumers started later pick it up in consume_begin).
+        with self._lock:
+            vd_live = ViewDef(**self.catalog.state.views[name])
+            for cid, (relation, good) in self._parsed.items():
+                self._wire_view(cid, relation, good, vd_live)
 
     def _validate_osrel_source(self, stream: str) -> None:
         """A standing query reading ``<v>_osrel`` chains on view v's
@@ -369,6 +376,14 @@ class Engine:
         )
         if proc is not None:
             self._procs[name] = proc
+        # start on already-running consumers of the stream (PipelineDB
+        # semantics: transforms run as soon as they exist)
+        with self._lock:
+            td_live = TransformDef(
+                **self.catalog.state.transforms[name]
+            )
+            for cid, (relation, good) in self._parsed.items():
+                self._wire_transform(cid, relation, good, td_live)
 
     def drop_continuous_transform(self, name: str) -> None:
         """Stop the transform's standing query and unregister it (running
@@ -616,120 +631,120 @@ class Engine:
             for cid, (relation, good) in self._parsed.items():
                 if kind == "view":
                     vd = ViewDef(**self.catalog.state.views[name])
-                    if vd.stream == relation:
-                        vdf = compile_view(
-                            self.spark,
-                            self._view_stream_df(vd, good),
-                            relation,
-                            self._view_compile_sql(vd),
-                        )
-                        self._queries[cid].append(
-                            self._start_view_query(
-                                cid,
-                                vd,
-                                vdf,
-                                delta_dir=self._osrel_delta_dir(vd),
-                            )
-                        )
-                        continue
-                    # chained view on another view's OUTPUT STREAM: make
-                    # sure the base merge emits deltas (restart it with
-                    # emission on — checkpoint resume, nothing lost),
-                    # then chain this view on the osrel file stream.
-                    m_os = re.match(r"^(\w+)_osrel$", vd.stream)
-                    if m_os and m_os.group(1) in self.catalog.state.views:
-                        base = ViewDef(
-                            **self.catalog.state.views[m_os.group(1)]
-                        )
-                        if base.stream != relation or not base.active:
-                            continue
-                        base_vdf = compile_view(
-                            self.spark,
-                            self._view_stream_df(base, good),
-                            relation,
-                            self._view_compile_sql(base),
-                        )
-                        for q in list(self._queries[cid]):
-                            if q.name == base.name:
-                                q.stop()
-                                self._queries[cid].remove(q)
-                        self._queries[cid].append(
-                            self._start_view_query(
-                                cid,
-                                base,
-                                base_vdf,
-                                delta_dir=self._osrel_delta_dir(base),
-                            )
-                        )
-                        src = (
-                            self.spark.readStream.schema(
-                                self._osrel_schema(base_vdf.schema)
-                            ).parquet(
-                                os.path.join(
-                                    self.osrel_dir(base.name), "b*"
-                                )
-                            )
-                        )
-                        vdf = compile_view(
-                            self.spark,
-                            self._view_stream_df(vd, src),
-                            vd.stream,
-                            self._view_compile_sql(vd),
-                        )
-                        self._queries[cid].append(
-                            self._start_view_query(cid, vd, vdf)
-                        )
-                        continue
-                    # chained view: its stream is a transform's sink
-                    for t in self.catalog.transforms_on(relation):
-                        if t.sink_relation == vd.stream:
-                            tdf = compile_view(
-                                self.spark, good, relation, t.sql
-                            )
-                            sink_dir = self.table_dir(t.sink_relation)
-                            os.makedirs(sink_dir, exist_ok=True)
-                            src = (
-                                self.spark.readStream.schema(tdf.schema)
-                                .parquet(sink_dir)
-                            )
-                            vdf = compile_view(
-                                self.spark, src, t.sink_relation,
-                                self._view_compile_sql(vd),
-                            )
-                            self._queries[cid].append(
-                                self._start_view_query(cid, vd, vdf)
-                            )
+                    self._wire_view(cid, relation, good, vd)
                 else:
                     td = TransformDef(**self.catalog.state.transforms[name])
-                    if td.stream != relation:
-                        continue
-                    tdf = compile_view(self.spark, good, relation, td.sql)
-                    sink_dir = (
-                        self.table_dir(td.sink_relation)
-                        if td.sink_relation
-                        else None
-                    )
-                    proc = self._procs.get(td.name)
+                    self._wire_transform(cid, relation, good, td)
 
-                    def _transform_batch(
-                        bdf: DataFrame, bid: int, _dir=sink_dir, _p=proc
-                    ) -> None:
-                        if _dir is not None:
-                            bdf.write.mode("append").parquet(_dir)
-                        if _p is not None:
-                            _p(bdf, bid)
+    def _wire_view(
+        self, cid: int, relation: str, good: DataFrame, vd: ViewDef
+    ) -> bool:
+        """Start vd's standing query on an already-running consumer of
+        `relation` — direct, chained on another view's output stream,
+        or chained on a transform's sink. Idempotent: a live query for
+        the view is never double-started. Shared by ACTIVATE and by
+        CREATE CONTINUOUS VIEW issued while consumers run (PipelineDB
+        starts materializing immediately in both cases)."""
+        qnames = {vd.name, f"{vd.name}__sw_raw", f"{vd.name}__mrel"}
+        if any(
+            q.name in qnames and q.isActive for q in self._queries[cid]
+        ):
+            return False
+        if vd.stream == relation:
+            vdf = compile_view(
+                self.spark,
+                self._view_stream_df(vd, good),
+                relation,
+                self._view_compile_sql(vd),
+            )
+            self._queries[cid].append(
+                self._start_view_query(
+                    cid, vd, vdf, delta_dir=self._osrel_delta_dir(vd)
+                )
+            )
+            return True
+        # chained view on another view's OUTPUT STREAM: make sure the
+        # base merge emits deltas (restart it with emission on —
+        # checkpoint resume, nothing lost), then chain this view on
+        # the osrel file stream.
+        m_os = re.match(r"^(\w+)_osrel$", vd.stream)
+        if m_os and m_os.group(1) in self.catalog.state.views:
+            base = ViewDef(**self.catalog.state.views[m_os.group(1)])
+            if base.stream != relation or not base.active:
+                return False
+            base_vdf = compile_view(
+                self.spark,
+                self._view_stream_df(base, good),
+                relation,
+                self._view_compile_sql(base),
+            )
+            for q in list(self._queries[cid]):
+                if q.name == base.name:
+                    q.stop()
+                    self._queries[cid].remove(q)
+            self._queries[cid].append(
+                self._start_view_query(
+                    cid,
+                    base,
+                    base_vdf,
+                    delta_dir=self._osrel_delta_dir(base),
+                )
+            )
+            src = (
+                self.spark.readStream.schema(
+                    self._osrel_schema(base_vdf.schema)
+                ).parquet(os.path.join(self.osrel_dir(base.name), "b*"))
+            )
+            vdf = compile_view(
+                self.spark,
+                self._view_stream_df(vd, src),
+                vd.stream,
+                self._view_compile_sql(vd),
+            )
+            self._queries[cid].append(
+                self._start_view_query(cid, vd, vdf)
+            )
+            return True
+        # chained view: its stream is a transform's sink
+        for t in self.catalog.transforms_on(relation):
+            if t.sink_relation == vd.stream:
+                tdf = compile_view(self.spark, good, relation, t.sql)
+                sink_dir = self.table_dir(t.sink_relation)
+                os.makedirs(sink_dir, exist_ok=True)
+                src = (
+                    self.spark.readStream.schema(tdf.schema)
+                    .parquet(sink_dir)
+                )
+                vdf = compile_view(
+                    self.spark,
+                    src,
+                    t.sink_relation,
+                    self._view_compile_sql(vd),
+                )
+                self._queries[cid].append(
+                    self._start_view_query(cid, vd, vdf)
+                )
+                return True
+        return False
 
-                    self._queries[cid].append(
-                        tdf.writeStream.foreachBatch(_transform_batch)
-                        .queryName(f"transform_{td.name}")
-                        .outputMode("append")
-                        .option(
-                            "checkpointLocation",
-                            self._ckpt(cid, f"transform_{td.name}"),
-                        )
-                        .trigger(processingTime=self._trigger_for_cid(cid))
-                        .start()
-                    )
+    def _wire_transform(
+        self, cid: int, relation: str, good: DataFrame, td: TransformDef
+    ) -> bool:
+        """Start td's standing query on an already-running consumer of
+        `relation` (idempotent) — shared by ACTIVATE and by CREATE
+        CONTINUOUS TRANSFORM issued while consumers run."""
+        if td.stream != relation:
+            return False
+        if any(
+            q.name == f"transform_{td.name}" and q.isActive
+            for q in self._queries[cid]
+        ):
+            return False
+        tdf = compile_view(self.spark, good, relation, td.sql)
+        self._queries[cid].append(
+            self._start_transform_query(cid, td, tdf)
+        )
+        return True
 
     def pipeline_queries(self) -> DataFrame:
         """Queryable inventory of standing queries — the analog of

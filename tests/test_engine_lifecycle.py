@@ -104,3 +104,32 @@ def test_rocksdb_state_store_view(spark, tmp_path):
 def test_unknown_state_store_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="state_store"):
         Engine(spark, metadata_dir=str(tmp_path / "m"), state_store="redis")
+
+
+def test_view_created_mid_stream_starts_immediately(engine, spark, tmp_path):
+    """PipelineDB semantics: CREATE CONTINUOUS VIEW while consumers run
+    starts materializing at once — no consumer restart needed. Because
+    the source is replayable (archived files), the late view's fresh
+    checkpoint BACKFILLS the full retained history before following
+    the live stream — an upgrade over PipelineDB, whose views see only
+    post-creation events."""
+    src_root = tmp_path / "kinesis"
+    write_record_file(str(src_root / "s"), [{"data": "a"}])
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("mid_stream", "payload STRING")
+    engine.consume_begin("ep", "s", "mid_stream")
+    engine.wait_for_ingest()
+
+    engine.create_continuous_view(
+        "mid_view",
+        "SELECT payload, count(*) AS n FROM mid_stream GROUP BY payload",
+        "mid_stream",
+    )
+    write_record_file(str(src_root / "s"), [{"data": "b"}, {"data": "b"}])
+    engine.wait_for_ingest()
+    rows = {
+        (r.payload, r.n)
+        for r in engine.view_table("mid_view").collect()
+    }
+    # materializing without any restart, backfilled from the archive
+    assert rows == {("a", 1), ("b", 2)}
