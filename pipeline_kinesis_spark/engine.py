@@ -57,6 +57,8 @@ from pipeline_kinesis_spark.streaming.continuous_view import (
     materialize_memory,
     parse_combine_view_sql,
     parse_sw_view_sql,
+    read_store_manifest,
+    write_store_manifest,
     split_having,
     sw_combine,
     sw_rewrite_sql,
@@ -835,6 +837,8 @@ class Engine:
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
             reaped += n_dead
+        if reaped:
+            write_store_manifest(table_dir, None)
         return reaped
 
     def pipeline_query_stats(self) -> DataFrame:
@@ -1419,6 +1423,21 @@ class Engine:
             return f"{vd['name']}__mrel"
         return vd["name"]
 
+    def _read_view_store(self, view_name: str) -> DataFrame:
+        """Plan a read of a parquet_upsert store from its committed
+        MANIFEST (snapshot-consistent even while a multi-bucket merge
+        is mid-swap); directory listing only for pre-manifest stores.
+        Missing files (possible only in the crash-to-retry window,
+        before the recovered merge republishes) are dropped from the
+        plan rather than failing the read."""
+        table_dir = self.view_dir(view_name)
+        paths = read_store_manifest(table_dir)
+        if paths is not None:
+            paths = [p for p in paths if os.path.exists(p)]
+        if paths:
+            return self.spark.read.parquet(*paths)
+        return self.spark.read.parquet(table_dir)
+
     def matrel(self, view_name: str) -> DataFrame:
         """The view's raw materialization — PipelineDB's ``<v>_mrel``:
         partial-state columns included, one row per declared group (per
@@ -1428,7 +1447,7 @@ class Engine:
         if vd is None:
             raise KeyError(f"unknown continuous view {view_name!r}")
         if vd.get("materialize") == "parquet_upsert":
-            df = self.spark.read.parquet(self.view_dir(view_name))
+            df = self._read_view_store(view_name)
             return df.drop(KB_COL) if KB_COL in df.columns else df
         return self.spark.table(self._sink_name(vd))
 
@@ -1508,7 +1527,7 @@ class Engine:
                     >= F.current_timestamp() - F.expr(f"INTERVAL {ttl} SECOND")
                 )
             return df
-        df = self.spark.read.parquet(self.view_dir(view_name))
+        df = self._read_view_store(view_name)
         if KB_COL in df.columns:
             # hash-bucket partition column — physical store layout, not
             # part of the view's schema

@@ -18,6 +18,7 @@ Sink strategy:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -226,6 +227,55 @@ def reap_delta_batches(
             shutil.rmtree(os.path.join(delta_dir, name), ignore_errors=True)
 
 
+# Snapshot manifest for the upsert store. The per-bucket rename-swap is
+# atomic per bucket, but a reader LISTING the directory during a
+# multi-bucket merge can assemble a torn snapshot (bucket A post-swap,
+# bucket B pre-swap). The writer therefore publishes, after every
+# merge, a manifest naming the exact parquet files of the committed
+# version (tmp-write + rename, like everything else here); public read
+# paths plan from the manifest's file list instead of a directory
+# listing, so a query never mixes versions at plan time. Single-writer
+# per store (one streaming query per view) makes versioning trivial.
+# On a cluster this role is played by a transactional table format's
+# log (Delta/Iceberg); the stand-in keeps the same reader contract.
+_MANIFEST = "_manifest"  # `_` prefix: invisible to Spark's file listing
+
+
+def write_store_manifest(table_dir: str, batch_id: int | None) -> None:
+    files: dict[str, list[str]] = {}
+    for name in sorted(os.listdir(table_dir)):
+        if not name.startswith(f"{KB_COL}="):
+            continue
+        bdir = os.path.join(table_dir, name)
+        files[name] = sorted(
+            f
+            for f in os.listdir(bdir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    mdir = os.path.join(table_dir, _MANIFEST)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp_{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id, "files": files}, f)
+    os.rename(tmp, os.path.join(mdir, "LATEST.json"))
+
+
+def read_store_manifest(table_dir: str) -> list[str] | None:
+    """Absolute parquet paths of the last committed version, or None
+    when the store predates manifests (fall back to directory listing)."""
+    path = os.path.join(table_dir, _MANIFEST, "LATEST.json")
+    try:
+        with open(path) as f:
+            m = json.load(f)
+    except (OSError, ValueError):
+        return None
+    return [
+        os.path.join(table_dir, bucket, fname)
+        for bucket, fnames in m.get("files", {}).items()
+        for fname in fnames
+    ]
+
+
 def upsert_to_parquet(
     batch_df: DataFrame,
     table_dir: str,
@@ -344,6 +394,7 @@ def _upsert_batch(
             raise
         if legacy:
             shutil.rmtree(bak)
+        write_store_manifest(table_dir, batch_id)
         return
 
     touched = {
@@ -391,6 +442,10 @@ def _upsert_batch(
             _swap_bucket(table_dir, tmp, int(b))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    # publish the committed version AFTER every bucket swapped — readers
+    # planning from the manifest never assemble a torn multi-bucket
+    # snapshot
+    write_store_manifest(table_dir, batch_id)
 
 
 # --------------------------------------------------------------------------
