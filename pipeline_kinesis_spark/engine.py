@@ -58,6 +58,7 @@ from pipeline_kinesis_spark.streaming.continuous_view import (
     parse_combine_view_sql,
     parse_sw_view_sql,
     read_store_manifest,
+    read_store_schema,
     write_store_manifest,
     split_having,
     sw_combine,
@@ -70,6 +71,17 @@ from pipeline_kinesis_spark.streaming.continuous_view import (
 # the knob for API parity but it only bounds maxFilesPerTrigger here —
 # actual parallelism is Spark's scheduler.
 MAX_PROCS = 8
+
+# <view>_osrel — the output-stream relation naming convention; single
+# source of truth for every parser that recognizes it
+_OSREL_RE = re.compile(r"^(\w+)_osrel$")
+
+
+def _view_qnames(name: str) -> set[str]:
+    """Every streaming-query name a view may run under: the public name
+    (plain memory), the sw per-step partial sink, and the combine()
+    matrel sink."""
+    return {name, f"{name}__sw_raw", f"{name}__mrel"}
 
 
 class Engine:
@@ -117,6 +129,10 @@ class Engine:
         # consume_begin) to observe from batch zero.
         self._metrics = QueryMetricsListener()
         self._metrics_attached = False
+        # view names whose CURRENT standing query was started with
+        # output-stream emission on — lets chain wiring skip a needless
+        # base restart when emission is already flowing
+        self._emitting: set[str] = set()
 
     def _attach_metrics(self) -> None:
         if not self._metrics_attached:
@@ -298,7 +314,7 @@ class Engine:
         only materialization whose merge sees old and new rows
         together). Checked here so the error surfaces at CREATE, not at
         consume_begin."""
-        m = re.match(r"^(\w+)_osrel$", stream)
+        m = _OSREL_RE.match(stream)
         if not m:
             return
         base = self.catalog.state.views.get(m.group(1))
@@ -418,7 +434,7 @@ class Engine:
             self.catalog.drop_view(name)
             for queries in self._queries.values():
                 for q in list(queries):
-                    if q.name in (name, f"{name}__sw_raw"):
+                    if q.name in _view_qnames(name):
                         q.stop()
                         queries.remove(q)
 
@@ -612,8 +628,8 @@ class Engine:
         with self._lock:
             kind = self.catalog.set_active(name, False)
             qnames = (
-                # sw views run under the raw-suffixed sink name
-                {name, f"{name}__sw_raw"}
+                # sw / combine-matrel views run under suffixed sink names
+                _view_qnames(name)
                 if kind == "view"
                 else {f"transform_{name}"}
             )
@@ -638,111 +654,113 @@ class Engine:
                     td = TransformDef(**self.catalog.state.transforms[name])
                     self._wire_transform(cid, relation, good, td)
 
+    def _resolve_chain_source(
+        self, cid: int, relation: str, good: DataFrame, stream: str
+    ) -> DataFrame | None:
+        """Resolve the streaming source for `stream` on an
+        already-running consumer of `relation`: the consumer's parsed
+        stream itself, a view's output stream (recursively — the base
+        view is restarted WITH delta emission only if it is not
+        already emitting), or a transform's sink relation. None when
+        the chain does not root at `relation`."""
+        if stream == relation:
+            return good
+        m = _OSREL_RE.match(stream)
+        if m and m.group(1) in self.catalog.state.views:
+            base = ViewDef(**self.catalog.state.views[m.group(1)])
+            if not base.active:
+                return None
+            base_src = self._resolve_chain_source(
+                cid, relation, good, base.stream
+            )
+            if base_src is None:
+                return None
+            base_vdf = compile_view(
+                self.spark,
+                self._view_stream_df(base, base_src),
+                base.stream,
+                self._view_compile_sql(base),
+            )
+            base_running = any(
+                q.name in _view_qnames(base.name) and q.isActive
+                for q in self._queries[cid]
+            )
+            if not (base_running and base.name in self._emitting):
+                # (re)start the base with emission on — checkpoint
+                # resume, nothing lost; an already-emitting base is
+                # left untouched (no needless materialization stall)
+                for q in list(self._queries[cid]):
+                    if q.name in _view_qnames(base.name):
+                        q.stop()
+                        self._queries[cid].remove(q)
+                self._queries[cid].append(
+                    self._start_view_query(
+                        cid,
+                        base,
+                        base_vdf,
+                        delta_dir=self._osrel_delta_dir(base),
+                    )
+                )
+            return self.spark.readStream.schema(
+                self._osrel_schema(base_vdf.schema)
+            ).parquet(os.path.join(self.osrel_dir(base.name), "b*"))
+        for t in self.catalog.transforms_on(relation):
+            if t.sink_relation == stream:
+                tdf = compile_view(self.spark, good, relation, t.sql)
+                sink_dir = self.table_dir(stream)
+                os.makedirs(sink_dir, exist_ok=True)
+                return self.spark.readStream.schema(tdf.schema).parquet(
+                    sink_dir
+                )
+        return None
+
     def _wire_view(
         self, cid: int, relation: str, good: DataFrame, vd: ViewDef
     ) -> bool:
         """Start vd's standing query on an already-running consumer of
-        `relation` — direct, chained on another view's output stream,
-        or chained on a transform's sink. Idempotent: a live query for
-        the view is never double-started. Shared by ACTIVATE and by
-        CREATE CONTINUOUS VIEW issued while consumers run (PipelineDB
-        starts materializing immediately in both cases)."""
-        qnames = {vd.name, f"{vd.name}__sw_raw", f"{vd.name}__mrel"}
+        `relation` — direct, chained on another view's output stream
+        (any depth), or chained on a transform's sink. Idempotent: a
+        live query for the view is never double-started. Shared by
+        ACTIVATE and by CREATE CONTINUOUS VIEW issued while consumers
+        run (PipelineDB starts materializing immediately in both
+        cases)."""
         if any(
-            q.name in qnames and q.isActive for q in self._queries[cid]
+            q.name in _view_qnames(vd.name) and q.isActive
+            for q in self._queries[cid]
         ):
             return False
-        if vd.stream == relation:
-            vdf = compile_view(
-                self.spark,
-                self._view_stream_df(vd, good),
-                relation,
-                self._view_compile_sql(vd),
+        src = self._resolve_chain_source(cid, relation, good, vd.stream)
+        if src is None:
+            return False
+        vdf = compile_view(
+            self.spark,
+            self._view_stream_df(vd, src),
+            vd.stream,
+            self._view_compile_sql(vd),
+        )
+        self._queries[cid].append(
+            self._start_view_query(
+                cid, vd, vdf, delta_dir=self._osrel_delta_dir(vd)
             )
-            self._queries[cid].append(
-                self._start_view_query(
-                    cid, vd, vdf, delta_dir=self._osrel_delta_dir(vd)
-                )
-            )
-            return True
-        # chained view on another view's OUTPUT STREAM: make sure the
-        # base merge emits deltas (restart it with emission on —
-        # checkpoint resume, nothing lost), then chain this view on
-        # the osrel file stream.
-        m_os = re.match(r"^(\w+)_osrel$", vd.stream)
-        if m_os and m_os.group(1) in self.catalog.state.views:
-            base = ViewDef(**self.catalog.state.views[m_os.group(1)])
-            if base.stream != relation or not base.active:
-                return False
-            base_vdf = compile_view(
-                self.spark,
-                self._view_stream_df(base, good),
-                relation,
-                self._view_compile_sql(base),
-            )
-            for q in list(self._queries[cid]):
-                if q.name == base.name:
-                    q.stop()
-                    self._queries[cid].remove(q)
-            self._queries[cid].append(
-                self._start_view_query(
-                    cid,
-                    base,
-                    base_vdf,
-                    delta_dir=self._osrel_delta_dir(base),
-                )
-            )
-            src = (
-                self.spark.readStream.schema(
-                    self._osrel_schema(base_vdf.schema)
-                ).parquet(os.path.join(self.osrel_dir(base.name), "b*"))
-            )
-            vdf = compile_view(
-                self.spark,
-                self._view_stream_df(vd, src),
-                vd.stream,
-                self._view_compile_sql(vd),
-            )
-            self._queries[cid].append(
-                self._start_view_query(cid, vd, vdf)
-            )
-            return True
-        # chained view: its stream is a transform's sink
-        for t in self.catalog.transforms_on(relation):
-            if t.sink_relation == vd.stream:
-                tdf = compile_view(self.spark, good, relation, t.sql)
-                sink_dir = self.table_dir(t.sink_relation)
-                os.makedirs(sink_dir, exist_ok=True)
-                src = (
-                    self.spark.readStream.schema(tdf.schema)
-                    .parquet(sink_dir)
-                )
-                vdf = compile_view(
-                    self.spark,
-                    src,
-                    t.sink_relation,
-                    self._view_compile_sql(vd),
-                )
-                self._queries[cid].append(
-                    self._start_view_query(cid, vd, vdf)
-                )
-                return True
-        return False
+        )
+        return True
 
     def _wire_transform(
         self, cid: int, relation: str, good: DataFrame, td: TransformDef
     ) -> bool:
         """Start td's standing query on an already-running consumer of
-        `relation` (idempotent) — shared by ACTIVATE and by CREATE
-        CONTINUOUS TRANSFORM issued while consumers run."""
-        if td.stream != relation:
-            return False
+        `relation` (idempotent) — direct or chained on a view's output
+        stream. Shared by ACTIVATE and by CREATE CONTINUOUS TRANSFORM
+        issued while consumers run."""
         if any(
             q.name == f"transform_{td.name}" and q.isActive
             for q in self._queries[cid]
         ):
             return False
-        tdf = compile_view(self.spark, good, relation, td.sql)
+        src = self._resolve_chain_source(cid, relation, good, td.stream)
+        if src is None:
+            return False
+        tdf = compile_view(self.spark, src, td.stream, td.sql)
         self._queries[cid].append(
             self._start_transform_query(cid, td, tdf)
         )
@@ -767,7 +785,7 @@ class Engine:
                     v["stream"],
                     v.get("materialize", "memory"),
                     bool(v.get("active", True)),
-                    v["name"] in live or f"{v['name']}__sw_raw" in live,
+                    bool(_view_qnames(v["name"]) & live),
                 )
             )
         for t in self.catalog.state.transforms.values():
@@ -796,7 +814,12 @@ class Engine:
         filter); this is the ops hammer for reclaiming space NOW.
         Per-bucket rewrite via the same tmp-write + rename-swap the
         merge uses, so readers never see a half-rewritten bucket; only
-        buckets that actually hold expired rows are rewritten."""
+        buckets that actually hold expired rows are rewritten.
+
+        Output-stream note: the manual sweep does NOT emit delete
+        tuples (it runs outside any batch, and reads already hide
+        expired rows everywhere); chained consumers see TTL deletes
+        through the merge-time reaper's tuples."""
         vd = self.catalog.state.views.get(view_name)
         if vd is None:
             raise KeyError(f"unknown continuous view {view_name!r}")
@@ -836,9 +859,11 @@ class Engine:
                 _swap_bucket(table_dir, tmp, bucket)
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
-            reaped += n_dead
-        if reaped:
+            # republish after EVERY bucket swap — a concurrent
+            # manifest-planned read mid-sweep must keep seeing each
+            # already-swapped bucket's new files, not its deleted ones
             write_store_manifest(table_dir, None)
+            reaped += n_dead
         return reaped
 
     def pipeline_query_stats(self) -> DataFrame:
@@ -1044,6 +1069,10 @@ class Engine:
         only requested when the view has active downstream consumers, so
         unconsumed output streams cost nothing."""
         interval = self._trigger_for_cid(consumer_id)
+        if delta_dir is not None:
+            self._emitting.add(view.name)
+        else:
+            self._emitting.discard(view.name)
         if view.materialize == "parquet_upsert":
             table_dir = self.view_dir(view.name)
             key_cols = list(view.key_cols or [])
@@ -1423,6 +1452,18 @@ class Engine:
             return f"{vd['name']}__mrel"
         return vd["name"]
 
+    def _ttl_live_filter(self, df: DataFrame, vd: dict) -> DataFrame:
+        """Apply a TTL view's read-time liveness predicate — every read
+        path that bypasses view_table (combine over the matrel) must
+        still honor the view's declared expiry semantics."""
+        ttl, col = vd.get("ttl_seconds"), vd.get("ttl_column")
+        if ttl is None or col is None:
+            return df
+        return df.filter(
+            F.col(col)
+            >= F.current_timestamp() - F.expr(f"INTERVAL {ttl} SECOND")
+        )
+
     def _read_view_store(self, view_name: str) -> DataFrame:
         """Plan a read of a parquet_upsert store from its committed
         MANIFEST (snapshot-consistent even while a multi-bucket merge
@@ -1436,6 +1477,13 @@ class Engine:
             paths = [p for p in paths if os.path.exists(p)]
         if paths:
             return self.spark.read.parquet(*paths)
+        if paths is not None:
+            # committed-but-EMPTY store (a merge can delete every row —
+            # TTL expiring the last key): a typed empty relation, from
+            # the schema the manifest recorded
+            schema = read_store_schema(table_dir)
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(table_dir)
 
     def matrel(self, view_name: str) -> DataFrame:
@@ -1490,12 +1538,12 @@ class Engine:
                 vd["sw_aggs"],
                 group_cols,
             )
-        base = self.matrel(view_name)
+        base = self._ttl_live_filter(self.matrel(view_name), vd)
         missing = [c for c in group_cols if c not in base.columns]
         if missing:
             raise ValueError(
                 f"group columns {missing} not in view output "
-                f"{[c for c in base.columns if '__pkpart_' not in c]}"
+                f"{[c for c in base.columns if PARTIAL_SEP not in c]}"
             )
         return combine_view(base, group_cols, specs)
 
@@ -1665,8 +1713,11 @@ class Engine:
             live.createOrReplaceTempView(name)
         else:
             # point the view name at the matrel so partial columns are
-            # in scope
-            self.matrel(name).createOrReplaceTempView(name)
+            # in scope (TTL liveness still applies — combine must agree
+            # with the view's own read semantics)
+            self._ttl_live_filter(
+                self.matrel(name), vd
+            ).createOrReplaceTempView(name)
         specs = vd["combine_aggs"]
         return self._COMBINE_CALL.sub(
             lambda m: combine_select_expr(

@@ -155,6 +155,7 @@ def _emit_delta(
     data_cols = [
         c for c in new.columns if c != KB_COL and PARTIAL_SEP not in c
     ]
+    raw_new = new
     if ttl_pred is not None:
         # rows already expired on arrival never reach the store — the
         # stream must agree with the matrel and not announce them
@@ -180,23 +181,34 @@ def _emit_delta(
         "old", "new", F.current_timestamp().alias("arrival_timestamp")
     )
     if ttl_pred is not None and current is not None:
-        # TTL reap → DELETE tuples (old, new = NULL): stored rows in the
-        # touched buckets that fail the TTL and are not replaced this
-        # batch vanish from the matrel now, so the stream says so —
-        # PipelineDB's old-only delete delta
-        dels = (
-            current.filter(~ttl_pred)
-            .join(F.broadcast(new.select(*key_cols)), key_cols, "left_anti")
-            .select(
-                F.struct(*[F.col(c) for c in data_cols]).alias("old"),
-                F.lit(None)
-                .cast(new_side.schema["new"].dataType)
-                .alias("new"),
-                F.current_timestamp().alias("arrival_timestamp"),
-            )
+        # DELETE tuples (old, new = NULL): the merge keeps
+        # current ⟍ raw-new-keys ∪ ttl-filtered-new, so a stored row
+        # vanishes when it is expired itself OR its arriving
+        # replacement was expired (the key leaves `keep` but never
+        # re-enters through the filtered new side). Both cases must say
+        # so on the stream — PipelineDB's old-only delete delta.
+        gone = current.join(
+            F.broadcast(new.select(*key_cols)), key_cols, "left_anti"
+        )
+        marker = "__pk_rawkey"
+        raw_keys = raw_new.select(*key_cols).withColumn(
+            marker, F.lit(True)
+        )
+        gone = gone.join(F.broadcast(raw_keys), key_cols, "left")
+        replaced_by_expired = F.coalesce(F.col(marker), F.lit(False))
+        dels = gone.filter((~ttl_pred) | replaced_by_expired).select(
+            F.struct(*[F.col(c) for c in data_cols]).alias("old"),
+            F.lit(None)
+            .cast(new_side.schema["new"].dataType)
+            .alias("new"),
+            F.current_timestamp().alias("arrival_timestamp"),
         )
         out = out.unionByName(dels)
-    tmp = f"{bdir}__tmp"
+    # dot-prefixed staging dir: invisible to BOTH the chained readers'
+    # ``b*`` glob and Spark's recursive listing (hidden-file rule), so
+    # a half-written batch — or one orphaned by a crash before the
+    # rename — can never be read, and never read twice after publish
+    tmp = os.path.join(delta_dir, f".staging_b{int(batch_id):012d}")
     out.write.mode("overwrite").parquet(tmp)
     os.rename(tmp, bdir)
 
@@ -217,7 +229,7 @@ def reap_delta_batches(
     if cutoff <= 0:
         return
     for name in os.listdir(delta_dir):
-        if not name.startswith("b") or name.endswith("__tmp"):
+        if not name.startswith("b") or not name[1:].isdigit():
             continue
         try:
             bid = int(name[1:])
@@ -241,7 +253,15 @@ def reap_delta_batches(
 _MANIFEST = "_manifest"  # `_` prefix: invisible to Spark's file listing
 
 
-def write_store_manifest(table_dir: str, batch_id: int | None) -> None:
+def write_store_manifest(
+    table_dir: str,
+    batch_id: int | None,
+    schema_json: str | None = None,
+) -> None:
+    """schema_json (StructType.json()) makes a committed-but-EMPTY
+    store readable as a typed empty relation (a merge can delete every
+    row — e.g. TTL expiring the last key); omitted, the previous
+    manifest's schema carries forward."""
     files: dict[str, list[str]] = {}
     for name in sorted(os.listdir(table_dir)):
         if not name.startswith(f"{KB_COL}="):
@@ -254,26 +274,48 @@ def write_store_manifest(table_dir: str, batch_id: int | None) -> None:
         )
     mdir = os.path.join(table_dir, _MANIFEST)
     os.makedirs(mdir, exist_ok=True)
+    if schema_json is None:
+        prev = _load_manifest(table_dir)
+        schema_json = (prev or {}).get("schema")
     tmp = os.path.join(mdir, f".tmp_{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
-        json.dump({"batch_id": batch_id, "files": files}, f)
+        json.dump(
+            {"batch_id": batch_id, "files": files, "schema": schema_json},
+            f,
+        )
     os.rename(tmp, os.path.join(mdir, "LATEST.json"))
+
+
+def _load_manifest(table_dir: str) -> dict | None:
+    path = os.path.join(table_dir, _MANIFEST, "LATEST.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
 
 
 def read_store_manifest(table_dir: str) -> list[str] | None:
     """Absolute parquet paths of the last committed version, or None
     when the store predates manifests (fall back to directory listing)."""
-    path = os.path.join(table_dir, _MANIFEST, "LATEST.json")
-    try:
-        with open(path) as f:
-            m = json.load(f)
-    except (OSError, ValueError):
+    m = _load_manifest(table_dir)
+    if m is None:
         return None
     return [
         os.path.join(table_dir, bucket, fname)
         for bucket, fnames in m.get("files", {}).items()
         for fname in fnames
     ]
+
+
+def read_store_schema(table_dir: str):
+    """StructType of the committed store per its manifest, or None."""
+    from pyspark.sql.types import StructType
+
+    m = _load_manifest(table_dir)
+    if m and m.get("schema"):
+        return StructType.fromJson(json.loads(m["schema"]))
+    return None
 
 
 def upsert_to_parquet(
@@ -394,7 +436,7 @@ def _upsert_batch(
             raise
         if legacy:
             shutil.rmtree(bak)
-        write_store_manifest(table_dir, batch_id)
+        write_store_manifest(table_dir, batch_id, merged.schema.json())
         return
 
     touched = {
@@ -445,7 +487,7 @@ def _upsert_batch(
     # publish the committed version AFTER every bucket swapped — readers
     # planning from the manifest never assemble a torn multi-bucket
     # snapshot
-    write_store_manifest(table_dir, batch_id)
+    write_store_manifest(table_dir, batch_id, merged.schema.json())
 
 
 # --------------------------------------------------------------------------
@@ -473,10 +515,6 @@ SW_BUCKET_COL = "_sw_win"
 # error (~1.6% rsd at default lgConfigK), unbounded distinct cardinality
 # in O(sketch) state. That approximation contract is why the exact
 # spelling stays an error instead of being silently rewritten.
-_SW_ITEM = _re.compile(
-    r"^(count|sum|min|max)\s*\(\s*(?!distinct\b).+\)\s+AS\s+(\w+)$",
-    _re.IGNORECASE | _re.DOTALL,
-)
 _SW_APPROX = _re.compile(
     r"^approx_count_distinct\s*\((.+)\)\s+AS\s+(\w+)$",
     _re.IGNORECASE | _re.DOTALL,
@@ -530,6 +568,51 @@ def _outside_string_mask(sql: str) -> list[bool]:
             elif c == ")":
                 depth -= 1
     return mask
+
+
+def _split_select_from(sql: str) -> tuple[str, str, str] | None:
+    """Split ``SELECT <list> FROM <rest>`` at the first DEPTH-0 FROM —
+    a FROM inside parens (``extract(hour FROM ts)``, a scalar
+    subquery) must never be the split point, or list rewrites would
+    inject columns inside an expression."""
+    m = _re.match(r"^(\s*SELECT\s+)", sql, _re.I)
+    if not m:
+        return None
+    head = m.group(1)
+    strmask = _outside_string_mask(sql)
+    for fm in _re.finditer(r"\bFROM\b", sql, _re.I):
+        if fm.start() >= len(head) and strmask[fm.start()]:
+            return (
+                head,
+                sql[len(head):fm.start()].strip(),
+                sql[fm.start():],
+            )
+    return None
+
+
+def _whole_item_call(item: str) -> tuple[str, str] | None:
+    """If the item is EXACTLY one function call with an alias —
+    ``fn( args ) AS alias`` with the closing paren matching the opening
+    one — return (fn, inner args). Expressions over aggregates
+    (``avg(a) - avg(b) AS d``, ``sum(x)/sum(y) AS r``) return None: a
+    regex with a lazy argument group would mis-split them and corrupt
+    any rewrite built from the pieces."""
+    m = _re.match(r"^(\w+)\s*\(", item)
+    if not m:
+        return None
+    depth, i = 0, m.end() - 1
+    for j in range(i, len(item)):
+        c = item[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                tail = item[j + 1:]
+                if _re.fullmatch(r"\s+AS\s+\w+\s*", tail, _re.I):
+                    return m.group(1), item[i + 1:j].strip()
+                return None
+    return None
 
 
 def split_having(sql: str) -> tuple[str, str | None]:
@@ -616,19 +699,33 @@ def parse_sw_view_sql(sql: str) -> tuple[list[str], dict[str, str]]:
         raise ValueError(
             "sw view SQL must be a single flat SELECT (no subqueries)"
         )
-    m = _re.match(r"^\s*SELECT\s+(.*?)\s+FROM\s", sql, _re.I | _re.S)
-    if not m:
+    parts = _split_select_from(sql)
+    if parts is None:
         raise ValueError("sw view SQL must be a single SELECT ... FROM ...")
     group_names, aggs = [], {}
-    for item in _split_select_items(m.group(1)):
-        am = _SW_ITEM.match(item)
-        if am:
-            aggs[am.group(2)] = am.group(1).lower()
-            continue
-        am = _SW_APPROX.match(item)
-        if am:
-            aggs[am.group(2)] = "approx_count_distinct"
-            continue
+    for item in _split_select_items(parts[1]):
+        call = _whole_item_call(item)
+        if call is not None:
+            fn, arg = call[0].lower(), call[1]
+            if _re.match(r"^distinct\b", arg, _re.I):
+                raise ValueError(
+                    "per-step DISTINCT partials are not combinable "
+                    "(values spanning steps would double-count); use "
+                    "approx_count_distinct(x) — the sw view then keeps "
+                    "mergeable HLL partials per step, PipelineDB's own "
+                    "sw count(DISTINCT) mechanism"
+                )
+            alias = _re.search(r"\bAS\s+(\w+)\s*$", item, _re.I).group(1)
+            if fn in ("count", "sum", "min", "max"):
+                aggs[alias] = fn
+                continue
+            if fn == "approx_count_distinct":
+                aggs[alias] = "approx_count_distinct"
+                continue
+            raise ValueError(
+                f"sw views support only combinable aggregates "
+                f"(count/sum/min/max) and plain group columns; got {item!r}"
+            )
         if _SW_EXACT_DISTINCT.match(item):
             raise ValueError(
                 "per-step DISTINCT partials are not combinable (values "
@@ -638,10 +735,12 @@ def parse_sw_view_sql(sql: str) -> tuple[list[str], dict[str, str]]:
                 "sw count(DISTINCT) mechanism"
             )
         if _re.match(r"^\w+\s*\(", item):
-            # function call that is not a combinable aggregate — reject
-            # instead of silently treating it as a group column (avg,
-            # expressions, nested calls): pre-compute it on the stream
-            # or in a transform, or use count/sum/min/max.
+            # a call that is not EXACTLY one combinable aggregate with
+            # an alias — including expressions OVER aggregates like
+            # sum(x)/sum(y) AS r, whose per-step values must not be
+            # re-aggregated (a sum of per-step ratios is not the window
+            # ratio). Pre-compute on the stream, or use count/sum/min/
+            # max and divide at read time.
             raise ValueError(
                 f"sw views support only combinable aggregates "
                 f"(count/sum/min/max) and plain group columns; got {item!r}"
@@ -671,10 +770,10 @@ def sw_rewrite_sql(sql: str, step_seconds: int) -> str:
     MERGEABLE sketch state, not a per-step estimate (estimates don't
     union; sketches do)."""
     bucket = f"window(arrival_timestamp, '{int(step_seconds)} seconds')"
-    m = _re.match(r"^(\s*SELECT\s+)(.*?)(\s+FROM\s.*)$", sql, _re.I | _re.S)
-    if not m:
+    parts = _split_select_from(sql)
+    if parts is None:
         raise ValueError("sw view SQL must be a single SELECT ... FROM ...")
-    head, select_list, rest = m.groups()
+    head, select_list, rest = parts
     items = []
     for item in _split_select_items(select_list):
         am = _SW_APPROX.match(item)
@@ -684,7 +783,7 @@ def sw_rewrite_sql(sql: str, step_seconds: int) -> str:
             else item
         )
     select_list = ", ".join(items)
-    rewritten = f"{head}{select_list}, {bucket} AS {SW_BUCKET_COL}{rest}"
+    rewritten = f"{head}{select_list}, {bucket} AS {SW_BUCKET_COL} {rest}"
     # anchor to the OUTER query's GROUP BY: only a match at paren depth
     # 0 outside string literals qualifies (a subquery's GROUP BY sits
     # inside parens — parse_sw_view_sql rejects those at CREATE, this
@@ -729,19 +828,14 @@ _CB_DECOMP = {
     "var_samp": "var_samp",
     "approx_count_distinct": "approx_count_distinct",
 }
-_CB_ITEM = _re.compile(
-    r"^(\w+)\s*\(\s*(?!distinct\b)(.+?)\s*\)\s+AS\s+(\w+)$",
-    _re.IGNORECASE | _re.DOTALL,
-)
-
-
 def parse_combine_view_sql(sql: str) -> dict[str, dict] | None:
     """Best-effort SELECT-list analysis for combine() support: returns
     alias → {fn, arg} for every combinable aggregate in a single flat
     SELECT, or None when the SQL shape (joins-with-subqueries, UNION,
     nested SELECT) is out of scope — the view still works, combine()
     just reports itself unavailable. Non-combinable items (exact
-    DISTINCT aggregates, expressions over aggregates) are simply left
+    DISTINCT aggregates, expressions OVER aggregates like
+    ``sum(x)/sum(y) AS r`` or ``avg(a)-avg(b) AS d``) are simply left
     out of the map: combine() on them raises with the available set."""
     strmask = _outside_string_mask(sql)
     selects = [
@@ -750,15 +844,19 @@ def parse_combine_view_sql(sql: str) -> dict[str, dict] | None:
     ]
     if len(selects) != 1 or _re.search(r"\bUNION\b", sql, _re.I):
         return None
-    m = _re.match(r"^\s*SELECT\s+(.*?)\s+FROM\s", sql, _re.I | _re.S)
-    if not m:
+    parts = _split_select_from(sql)
+    if parts is None:
         return None
     specs: dict[str, dict] = {}
-    for item in _split_select_items(m.group(1)):
-        am = _CB_ITEM.match(item)
-        if not am:
+    for item in _split_select_items(parts[1]):
+        call = _whole_item_call(item)
+        if call is None:
             continue
-        fn, arg, alias = am.group(1).lower(), am.group(2), am.group(3)
+        fn, arg = call[0].lower(), call[1]
+        if _re.match(r"^distinct\b", arg, _re.I):
+            continue  # exact DISTINCT finals don't merge
+        am = _re.search(r"\bAS\s+(\w+)\s*$", item, _re.I)
+        alias = am.group(1)
         if fn in _CB_DIRECT:
             specs[alias] = {"fn": _CB_DIRECT[fn], "arg": arg}
         elif fn in _CB_DECOMP:
@@ -797,12 +895,12 @@ def combine_rewrite_sql(sql: str, specs: dict[str, dict]) -> str:
     extras = combine_partial_cols(specs)
     if not extras:
         return sql
-    m = _re.match(r"^(\s*SELECT\s+)(.*?)(\s+FROM\s.*)$", sql, _re.I | _re.S)
-    if not m:
+    parts = _split_select_from(sql)
+    if parts is None:
         return sql
-    head, select_list, rest = m.groups()
+    head, select_list, rest = parts
     extra_sql = ", ".join(f"{expr} AS {name}" for name, expr in extras.items())
-    return f"{head}{select_list}, {extra_sql}{rest}"
+    return f"{head}{select_list}, {extra_sql} {rest}"
 
 
 def combine_select_expr(alias: str, fn: str, sw: bool = False) -> str:

@@ -261,3 +261,103 @@ def test_combine_sw_approx_distinct_unions_sketches(engine, tmp_path):
         "SELECT combine(du) AS du, combine(cnt) AS cnt FROM cv"
     ).collect()[0]
     assert (row.du, row.cnt) == (4, 6)
+
+
+def test_parse_rejects_expressions_over_aggregates():
+    """Expressions OVER aggregates must stay out of the combinable map
+    (summing per-group ratios is not the regrouped ratio), and a FROM
+    inside parens must not break the partial-column rewrite."""
+    from pipeline_kinesis_spark.streaming.continuous_view import (
+        combine_rewrite_sql,
+        parse_combine_view_sql,
+    )
+
+    specs = parse_combine_view_sql(
+        "SELECT k, avg(a) - avg(b) AS diff, sum(x)/sum(y) AS ratio, "
+        "sum(x) AS sx FROM s GROUP BY k"
+    )
+    assert set(specs) == {"sx"}  # only the whole-item aggregate
+
+    # extract(hour FROM ts) must not become the FROM split point
+    sql = (
+        "SELECT extract(hour FROM ts) AS h, avg(v) AS m "
+        "FROM s GROUP BY extract(hour FROM ts)"
+    )
+    specs = parse_combine_view_sql(sql)
+    assert set(specs) == {"m"}
+    rewritten = combine_rewrite_sql(sql, specs)
+    assert "m__pkpart_s" in rewritten
+    # the injection lands before the real FROM, not inside extract()
+    assert "extract(hour FROM ts) AS h" in rewritten
+    assert rewritten.index("m__pkpart_c") < rewritten.index("FROM s")
+
+
+def test_sw_rejects_aggregate_expressions():
+    from pipeline_kinesis_spark.streaming.continuous_view import (
+        parse_sw_view_sql,
+    )
+
+    with pytest.raises(ValueError, match="combinable aggregates"):
+        parse_sw_view_sql(
+            "SELECT k, sum(x)/sum(y) AS r FROM s GROUP BY k"
+        )
+
+
+def test_deactivate_stops_mrel_query(engine, spark, tmp_path):
+    """Views with hidden combine partials run under the <v>__mrel sink
+    name — DEACTIVATE and DROP must stop that query too."""
+    _start_view(engine, tmp_path, _VIEW_SQL)
+    active = {q.name for q in spark.streams.active if q.name}
+    assert "cv__mrel" in active
+    engine.deactivate("cv")
+    active = {
+        q.name
+        for qs in engine._queries.values()
+        for q in qs
+        if q.name and q.isActive
+    }
+    assert "cv__mrel" not in active
+    engine.activate("cv")
+    engine.drop_continuous_view("cv")
+    active = {
+        q.name
+        for qs in engine._queries.values()
+        for q in qs
+        if q.name and q.isActive
+    }
+    assert "cv__mrel" not in active
+
+
+def test_combine_honors_ttl_liveness(engine, spark, tmp_path):
+    """combine() must agree with the view's own TTL read semantics:
+    expired groups are excluded from the merge, exactly as view_table
+    hides them."""
+    import datetime as dt
+
+    now = dt.datetime.utcnow().replace(microsecond=0)
+    old = "2000-01-01 00:00:00"
+    fresh = (now + dt.timedelta(hours=1)).strftime("%Y-%m-%d %H:%M:%S")
+    rows = [f"a,x,{old}", f"b,x,{fresh}", f"b,y,{fresh}"]
+    src_root = tmp_path / "kinesis"
+    _put(src_root / "s1", rows)
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("cst", "k STRING, g STRING, ts TIMESTAMP")
+    engine.create_continuous_view(
+        "cv",
+        "SELECT k, g, count(*) AS cnt, max(ts) AS last_ts "
+        "FROM cst GROUP BY k, g",
+        "cst",
+        ttl_seconds=3600,
+        ttl_column="last_ts",
+    )
+    engine.consume_begin("ep", "s1", "cst", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    got = {r.k: r.cnt for r in engine.combine("cv", ["k"]).collect()}
+    assert got == {"b": 2}  # expired 'a' group excluded, like view_table
+    sql_got = {
+        r.k: r.n
+        for r in engine.sql(
+            "SELECT k, combine(cnt) AS n FROM cv GROUP BY k"
+        ).collect()
+    }
+    assert sql_got == {"b": 2}

@@ -332,3 +332,71 @@ def test_osrel_retention_reaps_old_batches(engine, spark, tmp_path):
     # the standing consumer saw every delta before any reap
     got = {r.k: r.versions for r in engine.view_table("changes").collect()}
     assert got == {"a": 3}
+
+
+def test_chained_transform_created_while_running(engine, spark, tmp_path):
+    """A transform chained on output_of('v') and created AFTER
+    consume_begin starts immediately — delta emission turns on for the
+    base without a consumer restart."""
+    src_root = _setup_base(engine, tmp_path)
+    _put(src_root / "s1", ["a,1"])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    engine.create_continuous_transform(
+        "late_audit",
+        "SELECT new.k AS k, new.cnt AS cnt FROM agg_osrel",
+        stream="agg_osrel",
+        sink_relation="late_sink",
+    )
+    _put(src_root / "s1", ["a,2", "b,5"], start=10)
+    engine.wait_for_ingest()
+    rows = {
+        (r.k, r.cnt)
+        for r in engine.stream_table("late_sink").collect()
+    }
+    assert rows == {("a", 2), ("b", 1)}
+
+
+def test_delete_tuple_when_replacement_expired(engine, spark, tmp_path):
+    """A live stored row whose arriving replacement is itself expired
+    leaves the matrel — and the stream must say so with a delete
+    tuple (the key exits `keep` but never re-enters through the
+    TTL-filtered new side)."""
+    import datetime as dt
+
+    now = dt.datetime.utcnow().replace(microsecond=0)
+    fresh = now.strftime("%Y-%m-%d %H:%M:%S")
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("st", "k STRING, ts TIMESTAMP")
+    # min(ts) with TTL on it: one old event drags the whole group
+    # under the expiry line
+    engine.create_continuous_view(
+        "agg",
+        "SELECT k, min(ts) AS first_ts, count(*) AS n FROM st GROUP BY k",
+        "st",
+        materialize="parquet_upsert",
+        key_cols=["k"],
+        ttl_seconds=3600,
+        ttl_column="first_ts",
+    )
+    engine.create_continuous_transform(
+        "deltas",
+        "SELECT old.k AS old_k, new.k AS new_k FROM agg_osrel",
+        stream="agg_osrel",
+        sink_relation="agg_deltas",
+    )
+    _put(src_root / "s1", [f"a,{fresh}"])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    assert {r.k for r in engine.view_table("agg").collect()} == {"a"}
+    # the late OLD event expires a's replacement row
+    _put(src_root / "s1", ["a,2000-01-01 00:00:00"], start=10)
+    engine.wait_for_ingest()
+    assert {r.k for r in engine.view_table("agg").collect()} == set()
+    rows = {
+        (r.old_k, r.new_k)
+        for r in engine.stream_table("agg_deltas").collect()
+    }
+    assert (None, "a") in rows  # the insert
+    assert ("a", None) in rows  # the delete on expired replacement
