@@ -361,3 +361,22 @@ def test_combine_honors_ttl_liveness(engine, spark, tmp_path):
         ).collect()
     }
     assert sql_got == {"b": 2}
+
+
+def test_combine_over_durable_sw_view(engine, tmp_path):
+    """combine() over a parquet_upsert sliding-window view merges the
+    DURABLE per-(group, step) partials — through the store's manifest
+    read path — with the trailing window still applied."""
+    _start_view(
+        engine,
+        tmp_path,
+        "SELECT k, count(*) AS cnt, sum(v) AS total, "
+        "approx_count_distinct(v) AS dv FROM cst GROUP BY k",
+        sw_seconds=3600,
+        materialize="parquet_upsert",
+    )
+    g = engine.combine("cv", []).collect()[0]
+    # _ROWS: 10 events, values {1,2,3,4,10,5,7,8,9} → 9 distinct
+    assert (g.cnt, g.total, g.dv) == (10, 54, 9)
+    per_k = {r.k: r.cnt for r in engine.combine("cv", ["k"]).collect()}
+    assert per_k == {"a": 5, "b": 5}
