@@ -283,6 +283,19 @@ class Catalog:
             self.state.views.pop(name, None)
             self._save()
 
+    def update_view_options(self, name: str, **options) -> None:
+        """Persist a change to an existing view's options (only keys
+        ViewDef already defines — this is not schema evolution)."""
+        with self._lock:
+            vd = self.state.views.get(name)
+            if vd is None:
+                raise KeyError(f"unknown continuous view {name!r}")
+            unknown = set(options) - set(vd)
+            if unknown:
+                raise ValueError(f"unknown view options {sorted(unknown)}")
+            vd.update(options)
+            self._save()
+
     def views_on(self, stream: str) -> list[ViewDef]:
         return [
             ViewDef(**v)

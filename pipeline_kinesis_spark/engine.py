@@ -25,6 +25,7 @@ import re
 import shutil
 import threading
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,6 +49,7 @@ from pipeline_kinesis_spark.streaming.continuous_view import (
     PARTIAL_SEP,
     SW_BUCKET_COL,
     _swap_bucket,
+    _write_bucket_marker,
     combine_rewrite_sql,
     combine_select_expr,
     combine_view,
@@ -57,6 +59,7 @@ from pipeline_kinesis_spark.streaming.continuous_view import (
     materialize_memory,
     parse_combine_view_sql,
     parse_sw_view_sql,
+    read_reap_marker,
     read_store_manifest,
     read_store_schema,
     write_store_manifest,
@@ -75,6 +78,17 @@ MAX_PROCS = 8
 # <view>_osrel — the output-stream relation naming convention; single
 # source of truth for every parser that recognizes it
 _OSREL_RE = re.compile(r"^(\w+)_osrel$")
+
+# Default output-stream retention (batches). Unbounded delta history is
+# wrong as a default at 100 TB — a standing emitter would grow the osrel
+# dir with stream lifetime. 1000 batches at the default 500 ms trigger is
+# ~8 minutes of slack for chained consumers that run on the same cadence
+# (typically <1 batch behind). Pass osrel_keep_batches=None explicitly
+# (SQL: osrel_keep_batches=unbounded) for audit-everything deployments.
+OSREL_KEEP_DEFAULT = 1000
+# sentinel distinguishing "caller said nothing" (finite default) from an
+# explicit None (unbounded opt-in)
+_OSREL_KEEP_UNSET = object()
 
 
 def _view_qnames(name: str) -> set[str]:
@@ -129,6 +143,14 @@ class Engine:
         # consume_begin) to observe from batch zero.
         self._metrics = QueryMetricsListener()
         self._metrics_attached = False
+        # per-upsert-store mutex: the manifest design assumes a single
+        # writer per store (continuous_view.py manifest note). The
+        # view's foreachBatch merge and the synchronous ttl_expire()
+        # sweep both rewrite buckets and republish the manifest, and
+        # both run on driver threads of THIS engine — serializing them
+        # here keeps the single-writer invariant without deactivating
+        # the view for the sweep.
+        self._store_locks: dict[str, threading.Lock] = {}
         # view names whose CURRENT standing query was started with
         # output-stream emission on — lets chain wiring skip a needless
         # base restart when emission is already flowing
@@ -180,7 +202,7 @@ class Engine:
         sw_seconds: int | None = None,
         sw_step_seconds: int | None = None,
         upsert_buckets: int | None = None,
-        osrel_keep_batches: int | None = None,
+        osrel_keep_batches: int | None = _OSREL_KEEP_UNSET,
     ) -> None:
         """ttl_seconds/ttl_column mirror PipelineDB's
         `WITH (ttl='...', ttl_column='...')`: view rows whose ttl_column
@@ -280,6 +302,10 @@ class Engine:
             raise ValueError("parquet_upsert materialization requires key_cols")
         if (ttl_seconds is None) != (ttl_column is None):
             raise ValueError("ttl_seconds and ttl_column go together")
+        if osrel_keep_batches is _OSREL_KEEP_UNSET:
+            # bounded by default; None stays the explicit
+            # audit-everything opt-in
+            osrel_keep_batches = OSREL_KEEP_DEFAULT
         self.catalog.create_view(
             ViewDef(
                 name,
@@ -313,9 +339,12 @@ class Engine:
         output stream — v must exist and be a parquet_upsert view (the
         only materialization whose merge sees old and new rows
         together). Checked here so the error surfaces at CREATE, not at
-        consume_begin."""
+        consume_begin. A DECLARED stream whose name merely ends in
+        ``_osrel`` is not an output stream — same precedence as
+        catalog._is_source_relation (streams checked first), so the two
+        validators agree."""
         m = _OSREL_RE.match(stream)
-        if not m:
+        if not m or stream in self.catalog.state.streams:
             return
         base = self.catalog.state.views.get(m.group(1))
         if base is None:
@@ -454,6 +483,14 @@ class Engine:
         ``<view>_osrel``): one ``b<batch>`` subdir of delta tuples per
         upsert batch."""
         return os.path.join(self.metadata_dir, "osrel", view_name)
+
+    def _store_lock(self, view_name: str) -> threading.Lock:
+        """The single-writer mutex for one view's upsert store (created
+        on first use; _lock guards the registry itself)."""
+        with self._lock:
+            return self._store_locks.setdefault(
+                view_name, threading.Lock()
+            )
 
     def _ckpt(self, consumer_id: int, kind: str) -> str:
         return os.path.join(
@@ -732,6 +769,13 @@ class Engine:
         src = self._resolve_chain_source(cid, relation, good, vd.stream)
         if src is None:
             return False
+        m = _OSREL_RE.match(vd.stream)
+        if m and m.group(1) in self.catalog.state.views:
+            self._check_osrel_gap(
+                m.group(1),
+                self._ckpt(cid, f"view_{vd.name}"),
+                f"continuous view {vd.name!r}",
+            )
         vdf = compile_view(
             self.spark,
             self._view_stream_df(vd, src),
@@ -760,6 +804,13 @@ class Engine:
         src = self._resolve_chain_source(cid, relation, good, td.stream)
         if src is None:
             return False
+        m = _OSREL_RE.match(td.stream)
+        if m and m.group(1) in self.catalog.state.views:
+            self._check_osrel_gap(
+                m.group(1),
+                self._ckpt(cid, f"transform_{td.name}"),
+                f"continuous transform {td.name!r}",
+            )
         tdf = compile_view(self.spark, src, td.stream, td.sql)
         self._queries[cid].append(
             self._start_transform_query(cid, td, tdf)
@@ -838,33 +889,104 @@ class Engine:
             f"INTERVAL {int(ttl)} SECOND"
         )
         reaped = 0
-        for name in sorted(os.listdir(table_dir)):
-            if not name.startswith(f"{KB_COL}="):
-                continue
-            bucket = int(name.split("=", 1)[1])
-            bdir = os.path.join(table_dir, name)
-            cur = self.spark.read.parquet(bdir)
-            n_dead = cur.filter(~alive).count()
-            if n_dead == 0:
-                continue
-            tmp = f"{table_dir}__expire_{uuid.uuid4().hex[:8]}"
-            (
-                cur.filter(alive)
-                .withColumn(KB_COL, F.lit(bucket))
-                .write.mode("overwrite")
-                .partitionBy(KB_COL)
-                .parquet(tmp)
-            )
-            try:
-                _swap_bucket(table_dir, tmp, bucket)
-            finally:
-                shutil.rmtree(tmp, ignore_errors=True)
-            # republish after EVERY bucket swap — a concurrent
-            # manifest-planned read mid-sweep must keep seeing each
-            # already-swapped bucket's new files, not its deleted ones
-            write_store_manifest(table_dir, None)
-            reaped += n_dead
+        # single-writer: hold the store mutex for the sweep so a live
+        # foreachBatch merge can never swap the same bucket (or clobber
+        # the manifest) mid-sweep — merges queue behind the sweep and
+        # proceed when it finishes
+        with self._store_lock(view_name):
+            for name in sorted(os.listdir(table_dir)):
+                if not name.startswith(f"{KB_COL}="):
+                    continue
+                bucket = int(name.split("=", 1)[1])
+                bdir = os.path.join(table_dir, name)
+                cur = self.spark.read.parquet(bdir)
+                n_dead = cur.filter(~alive).count()
+                if n_dead == 0:
+                    continue
+                tmp = f"{table_dir}__expire_{uuid.uuid4().hex[:8]}"
+                (
+                    cur.filter(alive)
+                    .withColumn(KB_COL, F.lit(bucket))
+                    .write.mode("overwrite")
+                    .partitionBy(KB_COL)
+                    .parquet(tmp)
+                )
+                try:
+                    _swap_bucket(table_dir, tmp, bucket)
+                finally:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                # republish after EVERY bucket swap — a concurrent
+                # manifest-planned read mid-sweep must keep seeing each
+                # already-swapped bucket's new files, not its deleted
+                # ones
+                write_store_manifest(table_dir, None)
+                reaped += n_dead
         return reaped
+
+    def rebucket(self, view_name: str, num_buckets: int) -> None:
+        """Resize a parquet_upsert view's hash-bucket count — the ops
+        path for a view whose keyspace outgrew the bucket count fixed at
+        creation (more buckets = smaller per-batch bucket rewrites).
+        One full-store rewrite through the legacy-migration machinery:
+        re-hash every committed row into the new layout in a tmp dir,
+        whole-dir rename-swap with restore guard, new ``_upsert_nb``
+        marker, fresh manifest. Serialized against the view's live
+        foreachBatch merge (and ttl_expire) via the store mutex, so the
+        single-writer manifest contract holds; merges queue behind the
+        rewrite and resume on the new layout (``_store_buckets`` reads
+        the marker, never the creation default). Readers planning from
+        the pre-swap manifest during the rename window degrade to the
+        committed-empty relation (missing files are dropped from the
+        plan) — same contract as the legacy migration."""
+        vd = self.catalog.state.views.get(view_name)
+        if vd is None:
+            raise KeyError(f"unknown continuous view {view_name!r}")
+        if vd.get("materialize") != "parquet_upsert":
+            raise ValueError(
+                "rebucket applies to parquet_upsert views only"
+            )
+        if num_buckets < 1:
+            raise ValueError("num_buckets must be >= 1")
+        key_cols = list(vd.get("key_cols") or [])
+        table_dir = self.view_dir(view_name)
+        with self._store_lock(view_name):
+            # future first-materializations (and restarts before one)
+            # pick the new count up from the catalog; existing stores
+            # are governed by the marker rewritten below
+            self.catalog.update_view_options(
+                view_name, upsert_buckets=num_buckets
+            )
+            if not os.path.isdir(table_dir):
+                return  # nothing materialized yet
+            if not any(
+                n.startswith(f"{KB_COL}=") or n.endswith(".parquet")
+                for n in os.listdir(table_dir)
+            ):
+                # dir exists but holds no data: new marker is enough
+                _write_bucket_marker(table_dir, num_buckets)
+                return
+            cur = self._read_view_store(view_name)
+            if KB_COL in cur.columns:
+                cur = cur.drop(KB_COL)
+            kb = F.pmod(
+                F.xxhash64(*[F.col(k) for k in key_cols]),
+                F.lit(int(num_buckets)),
+            ).cast("int")
+            rehashed = cur.withColumn(KB_COL, kb)
+            tmp = f"{table_dir}__rebucket_{uuid.uuid4().hex[:8]}"
+            rehashed.write.mode("overwrite").partitionBy(KB_COL).parquet(
+                tmp
+            )
+            _write_bucket_marker(tmp, num_buckets)
+            bak = f"{table_dir}__rebucket_bak"
+            os.rename(table_dir, bak)
+            try:
+                os.rename(tmp, table_dir)
+            except OSError:
+                os.rename(bak, table_dir)
+                raise
+            shutil.rmtree(bak)
+            write_store_manifest(table_dir, None, rehashed.schema.json())
 
     def pipeline_query_stats(self) -> DataFrame:
         """The pipeline_query_stats catalog relation (PipelineDB's
@@ -975,6 +1097,26 @@ class Engine:
             ]
         )
 
+    def _check_osrel_gap(
+        self, base_view: str, ckpt: str, consumer_desc: str
+    ) -> None:
+        """A chained consumer starting WITHOUT a checkpoint reads the
+        osrel history from scratch — if retention has already reaped
+        batches, its aggregates silently undercount. Surface that at
+        wire time (warning, not error: the operator may know the
+        consumer only needs go-forward deltas)."""
+        lo = read_reap_marker(self.osrel_dir(base_view))
+        if lo > 0 and not os.path.isdir(ckpt):
+            warnings.warn(
+                f"{consumer_desc} chains on {base_view!r}'s output "
+                f"stream, which has already reaped delta batches below "
+                f"b{lo}; the new consumer starts from the retained "
+                f"window only (history before the reap is gone). "
+                f"Create chained consumers before retention reaps, or "
+                f"raise osrel_keep_batches.",
+                stacklevel=3,
+            )
+
     def _start_osrel_consumers(
         self,
         consumer_id: int,
@@ -995,6 +1137,11 @@ class Engine:
         for cv in self.catalog.views_on(osrel):
             if not cv.active:
                 continue
+            self._check_osrel_gap(
+                view.name,
+                self._ckpt(consumer_id, f"view_{cv.name}"),
+                f"continuous view {cv.name!r}",
+            )
             cvdf = compile_view(
                 self.spark,
                 self._view_stream_df(cv, src),
@@ -1018,6 +1165,11 @@ class Engine:
         for t in self.catalog.transforms_on(osrel):
             if not t.active:
                 continue
+            self._check_osrel_gap(
+                view.name,
+                self._ckpt(consumer_id, f"transform_{t.name}"),
+                f"continuous transform {t.name!r}",
+            )
             tdf = compile_view(self.spark, src, osrel, t.sql)
             queries.append(
                 self._start_transform_query(consumer_id, t, tdf)
@@ -1076,26 +1228,33 @@ class Engine:
         if view.materialize == "parquet_upsert":
             table_dir = self.view_dir(view.name)
             key_cols = list(view.key_cols or [])
-            return (
-                vdf.writeStream.foreachBatch(
-                    lambda bdf, bid, _d=table_dir, _k=key_cols, _v=view: (
-                        upsert_to_parquet(
-                            bdf,
-                            _d,
-                            _k,
-                            ttl_seconds=_v.ttl_seconds,
-                            ttl_column=_v.ttl_column,
-                            batch_id=bid,
-                            delta_dir=delta_dir,
-                            delta_keep_batches=_v.osrel_keep_batches,
-                            **(
-                                {"num_buckets": _v.upsert_buckets}
-                                if _v.upsert_buckets
-                                else {}
-                            ),
-                        )
+            store_lock = self._store_lock(view.name)
+
+            def _merge_batch(
+                bdf, bid, _d=table_dir, _k=key_cols, _v=view,
+                _lk=store_lock,
+            ):
+                # serialized against ttl_expire()/rebucket() — the
+                # store's manifest contract is single-writer
+                with _lk:
+                    upsert_to_parquet(
+                        bdf,
+                        _d,
+                        _k,
+                        ttl_seconds=_v.ttl_seconds,
+                        ttl_column=_v.ttl_column,
+                        batch_id=bid,
+                        delta_dir=delta_dir,
+                        delta_keep_batches=_v.osrel_keep_batches,
+                        **(
+                            {"num_buckets": _v.upsert_buckets}
+                            if _v.upsert_buckets
+                            else {}
+                        ),
                     )
-                )
+
+            return (
+                vdf.writeStream.foreachBatch(_merge_batch)
                 .queryName(view.name)
                 .outputMode("update")
                 .option(
@@ -1615,14 +1774,16 @@ class Engine:
         query = re.sub(
             r"output_of\(\s*'(\w+)'\s*\)", r"\1_osrel", query, flags=re.I
         )
+        # register ONLY relations the query text references — an ad-hoc
+        # read must not pay O(registry) view_table planning (manifest
+        # reads, sw recombination) for relations it never touches
+        ids = set(re.findall(r"\w+", query))
         for name in self.catalog.state.views:
             osrel = f"{name}_osrel"
-            if re.search(rf"\b{osrel}\b", query) and os.path.isdir(
-                self.osrel_dir(name)
-            ):
+            if osrel in ids and os.path.isdir(self.osrel_dir(name)):
                 self.output_stream(name).createOrReplaceTempView(osrel)
         for name, vd in self.catalog.state.views.items():
-            if (
+            if name in ids and (
                 vd.get("materialize") == "parquet_upsert"
                 or vd.get("sw_seconds") is not None
                 or has_hidden_partials(vd.get("combine_aggs"))
@@ -1638,6 +1799,8 @@ class Engine:
                     continue  # not materialized yet — leave unregistered
         query = self._rewrite_combine(query)
         for name in self.catalog.state.streams:
+            if name not in ids:
+                continue
             try:
                 self.stream_table(name).createOrReplaceTempView(name)
             except Exception:
@@ -1645,7 +1808,11 @@ class Engine:
         # transform output relations are stream tables too (chainable)
         for td in self.catalog.state.transforms.values():
             sink = td.get("sink_relation")
-            if sink and sink not in self.catalog.state.streams:
+            if (
+                sink
+                and sink in ids
+                and sink not in self.catalog.state.streams
+            ):
                 try:
                     self.stream_table(sink).createOrReplaceTempView(sink)
                 except Exception:
@@ -1702,29 +1869,35 @@ class Engine:
         name, vd = cands[0]
         is_sw = vd.get("sw_seconds") is not None
         if is_sw:
-            # point the view name at the LIVE-window slice of the raw
-            # per-step partials: count/sum/min/max merge arithmetically
-            # and approx-distinct unions the stored sketches
-            live = self.matrel(name).filter(
+            # the LIVE-window slice of the raw per-step partials:
+            # count/sum/min/max merge arithmetically and approx-distinct
+            # unions the stored sketches
+            mrel = self.matrel(name).filter(
                 F.col(f"{SW_BUCKET_COL}.end")
                 > F.current_timestamp()
                 - F.expr(f"INTERVAL {int(vd['sw_seconds'])} SECOND")
             )
-            live.createOrReplaceTempView(name)
         else:
-            # point the view name at the matrel so partial columns are
-            # in scope (TTL liveness still applies — combine must agree
-            # with the view's own read semantics)
-            self._ttl_live_filter(
-                self.matrel(name), vd
-            ).createOrReplaceTempView(name)
+            # the matrel with partial columns in scope (TTL liveness
+            # still applies — combine must agree with the view's own
+            # read semantics)
+            mrel = self._ttl_live_filter(self.matrel(name), vd)
+        # register under a throwaway name and rewrite the reference in
+        # the query text — repointing the PUBLIC view name would leak
+        # matrel semantics (TTL filter, partial columns) into every
+        # later plain `SELECT * FROM v` in the session
+        tmp_name = f"__combine_mrel_{name}"
+        mrel.createOrReplaceTempView(tmp_name)
         specs = vd["combine_aggs"]
-        return self._COMBINE_CALL.sub(
+        # substitute combine() calls BEFORE the table-name rewrite so an
+        # alias that happens to equal the view name still resolves
+        query = self._COMBINE_CALL.sub(
             lambda m: combine_select_expr(
                 m.group(1), specs[m.group(1)]["fn"], sw=is_sw
             ),
             query,
         )
+        return re.sub(rf"\b{re.escape(name)}\b", tmp_name, query)
 
     def execute(self, statement: str) -> DataFrame | str:
         """The reference's SQL surface as a single entry point: endpoint /

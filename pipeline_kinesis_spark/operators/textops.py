@@ -613,7 +613,10 @@ def oov_rate_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vset = F.array(
         *[F.lit(r.w) for r in vocab.collect()]
-    )  # K=64 driver-side constants → pure codegen membership test
+    )  # K=OOV_VOCAB_K driver-side constants → codegen membership test
+    # n_tokens=0 ⇒ oov_bp is NULL (division by zero): max()/sum() skip
+    # NULLs in both Spark and DuckDB, so the twins agree bit-for-bit —
+    # an all-whitespace document contributes to n_docs only.
     scored = d.select(
         "doc_id",
         "lang",

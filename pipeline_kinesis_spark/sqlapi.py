@@ -345,7 +345,14 @@ def execute(engine, statement: str) -> DataFrame | str:
                 km = re.match(r"^(\w+)\s*=\s*(.+)$", tok.strip())
                 if not km:
                     raise ValueError(f"bad WITH option: {tok!r}")
-                k, v = km.group(1).lower(), _parse_value(km.group(2))
+                k = km.group(1).lower()
+                raw = km.group(2).strip()
+                # bare keyword accepted alongside quoted: the
+                # retention opt-out reads naturally either way
+                if raw.lower() == "unbounded":
+                    v = "unbounded"
+                else:
+                    v = _parse_value(raw)
 
                 def _duration_secs(val, what):
                     tm = re.fullmatch(
@@ -383,7 +390,13 @@ def execute(engine, statement: str) -> DataFrame | str:
                 elif k == "upsert_buckets":
                     kwargs["upsert_buckets"] = int(v)
                 elif k == "osrel_keep_batches":
-                    kwargs["osrel_keep_batches"] = int(v)
+                    # 'unbounded'/'none' = the explicit audit-everything
+                    # opt-out of the finite retention default
+                    kwargs["osrel_keep_batches"] = (
+                        None
+                        if str(v).lower() in ("unbounded", "none")
+                        else int(v)
+                    )
                 else:
                     raise ValueError(f"unknown WITH option: {k}")
         engine.create_continuous_view(

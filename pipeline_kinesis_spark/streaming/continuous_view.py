@@ -224,10 +224,16 @@ def reap_delta_batches(
     reaped batches (consumers run on the same trigger cadence, so a
     few-hundred-batch window is already hours of slack); ad-hoc history
     reads see only the retained window. Skipping the batch currently
-    being (re)emitted is guaranteed by arithmetic: cutoff < batch_id."""
+    being (re)emitted is guaranteed by arithmetic: cutoff < batch_id.
+
+    The highest cutoff ever applied is recorded in a ``_reaped_below``
+    marker so late-wired consumers (whose file-stream starts from
+    scratch) can detect that history below it is gone and warn instead
+    of silently undercounting."""
     cutoff = int(batch_id) - int(keep_batches)
     if cutoff <= 0:
         return
+    removed = False
     for name in os.listdir(delta_dir):
         if not name.startswith("b") or not name[1:].isdigit():
             continue
@@ -237,6 +243,25 @@ def reap_delta_batches(
             continue
         if bid < cutoff:
             shutil.rmtree(os.path.join(delta_dir, name), ignore_errors=True)
+            removed = True
+    if removed and cutoff > read_reap_marker(delta_dir):
+        tmp = os.path.join(delta_dir, f".tmp_reaped_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(cutoff))
+        os.rename(tmp, os.path.join(delta_dir, _REAP_MARKER))
+
+
+_REAP_MARKER = "_reaped_below"  # `_` prefix: invisible to Spark listing
+
+
+def read_reap_marker(delta_dir: str) -> int:
+    """Lowest batch id still guaranteed present in the osrel history
+    (0 when retention has never reaped)."""
+    try:
+        with open(os.path.join(delta_dir, _REAP_MARKER)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
 
 
 # Snapshot manifest for the upsert store. The per-bucket rename-swap is
