@@ -152,6 +152,12 @@ class CatalogState:
     transforms: dict[str, dict] = field(default_factory=dict)
     consumers: dict[str, dict] = field(default_factory=dict)  # key: id str
     next_consumer_id: int = 1
+    # per-consumer Kinesis poller positions: {consumer_id: {shard: seq}}.
+    # The analog of the reference's seqnums relation written by
+    # save_consumer_state (pipeline_kinesis.c:543-579) — the pump
+    # persists them each round so a restarted consumer resumes AFTER
+    # the last polled record.
+    kinesis_seqnums: dict[str, dict] = field(default_factory=dict)
 
 
 class Catalog:
@@ -282,6 +288,21 @@ class Catalog:
         with self._lock:
             self.state.views.pop(name, None)
             self._save()
+
+    def save_kinesis_seqnums(
+        self, consumer_id: int, seqs: dict[str, str]
+    ) -> None:
+        """Durably record a consumer's per-shard poll positions
+        (reference save_consumer_state, pipeline_kinesis.c:543-579)."""
+        with self._lock:
+            self.state.kinesis_seqnums[str(consumer_id)] = dict(seqs)
+            self._save()
+
+    def load_kinesis_seqnums(self, consumer_id: int) -> dict[str, str]:
+        with self._lock:
+            return dict(
+                self.state.kinesis_seqnums.get(str(consumer_id), {})
+            )
 
     def update_view_options(self, name: str, **options) -> None:
         """Persist a change to an existing view's options (only keys

@@ -42,6 +42,12 @@ from pipeline_kinesis_spark.catalog import (
 from pipeline_kinesis_spark.ingest.parse import parse_records, split_quarantine
 from pipeline_kinesis_spark.shipping import ship_package
 from pipeline_kinesis_spark.sources.file_replay import FileReplaySource
+from pipeline_kinesis_spark.sources.kinesis import (
+    KinesisPump,
+    KinesisReplayBridge,
+    KinesisSource,
+    make_boto3_client,
+)
 from pipeline_kinesis_spark.sources.records import RECORD_SCHEMA
 from pipeline_kinesis_spark.streaming.listeners import QueryMetricsListener
 from pipeline_kinesis_spark.streaming.continuous_view import (
@@ -151,6 +157,13 @@ class Engine:
         # here keeps the single-writer invariant without deactivating
         # the view for the sweep.
         self._store_locks: dict[str, threading.Lock] = {}
+        # endpoint name → injected Kinesis client (boto3-shaped). Like
+        # _procs, clients are process-local by nature: re-register after
+        # a restart (production builds one from the endpoint row via
+        # make_boto3_client when none is registered).
+        self._kinesis_clients: dict[str, object] = {}
+        # consumer id → running KinesisPump background thread
+        self._pumps: dict[int, KinesisPump] = {}
         # view names whose CURRENT standing query was started with
         # output-stream emission on — lets chain wiring skip a needless
         # base restart when emission is already flowing
@@ -182,6 +195,19 @@ class Engine:
 
     def remove_endpoint(self, name: str) -> None:
         self.catalog.remove_endpoint(name)
+        self._kinesis_clients.pop(name, None)
+
+    def register_kinesis_client(self, endpoint: str, client) -> None:
+        """Bind a boto3-shaped Kinesis client to an endpoint: any object
+        exposing describe_stream / get_shard_iterator / get_records.
+        consume_begin on this endpoint then runs the full consumer
+        protocol (discovery, iterator resolution, backoff, reshard
+        draining) on a managed background pump instead of reading
+        record files. Process-local like transform procs — re-register
+        after a restart (or leave unregistered and let production build
+        a real boto3 client from the endpoint's region/credfile/url)."""
+        self.catalog.endpoint(endpoint)  # must exist
+        self._kinesis_clients[endpoint] = client
 
     def create_stream(self, name: str, schema_ddl: str) -> None:
         self.catalog.create_stream(StreamDef(name, schema_ddl))
@@ -525,7 +551,13 @@ class Engine:
         with self._lock:
             ep = self.catalog.endpoint(endpoint)
             sd = self.catalog.stream(relation)
-            if not ep.url:
+            # kinesis-typed endpoints carry a client (injected, or a
+            # real region to build one from); file-replay endpoints
+            # carry a source directory url
+            is_kinesis = endpoint in self._kinesis_clients or (
+                (ep.region or "local") != "local"
+            )
+            if not is_kinesis and not ep.url:
                 raise ValueError(f"endpoint {endpoint!r} has no url")
             if start_position not in ("trim_horizon", "latest") and not (
                 start_position.startswith("after_sequence_number:")
@@ -552,13 +584,64 @@ class Engine:
                 return consumer  # already running
             interval = self._trigger_for(consumer)
 
-            source = FileReplaySource(
-                os.path.join(ep.url, stream),
-                max_files_per_trigger=parallelism,
-            )
-            records = self._apply_start_position(
-                consumer, source, source.read_stream(self.spark)
-            )
+            pump: KinesisPump | None = None
+            if is_kinesis:
+                # full consumer protocol on a managed background pump
+                # (reference consume_thread, kinesis_consumer.cpp:
+                # 328-332, 364-434): poller → record spool → the same
+                # FileReplaySource→parse→view pipeline as file feeds.
+                # The poller resolves start position SERVER-side (and a
+                # catalog checkpoint always wins), so no driver-side
+                # seqnum filtering — kinesis seqnums need not compare
+                # lexicographically.
+                client = self._kinesis_clients.get(endpoint)
+                if client is None:
+                    client = make_boto3_client(
+                        ep.region, ep.credfile, ep.url
+                    )
+                spool = os.path.join(
+                    self.metadata_dir, "spool", str(consumer.id)
+                )
+                os.makedirs(spool, exist_ok=True)
+                cfg = KinesisSource(
+                    stream_name=stream,
+                    region=ep.region or "local",
+                    endpoint_url=ep.url,
+                    credfile=ep.credfile,
+                    start_position=start_position,
+                    batch_size=batchsize,
+                    max_fetch_rate_per_shard=rate_limit_rps or 4.0,
+                )
+                poller = cfg.poller(
+                    client,
+                    checkpoints=self.catalog.load_kinesis_seqnums(
+                        consumer.id
+                    ),
+                )
+                pump = KinesisPump(
+                    KinesisReplayBridge(poller, spool),
+                    rate_per_shard=cfg.max_fetch_rate_per_shard,
+                    # reference save_consumer_state parity: persist the
+                    # per-shard positions after every landing round
+                    on_round=lambda n, _cid=consumer.id, _p=poller: (
+                        self.catalog.save_kinesis_seqnums(
+                            _cid, dict(_p.checkpoints)
+                        )
+                    ),
+                    name=f"kinesis_pump_c{consumer.id}",
+                )
+                source = FileReplaySource(
+                    spool, max_files_per_trigger=parallelism
+                )
+                records = source.read_stream(self.spark)
+            else:
+                source = FileReplaySource(
+                    os.path.join(ep.url, stream),
+                    max_files_per_trigger=parallelism,
+                )
+                records = self._apply_start_position(
+                    consumer, source, source.read_stream(self.spark)
+                )
             parsed = parse_records(
                 records, sd.schema_ddl, fmt, delimiter, quote, escape
             )
@@ -654,6 +737,11 @@ class Engine:
                             )
             self._queries[consumer.id] = queries
             self._parsed[consumer.id] = (relation, good)
+            if pump is not None:
+                # start polling only after every standing query is up so
+                # a pump error never races engine wiring
+                pump.start()
+                self._pumps[consumer.id] = pump
             return consumer
 
     # ---------------------------------------- ACTIVATE / DEACTIVATE
@@ -1346,6 +1434,9 @@ class Engine:
             consumer = self.catalog.find_consumer(endpoint, stream, relation)
             if consumer is None:
                 return False
+            pump = self._pumps.pop(consumer.id, None)
+            if pump is not None:
+                pump.stop()  # stop polling before stopping the drain
             for q in self._queries.pop(consumer.id, []):
                 q.stop()
             self._parsed.pop(consumer.id, None)
@@ -1374,6 +1465,8 @@ class Engine:
     def consume_end_all(self) -> int:
         with self._lock:
             n = 0
+            for cid in list(self._pumps):
+                self._pumps.pop(cid).stop()
             for cid, queries in list(self._queries.items()):
                 for q in queries:
                     q.stop()
@@ -1382,6 +1475,21 @@ class Engine:
                 n += 1
             self._detach_metrics()
             return n
+
+    def pump_status(self) -> dict[int, dict]:
+        """Live state of the managed Kinesis pumps: rounds/records
+        landed, per-shard MillisBehindLatest (A14 lag feed), and any
+        terminal error (consumer_status analog)."""
+        out = {}
+        for cid, p in self._pumps.items():
+            out[cid] = {
+                "alive": p.is_alive(),
+                "rounds": p.rounds,
+                "records": p.records,
+                "error": None if p.error is None else repr(p.error),
+                "lag": p.bridge.poller.lag(),
+            }
+        return out
 
     # ---------------------------------------------------------- inspection
 

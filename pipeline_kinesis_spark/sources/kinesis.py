@@ -20,6 +20,7 @@ Reference flow parity:
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass
 
@@ -94,21 +95,45 @@ class KinesisSource:
         )
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
-        try:
-            import boto3  # noqa: F401
-        except ImportError as exc:
-            raise NotImplementedError(
-                "Kinesis connectivity needs boto3 (driver-side shard "
-                "listing) or a Kinesis Structured Streaming connector on "
-                "the Spark classpath; neither is available in this "
-                "environment. Assemble the reader with reader_options() "
-                "against your connector: spark.readStream.format('"
-                "aws-kinesis').options(**src.reader_options()).load()"
-            ) from exc
         raise NotImplementedError(
-            "driver-side boto3 polling source is not implemented; use a "
-            "JVM Kinesis connector with reader_options()"
+            "direct readStream needs a Kinesis Structured Streaming "
+            "connector on the Spark classpath (assemble with "
+            "reader_options()). The built-in path is the managed pump: "
+            "Engine.register_kinesis_client(endpoint, client) (or let "
+            "consume_begin build a boto3 client from the endpoint row) "
+            "and consume_begin drives poller→bridge→ingest on a paced "
+            "background thread."
         )
+
+
+def make_boto3_client(
+    region: str,
+    credfile: str | None = None,
+    endpoint_url: str | None = None,
+):
+    """Production client for the consumer-protocol engine — the analog
+    of the reference's per-endpoint AWS client construction
+    (pipeline_kinesis.c:120-188: region/credfile/url → client). Env
+    gated: this sandbox has no boto3 and no AWS wire; tests inject a
+    fake client instead (Engine.register_kinesis_client)."""
+    try:
+        import boto3
+    except ImportError as exc:
+        raise NotImplementedError(
+            "boto3 is not installed; register an injected client via "
+            "Engine.register_kinesis_client(endpoint, client) or install "
+            "boto3 for the real AWS wire"
+        ) from exc
+    session_kwargs = {}
+    if credfile:
+        # reference credfile: shared-credentials-file style
+        import os as _os
+
+        _os.environ.setdefault("AWS_SHARED_CREDENTIALS_FILE", credfile)
+    session = boto3.session.Session(**session_kwargs)
+    return session.client(
+        "kinesis", region_name=region, endpoint_url=endpoint_url
+    )
 
 
 # --------------------------------------------------------------------------
@@ -367,3 +392,64 @@ class KinesisReplayBridge:
             rows.append(row)
         write_record_file(self.stream_dir, rows)
         return len(rows)
+
+
+class KinesisPump(threading.Thread):
+    """Unattended polling loop driving a KinesisReplayBridge — the
+    scheduling seam the reference fills with one consume_thread per
+    shard (kinesis_consumer.cpp:364-434, spawned at
+    kinesis_consumer.cpp:328-332). One daemon thread polls every live
+    shard per round (the poller already serializes parent-before-child
+    across reshards) and paces rounds so each shard sees at most
+    ``rate_per_shard`` GetRecords/s — the reference's 4 req/s pacing
+    (kinesis_consumer.cpp:415-421). Throttle backoff sleeps happen
+    inside the poller on top of this pacing.
+
+    ``on_round(n_records)`` runs after every round that landed records
+    — the engine persists poller checkpoints there (reference
+    save_consumer_state). A hard error (from the client or the
+    persistence hook) stops the loop and is surfaced on ``.error`` /
+    pump_status; transient throttle/expiry is already absorbed by the
+    poller and never reaches here."""
+
+    def __init__(
+        self,
+        bridge: KinesisReplayBridge,
+        rate_per_shard: float = 4.0,
+        on_round=None,
+        name: str | None = None,
+        clock=time.monotonic,
+        wait=None,
+    ) -> None:
+        super().__init__(daemon=True, name=name or "kinesis-pump")
+        self.bridge = bridge
+        self.interval_s = 1.0 / rate_per_shard if rate_per_shard > 0 else 0.0
+        self.on_round = on_round
+        self.error: Exception | None = None
+        self.rounds = 0
+        self.records = 0
+        self._clock = clock
+        self._halt = threading.Event()
+        # injectable for tests; default paces on the stop event so
+        # stop() interrupts a sleep immediately
+        self._wait = wait or self._halt.wait
+
+    def run(self) -> None:
+        while not self._halt.is_set():
+            t0 = self._clock()
+            try:
+                n = self.bridge.pump()
+                if n and self.on_round is not None:
+                    self.on_round(n)
+            except Exception as exc:  # noqa: BLE001 — surfaced via .error
+                self.error = exc
+                return
+            self.rounds += 1
+            self.records += n
+            delay = self.interval_s - (self._clock() - t0)
+            if delay > 0:
+                self._wait(delay)
+
+    def stop(self, timeout: float = 30.0) -> None:
+        self._halt.set()
+        self.join(timeout)
