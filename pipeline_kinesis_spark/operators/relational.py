@@ -1230,7 +1230,83 @@ GROUP BY 1, 2
 """
 
 
+# --- B2: combine() transition-state merge, batch-expressible twin ----------
+
+# the continuous view's declared SQL (fine grouping); the standing query
+# carries hidden (s, c, q) partials for avg/stddev via combine_rewrite_sql
+_COMBINE_REGROUP_VIEW_SQL = (
+    "SELECT lang, source, count(*) AS n_docs, "
+    "sum(n_chars) AS total_chars, max(n_chars) AS max_chars, "
+    "avg(n_chars) AS avg_chars, stddev_samp(n_chars) AS sd_chars "
+    "FROM combine_regroup_src GROUP BY lang, source"
+)
+
+
+def combine_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of PipelineDB ``combine()`` (B2): materialize a
+    continuous view's matrel at a FINE grouping — hidden transition
+    -state partial columns included, via the engine's own
+    parse/rewrite machinery — then re-aggregate at a COARSER grouping
+    by merging the partials. avg merges as Σs/Σc (never avg-of-avgs),
+    stddev from its (n, Σx, Σx²) state. This is the exact arithmetic
+    the standing combine() path runs (continuous_view.py
+    combine_select_expr), driven over parquet so DuckDB can oracle the
+    merge bit-for-bit: n_chars partials are integer-valued doubles, so
+    every sum is exact and the final division/sqrt is deterministic
+    IEEE. Scale shape: the merge is one hash aggregate over O(view
+    groups) matrel rows — the raw table is scanned once for the matrel
+    and never again for the regroup."""
+    from pipeline_kinesis_spark.streaming.continuous_view import (
+        combine_rewrite_sql,
+        combine_view,
+        parse_combine_view_sql,
+    )
+
+    specs = parse_combine_view_sql(_COMBINE_REGROUP_VIEW_SQL)
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "combine_regroup_src"
+    )
+    matrel = spark.sql(
+        combine_rewrite_sql(_COMBINE_REGROUP_VIEW_SQL, specs)
+    )
+    return combine_view(matrel, ["lang"], specs).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+        "avg_chars",
+        "sd_chars",
+    )
+
+
+# the oracle spells the two-level merge explicitly — fine-grouped
+# partials, then EXACTLY combine_select_expr's arithmetic at the coarse
+# grouping (sum/count division for avg; (Σq − (Σs)²/Σc)/(Σc−1) under a
+# sqrt for stddev)
+COMBINE_REGROUP_SQL = r"""
+WITH fine AS (
+  SELECT lang, source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(max(n_chars) AS BIGINT) AS max_chars,
+         sum(CAST(n_chars AS DOUBLE)) AS s,
+         CAST(count(n_chars) AS BIGINT) AS c,
+         sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS q
+  FROM documents GROUP BY lang, source
+)
+SELECT lang,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(total_chars) AS BIGINT) AS total_chars,
+       CAST(max(max_chars) AS BIGINT) AS max_chars,
+       (sum(s) / CAST(sum(c) AS DOUBLE)) AS avg_chars,
+       sqrt((sum(q) - pow(sum(s), 2) / CAST(sum(c) AS DOUBLE))
+            / (CAST(sum(c) AS DOUBLE) - 1)) AS sd_chars
+FROM fine GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "combine_regroup": QuerySpec(combine_regroup, COMBINE_REGROUP_SQL),
     "agg_corr_regression": QuerySpec(
         agg_corr_regression, AGG_CORR_REGRESSION_SQL
     ),

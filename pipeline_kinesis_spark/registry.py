@@ -50,38 +50,35 @@ _MODULES = (
 # already verified green follow after.
 _WINDOW = 50
 
-# Round-5 rotation (VERDICT r04 "Next round" #7): the five stalest
-# oracled queries — each last driver-green in r02/r03 — rotate back in
-# (agg_approx_distinct, agg_keyed_minmax, tumbling_window_agg,
-# tfidf_top_terms, dataset_split), plus the new
-# stratified_sample_hash (scale-path sampler twin) takes a gate row
-# immediately. Late-round-5 additions (domain_balance,
-# doc_chunk_overlap, oov_rate_filter) take gate rows too; three
-# 3x-green rows retire for them with families still represented:
-#   grouping_sets_revenue → B15 stays via unpivot_lineitem_measures
-#   zscore_per_user       → B27 stays via scaled_value_pandas
-#   fss_topk_tokens       → B14 stays via hll_mergeable_distinct +
-#                           agg_approx_distinct
-# Six rows green in 2-3 consecutive rounds incl. r04
-# rotate out, each with its family still represented inside the window:
-#   agg_approx_percentile → B14 stays via hll_mergeable_distinct +
-#                           fss_topk_tokens + agg_approx_distinct
-#   bloom_order_priorities → same B14 coverage
-#   session_window_agg    → timeseries stays via asof_join +
-#                           tumbling_window_agg (rotating back in)
-#   corpus_clean          → textops stays via token_stats,
-#                           text_normalize, tfidf_top_terms, winnow
-#   agg_salted_skew       → B12 stays via q1/corr/exact-percentiles/
-#                           histogram + agg_keyed_minmax; skew
-#                           discipline stays via join_salted_skew
-#   cosine_neardup_pairs  → similarity stays via the four recall twins
-#                           + embedding_neardup_clusters
+# Round-6 rotation (VERDICT r05 "Next round" #4 + #6): the stalest
+# oracled greens rotate back in — r01-only topk_per_group /
+# window_lag_lead / window_rank, r02/r03 text_quality / token_count_bpe,
+# r04 zscore_per_user — and the new combine_regroup (PipelineDB
+# combine() transition-state merge, batch-oracled) takes a gate row
+# immediately. Seven multi-round-green rows retire, each with its
+# family still represented inside the window:
+#   window_range_frame (4x) + window_distribution (3x)
+#                         → B17 stays via window_rank + window_lag_lead
+#                           (both returning fresh)
+#   token_stats (4x) + tfidf_top_terms (3x)
+#                         → C4 stays via text_quality + token_count_bpe
+#                           (returning) + text_normalize + winnow
+#   simhash_planted_capture (3x)
+#                         → C2 stays via exact/crossdoc/prefix/minhash/
+#                           spans-rewrite rows
+#   stratified_sample (2x, labeled exact anchor)
+#                         → C6 sampling stays via its scale twin
+#                           stratified_sample_hash + dataset_split
+#   sequence_pack (2x)    → C6 stays via the twins above +
+#                           domain_balance/oov/curation_report
 # Rotated-out rows remain covered by the local sf0.01 full differential
 # (tools/compare_oracle.py) and pytest; tools/gate_history.py asserts
 # every oracled registry query has held a driver-green row in some round.
 _PRIORITY = (
     # TPC-H aggregate/join shapes
     "q1_pricing_summary", "q7_volume_shipping",
+    # PipelineDB combine() merge math, batch-expressible twin (B2)
+    "combine_regroup",
     # corpus-quality curation + dedup clustering + tokenizer training +
     # ANN compression twins (late round-3)
     "decontaminate_overlap", "gopher_repetition", "pii_redact",
@@ -89,38 +86,25 @@ _PRIORITY = (
     "cosine_topk_pq_recall", "cosine_topk_ivfpq_recall",
     # approx aggregates (B14)
     "hll_mergeable_distinct", "agg_approx_distinct",
-    # remaining §2B families (pivot_priority_by_year rotates out
-    # 2x-green for funnel_conversion; B15 stays via grouping_sets +
-    # unpivot)
-    # (agg_keyed_minmax rotates out 2x-green for agg_corr_regression —
-    # B12 keyed aggregates stay via salted-skew + q1)
-    "funnel_conversion", "window_range_frame", "agg_corr_regression",
+    # remaining §2B families
+    "funnel_conversion", "agg_corr_regression",
     "agg_keyed_minmax", "join_salted_skew", "unpivot_lineitem_measures",
-    "window_distribution",
-    # timeseries (B11/B23/B24) + pandas-UDF surface (B27);
-    # tumbling_window_agg rotates out 2x-green for curation_report
-    # (timeseries stays via session+asof)
+    # window functions / top-k (B17/B19): the r01-stale rows return
+    "window_rank", "window_lag_lead", "topk_per_group",
+    # timeseries (B11/B23) + pandas-UDF surface (B27, both spellings)
     "curation_report", "tumbling_window_agg",
-    "asof_join", "scaled_value_pandas",
-    # dedup (C1/C2: exact, prefix-jaccard, MinHash LSH, SimHash, spans)
+    "asof_join", "scaled_value_pandas", "zscore_per_user",
+    # dedup (C1/C2: exact, prefix-jaccard, MinHash LSH, spans)
     "exact_dedup", "crossdoc_span_dup", "ngram_jaccard_prefix",
-    "minhash_lsh_recall", "simhash_planted_capture",
-    # text analysis / corpus ops (ngram_top_bigrams rotates out 2x-green
-    # for the new dedup_spans_rewrite DELETE-step operator)
-    # (text_quality, lang_id_heuristic, token_count_bpe rotate out
-    # 2x-green for text_normalize + the exact-percentile and histogram
-    # aggregates; text_quality's signals are embedded verbatim inside
-    # curation_report's gate row, textops stays via corpus_clean/
-    # token_stats/text_normalize, bpe stays via bpe_train_verify)
-    "tfidf_top_terms", "token_stats",
+    "minhash_lsh_recall",
+    # text analysis / corpus ops: the r02/r03-stale rows return
+    "text_quality", "token_count_bpe",
     "text_normalize", "agg_exact_percentiles", "value_histogram",
     "dedup_spans_rewrite", "lm_perplexity", "winnow_fingerprint_stats",
-    # corpus curation (C6: exact-quota sampler + its hash-threshold
-    # scale twin + the deterministic-split primitive)
-    "sequence_pack", "stratified_sample", "stratified_sample_hash",
-    "dataset_split",
-    # similarity search (embedding_centroids rotates out 2x-green for
-    # the new embedding_neardup_clusters composition)
+    # corpus curation (C6: hash-threshold scale-path sampler + the
+    # deterministic-split primitive)
+    "stratified_sample_hash", "dataset_split",
+    # similarity search
     "cosine_topk_lsh_recall", "cosine_topk_ivf_recall",
     "embedding_neardup_clusters",
     # sketches / events
