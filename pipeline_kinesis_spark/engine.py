@@ -551,14 +551,31 @@ class Engine:
         with self._lock:
             ep = self.catalog.endpoint(endpoint)
             sd = self.catalog.stream(relation)
-            # kinesis-typed endpoints carry a client (injected, or a
-            # real region to build one from); file-replay endpoints
-            # carry a source directory url
-            is_kinesis = endpoint in self._kinesis_clients or (
-                (ep.region or "local") != "local"
+            # kinesis-typed endpoints carry an injected client, or no
+            # local source directory to replay from (url absent, or a
+            # scheme:// URL — the reference's AWS endpoint url);
+            # file-replay endpoints always carry a plain directory
+            # path, whatever region string they declare
+            url_is_dir = bool(ep.url) and not re.match(
+                r"^[a-z][a-z0-9+.-]*://", ep.url
             )
-            if not is_kinesis and not ep.url:
-                raise ValueError(f"endpoint {endpoint!r} has no url")
+            is_kinesis = (
+                endpoint in self._kinesis_clients or not url_is_dir
+            )
+            if (
+                is_kinesis
+                and endpoint not in self._kinesis_clients
+                and not ep.url
+                and (ep.region or "local") == "local"
+            ):
+                # plainly misconfigured: nothing to replay, no client,
+                # no region to build one from — fail here, not in the
+                # pump thread
+                raise ValueError(
+                    f"endpoint {endpoint!r} has no source url and no "
+                    "kinesis client (register_kinesis_client, or set "
+                    "url/region)"
+                )
             if start_position not in ("trim_horizon", "latest") and not (
                 start_position.startswith("after_sequence_number:")
             ):
@@ -629,6 +646,10 @@ class Engine:
                         )
                     ),
                     name=f"kinesis_pump_c{consumer.id}",
+                    # A4 parity: shards partition across up to
+                    # MAX_PROCS polling workers (parallelism is already
+                    # clamped above)
+                    workers=parallelism,
                 )
                 source = FileReplaySource(
                     spool, max_files_per_trigger=parallelism
@@ -1876,7 +1897,14 @@ class Engine:
         """Ad-hoc SQL with every registered continuous view queryable as a
         table — the reference's `SELECT * FROM foo_view` read path
         (README.md:78-88), available mid-stream. Views resolve to their
-        CURRENT materialized state at call time."""
+        CURRENT materialized state at call time.
+
+        Plain MEMORY views resolve to their live sink table by name —
+        for a memory view with TTL that means expired rows are visible
+        here (use view_table()/combine() for TTL-filtered reads; the
+        name cannot be rebound without detaching the standing sink).
+        Every other materialization (parquet, sw, hidden partials)
+        resolves through view_table and honors TTL."""
         # PipelineDB spelling output_of('v') → the <v>_osrel relation;
         # emitted delta history is batch-queryable like any relation
         query = re.sub(

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import threading
 import time
+import zlib
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -198,6 +199,11 @@ class KinesisShardPoller:
         self.checkpoints = dict(checkpoints or {})
         self.sleep = sleep
         self.shards: dict[str, ShardState] = {}
+        # guards shard DISCOVERY only: each shard's polling state is
+        # owned by exactly one worker (stable crc32 assignment), so
+        # per-shard mutation needs no lock — the reference's
+        # shard→bgworker partitioning (pipeline_kinesis.c:774-823)
+        self._disc_lock = threading.Lock()
 
     # -- discovery ---------------------------------------------------------
 
@@ -325,16 +331,31 @@ class KinesisShardPoller:
             st.iterator = nxt
         return out
 
-    def step(self) -> list[dict]:
-        """One polling round over every live shard; rediscovers shards
-        when any closed (reshard boundary)."""
+    @staticmethod
+    def shard_owner(shard_id: str, workers: int) -> int:
+        """Stable shard→worker assignment (A4: the reference partitions
+        shards across at most MAX_PROCS bgworkers). crc32, not hash():
+        deterministic across processes so a restarted pump re-forms the
+        same partitions."""
+        return zlib.crc32(shard_id.encode()) % workers
+
+    def step(self, owner: int | None = None, workers: int = 1) -> list[dict]:
+        """One polling round; rediscovers shards when any closed
+        (reshard boundary). With (owner, workers) set, polls ONLY the
+        shards assigned to this worker — concurrent workers each drive
+        a disjoint subset, sharing discovery and the checkpoint map."""
         if not self.shards:
-            self.refresh_shards()
+            with self._disc_lock:
+                if not self.shards:
+                    self.refresh_shards()
         out = []
-        for st in list(self.shards.values()):
+        for sid, st in list(self.shards.items()):
+            if owner is not None and self.shard_owner(sid, workers) != owner:
+                continue
             out.extend(self.poll_shard(st))
         if any(s.closed for s in self.shards.values()):
-            self.refresh_shards()
+            with self._disc_lock:
+                self.refresh_shards()
         return out
 
     def lag(self) -> dict[str, int | None]:
@@ -362,16 +383,26 @@ class KinesisReplayBridge:
         self.poller = poller
         self.stream_dir = stream_dir
 
-    def pump(self) -> int:
+    def pump(self, owner: int | None = None, workers: int = 1) -> int:
         """One poll round → one record file (if any records). Returns the
-        number of records landed."""
+        number of records landed. With (owner, workers) set, only this
+        worker's shard subset is polled and the batch file carries a
+        collision-free worker-unique name (concurrent workers append to
+        the same spool dir)."""
+        import uuid as _uuid
+
         from pipeline_kinesis_spark.sources.file_replay import (
             write_record_file,
         )
 
-        recs = self.poller.step()
+        recs = self.poller.step(owner, workers)
         if not recs:
             return 0
+        file_name = (
+            None
+            if owner is None
+            else f"batch-w{owner}-{_uuid.uuid4().hex[:12]}.jsonl"
+        )
         rows = []
         for r in recs:
             data = r["data"]
@@ -390,27 +421,31 @@ class KinesisReplayBridge:
                     "approximate_arrival_timestamp"
                 ]
             rows.append(row)
-        write_record_file(self.stream_dir, rows)
+        write_record_file(self.stream_dir, rows, file_name=file_name)
         return len(rows)
 
 
 class KinesisPump(threading.Thread):
     """Unattended polling loop driving a KinesisReplayBridge — the
-    scheduling seam the reference fills with one consume_thread per
-    shard (kinesis_consumer.cpp:364-434, spawned at
-    kinesis_consumer.cpp:328-332). One daemon thread polls every live
-    shard per round (the poller already serializes parent-before-child
-    across reshards) and paces rounds so each shard sees at most
-    ``rate_per_shard`` GetRecords/s — the reference's 4 req/s pacing
+    scheduling seam the reference fills with consume_threads spread
+    over at most MAX_PROCS bgworkers (kinesis_consumer.cpp:364-434,
+    spawned at kinesis_consumer.cpp:328-332; worker partitioning
+    pipeline_kinesis.c:774-823). ``workers`` inner threads each poll a
+    disjoint stable subset of the shards (crc32 assignment), pacing
+    their own rounds so each shard sees at most ``rate_per_shard``
+    GetRecords/s — the reference's 4 req/s pacing
     (kinesis_consumer.cpp:415-421). Throttle backoff sleeps happen
-    inside the poller on top of this pacing.
+    inside the poller on top of this pacing. One worker (the default)
+    is plenty for a handful of shards; the reference's own ceiling is
+    8 workers, and a deployment beyond that scale runs the JVM
+    connector path (reader_options) where executors fetch in parallel.
 
     ``on_round(n_records)`` runs after every round that landed records
     — the engine persists poller checkpoints there (reference
     save_consumer_state). A hard error (from the client or the
-    persistence hook) stops the loop and is surfaced on ``.error`` /
-    pump_status; transient throttle/expiry is already absorbed by the
-    poller and never reaches here."""
+    persistence hook) in ANY worker halts the whole pump and is
+    surfaced on ``.error`` / pump_status; transient throttle/expiry is
+    already absorbed by the poller and never reaches here."""
 
     def __init__(
         self,
@@ -420,32 +455,58 @@ class KinesisPump(threading.Thread):
         name: str | None = None,
         clock=time.monotonic,
         wait=None,
+        workers: int = 1,
     ) -> None:
         super().__init__(daemon=True, name=name or "kinesis-pump")
         self.bridge = bridge
         self.interval_s = 1.0 / rate_per_shard if rate_per_shard > 0 else 0.0
         self.on_round = on_round
+        self.workers = max(1, int(workers))
         self.error: Exception | None = None
         self.rounds = 0
         self.records = 0
         self._clock = clock
         self._halt = threading.Event()
+        self._ctr_lock = threading.Lock()
         # injectable for tests; default paces on the stop event so
         # stop() interrupts a sleep immediately
         self._wait = wait or self._halt.wait
 
     def run(self) -> None:
+        if self.workers == 1:
+            self._loop(None)
+            return
+        threads = [
+            threading.Thread(
+                target=self._loop,
+                args=(i,),
+                daemon=True,
+                name=f"{self.name}-w{i}",
+            )
+            for i in range(self.workers)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    def _loop(self, owner: int | None) -> None:
         while not self._halt.is_set():
             t0 = self._clock()
             try:
-                n = self.bridge.pump()
+                if owner is None:
+                    n = self.bridge.pump()
+                else:
+                    n = self.bridge.pump(owner, self.workers)
                 if n and self.on_round is not None:
                     self.on_round(n)
             except Exception as exc:  # noqa: BLE001 — surfaced via .error
                 self.error = exc
+                self._halt.set()  # one worker's hard error halts all
                 return
-            self.rounds += 1
-            self.records += n
+            with self._ctr_lock:
+                self.rounds += 1
+                self.records += n
             delay = self.interval_s - (self._clock() - t0)
             if delay > 0:
                 self._wait(delay)

@@ -87,6 +87,13 @@ _TTL_EXPIRE = re.compile(
     r"^\s*SELECT\s+pipeline_ttl_expire\s*\(\s*'(\w+)'\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
+# ops hammer for resizing an upsert store's hash-bucket layout:
+# SELECT pipeline_rebucket('view', n)
+_REBUCKET = re.compile(
+    r"^\s*SELECT\s+pipeline_rebucket\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*\)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
 PIPELINE_VERSION = "pipeline_kinesis_spark (pipeline_kinesis 0.9.0 parity)"
 
 
@@ -263,6 +270,11 @@ def execute(engine, statement: str) -> DataFrame | str:
     if m:
         # returns the reaped-row count, the reference's return value
         return str(engine.ttl_expire(m.group(1)))
+
+    m = _REBUCKET.match(statement)
+    if m:
+        engine.rebucket(m.group(1), int(m.group(2)))
+        return "success"
 
     m = _FN_CALL.match(statement)
     if m:

@@ -101,6 +101,35 @@ def test_consume_begin_runs_pump_reshards_and_resumes(spark, tmp_path):
     eng2.consume_end_all()
 
 
+def test_multi_worker_pump_partitions_shards(spark, tmp_path):
+    """parallelism>1 spreads shards across polling workers (the
+    reference's shard→bgworker partitioning): every record still lands
+    exactly once, checkpoints cover every shard."""
+    shards = {f"shardId-{i:03d}": [f"k{i},{j}".encode() for j in range(5)]
+              for i in range(6)}
+    fake = FakeKinesisClient(shards)
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    eng.add_endpoint("ep")
+    eng.register_kinesis_client("ep", fake)
+    eng.create_stream("k_in", "k STRING, v BIGINT")
+    c = eng.consume_begin(
+        "ep", "events", "k_in", fmt="csv", delimiter=",", parallelism=4
+    )
+    assert eng._pumps[c.id].workers == 4
+    assert _wait_until(
+        lambda: eng.pump_status()[c.id]["records"] >= 30
+    ), eng.pump_status()
+    eng.wait_for_ingest()
+    seqs = [
+        r.sequence_number
+        for r in eng.stream_table("k_in").select("sequence_number").collect()
+    ]
+    assert len(seqs) == 30 and len(set(seqs)) == 30  # exactly once
+    ckpt = eng.catalog.load_kinesis_seqnums(c.id)
+    assert set(ckpt) == set(shards)  # every shard checkpointed
+    eng.consume_end_all()
+
+
 def test_pump_error_surfaces_in_status(spark, tmp_path):
     class Boom(Exception):
         pass
@@ -148,6 +177,20 @@ def test_pump_pacing_matches_reference_rate():
     p.run()  # synchronous: no thread needed for the pacing math
     assert delays == [0.25, 0.25, 0.25]
     assert p.rounds == 3 and p.records == 3
+
+
+def test_make_boto3_client_constructs_when_available():
+    """The production client builder works wherever boto3 is installed
+    (construction only — no network here); the wire itself stays
+    untestable in this sandbox."""
+    import pytest
+
+    pytest.importorskip("boto3")
+    from pipeline_kinesis_spark.sources.kinesis import make_boto3_client
+
+    c = make_boto3_client("us-east-1", endpoint_url="http://127.0.0.1:1")
+    assert c.meta.region_name == "us-east-1"
+    assert str(c.meta.endpoint_url).startswith("http://127.0.0.1:1")
 
 
 def test_pump_on_round_failure_is_terminal():

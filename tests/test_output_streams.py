@@ -202,7 +202,12 @@ def test_ttl_reap_emits_delete_tuples(engine, spark, tmp_path):
     import datetime as dt
 
     now = dt.datetime.utcnow().replace(microsecond=0)
-    soon_dead = now.strftime("%Y-%m-%d %H:%M:%S")
+    # 'gone' expires 8 s after `now` (ts = now+6, TTL 2 s) — a wide
+    # enough window that even a slow first micro-batch stores it while
+    # it is still live (a 2 s window flaked under host load)
+    soon_dead = (now + dt.timedelta(seconds=6)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
     alive = (now + dt.timedelta(hours=1)).strftime("%Y-%m-%d %H:%M:%S")
 
     src_root = tmp_path / "kinesis"
@@ -227,9 +232,18 @@ def test_ttl_reap_emits_delete_tuples(engine, spark, tmp_path):
     _put(src_root / "s1", [f"gone,{soon_dead}", f"keep,{alive}"])
     engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
     engine.wait_for_ingest()
+    # precondition for a meaningful delete tuple: the first batch
+    # stored 'gone' while live (fails loudly here rather than flaking
+    # on the delta assertion below)
+    assert {r.k for r in engine.view_table("agg").collect()} == {
+        "gone",
+        "keep",
+    }
     import time as _t
 
-    _t.sleep(3)  # 'gone' passes its 2 s TTL
+    # wait out the expiry (now+8) with margin before the next batch
+    while dt.datetime.utcnow() < now + dt.timedelta(seconds=9):
+        _t.sleep(0.25)
     _put(src_root / "s1", [f"fresh,{alive}"], start=100)
     engine.wait_for_ingest()
 

@@ -318,7 +318,8 @@ def test_rebucket_resizes_store_and_survives_restart(
     }
     assert set(before) == set(keys)
 
-    engine.rebucket("agg", 16)
+    # the ops-hammer SQL spelling drives the same path
+    assert engine.execute("SELECT pipeline_rebucket('agg', 16)") == "success"
     with open(os.path.join(table_dir, _NB_MARKER)) as f:
         assert int(f.read()) == 16
     assert engine.catalog.state.views["agg"]["upsert_buckets"] == 16

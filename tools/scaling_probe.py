@@ -7,13 +7,18 @@ scale-up. A linear operator shows a 0.01→0.1 wall-clock ratio ≤ ~10
 toward 100.
 
 Usage: python tools/scaling_probe.py [query ...]   (default: probe set)
+       python tools/scaling_probe.py --streaming   (osrel chain + combine
+                                                    read growth probes)
 Prints one JSON line per query with per-SF min-of-2 timings and ratios.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, ".")
@@ -43,7 +48,127 @@ PROBE = (
 )
 
 
+def probe_osrel_chain(spark) -> None:
+    """Growth of the full standing-view dataflow per 10x records:
+    ingest → parquet_upsert merge → delta emission → chained osrel
+    consumer. Wall-clock from consume_begin to both levels drained.
+    Fixed micro-batch overhead dominates the small sizes; the 10x
+    ratios are the signal."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import write_record_file
+
+    sizes = (2_000, 20_000, 200_000)
+    times = []
+    for n in sizes:
+        base = tempfile.mkdtemp(prefix="probe_osrel_")
+        eng = Engine(spark, metadata_dir=os.path.join(base, "meta"))
+        eng.add_endpoint("ep", url=os.path.join(base, "kin"))
+        eng.create_stream("st", "k STRING, v BIGINT")
+        eng.create_continuous_view(
+            "agg",
+            "SELECT k, count(*) AS cnt, sum(v) AS total FROM st GROUP BY k",
+            "st",
+            materialize="parquet_upsert",
+            key_cols=["k"],
+        )
+        eng.create_continuous_view(
+            "chain",
+            "SELECT new.k AS k, count(*) AS versions, max(new.cnt) AS c "
+            "FROM agg_osrel GROUP BY new.k",
+            "agg_osrel",
+        )
+        keys = max(n // 10, 1)
+        rows = [
+            {
+                "data": f"k{i % keys},{i}",
+                "partition_key": f"k{i % keys}",
+                "shard_id": "shardId-000000000000",
+                "sequence_number": f"{i:056d}",
+            }
+            for i in range(n)
+        ]
+        # four record files → several micro-batches per level
+        for j in range(4):
+            write_record_file(os.path.join(base, "kin", "s"), rows[j::4])
+        t0 = time.time()
+        eng.consume_begin(
+            "ep", "s", "st", fmt="csv", delimiter=",", parallelism=4
+        )
+        eng.wait_for_ingest()
+        eng.wait_for_ingest()  # second pass drains the chained level
+        dt = time.time() - t0
+        n_chain = eng.view_table("chain").count()
+        eng.consume_end_all()
+        shutil.rmtree(base, ignore_errors=True)
+        assert n_chain == keys, (n_chain, keys)
+        times.append(round(dt, 3))
+    print(
+        json.dumps(
+            {
+                "query": "osrel_chain_e2e",
+                "records": list(sizes),
+                "sec": times,
+                "ratio_10x_small": round(times[1] / times[0], 2),
+                "ratio_10x_big": round(times[2] / times[1], 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+def probe_combine_read(spark) -> None:
+    """Growth of a combine() read per 10x matrel groups: merge hidden
+    (s, c, q) partials at a coarser grouping — one hash aggregate over
+    O(groups) rows, so the ratio should track the input linearly."""
+    from pipeline_kinesis_spark.streaming.continuous_view import (
+        combine_view,
+    )
+
+    specs = {
+        "n_docs": {"fn": "count", "arg": "*"},
+        "avg_v": {"fn": "avg", "arg": "v"},
+        "sd_v": {"fn": "stddev_samp", "arg": "v"},
+    }
+    sizes = (10_000, 100_000, 1_000_000)
+    times = []
+    for g in sizes:
+        matrel = spark.range(g).selectExpr(
+            "CAST(id % 64 AS STRING) AS coarse",
+            "CAST(id AS STRING) AS fine",
+            "id + 1 AS n_docs",
+            "CAST(id AS DOUBLE) * (id + 1) AS avg_v__pkpart_s",
+            "id + 1 AS avg_v__pkpart_c",
+            "CAST(id AS DOUBLE) * (id + 1) AS sd_v__pkpart_s",
+            "id + 1 AS sd_v__pkpart_c",
+            "CAST(id AS DOUBLE) * CAST(id AS DOUBLE) * (id + 1)"
+            " AS sd_v__pkpart_q",
+        )
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            combine_view(matrel, ["coarse"], specs).collect()
+            samples.append(time.time() - t0)
+        times.append(round(min(samples), 3))
+    print(
+        json.dumps(
+            {
+                "query": "combine_read",
+                "groups": list(sizes),
+                "sec": times,
+                "ratio_10x_small": round(times[1] / times[0], 2),
+                "ratio_10x_big": round(times[2] / times[1], 2),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
+    if "--streaming" in sys.argv[1:]:
+        spark = get_spark("scaling-probe-streaming", shuffle_partitions=8)
+        probe_osrel_chain(spark)
+        probe_combine_read(spark)
+        return
     names = sys.argv[1:] or list(PROBE)
     spark = get_spark("scaling-probe")
     qs = all_queries()
