@@ -380,3 +380,61 @@ def test_combine_over_durable_sw_view(engine, tmp_path):
     assert (g.cnt, g.total, g.dv) == (10, 54, 9)
     per_k = {r.k: r.cnt for r in engine.combine("cv", ["k"]).collect()}
     assert per_k == {"a": 5, "b": 5}
+
+
+def test_combine_merge_equals_direct_aggregation_property(spark):
+    """Property: for random data, merging fine-grained transition-state
+    partials at a coarser grouping must equal aggregating the RAW rows
+    directly at that grouping — the defining combine() invariant, for
+    every supported aggregate at once. Batch-only (no engine), so the
+    merge math itself is the unit under test."""
+    import math
+    import random
+
+    from pipeline_kinesis_spark.streaming.continuous_view import (
+        combine_rewrite_sql,
+        combine_view,
+        parse_combine_view_sql,
+    )
+
+    view_sql = (
+        "SELECT g, f, count(*) AS n, sum(v) AS s, min(v) AS lo, "
+        "max(v) AS hi, avg(v) AS mean, stddev_samp(v) AS sd, "
+        "var_samp(v) AS vr FROM prop_src GROUP BY g, f"
+    )
+    specs = parse_combine_view_sql(view_sql)
+    assert set(specs) == {"n", "s", "lo", "hi", "mean", "sd", "vr"}
+    for seed in (7, 23, 1009):
+        rng = random.Random(seed)
+        rows = [
+            (
+                f"g{rng.randrange(4)}",
+                f"f{rng.randrange(13)}",
+                rng.randrange(-1000, 1000),
+            )
+            for _ in range(rng.randrange(200, 600))
+        ]
+        spark.createDataFrame(
+            rows, "g STRING, f STRING, v LONG"
+        ).createOrReplaceTempView("prop_src")
+        matrel = spark.sql(combine_rewrite_sql(view_sql, specs))
+        merged = {
+            r.g: r
+            for r in combine_view(matrel, ["g"], specs).collect()
+        }
+        direct = {
+            r.g: r
+            for r in spark.sql(
+                "SELECT g, count(*) AS n, sum(v) AS s, min(v) AS lo, "
+                "max(v) AS hi, avg(v) AS mean, stddev_samp(v) AS sd, "
+                "var_samp(v) AS vr FROM prop_src GROUP BY g"
+            ).collect()
+        }
+        assert set(merged) == set(direct)
+        for g, d in direct.items():
+            m = merged[g]
+            assert (m.n, m.s, m.lo, m.hi) == (d.n, d.s, d.lo, d.hi)
+            for col in ("mean", "sd", "vr"):
+                assert math.isclose(
+                    getattr(m, col), getattr(d, col), rel_tol=1e-9
+                ), (seed, g, col, m, d)
