@@ -295,7 +295,12 @@ class KinesisShardPoller:
                 ShardIterator=st.iterator, Limit=self.source.batch_size
             )
         except Exception as exc:  # noqa: BLE001 — classify by code/name
-            name = getattr(exc, "code", type(exc).__name__)
+            # botocore raises ClientError carrying the AWS error code in
+            # .response; fakes raise typed exceptions — accept both
+            name = getattr(exc, "code", None) or type(exc).__name__
+            resp = getattr(exc, "response", None)
+            if isinstance(resp, dict):
+                name = resp.get("Error", {}).get("Code") or name
             if "ProvisionedThroughputExceeded" in name:
                 st.backoff_s = min(st.backoff_s + BACKOFF_STEP_S, BACKOFF_MAX_S)
                 self.sleep(st.backoff_s)
