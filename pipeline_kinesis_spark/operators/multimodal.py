@@ -3,11 +3,12 @@
 Media (image/audio/video) are opaque ``binary`` payloads + typed metadata
 structs. The Spark-side plumbing — schema, partition-aware batch iteration,
 Arrow-batched mapInPandas signatures — is real and tested, and
-``decode_media`` REALLY decodes the uncompressed containers (PPM P6,
-24-bit BMP, PCM16 WAV) in pure numpy/stdlib; only compressed codecs
-(JPEG/PNG/MP3/H.264 — no codec libs in this container) stay behind
-``NotImplementedError``, with a deterministic fake for their plumbing
-tests.
+``decode_media`` REALLY decodes PPM P6, 24-bit BMP, PCM16 WAV — and,
+since r06, COMPRESSED 8-bit PNG (stdlib zlib inflate + all five spec
+filters unapplied in numpy) — no codec libraries involved. Only
+transform codecs (JPEG/MP3/H.264, which need DCT/MDCT decoder libs not
+in this container) stay behind ``NotImplementedError``, with a
+deterministic fake for their plumbing tests.
 
 At 100 TB the pattern is: binary parquet columns, ``mapInPandas`` with
 modest ``spark.sql.execution.arrow.maxRecordsPerBatch`` (payloads are big),
@@ -72,13 +73,14 @@ FEATURES_SCHEMA = StructType(
 
 
 def decode_media(payload: bytes, mime: str = "") -> object:
-    """Decode uncompressed media containers in pure numpy/stdlib — no
-    codec libraries needed: PPM P6 (binary RGB), BMP (24-bit
-    uncompressed BI_RGB), WAV (PCM16 RIFF). Dispatch is by magic bytes,
+    """Decode media containers in pure numpy/stdlib — no codec
+    libraries needed: PPM P6 (binary RGB), BMP (24-bit uncompressed
+    BI_RGB), WAV (PCM16 RIFF), and 8-bit PNG (zlib inflate + filter
+    unapply — a real COMPRESSED format). Dispatch is by magic bytes,
     so the mime hint is advisory. Returns an ``(h, w, 3) uint8`` pixel
     array for images, ``(sample_rate, (n, channels) int16 array)`` for
-    audio. Compressed codecs (JPEG/PNG/MP3/H.264) stay environment-gated
-    — cluster deployments plug a real decoder into this same dispatch.
+    audio. Transform codecs (JPEG/MP3/H.264) stay environment-gated —
+    cluster deployments plug a real decoder into this same dispatch.
     """
     if payload is None:
         raise ValueError("empty payload")
@@ -86,12 +88,15 @@ def decode_media(payload: bytes, mime: str = "") -> object:
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return _decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     raise NotImplementedError(
         f"no pure-numpy decoder for this container (mime={mime!r}); "
-        "compressed codecs require libraries not present in this "
-        "container — use fake_features() for plumbing tests"
+        "transform codecs (JPEG/MP3/H.264) require libraries not "
+        "present in this container — use fake_features() for plumbing "
+        "tests"
     )
 
 
@@ -188,6 +193,180 @@ def encode_bmp(pixels) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
     return file_hdr + info_hdr + body
+
+
+# -- PNG: DEFLATE over filtered scanlines (stdlib zlib + numpy) -------------
+#
+# PNG's "compression" is zlib/DEFLATE over per-row filtered scanlines —
+# both pieces are stdlib/numpy territory, so unlike transform codecs
+# (JPEG's DCT, MP3's MDCT) a COMPRESSED image format decodes here for
+# real: parse chunks, inflate IDAT, unapply the five spec filters.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_COLOR_FOR = {1: 0, 2: 4, 3: 2, 4: 6}  # channels → color type
+
+
+def _decode_png(payload: bytes) -> "np.ndarray":
+    """8-bit non-interlaced PNG (gray / RGB / gray+alpha / RGBA).
+    Sub and Up filters unapply vectorized (per-lane cumsum / row add);
+    Average and Paeth rows fall back to a per-byte loop — encoders
+    overwhelmingly emit 0-2 for synthetic data, and correctness beats
+    speed on the rare rows. Output normalized to (h, w, 3) RGB uint8
+    (gray replicated, alpha dropped) like the other image decoders."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (
+                depth != 8
+                or color not in _PNG_CHANNELS
+                or comp != 0
+                or filt != 0
+                or interlace != 0
+            ):
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced gray/RGB/GA/RGBA PNG "
+                    f"supported (depth={depth}, color={color}, "
+                    f"interlace={interlace})"
+                )
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    stride = w * ch
+    raw = np.frombuffer(
+        zlib.decompress(bytes(idat)), dtype=np.uint8
+    ).reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int64)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, row = int(ftypes[y]), rows[y]
+        if f == 0:
+            cur = row
+        elif f == 1:  # Sub: left-neighbor chain = per-lane cumsum
+            cur = (
+                np.cumsum(row.reshape(w, ch), axis=0).reshape(stride)
+                % 256
+            )
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f == 3:  # Average: sequential left dependency
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (row[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            cur = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = (
+                    a
+                    if pa <= pb and pa <= pc
+                    else (b if pb <= pc else c)
+                )
+                cur[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = cur
+        prev = cur
+    px = recon.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    if ch == 2:  # gray + alpha: replicate gray, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if ch == 4:
+        return px[:, :, :3].copy()
+    return px
+
+
+def encode_png(pixels, filter_type: int = 0) -> bytes:
+    """uint8 pixels → 8-bit non-interlaced PNG. Accepts (h, w) gray,
+    (h, w, 2) gray+alpha, (h, w, 3) RGB, (h, w, 4) RGBA. filter_type
+    applies that spec filter (0-4) to EVERY row, so decoder filter
+    coverage is testable per type. Fixture/export helper."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = _PNG_COLOR_FOR[ch]
+    rows = a.reshape(h, w * ch).astype(np.int64)
+    body = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    zeros = np.zeros(ch, dtype=np.int64)
+    for y in range(h):
+        cur = rows[y]
+        left = np.concatenate([zeros, cur[:-ch]])
+        upleft = np.concatenate([zeros, prev[:-ch]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = (cur - left) % 256
+        elif filter_type == 2:
+            filt = (cur - prev) % 256
+        elif filter_type == 3:
+            filt = (cur - (left + prev) // 2) % 256
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc),
+                left,
+                np.where(pb <= pc, prev, upleft),
+            )
+            filt = (cur - pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {filter_type}")
+        body.append(filter_type)
+        body += filt.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
 
 
 # -- WAV: PCM16 RIFF --------------------------------------------------------

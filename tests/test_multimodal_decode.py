@@ -62,9 +62,14 @@ def test_wav_round_trip_stereo_pcm16():
     assert (got == samples).all()
 
 
-def test_compressed_codecs_stay_gated():
+def test_transform_codecs_stay_gated():
+    # JPEG needs a DCT decoder — still env-gated (PNG is NOT: it
+    # decodes for real now, see the PNG tests below)
     with pytest.raises(NotImplementedError, match="decoder"):
-        decode_media(b"\x89PNG\r\n\x1a\n....", "image/png")
+        decode_media(b"\xff\xd8\xff\xe0....JFIF", "image/jpeg")
+    # truncated/invalid PNG errors loudly, never misdecodes
+    with pytest.raises(ValueError, match="IHDR"):
+        decode_media(b"\x89PNG\r\n\x1a\n", "image/png")
     with pytest.raises(NotImplementedError, match="BI_RGB"):
         # BMP container but 32-bit: unsupported variant must not
         # silently misdecode
@@ -127,3 +132,80 @@ def test_decode_pixel_stats_through_spark_plumbing(spark):
         assert (r.width, r.height) == (4, 6)
         assert r.mean_px == float(30 * i)
         assert r.min_px == r.max_px == 30 * i
+
+
+def test_png_round_trip_all_filters():
+    """A COMPRESSED format decoded for real: RGB round-trips through
+    zlib-deflated PNG under every spec filter type (None/Sub/Up/
+    Average/Paeth)."""
+    from pipeline_kinesis_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(42)
+    px = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    for ft in range(5):
+        body = encode_png(px, filter_type=ft)
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+        assert len(body) != px.nbytes  # actually compressed/filtered
+        got = decode_media(body)
+        assert (got == px).all(), f"filter {ft}"
+
+
+def test_png_color_types_normalize_to_rgb():
+    """Gray, gray+alpha and RGBA payloads all come back (h, w, 3)."""
+    from pipeline_kinesis_spark.operators.multimodal import encode_png
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(5, 4), dtype=np.uint8)
+    got = decode_media(encode_png(gray))
+    assert got.shape == (5, 4, 3) and (got[:, :, 0] == gray).all()
+    assert (got[:, :, 1] == gray).all() and (got[:, :, 2] == gray).all()
+
+    ga = rng.integers(0, 256, size=(5, 4, 2), dtype=np.uint8)
+    got = decode_media(encode_png(ga))
+    assert got.shape == (5, 4, 3) and (got[:, :, 0] == ga[:, :, 0]).all()
+
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    got = decode_media(encode_png(rgba))
+    assert got.shape == (5, 4, 3) and (got == rgba[:, :, :3]).all()
+
+
+def test_png_round_trip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pipeline_kinesis_spark.operators.multimodal import encode_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 13),
+        ft=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def rt(h, w, ft, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert (decode_media(encode_png(px, filter_type=ft)) == px).all()
+
+    rt()
+
+
+def test_png_flows_through_pixel_stats_with_other_containers(spark):
+    """PNG joins PPM/BMP in one binary column through the Arrow-batched
+    decode path — dispatch is per payload, stats exact."""
+    from pipeline_kinesis_spark.operators.multimodal import encode_png
+
+    rows = []
+    for i in range(9):
+        level = 25 * i
+        px = np.full((6, 4, 3), level, dtype=np.uint8)
+        payload = [encode_ppm, encode_bmp, encode_png][i % 3](px)
+        rows.append((i, bytearray(payload)))
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {r.media_id: r for r in decode_pixel_stats(df).collect()}
+    assert len(got) == 9
+    for i in range(9):
+        r = got[i]
+        assert (r.width, r.height) == (4, 6)
+        assert r.mean_px == float(25 * i)
+        assert r.min_px == r.max_px == 25 * i
