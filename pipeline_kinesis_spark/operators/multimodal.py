@@ -373,30 +373,100 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
 
 
 def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """PCM16 (fmt 1) plus the G.711 COMPANDED codecs: μ-law (fmt 7)
+    and A-law (fmt 6) 8-bit samples expand to int16 through the
+    spec's piecewise-log formulas — real compressed-audio decode in
+    pure numpy (2:1, the telephony standard)."""
     import struct
 
     import numpy as np
 
-    pos, rate, channels, bits = 12, None, None, None
+    pos, rate, channels, fmt = 12, None, None, None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         pos += 8
         if cid == b"fmt ":
             fmt, channels, rate = struct.unpack_from("<HHI", payload, pos)
             bits = struct.unpack_from("<H", payload, pos + 14)[0]
-            if fmt != 1 or bits != 16:
+            if not (
+                (fmt == 1 and bits == 16)
+                or (fmt in (6, 7) and bits == 8)
+            ):
                 raise NotImplementedError(
-                    f"only PCM16 WAV supported (fmt={fmt}, bits={bits})"
+                    f"only PCM16 / G.711 u-law / A-law WAV supported "
+                    f"(fmt={fmt}, bits={bits})"
                 )
         elif cid == b"data":
             if rate is None:
                 raise ValueError("WAV data chunk before fmt chunk")
-            samples = np.frombuffer(
-                payload, dtype="<i2", count=size // 2, offset=pos
-            ).reshape(-1, channels)
-            return rate, samples
+            if fmt == 1:
+                samples = np.frombuffer(
+                    payload, dtype="<i2", count=size // 2, offset=pos
+                )
+            else:
+                codes = np.frombuffer(
+                    payload, dtype=np.uint8, count=size, offset=pos
+                )
+                expand = _alaw_expand if fmt == 6 else _ulaw_expand
+                samples = expand(codes)
+            return rate, samples.reshape(-1, channels)
         pos += size + (size & 1)  # chunks pad to even length
     raise ValueError("no data chunk in WAV payload")
+
+
+def _ulaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """G.711 μ-law byte → int16 (ITU-T spec expansion)."""
+    import numpy as np
+
+    u = (~codes.astype(np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant << 3) + 0x84) << exp
+    out = mag - 0x84
+    return np.where(sign != 0, -out, out).astype(np.int16)
+
+
+def _ulaw_compress(samples: "np.ndarray") -> "np.ndarray":
+    """int16 → G.711 μ-law byte (encoder twin for round-trip tests)."""
+    import numpy as np
+
+    x = samples.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    exp = np.floor(np.log2(mag)).astype(np.int64) - 7
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def _alaw_expand(codes: "np.ndarray") -> "np.ndarray":
+    """G.711 A-law byte → int16 (ITU-T spec expansion)."""
+    import numpy as np
+
+    a = codes.astype(np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(
+        exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << (exp - 1)
+    )
+    # A-law sign convention (G.711 / SUN reference): the 0x80 bit of
+    # the UNXORED code marks a POSITIVE sample — opposite of μ-law
+    return np.where(sign != 0, mag, -mag).astype(np.int16)
+
+
+def _alaw_compress(samples: "np.ndarray") -> "np.ndarray":
+    """int16 → G.711 A-law byte (encoder twin for round-trip tests)."""
+    import numpy as np
+
+    x = samples.astype(np.int64)
+    sign = np.where(x >= 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), 32767)
+    exp = np.maximum(
+        np.floor(np.log2(np.maximum(mag, 1))).astype(np.int64) - 7, 0
+    )
+    mant = np.where(exp == 0, mag >> 4, (mag >> (exp + 3)) & 0x0F)
+    return ((sign | (exp << 4) | mant) ^ 0x55).astype(np.uint8)
 
 
 def encode_wav(rate: int, samples) -> bytes:
@@ -415,6 +485,35 @@ def encode_wav(rate: int, samples) -> bytes:
     )
     chunks = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks) - 4) + chunks
+
+
+def encode_wav_g711(rate: int, samples, law: str = "ulaw") -> bytes:
+    """(n, channels) int16 → 8-bit G.711 companded RIFF/WAVE
+    (fmt 7 μ-law / fmt 6 A-law). Lossy 2:1 compression — the decoder
+    recovers the quantized value. Fixture/export helper."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    channels = a.shape[1]
+    if law == "ulaw":
+        fmt_code, codes = 7, _ulaw_compress(a)
+    elif law == "alaw":
+        fmt_code, codes = 6, _alaw_compress(a)
+    else:
+        raise ValueError(f"law must be 'ulaw' or 'alaw', got {law!r}")
+    body = codes.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, channels, rate, rate * channels, channels, 8
+    )
+    chunks = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunks += b"\x00"  # chunks pad to even length
     return b"RIFF" + struct.pack("<I", 4 + len(chunks) - 4) + chunks
 
 

@@ -209,3 +209,43 @@ def test_png_flows_through_pixel_stats_with_other_containers(spark):
         assert (r.width, r.height) == (4, 6)
         assert r.mean_px == float(25 * i)
         assert r.min_px == r.max_px == 25 * i
+
+
+def test_g711_code_round_trips():
+    """Compress∘expand is the identity on the code space — the
+    canonical G.711 invariant (μ-law excludes 0x7F, the spec's second
+    zero, which canonicalizes to 0xFF)."""
+    from pipeline_kinesis_spark.operators.multimodal import (
+        _alaw_compress,
+        _alaw_expand,
+        _ulaw_compress,
+        _ulaw_expand,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    u_rt = _ulaw_compress(_ulaw_expand(codes))
+    assert (u_rt[codes != 0x7F] == codes[codes != 0x7F]).all()
+    assert u_rt[0x7F] == 0xFF  # -0 canonicalizes to +0's code
+    a_rt = _alaw_compress(_alaw_expand(codes))
+    assert (a_rt == codes).all()
+
+
+def test_g711_wav_decodes_within_quantization_error():
+    """Compressed AUDIO decode for real: 8-bit companded WAV (fmt 6/7)
+    expands to int16 within G.711's segment quantization error."""
+    from pipeline_kinesis_spark.operators.multimodal import (
+        encode_wav_g711,
+    )
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32000, 32000, size=(500, 2)).astype(np.int16)
+    for law in ("ulaw", "alaw"):
+        payload = encode_wav_g711(8000, s, law=law)
+        rate, got = decode_media(payload)
+        assert rate == 8000 and got.shape == s.shape
+        assert got.dtype == np.int16
+        err = np.abs(got.astype(np.int64) - s.astype(np.int64))
+        bound = np.abs(s.astype(np.int64)) // 16 + 64
+        assert (err <= bound).all(), (law, int(err.max()))
+        # half the bytes of PCM16: actually compressed
+        assert len(payload) < s.nbytes
