@@ -2061,10 +2061,22 @@ class Engine:
     def seqnums(self) -> DataFrame:
         """Per-(consumer, shard) high-water marks — the queryable progress
         relation the reference exposes as pipeline_kinesis.seqnums
-        (README.md:119-129). Derived from ingested lineage, so it reflects
-        exactly what is durably in the stream tables."""
+        (README.md:119-129; table written by save_consumer_state,
+        pipeline_kinesis.c:543-579). Kinesis consumers report the
+        catalog-persisted poller positions (the direct
+        save_consumer_state analog); file-replay consumers derive their
+        marks from ingested lineage, so they reflect exactly what is
+        durably in the stream tables."""
+        schema = "consumer_id INT, shard_id STRING, seqnum STRING"
         frames = []
+        ck_rows = []
         for c in self.catalog.all_consumers():
+            ck = self.catalog.load_kinesis_seqnums(c.id)
+            if ck:
+                ck_rows.extend(
+                    (c.id, sid, seq) for sid, seq in sorted(ck.items())
+                )
+                continue
             if not os.path.isdir(self.table_dir(c.relation)):
                 continue
             frames.append(
@@ -2077,10 +2089,10 @@ class Engine:
                     "seqnum",
                 )
             )
+        if ck_rows:
+            frames.append(self.spark.createDataFrame(ck_rows, schema))
         if not frames:
-            return self.spark.createDataFrame(
-                [], "consumer_id INT, shard_id STRING, seqnum STRING"
-            )
+            return self.spark.createDataFrame([], schema)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)

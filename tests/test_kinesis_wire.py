@@ -153,8 +153,14 @@ def test_engine_ingests_through_real_boto3_wire(wire, spark, tmp_path):
         r.k: (r.n, r.total) for r in eng.view_table("k_counts").collect()
     }
     assert rows == {"a": (2, 3), "b": (1, 5)}
-    # poller positions persisted from wire-fed rounds
+    # poller positions persisted from wire-fed rounds — and surfaced
+    # through the reference's seqnums relation
     assert eng.catalog.load_kinesis_seqnums(c.id)["shardId-000"] == (
         "shardId-000-1"
     )
+    marks = {
+        (r.consumer_id, r.shard_id): r.seqnum
+        for r in eng.seqnums().collect()
+    }
+    assert marks[(c.id, "shardId-000")] == "shardId-000-1"
     eng.consume_end_all()
