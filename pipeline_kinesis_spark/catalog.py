@@ -289,16 +289,34 @@ class Catalog:
             self.state.views.pop(name, None)
             self._save()
 
+    def _seqnum_path(self, consumer_id: int) -> str:
+        return os.path.join(
+            self.metadata_dir, "seqnums", f"c{consumer_id}.json"
+        )
+
     def save_kinesis_seqnums(
         self, consumer_id: int, seqs: dict[str, str]
     ) -> None:
-        """Durably record a consumer's per-shard poll positions
-        (reference save_consumer_state, pipeline_kinesis.c:543-579)."""
-        with self._lock:
-            self.state.kinesis_seqnums[str(consumer_id)] = dict(seqs)
-            self._save()
+        """Durably record a consumer's per-shard positions (reference
+        save_consumer_state, pipeline_kinesis.c:543-579). One small
+        file per consumer, written atomically — the pump persists after
+        every landing round, and rewriting the whole catalog JSON at
+        that cadence (and holding its lock) would serialize every
+        polling worker on unrelated catalog I/O."""
+        path = self._seqnum_path(consumer_id)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
+        with open(tmp, "w") as f:
+            json.dump(dict(seqs), f)
+        os.replace(tmp, path)
 
     def load_kinesis_seqnums(self, consumer_id: int) -> dict[str, str]:
+        try:
+            with open(self._seqnum_path(consumer_id)) as f:
+                return dict(json.load(f))
+        except (OSError, ValueError):
+            pass
+        # legacy location: early r06 builds kept them in catalog.json
         with self._lock:
             return dict(
                 self.state.kinesis_seqnums.get(str(consumer_id), {})

@@ -68,6 +68,7 @@ from pipeline_kinesis_spark.streaming.continuous_view import (
     read_reap_marker,
     read_store_manifest,
     read_store_schema,
+    recover_store_swap,
     write_store_manifest,
     split_having,
     sw_combine,
@@ -639,10 +640,11 @@ class Engine:
                     KinesisReplayBridge(poller, spool),
                     rate_per_shard=cfg.max_fetch_rate_per_shard,
                     # reference save_consumer_state parity: persist the
-                    # per-shard positions after every landing round
+                    # per-shard COMMITTED (spooled) positions after
+                    # every landing round
                     on_round=lambda n, _cid=consumer.id, _p=poller: (
                         self.catalog.save_kinesis_seqnums(
-                            _cid, dict(_p.checkpoints)
+                            _cid, _p.snapshot_checkpoints()
                         )
                     ),
                     name=f"kinesis_pump_c{consumer.id}",
@@ -1059,6 +1061,9 @@ class Engine:
         key_cols = list(vd.get("key_cols") or [])
         table_dir = self.view_dir(view_name)
         with self._store_lock(view_name):
+            # a prior rebucket may have died between its two renames —
+            # restore before deciding whether the store exists
+            recover_store_swap(table_dir)
             # future first-materializations (and restarts before one)
             # pick the new count up from the catalog; existing stores
             # are governed by the marker rewritten below
@@ -1465,23 +1470,37 @@ class Engine:
 
     def consume_begin_all(self) -> list[Consumer]:
         """Restart every cataloged consumer (kinesis_consume_begin no-arg,
-        pipeline_kinesis--0.9.0.sql:75-78)."""
-        return [
-            self.consume_begin(
-                c.endpoint,
-                c.stream,
-                c.relation,
-                c.format,
-                c.delimiter,
-                c.quote,
-                c.escape,
-                c.batchsize,
-                c.parallelism,
-                c.start_position,
-                getattr(c, "rate_limit_rps", None),
-            )
-            for c in self.catalog.all_consumers()
-        ]
+        pipeline_kinesis--0.9.0.sql:75-78). One consumer failing to
+        start — typically a kinesis consumer whose process-local client
+        was not re-registered after a restart — must not keep the
+        OTHERS down: failures are warned and skipped; re-run after
+        register_kinesis_client to pick the stragglers up (already
+        -running consumers are idempotent no-ops)."""
+        started: list[Consumer] = []
+        for c in self.catalog.all_consumers():
+            try:
+                started.append(
+                    self.consume_begin(
+                        c.endpoint,
+                        c.stream,
+                        c.relation,
+                        c.format,
+                        c.delimiter,
+                        c.quote,
+                        c.escape,
+                        c.batchsize,
+                        c.parallelism,
+                        c.start_position,
+                        getattr(c, "rate_limit_rps", None),
+                    )
+                )
+            except Exception as exc:  # noqa: BLE001 — isolate per consumer
+                warnings.warn(
+                    f"consumer {c.id} ({c.endpoint}/{c.stream}→"
+                    f"{c.relation}) failed to start: {exc}",
+                    stacklevel=2,
+                )
+        return started
 
     def consume_end_all(self) -> int:
         with self._lock:
@@ -1760,6 +1779,7 @@ class Engine:
         before the recovered merge republishes) are dropped from the
         plan rather than failing the read."""
         table_dir = self.view_dir(view_name)
+        recover_store_swap(table_dir)
         paths = read_store_manifest(table_dir)
         if paths is not None:
             paths = [p for p in paths if os.path.exists(p)]
@@ -1912,14 +1932,18 @@ class Engine:
         )
         # register ONLY relations the query text references — an ad-hoc
         # read must not pay O(registry) view_table planning (manifest
-        # reads, sw recombination) for relations it never touches
-        ids = set(re.findall(r"\w+", query))
+        # reads, sw recombination) for relations it never touches.
+        # Matching is case-insensitive, like Spark SQL's own identifier
+        # resolution (``FROM Events`` must find stream ``events``).
+        ids = {t.lower() for t in re.findall(r"\w+", query)}
         for name in self.catalog.state.views:
             osrel = f"{name}_osrel"
-            if osrel in ids and os.path.isdir(self.osrel_dir(name)):
+            if osrel.lower() in ids and os.path.isdir(
+                self.osrel_dir(name)
+            ):
                 self.output_stream(name).createOrReplaceTempView(osrel)
         for name, vd in self.catalog.state.views.items():
-            if name in ids and (
+            if name.lower() in ids and (
                 vd.get("materialize") == "parquet_upsert"
                 or vd.get("sw_seconds") is not None
                 or has_hidden_partials(vd.get("combine_aggs"))
@@ -1935,7 +1959,7 @@ class Engine:
                     continue  # not materialized yet — leave unregistered
         query = self._rewrite_combine(query)
         for name in self.catalog.state.streams:
-            if name not in ids:
+            if name.lower() not in ids:
                 continue
             try:
                 self.stream_table(name).createOrReplaceTempView(name)
@@ -1946,7 +1970,7 @@ class Engine:
             sink = td.get("sink_relation")
             if (
                 sink
-                and sink in ids
+                and sink.lower() in ids
                 and sink not in self.catalog.state.streams
             ):
                 try:
@@ -1976,7 +2000,16 @@ class Engine:
         matrel (partials visible) for this query. The rewrite is textual
         but anchored: it fires only when exactly one registered view both
         appears in the query and exposes every referenced alias."""
-        aliases = {m.group(1) for m in self._COMBINE_CALL.finditer(query)}
+        from pipeline_kinesis_spark.streaming.continuous_view import (
+            _outside_string_mask,
+        )
+
+        pre_mask = _outside_string_mask(query)
+        aliases = {
+            m.group(1)
+            for m in self._COMBINE_CALL.finditer(query)
+            if pre_mask[m.start()]
+        }
         if not aliases:
             return query
         cands = [
@@ -2025,15 +2058,33 @@ class Engine:
         tmp_name = f"__combine_mrel_{name}"
         mrel.createOrReplaceTempView(tmp_name)
         specs = vd["combine_aggs"]
+        from pipeline_kinesis_spark.streaming.continuous_view import (
+            _outside_string_mask,
+        )
+
+        # rewrites apply OUTSIDE string literals only — a predicate
+        # like WHERE label = 'v' must keep its literal untouched.
+        # re.sub scans the original string, so match offsets index the
+        # original mask even as replacements change lengths.
+        mask = _outside_string_mask(query)
         # substitute combine() calls BEFORE the table-name rewrite so an
         # alias that happens to equal the view name still resolves
-        query = self._COMBINE_CALL.sub(
-            lambda m: combine_select_expr(
-                m.group(1), specs[m.group(1)]["fn"], sw=is_sw
+        query2 = self._COMBINE_CALL.sub(
+            lambda m: (
+                combine_select_expr(
+                    m.group(1), specs[m.group(1)]["fn"], sw=is_sw
+                )
+                if mask[m.start()]
+                else m.group(0)
             ),
             query,
         )
-        return re.sub(rf"\b{re.escape(name)}\b", tmp_name, query)
+        mask2 = _outside_string_mask(query2)
+        return re.sub(
+            rf"\b{re.escape(name)}\b",
+            lambda m: tmp_name if mask2[m.start()] else m.group(0),
+            query2,
+        )
 
     def execute(self, statement: str) -> DataFrame | str:
         """The reference's SQL surface as a single entry point: endpoint /

@@ -166,6 +166,20 @@ class ShardState:
     closed: bool = False
     backoff_s: float = 0.0
     parents: tuple[str, ...] = ()
+    # a post-close rediscovery has already run for this shard — without
+    # the flag every later round would DescribeStream again (AWS caps
+    # that call at ~10/s account-wide)
+    refreshed_after_close: bool = False
+
+
+def _error_code(exc: Exception) -> str:
+    """AWS error code of an exception: botocore ClientError carries it
+    in .response, fakes in .code or the type name."""
+    name = getattr(exc, "code", None) or type(exc).__name__
+    resp = getattr(exc, "response", None)
+    if isinstance(resp, dict):
+        name = resp.get("Error", {}).get("Code") or name
+    return name
 
 
 class KinesisShardPoller:
@@ -196,14 +210,23 @@ class KinesisShardPoller:
     ) -> None:
         self.client = client
         self.source = source
+        # COMMITTED positions only: a shard's entry advances when its
+        # records have been handed downstream (bridge spool write →
+        # commit()), never merely on poll — persisting a polled-but-
+        # unspooled position would let a crash skip those records
+        # forever. st.last_seq tracks the in-memory polled position
+        # (iterator re-acquire after expiry).
         self.checkpoints = dict(checkpoints or {})
         self.sleep = sleep
         self.shards: dict[str, ShardState] = {}
-        # guards shard DISCOVERY only: each shard's polling state is
-        # owned by exactly one worker (stable crc32 assignment), so
-        # per-shard mutation needs no lock — the reference's
-        # shard→bgworker partitioning (pipeline_kinesis.c:774-823)
+        # guards shard DISCOVERY; each shard's polling state is owned
+        # by exactly one worker (stable crc32 assignment), so per-shard
+        # mutation needs no lock — the reference's shard→bgworker
+        # partitioning (pipeline_kinesis.c:774-823)
         self._disc_lock = threading.Lock()
+        # guards the checkpoint map against concurrent commit/snapshot
+        # key insertion across workers
+        self._ck_lock = threading.Lock()
 
     # -- discovery ---------------------------------------------------------
 
@@ -255,7 +278,11 @@ class KinesisShardPoller:
         configured start (records between parent end and child start
         must not be skipped); otherwise the configured start maps via
         iterator_type()."""
-        seq = self.checkpoints.get(st.shard_id) or st.last_seq
+        with self._ck_lock:
+            committed = self.checkpoints.get(st.shard_id)
+        # the furthest in-memory position wins within a live process
+        # (st.last_seq advances past the committed mark mid-flight)
+        seq = st.last_seq or committed
         if seq is not None:
             it_type, start_seq = "AFTER_SEQUENCE_NUMBER", seq
         elif st.parents:
@@ -295,12 +322,7 @@ class KinesisShardPoller:
                 ShardIterator=st.iterator, Limit=self.source.batch_size
             )
         except Exception as exc:  # noqa: BLE001 — classify by code/name
-            # botocore raises ClientError carrying the AWS error code in
-            # .response; fakes raise typed exceptions — accept both
-            name = getattr(exc, "code", None) or type(exc).__name__
-            resp = getattr(exc, "response", None)
-            if isinstance(resp, dict):
-                name = resp.get("Error", {}).get("Code") or name
+            name = _error_code(exc)
             if "ProvisionedThroughputExceeded" in name:
                 st.backoff_s = min(st.backoff_s + BACKOFF_STEP_S, BACKOFF_MAX_S)
                 self.sleep(st.backoff_s)
@@ -314,7 +336,6 @@ class KinesisShardPoller:
         out = []
         for rec in resp["Records"]:
             st.last_seq = rec["SequenceNumber"]
-            self.checkpoints[st.shard_id] = rec["SequenceNumber"]
             out.append(
                 {
                     "shard_id": st.shard_id,
@@ -345,10 +366,15 @@ class KinesisShardPoller:
         return zlib.crc32(shard_id.encode()) % workers
 
     def step(self, owner: int | None = None, workers: int = 1) -> list[dict]:
-        """One polling round; rediscovers shards when any closed
-        (reshard boundary). With (owner, workers) set, polls ONLY the
-        shards assigned to this worker — concurrent workers each drive
-        a disjoint subset, sharing discovery and the checkpoint map."""
+        """One polling round; rediscovers shards ONCE per reshard (a
+        newly closed shard triggers one DescribeStream sweep, then is
+        marked — AWS caps DescribeStream at ~10/s account-wide, so a
+        per-round refresh would throttle forever after the first
+        reshard). Discovery throttling is absorbed like GetRecords
+        throttling: skip the sweep this round, retry next. With
+        (owner, workers) set, polls ONLY the shards assigned to this
+        worker — concurrent workers each drive a disjoint subset,
+        sharing discovery and the checkpoint map."""
         if not self.shards:
             with self._disc_lock:
                 if not self.shards:
@@ -358,17 +384,56 @@ class KinesisShardPoller:
             if owner is not None and self.shard_owner(sid, workers) != owner:
                 continue
             out.extend(self.poll_shard(st))
-        if any(s.closed for s in self.shards.values()):
+        pending = [
+            s
+            for s in list(self.shards.values())
+            if s.closed and not s.refreshed_after_close
+        ]
+        if pending:
             with self._disc_lock:
-                self.refresh_shards()
+                pending = [
+                    s for s in pending if not s.refreshed_after_close
+                ]
+                if pending:
+                    try:
+                        self.refresh_shards()
+                    except Exception as exc:  # noqa: BLE001 — classify
+                        code = _error_code(exc)
+                        if not (
+                            "LimitExceeded" in code
+                            or "ProvisionedThroughputExceeded" in code
+                        ):
+                            raise
+                        # throttled discovery: leave the flags unset so
+                        # a later round retries the sweep
+                    else:
+                        for s in pending:
+                            s.refreshed_after_close = True
         return out
+
+    def commit(self, recs: list[dict]) -> None:
+        """Mark records as handed downstream — only now do their
+        positions enter the durable checkpoint map (the spool write
+        happened; a restart resuming AFTER these seqnums loses
+        nothing)."""
+        if not recs:
+            return
+        with self._ck_lock:
+            for r in recs:
+                self.checkpoints[r["shard_id"]] = r["sequence_number"]
+
+    def snapshot_checkpoints(self) -> dict[str, str]:
+        """Consistent copy of the committed positions (safe against
+        concurrent worker commits)."""
+        with self._ck_lock:
+            return dict(self.checkpoints)
 
     def lag(self) -> dict[str, int | None]:
         """MillisBehindLatest per live shard (lag-metrics feed,
         consumer_status analog)."""
         return {
             sid: st.millis_behind
-            for sid, st in self.shards.items()
+            for sid, st in list(self.shards.items())
             if not st.closed
         }
 
@@ -427,6 +492,11 @@ class KinesisReplayBridge:
                 ]
             rows.append(row)
         write_record_file(self.stream_dir, rows, file_name=file_name)
+        # records are durably spooled — ONLY now may their positions
+        # enter the checkpoint map a concurrent worker might persist
+        # (committing at poll time would let a crash between poll and
+        # spool skip records forever)
+        self.poller.commit(recs)
         return len(rows)
 
 

@@ -87,6 +87,24 @@ def _write_bucket_marker(table_dir: str, n: int) -> None:
         f.write(str(n))
 
 
+def recover_store_swap(table_dir: str) -> None:
+    """Crash recovery for WHOLE-DIR swaps (legacy migration, rebucket):
+    the swap is rename(table_dir → bak) then rename(tmp → table_dir);
+    dying between the renames leaves only the bak. If the live dir is
+    missing, the bak IS the store — restore it; if the live dir exists,
+    the swap completed and the bak is stale — drop it. Every writer and
+    reader entry point calls this first, so an interrupted resize can
+    never be mistaken for an empty store (which would silently
+    first-materialize from one batch and discard all history)."""
+    for bak in (f"{table_dir}__rebucket_bak", f"{table_dir}__legacy_bak"):
+        if not os.path.isdir(bak):
+            continue
+        if os.path.isdir(table_dir):
+            shutil.rmtree(bak)
+        else:
+            os.rename(bak, table_dir)
+
+
 def _recover_bucket_baks(table_dir: str) -> None:
     """Crash recovery: a `.bak.<KB_COL>=i` dir left behind means a prior
     swap died mid-flight. If the live dir is missing, the bak IS the
@@ -381,6 +399,7 @@ def upsert_to_parquet(
     spark = batch_df.sparkSession
     if KB_COL in batch_df.columns:
         raise ValueError(f"column name {KB_COL!r} is reserved")
+    recover_store_swap(table_dir)
     exists = os.path.isdir(table_dir)
     n = _store_buckets(table_dir, num_buckets) if exists else num_buckets
     kb = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n)).cast(

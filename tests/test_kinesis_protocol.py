@@ -150,8 +150,12 @@ def test_trim_horizon_reads_everything_and_follows_iterator():
     # NextShardIterator was followed, not re-acquired: one GetShardIterator
     # per shard despite multiple GetRecords pages
     assert fake.calls.count("get_shard_iterator:TRIM_HORIZON") == 2
-    # sequence numbers surface for checkpointing
-    assert p.checkpoints["shardId-000"] == "shardId-000-2"
+    # polled positions surface in-memory; the DURABLE checkpoint map
+    # stays empty until the caller commits records as handed downstream
+    assert p.shards["shardId-000"].last_seq == "shardId-000-2"
+    assert p.checkpoints == {}
+    p.commit(got)
+    assert p.snapshot_checkpoints()["shardId-000"] == "shardId-000-2"
 
 
 def test_latest_skips_backlog_then_sees_new_records():
@@ -311,3 +315,60 @@ def test_unknown_client_error_propagates():
     p = _src().poller(fake)
     with pytest.raises(Boom):
         p.step()
+
+
+def test_reshard_describes_once_not_every_round():
+    """A closed shard triggers ONE post-close DescribeStream sweep —
+    not one per round forever (AWS caps DescribeStream at ~10/s, so a
+    per-round refresh throttles itself to death after any reshard)."""
+    fake = FakeKinesisClient({"shardId-000": [b"p1"]})
+    p = _src().poller(fake)
+    p.step()  # p1 read
+    fake.reshard("shardId-000", ["shardId-001"])
+    fake.append("shardId-001", b"c1")
+    _drain(p, rounds=3)  # parent closes, child discovered + drained
+    n_desc = fake.calls.count("describe_stream")
+    _drain(p, rounds=5)  # steady state: no further discovery
+    assert fake.calls.count("describe_stream") == n_desc
+
+
+def test_discovery_throttle_is_absorbed_not_fatal():
+    """LimitExceeded on the post-close DescribeStream skips the sweep
+    that round and retries later — it must not propagate and kill the
+    pump."""
+    fake = FakeKinesisClient({"shardId-000": [b"p1"]})
+
+    class LimitExceededException(Exception):
+        pass
+
+    p = _src().poller(fake)
+    p.step()
+    fake.reshard("shardId-000", ["shardId-001"])
+    fake.append("shardId-001", b"c1")
+    p.step()  # parent drains and closes
+    orig = fake.describe_stream
+    state = {"fail": 2}
+
+    def flaky(**kw):
+        if state["fail"] > 0:
+            state["fail"] -= 1
+            raise LimitExceededException("slow down")
+        return orig(**kw)
+
+    fake.describe_stream = flaky
+    got = _drain(p, rounds=5)  # throttled sweeps absorbed, then child found
+    assert [r["data"] for r in got] == [b"c1"]
+
+
+def test_commit_after_spool_checkpoint_discipline():
+    """checkpoints only ever contain COMMITTED positions: a crash
+    between poll and spool must replay, never skip. Restarting from
+    the committed map re-reads the uncommitted records."""
+    fake = FakeKinesisClient({"shardId-000": [b"a", b"b", b"c"]})
+    p = _src(batch_size=2).poller(fake)
+    first = p.step()  # polls a, b
+    p.commit(first[:1])  # only 'a' made it downstream before the crash
+    # a restarted poller from the committed map resumes after 'a'
+    fake2 = FakeKinesisClient({"shardId-000": [b"a", b"b", b"c"]})
+    p2 = _src(batch_size=2).poller(fake2, checkpoints=p.snapshot_checkpoints())
+    assert [r["data"] for r in _drain(p2, 2)] == [b"b", b"c"]

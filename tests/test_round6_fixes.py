@@ -351,3 +351,93 @@ def test_rebucket_resizes_store_and_survives_restart(
         r.k: (r.cnt, r.total) for r in eng2.view_table("agg").collect()
     }
     assert got2 == got
+
+
+def test_rebucket_crash_between_renames_recovers(engine, spark, tmp_path):
+    """Dying between rebucket's two directory renames leaves only the
+    __rebucket_bak dir; every store entry point must restore it rather
+    than treating the store as empty (which would silently discard all
+    aggregated history on the next merge)."""
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("st", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "agg",
+        _BASE_SQL,
+        "st",
+        materialize="parquet_upsert",
+        key_cols=["k"],
+    )
+    _put(src_root / "s1", ["a,1", "b,2"])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    engine.consume_end_all()
+    before = {
+        r.k: (r.cnt, r.total) for r in engine.view_table("agg").collect()
+    }
+    table_dir = engine.view_dir("agg")
+    # simulate the crash window: first rename done, second never ran
+    os.rename(table_dir, f"{table_dir}__rebucket_bak")
+    # reads recover the store...
+    assert {
+        r.k: (r.cnt, r.total) for r in engine.view_table("agg").collect()
+    } == before
+    # ...and a subsequent merge sees the recovered data, not an empty dir
+    os.rename(table_dir, f"{table_dir}__rebucket_bak")
+    _put(src_root / "s1", ["a,10"], start=50)
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    got = {
+        r.k: (r.cnt, r.total) for r in engine.view_table("agg").collect()
+    }
+    assert got == {"a": (2, 11), "b": (1, 2)}
+    assert not os.path.isdir(f"{table_dir}__rebucket_bak")
+
+
+def test_combine_rewrite_leaves_string_literals_alone(
+    engine, spark, tmp_path
+):
+    """combine() rewrites the view reference in the query TEXT — a
+    string literal that happens to equal the view name must survive."""
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("st", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "vv", "SELECT k, count(*) AS n FROM st GROUP BY k", "st"
+    )
+    _put(src_root / "s1", ["vv,1", "vv,2", "other,3"])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    row = engine.sql(
+        "SELECT combine(n) AS total FROM vv WHERE k = 'vv'"
+    ).collect()[0]
+    assert row.total == 2  # the literal 'vv' was not rewritten
+    row = engine.sql(
+        "SELECT combine(n) AS total FROM vv WHERE k <> 'vv'"
+    ).collect()[0]
+    assert row.total == 1
+
+
+def test_sql_resolves_relations_case_insensitively(
+    engine, spark, tmp_path
+):
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("events_in", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "agg",
+        "SELECT k, count(*) AS cnt FROM events_in GROUP BY k",
+        "events_in",
+        materialize="parquet_upsert",
+        key_cols=["k"],
+    )
+    _put(src_root / "s1", ["a,1", "b,2"])
+    engine.consume_begin("ep", "s1", "events_in", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    engine.consume_end_all()
+    # Spark SQL resolves identifiers case-insensitively — registration
+    # must match that, not require the exact catalog spelling
+    assert engine.sql("SELECT count(*) AS c FROM Events_IN").collect()[
+        0
+    ].c == 2
+    assert engine.sql("SELECT count(*) AS c FROM AGG").collect()[0].c == 2
