@@ -4,11 +4,13 @@ Media (image/audio/video) are opaque ``binary`` payloads + typed metadata
 structs. The Spark-side plumbing — schema, partition-aware batch iteration,
 Arrow-batched mapInPandas signatures — is real and tested, and
 ``decode_media`` REALLY decodes PPM P6, 24-bit BMP, PCM16 WAV — and,
-since r06, COMPRESSED 8-bit PNG (stdlib zlib inflate + all five spec
-filters unapplied in numpy) — no codec libraries involved. Only
-transform codecs (JPEG/MP3/H.264, which need DCT/MDCT decoder libs not
-in this container) stay behind ``NotImplementedError``, with a
-deterministic fake for their plumbing tests.
+since r06, the COMPRESSED formats: 8-bit PNG (stdlib zlib inflate +
+all five spec filters unapplied in numpy), GIF (variable-width LZW
+implemented from the spec), and G.711 companded audio (u-law/A-law
+WAV) — no codec libraries involved. Only transform codecs
+(JPEG/MP3/H.264, which need DCT/MDCT decoder libs not in this
+container) stay behind ``NotImplementedError``, with a deterministic
+fake for their plumbing tests.
 
 At 100 TB the pattern is: binary parquet columns, ``mapInPandas`` with
 modest ``spark.sql.execution.arrow.maxRecordsPerBatch`` (payloads are big),
@@ -75,8 +77,8 @@ FEATURES_SCHEMA = StructType(
 def decode_media(payload: bytes, mime: str = "") -> object:
     """Decode media containers in pure numpy/stdlib — no codec
     libraries needed: PPM P6 (binary RGB), BMP (24-bit uncompressed
-    BI_RGB), WAV (PCM16 RIFF), and 8-bit PNG (zlib inflate + filter
-    unapply — a real COMPRESSED format). Dispatch is by magic bytes,
+    BI_RGB), WAV (PCM16 + G.711 u-law/A-law), 8-bit PNG (zlib inflate
+    + filter unapply), and GIF (spec LZW). Dispatch is by magic bytes,
     so the mime hint is advisory. Returns an ``(h, w, 3) uint8`` pixel
     array for images, ``(sample_rate, (n, channels) int16 array)`` for
     audio. Transform codecs (JPEG/MP3/H.264) stay environment-gated —
@@ -90,6 +92,8 @@ def decode_media(payload: bytes, mime: str = "") -> object:
         return _decode_bmp(payload)
     if payload[:8] == _PNG_MAGIC:
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     raise NotImplementedError(
@@ -367,6 +371,216 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(body)))
         + chunk(b"IEND", b"")
     )
+
+
+# -- GIF: LZW-compressed indexed color (pure-Python LZW + numpy) ------------
+#
+# GIF's compression is variable-width LZW over palette indices — a
+# dictionary coder, implementable exactly from the spec with no codec
+# library. First image frame only (animation = repeated frames of the
+# same machinery); interlaced row order supported.
+
+# the four interlace passes: (row offset, row step)
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> list[int]:
+    """Variable-width LZW per the GIF spec: codes start at
+    min_code+1 bits, the width bumps when the NEXT code would not fit
+    (post-insert, cap 12 bits), CLEAR resets the table, and the KwKwK
+    case (code == next unassigned entry) resolves to prev + prev[0]."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < npix:
+        c = 0
+        for i in range(code_size):
+            c |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += code_size
+        if c == clear:
+            table = {i: (i,) for i in range(clear)}
+            next_code, code_size, prev = end + 1, min_code + 1, None
+            continue
+        if c == end:
+            break
+        if prev is None:
+            entry = table[c]
+        elif c in table:
+            entry = table[c]
+            if next_code < 4096:
+                table[next_code] = prev + (entry[0],)
+                next_code += 1
+        elif c == next_code:
+            entry = prev + (prev[0],)
+            if next_code < 4096:
+                table[next_code] = entry
+                next_code += 1
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {c})")
+        out.extend(entry)
+        prev = entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if len(out) < npix:
+        raise ValueError("truncated GIF LZW stream")
+    return out[:npix]
+
+
+def _decode_gif(payload: bytes) -> "np.ndarray":
+    """First frame of an 87a/89a GIF: parse the logical screen + color
+    table, skip extensions, inflate the LZW index stream, map through
+    the palette, de-interlace if flagged. Returns (h, w, 3) uint8."""
+    import struct
+
+    import numpy as np
+
+    w, h = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label then sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        _, _, iw, ih = struct.unpack_from("<HHHH", payload, pos)
+        pos += 8
+        iflags = payload[pos]
+        pos += 1
+        table = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            table = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(
+                n, 3
+            )
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF image without a color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            sz = payload[pos]
+            data += payload[pos + 1 : pos + 1 + sz]
+            pos += 1 + sz
+        pos += 1
+        idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+        px = table[np.asarray(idx, dtype=np.int32)].reshape(ih, iw, 3)
+        if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+            out = np.empty_like(px)
+            src = 0
+            for off, step in _GIF_PASSES:
+                rows = range(off, ih, step)
+                out[list(rows)] = px[src : src + len(rows)]
+                src += len(rows)
+            px = out
+        return px.copy()
+    raise ValueError("no image data in GIF payload")
+
+
+def encode_gif(
+    palette, indices, interlaced: bool = False
+) -> bytes:
+    """(n≤256, 3) uint8 palette + (h, w) uint8 indices → GIF89a with a
+    REAL variable-width LZW encoder (table resets at 4096 codes, width
+    bumps mirrored post-insert with the decoder). Fixture/export
+    helper."""
+    import struct
+
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.uint8)
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    # color-table size: power of two ≥ max(palette size, 2)
+    bits = max(int(np.ceil(np.log2(max(len(pal), 2)))), 1)
+    n = 1 << bits
+    table_bytes = np.zeros((n, 3), dtype=np.uint8)
+    table_bytes[: len(pal)] = pal
+    min_code = max(bits, 2)  # spec: LZW minimum code size ≥ 2
+
+    if interlaced:
+        order = [
+            r for off, step in _GIF_PASSES for r in range(off, h, step)
+        ]
+        seq = idx[order].reshape(-1)
+    else:
+        seq = idx.reshape(-1)
+
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    codes: list[tuple[int, int]] = []  # (code, width)
+    code_size = min_code + 1
+    table: dict[tuple[int, ...], int] = {
+        (i,): i for i in range(1 << min_code)
+    }
+    next_code = end + 1
+    codes.append((clear, code_size))
+    wseq: tuple[int, ...] = ()
+    for k in map(int, seq):
+        wk = wseq + (k,)
+        if wk in table:
+            wseq = wk
+            continue
+        codes.append((table[wseq], code_size))
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # the DECODER's table is one entry behind (its first data
+            # code after a clear inserts nothing), so the width bump
+            # lands one insert later than the decoder's own rule
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:  # table full: reset, mirroring the decoder
+            codes.append((clear, code_size))
+            table = {(i,): i for i in range(1 << min_code)}
+            next_code, code_size = end + 1, min_code + 1
+        wseq = (k,)
+    if wseq:
+        codes.append((table[wseq], code_size))
+    codes.append((end, code_size))
+
+    bits_out = bytearray()
+    acc = nbits = 0
+    for code, width in codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits_out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        bits_out.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (bits - 1))  # GCT present, size bits
+    out += b"\x00\x00"  # background, aspect
+    out += table_bytes.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlaced else 0x00)
+    out.append(min_code)
+    for i in range(0, len(bits_out), 255):
+        block = bits_out[i : i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # -- WAV: PCM16 RIFF --------------------------------------------------------

@@ -249,3 +249,61 @@ def test_g711_wav_decodes_within_quantization_error():
         assert (err <= bound).all(), (law, int(err.max()))
         # half the bytes of PCM16: actually compressed
         assert len(payload) < s.nbytes
+
+
+def test_gif_lzw_round_trip_including_table_reset():
+    """Variable-width LZW for real: random 256-color 64x64 indices grow
+    the dictionary through every code width (9..12 bits) and past the
+    4096-entry reset; structured data exercises long matches."""
+    from pipeline_kinesis_spark.operators.multimodal import encode_gif
+
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    # random indices: ~1 new dict entry per pixel -> hits the 4096 reset
+    idx = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    got = decode_media(encode_gif(pal, idx))
+    assert (got == pal[idx.astype(np.int32)]).all()
+    # highly repetitive indices: long LZW matches, tiny output
+    idx2 = np.tile(np.arange(8, dtype=np.uint8), (32, 16))
+    body = encode_gif(pal, idx2)
+    assert len(body) < idx2.size  # actually compressed
+    assert (decode_media(body) == pal[idx2.astype(np.int32)]).all()
+
+
+def test_gif_interlaced_and_small_palettes():
+    from pipeline_kinesis_spark.operators.multimodal import encode_gif
+
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, size=(5, 3), dtype=np.uint8)  # non-pow2
+    idx = rng.integers(0, 5, size=(13, 7), dtype=np.uint8)
+    assert (
+        decode_media(encode_gif(pal, idx)) == pal[idx.astype(np.int32)]
+    ).all()
+    assert (
+        decode_media(encode_gif(pal, idx, interlaced=True))
+        == pal[idx.astype(np.int32)]
+    ).all()
+
+
+def test_gif_round_trip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pipeline_kinesis_spark.operators.multimodal import encode_gif
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 16),
+        w=st.integers(1, 17),
+        ncolors=st.integers(2, 256),
+        interlaced=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def rt(h, w, ncolors, interlaced, seed):
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncolors, size=(h, w), dtype=np.uint8)
+        got = decode_media(encode_gif(pal, idx, interlaced=interlaced))
+        assert (got == pal[idx.astype(np.int32)]).all()
+
+    rt()
