@@ -924,8 +924,13 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        # raw ratios, no round(): percent_rank/cume_dist are exact
+        # integer divisions ((r-1)/(n-1), k/n) and IEEE division is
+        # bit-identical across engines — round() is NOT (a value at a
+        # .xxxxx5 boundary rounds half-up in Spark's decimal path and
+        # half-even on DuckDB's binary double; surfaced at sf0.1)
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
         F.first("c_custkey").over(wf).alias("poorest"),
         F.last("c_custkey").over(wf).alias("richest"),
     )
@@ -936,8 +941,8 @@ SELECT
   c_custkey,
   c_nationkey,
   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-  round(percent_rank() OVER w, 6) AS pct_rank,
-  round(cume_dist() OVER w, 6) AS cume,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume,
   first_value(c_custkey) OVER wf AS poorest,
   last_value(c_custkey) OVER wf AS richest
 FROM customer

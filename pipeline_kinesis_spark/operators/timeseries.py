@@ -27,7 +27,15 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # exact integer-cent average: value carries 2 decimals, so
+            # Σcents and n are exact integers and one IEEE division is
+            # bit-identical across engines — round(avg(double), 4) is
+            # not (a group mean at a .xxxx5 boundary rounds half-up in
+            # Spark, half-even on DuckDB's binary double; hit at sf0.1)
+            (
+                F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                / (F.count(F.lit(1)) * 100.0)
+            ).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -43,7 +51,8 @@ SELECT
   date_trunc('hour', ts) AS window_start,
   event_type,
   count(*) AS n,
-  round(avg(value), 4) AS avg_value
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+    / (count(*) * 100.0) AS avg_value
 FROM events
 GROUP BY 1, 2
 """
