@@ -7,10 +7,12 @@ Arrow-batched mapInPandas signatures — is real and tested, and
 since r06, the COMPRESSED formats: 8-bit PNG (stdlib zlib inflate +
 all five spec filters unapplied in numpy), GIF (variable-width LZW
 implemented from the spec), and G.711 companded audio (u-law/A-law
-WAV) — no codec libraries involved. Only transform codecs
-(JPEG/MP3/H.264, which need DCT/MDCT decoder libs not in this
-container) stay behind ``NotImplementedError``, with a deterministic
-fake for their plumbing tests.
+WAV), plus the full transform codec baseline JPEG (SOF0 per ITU-T
+T.81: generic-DHT Huffman, dequantize, vectorized IDCT, chroma
+upsampling) — no codec libraries involved. Only MP3/H.264 (MDCT /
+motion compensation) and progressive JPEG stay behind
+``NotImplementedError``, with a deterministic fake for their plumbing
+tests.
 
 At 100 TB the pattern is: binary parquet columns, ``mapInPandas`` with
 modest ``spark.sql.execution.arrow.maxRecordsPerBatch`` (payloads are big),
@@ -78,11 +80,12 @@ def decode_media(payload: bytes, mime: str = "") -> object:
     """Decode media containers in pure numpy/stdlib — no codec
     libraries needed: PPM P6 (binary RGB), BMP (24-bit uncompressed
     BI_RGB), WAV (PCM16 + G.711 u-law/A-law), 8-bit PNG (zlib inflate
-    + filter unapply), and GIF (spec LZW). Dispatch is by magic bytes,
-    so the mime hint is advisory. Returns an ``(h, w, 3) uint8`` pixel
-    array for images, ``(sample_rate, (n, channels) int16 array)`` for
-    audio. Transform codecs (JPEG/MP3/H.264) stay environment-gated —
-    cluster deployments plug a real decoder into this same dispatch.
+    + filter unapply), GIF (spec LZW), and baseline JPEG (SOF0 DCT).
+    Dispatch is by magic bytes, so the mime hint is advisory. Returns
+    an ``(h, w, 3) uint8`` pixel array for images, ``(sample_rate,
+    (n, channels) int16 array)`` for audio. MP3/H.264 and progressive
+    JPEG stay environment-gated — cluster deployments plug a real
+    decoder into this same dispatch.
     """
     if payload is None:
         raise ValueError("empty payload")
@@ -94,13 +97,15 @@ def decode_media(payload: bytes, mime: str = "") -> object:
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     raise NotImplementedError(
         f"no pure-numpy decoder for this container (mime={mime!r}); "
-        "transform codecs (JPEG/MP3/H.264) require libraries not "
-        "present in this container — use fake_features() for plumbing "
-        "tests"
+        "MP3/H.264 (and progressive JPEG) require decoder libraries "
+        "not present in this container — use fake_features() for "
+        "plumbing tests"
     )
 
 
@@ -371,6 +376,527 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(body)))
         + chunk(b"IEND", b"")
     )
+
+
+# -- JPEG: baseline DCT (SOF0), pure numpy ----------------------------------
+#
+# The full transform-codec pipeline implemented from ITU-T T.81: marker
+# parse, generic DHT Huffman decode (ANY tables — nothing transcribed
+# from Annex K), dequantize, inverse zigzag, vectorized 8x8 IDCT
+# (matrix form, einsum over all blocks at once), chroma upsampling,
+# YCbCr→RGB. Baseline sequential only (SOF0, 8-bit, 4:4:4 / 4:2:0 /
+# 4:2:2, restart markers honored); progressive (SOF2) stays gated.
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """The spec's zigzag scan, generated (not transcribed): diagonals
+    d=i+j in order; odd diagonals run top→down (i ascending), even
+    ones bottom→up."""
+    return sorted(
+        ((i, j) for i in range(8) for j in range(8)),
+        key=lambda p: (
+            p[0] + p[1],
+            p[0] if (p[0] + p[1]) % 2 else -p[0],
+        ),
+    )
+
+
+def _dct_matrix():
+    import numpy as np
+
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    c[0] = np.sqrt(1 / 8)
+    return c
+
+
+# standard Annex-K-shaped flat quality tables are NOT required for
+# correctness (tables travel in DQT); a mild uniform table keeps the
+# encoder twin simple and the round-trip error small
+_JPEG_QTABLE_LUMA = 8
+_JPEG_QTABLE_CHROMA = 12
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing and restart-marker awareness."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        d = self.data
+        if d[self.pos] == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                pass  # stuffed FF: the FF byte is data
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02x} in entropy data"
+                )
+        b = (d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+            if self.pos < len(d) and d[self.pos - 1] == 0xFF and d[
+                self.pos
+            ] == 0x00:
+                self.pos += 1  # skip the stuffing zero
+        return b
+
+    def align_past_restart(self) -> None:
+        """Skip to just past the RSTn marker (reader is mid-byte or at
+        the 0xFF)."""
+        d = self.data
+        if self.bit:
+            self.bit = 0
+            self.pos += 1
+        while not (
+            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 1
+        self.pos += 2
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+class _RestartMarker(Exception):
+    def __init__(self, code: int) -> None:
+        self.code = code
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map a `size`-bit amplitude to its signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _build_huff_decoder(bits: list[int], vals: list[int]):
+    """(code, length) → symbol map from a DHT's BITS/HUFFVAL lists
+    (canonical code assignment, T.81 C.2)."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _decode_jpeg(payload: bytes) -> "np.ndarray":
+    """Baseline sequential JPEG → (h, w, 3) uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qtables: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = None
+    restart_interval = 0
+    zz = _zigzag_order()
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT unsupported")
+                t = np.zeros((8, 8), dtype=np.int32)
+                for k, (i, j) in enumerate(zz):
+                    t[i, j] = seg[p + k]
+                qtables[tq] = t
+                p += 64
+        elif marker == 0xC0:  # SOF0 baseline
+            _, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            p = 6
+            for _ in range(nc):
+                cid, hv, tq = seg[p], seg[p + 1], seg[p + 2]
+                comps.append(
+                    {
+                        "id": cid,
+                        "h": hv >> 4,
+                        "v": hv & 0x0F,
+                        "tq": tq,
+                    }
+                )
+                p += 3
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0) supported"
+            )
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = (
+                    _build_huff_decoder(bits, vals)
+                )
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = []
+            for ci in range(ns):
+                cid, tables = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan.append(
+                    (comp, tables >> 4, tables & 0x0F)
+                )
+            data_start = pos + seg_len
+            return _decode_scan(
+                payload,
+                data_start,
+                scan,
+                qtables,
+                huff_dc,
+                huff_ac,
+                h,
+                w,
+                restart_interval,
+            )
+        pos += seg_len
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _decode_scan(
+    payload,
+    data_start,
+    scan,
+    qtables,
+    huff_dc,
+    huff_ac,
+    h,
+    w,
+    restart_interval,
+):
+    import numpy as np
+
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component coefficient planes (in blocks)
+    planes = {}
+    for comp, _, _ in scan:
+        bw, bh = mcux * comp["h"], mcuy * comp["v"]
+        planes[comp["id"]] = np.zeros((bh, bw, 8, 8), dtype=np.int32)
+    reader = _BitReader(payload, data_start)
+    zz = _zigzag_order()
+    pred = {comp["id"]: 0 for comp, _, _ in scan}
+    n_mcu = mcux * mcuy
+    mcu = 0
+    while mcu < n_mcu:
+        try:
+            my, mx = divmod(mcu, mcux)
+            for comp, tdc, tac in scan:
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        blk = np.zeros(64, dtype=np.int32)
+                        s = _huff_decode(reader, huff_dc[tdc])
+                        diff = _extend(reader.receive(s), s)
+                        pred[comp["id"]] += diff
+                        blk[0] = pred[comp["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(reader, huff_ac[tac])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            blk[k] = _extend(reader.receive(s), s)
+                            k += 1
+                        q = np.zeros((8, 8), dtype=np.int32)
+                        for kk, (i, j) in enumerate(zz):
+                            q[i, j] = blk[kk]
+                        planes[comp["id"]][
+                            my * comp["v"] + by, mx * comp["h"] + bx
+                        ] = q
+            mcu += 1
+            if (
+                restart_interval
+                and mcu % restart_interval == 0
+                and mcu < n_mcu
+            ):
+                reader.align_past_restart()
+                pred = {cid: 0 for cid in pred}
+        except _RestartMarker:
+            # premature restart: resync (decoder robustness)
+            reader.align_past_restart()
+            pred = {cid: 0 for cid in pred}
+    # dequantize + IDCT, all blocks of a component at once
+    c = _dct_matrix()
+    out_planes = {}
+    for comp, _, _ in scan:
+        coeff = planes[comp["id"]].astype(np.float64)
+        coeff *= qtables[comp["tq"]][None, None, :, :]
+        bh, bw = coeff.shape[:2]
+        flat = coeff.reshape(-1, 8, 8)
+        px = np.einsum("ij,njk,kl->nil", c.T, flat, c) + 128.0
+        px = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+        px = px.reshape(bh * 8, bw * 8)
+        # upsample to full resolution (nearest — matches the simple
+        # box-downsampling encoder closely enough for stats work)
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            px = np.repeat(np.repeat(px, ry, axis=0), rx, axis=1)
+        out_planes[comp["id"]] = px[:h, :w]
+    ids = [comp["id"] for comp, _, _ in scan]
+    if len(ids) == 1:
+        y = np.clip(out_planes[ids[0]], 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = (out_planes[i] for i in ids[:3])
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(pixels, subsampling: str = "4:4:4") -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF-style JPEG (SOF0). Huffman
+    tables are BUILT per image (fixed-length canonical codes emitted in
+    DHT) — legal per T.81, which is why the decoder reads DHT
+    generically instead of assuming Annex K. Lossy: round-trips within
+    quantization error. Fixture/export helper."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8).astype(np.float64)
+    h, w = a.shape[:2]
+    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsampling == "4:4:4":
+        sh = sv = 1
+    elif subsampling == "4:2:0":
+        sh = sv = 2
+    else:
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+
+    def pad_to(img, mult):
+        ph = -(-img.shape[0] // mult) * mult
+        pw = -(-img.shape[1] // mult) * mult
+        return np.pad(
+            img,
+            ((0, ph - img.shape[0]), (0, pw - img.shape[1])),
+            mode="edge",
+        )
+
+    def downsample(img, f):
+        if f == 1:
+            return img
+        p = pad_to(img, f)
+        return p.reshape(
+            p.shape[0] // f, f, p.shape[1] // f, f
+        ).mean(axis=(1, 3))
+
+    planes = [
+        (1, pad_to(y, 8 * sh), 0),
+        (2, pad_to(downsample(cb, sv), 8), 1),
+        (3, pad_to(downsample(cr, sv), 8), 1),
+    ]
+    qt = {
+        0: np.full((8, 8), _JPEG_QTABLE_LUMA, dtype=np.int32),
+        1: np.full((8, 8), _JPEG_QTABLE_CHROMA, dtype=np.int32),
+    }
+    c = _dct_matrix()
+    zz = _zigzag_order()
+
+    # quantized blocks per component, in MCU order
+    mcux = planes[0][1].shape[1] // (8 * sh)
+    mcuy = planes[0][1].shape[0] // (8 * sv)
+    comp_blocks = []
+    for cid, img, tq in planes:
+        fac = sh if cid == 1 else 1
+        coeff = img - 128.0
+        bh, bw = img.shape[0] // 8, img.shape[1] // 8
+        blocks = coeff.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        f = np.einsum("ij,nmjk,kl->nmil", c, blocks, c.T)
+        q = np.round(f / qt[tq][None, None]).astype(np.int32)
+        comp_blocks.append((cid, q, tq, fac))
+
+    # entropy symbols (interleaved MCU order)
+    def category(v):
+        return int(v).bit_length() if v else 0
+
+    sym_stream = []  # (kind 'dc'/'ac', table_id, symbol, bits, nbits)
+    pred = {1: 0, 2: 0, 3: 0}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cid, q, tq, fac in comp_blocks:
+                for by in range(fac if cid == 1 else 1):
+                    for bx in range(fac if cid == 1 else 1):
+                        if cid == 1:
+                            blk = q[my * sv + by, mx * sh + bx]
+                        else:
+                            blk = q[my, mx]
+                        seq = [blk[i, j] for i, j in zz]
+                        diff = seq[0] - pred[cid]
+                        pred[cid] = seq[0]
+                        s = category(abs(diff))
+                        amp = diff if diff >= 0 else diff + (1 << s) - 1
+                        sym_stream.append(
+                            ("dc", 0 if cid == 1 else 1, s, amp, s)
+                        )
+                        run = 0
+                        last_nz = max(
+                            (k for k in range(1, 64) if seq[k]),
+                            default=0,
+                        )
+                        for k in range(1, last_nz + 1):
+                            v = seq[k]
+                            if v == 0:
+                                run += 1
+                                if run == 16:
+                                    sym_stream.append(
+                                        (
+                                            "ac",
+                                            0 if cid == 1 else 1,
+                                            0xF0,
+                                            0,
+                                            0,
+                                        )
+                                    )
+                                    run = 0
+                                continue
+                            s = category(abs(v))
+                            amp = v if v >= 0 else v + (1 << s) - 1
+                            sym_stream.append(
+                                (
+                                    "ac",
+                                    0 if cid == 1 else 1,
+                                    (run << 4) | s,
+                                    amp,
+                                    s,
+                                )
+                            )
+                            run = 0
+                        if last_nz < 63:
+                            sym_stream.append(
+                                ("ac", 0 if cid == 1 else 1, 0x00, 0, 0)
+                            )
+
+    # fixed-length canonical Huffman per (kind, table): legal + simple
+    tables = {}
+    for kind in ("dc", "ac"):
+        for tid in (0, 1):
+            syms = sorted(
+                {
+                    s[2]
+                    for s in sym_stream
+                    if s[0] == kind and s[1] == tid
+                }
+            )
+            if not syms:
+                syms = [0]
+            length = max((len(syms) + 1 - 1).bit_length(), 1)
+            codes = {
+                sym: (i, length) for i, sym in enumerate(syms)
+            }
+            bits = [0] * 16
+            bits[length - 1] = len(syms)
+            tables[(kind, tid)] = (codes, bits, syms)
+
+    out_bits = []
+    for kind, tid, sym, amp, nbits in sym_stream:
+        code, length = tables[(kind, tid)][0][sym]
+        out_bits.append((code, length))
+        if nbits:
+            out_bits.append((amp, nbits))
+    body = bytearray()
+    acc = accn = 0
+    for v, n in out_bits:
+        acc = (acc << n) | (v & ((1 << n) - 1))
+        accn += n
+        while accn >= 8:
+            byte = (acc >> (accn - 8)) & 0xFF
+            body.append(byte)
+            if byte == 0xFF:
+                body.append(0x00)
+            accn -= 8
+    if accn:
+        byte = ((acc << (8 - accn)) | ((1 << (8 - accn)) - 1)) & 0xFF
+        body.append(byte)
+        if byte == 0xFF:
+            body.append(0x00)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload_):
+        out.extend(
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload_) + 2)
+            + payload_
+        )
+
+    for tq in (0, 1):
+        t = bytes([tq]) + bytes(
+            int(qt[tq][i, j]) for i, j in zz
+        )
+        seg(0xDB, t)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (sh << 4) | sv, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
+    seg(0xC0, sof)
+    for (kind, tid), (codes, bits, syms) in tables.items():
+        tc = 0 if kind == "dc" else 1
+        seg(0xC4, bytes([(tc << 4) | tid]) + bytes(bits) + bytes(syms))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    seg(0xDA, sos)
+    out.extend(body)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 # -- GIF: LZW-compressed indexed color (pure-Python LZW + numpy) ------------

@@ -63,13 +63,14 @@ def test_wav_round_trip_stereo_pcm16():
 
 
 def test_transform_codecs_stay_gated():
-    # JPEG needs a DCT decoder — still env-gated (PNG is NOT: it
-    # decodes for real now, see the PNG tests below)
+    # MP3 (MDCT) remains env-gated; baseline JPEG decodes for real now
     with pytest.raises(NotImplementedError, match="decoder"):
-        decode_media(b"\xff\xd8\xff\xe0....JFIF", "image/jpeg")
-    # truncated/invalid PNG errors loudly, never misdecodes
+        decode_media(b"ID3\x04\x00....", "audio/mpeg")
+    # truncated/invalid payloads error loudly, never misdecode
     with pytest.raises(ValueError, match="IHDR"):
         decode_media(b"\x89PNG\r\n\x1a\n", "image/png")
+    with pytest.raises(ValueError, match="SOS"):
+        decode_media(b"\xff\xd8\xff\xe0\x00\x04..", "image/jpeg")
     with pytest.raises(NotImplementedError, match="BI_RGB"):
         # BMP container but 32-bit: unsupported variant must not
         # silently misdecode
@@ -307,3 +308,87 @@ def test_gif_round_trip_property():
         assert (got == pal[idx.astype(np.int32)]).all()
 
     rt()
+
+
+def test_jpeg_baseline_round_trip_psnr():
+    """The transform codec itself, from the spec: DCT + quantization +
+    generic-DHT Huffman. Solid gray decodes EXACTLY (DC-only blocks);
+    smooth content round-trips above 40 dB PSNR at ~15x compression,
+    under both 4:4:4 and 4:2:0 chroma subsampling."""
+    from pipeline_kinesis_spark.operators.multimodal import encode_jpeg
+
+    solid = np.full((16, 16, 3), 128, dtype=np.uint8)
+    assert (decode_media(encode_jpeg(solid)) == 128).all()
+
+    y, x = np.mgrid[0:40, 0:56]
+    px = np.stack(
+        [(x * 4) % 256, (y * 3) % 256, ((x + y) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        body = encode_jpeg(px, subsampling=sub)
+        assert body[:2] == b"\xff\xd8" and body[-2:] == b"\xff\xd9"
+        assert len(body) < px.nbytes / 5  # actually compressed
+        got = decode_media(body)
+        assert got.shape == px.shape
+        mse = np.mean((got.astype(float) - px.astype(float)) ** 2)
+        assert 10 * np.log10(255**2 / mse) > 38, sub
+
+
+def test_jpeg_solid_colors_decode_within_rounding():
+    from pipeline_kinesis_spark.operators.multimodal import encode_jpeg
+
+    rng = np.random.default_rng(5)
+    for _ in range(6):
+        color = rng.integers(0, 256, size=3)
+        px = np.zeros((24, 17, 3), dtype=np.uint8)
+        px[:, :] = color
+        got = decode_media(encode_jpeg(px))
+        err = np.abs(got.astype(int) - px.astype(int)).max()
+        assert err <= 3, (color, err)  # color-transform rounding only
+
+
+def test_jpeg_round_trip_property():
+    """Random dimensions/content: decoded output stays within the
+    quantization-error envelope of the source (uniform q-tables bound
+    per-coefficient error; noise is the worst case for DCT coding)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pipeline_kinesis_spark.operators.multimodal import encode_jpeg
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        h=st.integers(8, 33),
+        w=st.integers(8, 34),
+        sub=st.sampled_from(["4:4:4", "4:2:0"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def rt(h, w, sub, seed):
+        rng = np.random.default_rng(seed)
+        # smooth random field (noise defeats any transform codec)
+        base = rng.integers(0, 256, size=(3,))
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [
+                (base[c] + yy * int(rng.integers(0, 4))
+                 + xx * int(rng.integers(0, 4))) % 256
+                for c in range(3)
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        got = decode_media(encode_jpeg(px, subsampling=sub))
+        assert got.shape == px.shape
+        mse = np.mean((got.astype(float) - px.astype(float)) ** 2)
+        assert mse < 600, (h, w, sub, mse)  # ~20 dB floor
+
+    rt()
+
+
+def test_progressive_jpeg_stays_gated():
+    from pipeline_kinesis_spark.operators.multimodal import encode_jpeg
+
+    body = bytearray(encode_jpeg(np.full((8, 8, 3), 99, dtype=np.uint8)))
+    i = body.index(b"\xff\xc0")
+    body[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_media(bytes(body))
