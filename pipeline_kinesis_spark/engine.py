@@ -54,7 +54,6 @@ from pipeline_kinesis_spark.streaming.continuous_view import (
     KB_COL,
     PARTIAL_SEP,
     SW_BUCKET_COL,
-    _swap_bucket,
     _write_bucket_marker,
     combine_rewrite_sql,
     combine_select_expr,
@@ -65,6 +64,7 @@ from pipeline_kinesis_spark.streaming.continuous_view import (
     materialize_memory,
     parse_combine_view_sql,
     parse_sw_view_sql,
+    publish_bucket_files,
     read_reap_marker,
     read_store_manifest,
     read_store_schema,
@@ -1001,16 +1001,35 @@ class Engine:
         )
         reaped = 0
         # single-writer: hold the store mutex for the sweep so a live
-        # foreachBatch merge can never swap the same bucket (or clobber
-        # the manifest) mid-sweep — merges queue behind the sweep and
-        # proceed when it finishes
+        # foreachBatch merge can never commit the same bucket (or
+        # clobber the manifest) mid-sweep — merges queue behind the
+        # sweep and proceed when it finishes
         with self._store_lock(view_name):
-            for name in sorted(os.listdir(table_dir)):
-                if not name.startswith(f"{KB_COL}="):
+            manifest = read_store_manifest(table_dir)
+            buckets: dict[int, list[str]] = {}
+            if manifest is not None:
+                from pipeline_kinesis_spark.streaming.continuous_view import (  # noqa: E501
+                    _load_manifest,
+                )
+
+                m = _load_manifest(table_dir) or {}
+                for key, fnames in m.get("files", {}).items():
+                    buckets[int(key.split("=", 1)[1])] = [
+                        os.path.join(table_dir, key, f) for f in fnames
+                    ]
+            else:  # pre-manifest store: single generation, listing ok
+                for name in sorted(os.listdir(table_dir)):
+                    if name.startswith(f"{KB_COL}="):
+                        buckets[int(name.split("=", 1)[1])] = [
+                            os.path.join(table_dir, name)
+                        ]
+            for bucket in sorted(buckets):
+                paths = buckets[bucket]
+                if not paths:
                     continue
-                bucket = int(name.split("=", 1)[1])
-                bdir = os.path.join(table_dir, name)
-                cur = self.spark.read.parquet(bdir)
+                cur = self.spark.read.option(
+                    "basePath", table_dir
+                ).parquet(*paths)
                 n_dead = cur.filter(~alive).count()
                 if n_dead == 0:
                     continue
@@ -1023,14 +1042,14 @@ class Engine:
                     .parquet(tmp)
                 )
                 try:
-                    _swap_bucket(table_dir, tmp, bucket)
+                    # same two-generation MVCC commit the merge uses:
+                    # concurrent manifest-planned reads keep their
+                    # files through the next commit
+                    publish_bucket_files(
+                        table_dir, tmp, {bucket}, None, None
+                    )
                 finally:
                     shutil.rmtree(tmp, ignore_errors=True)
-                # republish after EVERY bucket swap — a concurrent
-                # manifest-planned read mid-sweep must keep seeing each
-                # already-swapped bucket's new files, not its deleted
-                # ones
-                write_store_manifest(table_dir, None)
                 reaped += n_dead
         return reaped
 
@@ -1099,8 +1118,12 @@ class Engine:
             except OSError:
                 os.rename(bak, table_dir)
                 raise
-            shutil.rmtree(bak)
             write_store_manifest(table_dir, None, rehashed.schema.json())
+            # the old generation is NOT deleted here: an in-flight
+            # reader may have planned its files moments ago. The next
+            # merge batch (under this same mutex) reaps the stale bak
+            # via recover_store_swap — a one-generation grace window,
+            # the filesystem stand-in for a table format's vacuum.
 
     def pipeline_query_stats(self) -> DataFrame:
         """The pipeline_query_stats catalog relation (PipelineDB's
@@ -1775,24 +1798,66 @@ class Engine:
         """Plan a read of a parquet_upsert store from its committed
         MANIFEST (snapshot-consistent even while a multi-bucket merge
         is mid-swap); directory listing only for pre-manifest stores.
-        Missing files (possible only in the crash-to-retry window,
-        before the recovered merge republishes) are dropped from the
-        plan rather than failing the read."""
+
+        Readers NEVER mutate: during a whole-dir swap (rebucket /
+        legacy migration / its crash window) the store is briefly
+        under the ``__rebucket_bak`` / ``__legacy_bak`` name — plan
+        from whichever complete dir exists, retrying across the
+        microsecond rename window. Restoring a crashed swap is the
+        WRITERS' job (merge/rebucket, under the store mutex) — a
+        reader renaming dirs would race a live swap and corrupt it.
+        A manifest whose files have ALL vanished means we raced a
+        swap — retry; a subset missing is the crash-to-retry window
+        (dropped from the plan, as before)."""
+        import time as _time
+
         table_dir = self.view_dir(view_name)
-        recover_store_swap(table_dir)
-        paths = read_store_manifest(table_dir)
-        if paths is not None:
-            paths = [p for p in paths if os.path.exists(p)]
-        if paths:
-            return self.spark.read.parquet(*paths)
-        if paths is not None:
-            # committed-but-EMPTY store (a merge can delete every row —
-            # TTL expiring the last key): a typed empty relation, from
-            # the schema the manifest recorded
-            schema = read_store_schema(table_dir)
-            if schema is not None:
-                return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(table_dir)
+        last_exc: Exception | None = None
+        for attempt in range(6):
+            d = table_dir
+            if not os.path.isdir(d):
+                for suffix in ("__rebucket_bak", "__legacy_bak"):
+                    cand = f"{table_dir}{suffix}"
+                    if os.path.isdir(cand):
+                        d = cand
+                        break
+                else:
+                    if attempt > 0:
+                        # no generation at all across two looks: the
+                        # view was never materialized — fail fast, do
+                        # not burn the whole retry budget
+                        break
+            raw = read_store_manifest(d)
+            if raw is not None:
+                live = [p for p in raw if os.path.exists(p)]
+                if live:
+                    return self.spark.read.parquet(*live)
+                if raw:
+                    # every manifest file gone: mid-swap — retry
+                    _time.sleep(0.05)
+                    continue
+                # committed-but-EMPTY store (a merge can delete every
+                # row — TTL expiring the last key): a typed empty
+                # relation from the schema the manifest recorded
+                schema = read_store_schema(d)
+                if schema is not None:
+                    return self.spark.createDataFrame([], schema)
+            if os.path.isdir(d):
+                try:
+                    return self.spark.read.parquet(d)
+                except Exception as exc:  # noqa: BLE001 — vanished mid-plan
+                    last_exc = exc
+            _time.sleep(0.05)
+        state = {
+            "table_dir": os.path.isdir(table_dir),
+            "rebucket_bak": os.path.isdir(f"{table_dir}__rebucket_bak"),
+            "legacy_bak": os.path.isdir(f"{table_dir}__legacy_bak"),
+            "manifest": read_store_manifest(table_dir) is not None,
+        }
+        raise RuntimeError(
+            f"store read for {view_name!r} found no readable generation "
+            f"after retries: {state}"
+        ) from last_exc
 
     def matrel(self, view_name: str) -> DataFrame:
         """The view's raw materialization — PipelineDB's ``<v>_mrel``:

@@ -106,10 +106,12 @@ def recover_store_swap(table_dir: str) -> None:
 
 
 def _recover_bucket_baks(table_dir: str) -> None:
-    """Crash recovery: a `.bak.<KB_COL>=i` dir left behind means a prior
-    swap died mid-flight. If the live dir is missing, the bak IS the
-    data — restore it; if the live dir exists, the swap completed and
-    the bak is stale — drop it."""
+    """Crash recovery for PRE-MVCC stores: a `.bak.<KB_COL>=i` dir left
+    behind means a per-bucket rename-swap (the r05 merge mechanism,
+    since replaced by the two-generation manifest commit) died
+    mid-flight. If the live dir is missing, the bak IS the data —
+    restore it; if the live dir exists, the swap completed and the bak
+    is stale — drop it."""
     for name in os.listdir(table_dir):
         if not name.startswith(_BAK_PREFIX):
             continue
@@ -119,31 +121,6 @@ def _recover_bucket_baks(table_dir: str) -> None:
             shutil.rmtree(bak)
         else:
             os.rename(bak, live)
-
-
-def _swap_bucket(table_dir: str, tmp: str, bucket: int) -> None:
-    """Rename-swap one bucket dir with a restore guard (the
-    compact_stream_table pattern): live → .bak, tmp → live, drop .bak;
-    on failure the .bak is restored so the bucket is never left missing.
-    A tmp dir absent for a touched bucket means the merge emptied it
-    (every row replaced or TTL-reaped) — the live dir is removed."""
-    src = os.path.join(tmp, f"{KB_COL}={bucket}")
-    dst = os.path.join(table_dir, f"{KB_COL}={bucket}")
-    bak = os.path.join(table_dir, f"{_BAK_PREFIX}{KB_COL}={bucket}")
-    has_src, has_dst = os.path.isdir(src), os.path.isdir(dst)
-    if not has_src and not has_dst:
-        return
-    if has_dst:
-        os.rename(dst, bak)
-    if has_src:
-        try:
-            os.rename(src, dst)
-        except OSError:
-            if has_dst:
-                os.rename(bak, dst)
-            raise
-    if has_dst:
-        shutil.rmtree(bak)
 
 
 def _emit_delta(
@@ -300,21 +277,28 @@ def write_store_manifest(
     table_dir: str,
     batch_id: int | None,
     schema_json: str | None = None,
+    files: dict[str, list[str]] | None = None,
+    prev_files: dict[str, list[str]] | None = None,
 ) -> None:
     """schema_json (StructType.json()) makes a committed-but-EMPTY
     store readable as a typed empty relation (a merge can delete every
     row — e.g. TTL expiring the last key); omitted, the previous
-    manifest's schema carries forward."""
-    files: dict[str, list[str]] = {}
-    for name in sorted(os.listdir(table_dir)):
-        if not name.startswith(f"{KB_COL}="):
-            continue
-        bdir = os.path.join(table_dir, name)
-        files[name] = sorted(
-            f
-            for f in os.listdir(bdir)
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
+    manifest's schema carries forward. With ``files`` given, that
+    exact per-bucket map is committed (the in-place merge path — the
+    directory holds TWO generations, so a listing would double-count);
+    omitted, the directory listing is scanned (whole-dir swap paths,
+    where the directory holds exactly one generation)."""
+    if files is None:
+        files = {}
+        for name in sorted(os.listdir(table_dir)):
+            if not name.startswith(f"{KB_COL}="):
+                continue
+            bdir = os.path.join(table_dir, name)
+            files[name] = sorted(
+                f
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
     mdir = os.path.join(table_dir, _MANIFEST)
     os.makedirs(mdir, exist_ok=True)
     if schema_json is None:
@@ -323,10 +307,83 @@ def write_store_manifest(
     tmp = os.path.join(mdir, f".tmp_{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(
-            {"batch_id": batch_id, "files": files, "schema": schema_json},
+            {
+                "batch_id": batch_id,
+                "files": files,
+                "prev_files": prev_files or {},
+                "schema": schema_json,
+            },
             f,
         )
     os.rename(tmp, os.path.join(mdir, "LATEST.json"))
+
+
+def publish_bucket_files(
+    table_dir: str,
+    tmp: str,
+    touched: set[int],
+    batch_id: int | None,
+    schema_json: str | None,
+) -> None:
+    """Two-generation MVCC commit for an incremental merge: move the
+    touched buckets' NEW part files INTO the live bucket dirs (uuid
+    part names never collide), publish a manifest naming exactly the
+    new generation, then reap only files in NEITHER the new nor the
+    previous manifest. A reader that planned from manifest N keeps
+    every file it planned until manifest N+2 commits — the filesystem
+    stand-in for a transactional format's version retention, replacing
+    the old rename-swap whose immediate deletes broke any reader
+    between plan and execute. Crash-safe: files land before the
+    manifest flips (readers keep seeing generation N); orphans from a
+    died-and-retried batch are reaped by the retry's own commit."""
+    prev = _load_manifest(table_dir) or {}
+    prev_files: dict[str, list[str]] = dict(prev.get("files", {}))
+    new_files = dict(prev_files)
+    for b in sorted(touched):
+        key = f"{KB_COL}={b}"
+        src = os.path.join(tmp, key)
+        dst = os.path.join(table_dir, key)
+        names: list[str] = []
+        if os.path.isdir(src):
+            os.makedirs(dst, exist_ok=True)
+            for fname in os.listdir(src):
+                if fname.endswith(".parquet") and not fname.startswith(
+                    "."
+                ):
+                    os.rename(
+                        os.path.join(src, fname),
+                        os.path.join(dst, fname),
+                    )
+                    names.append(fname)
+        if names:
+            new_files[key] = sorted(names)
+        else:
+            # merge emptied the bucket (TTL reaped every row)
+            new_files.pop(key, None)
+    write_store_manifest(
+        table_dir,
+        batch_id,
+        schema_json,
+        files=new_files,
+        prev_files=prev_files,
+    )
+    # reap generation N-1: anything not in (new ∪ prev) per bucket
+    for b in sorted(touched):
+        key = f"{KB_COL}={b}"
+        keep = set(new_files.get(key, [])) | set(prev_files.get(key, []))
+        dst = os.path.join(table_dir, key)
+        if not os.path.isdir(dst):
+            continue
+        for fname in os.listdir(dst):
+            if (
+                fname.endswith(".parquet")
+                and not fname.startswith(".")
+                and fname not in keep
+            ):
+                try:
+                    os.remove(os.path.join(dst, fname))
+                except OSError:
+                    pass
 
 
 def _load_manifest(table_dir: str) -> dict | None:
@@ -359,6 +416,24 @@ def read_store_schema(table_dir: str):
     if m and m.get("schema"):
         return StructType.fromJson(json.loads(m["schema"]))
     return None
+
+
+def read_store(spark, table_dir: str) -> DataFrame:
+    """Manifest-planned batch read of an upsert store — the only
+    correct way to read one: since the two-generation MVCC commit, the
+    directory holds up to two file generations per bucket and a
+    listing would double-count. Pre-manifest (flat legacy) stores fall
+    back to the listing, which is single-generation by construction."""
+    paths = read_store_manifest(table_dir)
+    if paths is None:
+        return spark.read.parquet(table_dir)
+    live = [p for p in paths if os.path.exists(p)]
+    if live:
+        return spark.read.option("basePath", table_dir).parquet(*live)
+    schema = read_store_schema(table_dir)
+    if schema is not None:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(table_dir)
 
 
 def upsert_to_parquet(
@@ -484,54 +559,84 @@ def _upsert_batch(
         return
 
     touched = {
-        r[0] for r in new.select(KB_COL).distinct().collect()
+        int(r[0]) for r in new.select(KB_COL).distinct().collect()
     }  # O(buckets) driver-side, bounded by n
+
+    def bucket_paths(buckets: set[int]) -> list[str] | None:
+        """Committed files of the given buckets per the manifest, or
+        None for pre-manifest stores (single-generation layout — a
+        directory listing is then safe). NEVER list a manifested
+        store's dirs: they hold TWO generations."""
+        m = _load_manifest(table_dir)
+        if m is None:
+            return None
+        return [
+            os.path.join(table_dir, key, fname)
+            for key, fnames in m.get("files", {}).items()
+            if int(key.split("=", 1)[1]) in buckets
+            for fname in fnames
+        ]
+
     if ttl_pred is not None and batch_id is not None:
         sweep = int(batch_id) % n
-        sweep_dir = os.path.join(table_dir, f"{KB_COL}={sweep}")
-        if (
-            sweep not in touched
-            and os.path.isdir(sweep_dir)
-            and spark.read.parquet(sweep_dir)
-            .filter(~ttl_pred)
-            .limit(1)
-            .count()
-            > 0
-        ):
-            touched.add(sweep)
+        if sweep not in touched:
+            sp = bucket_paths({sweep})
+            if sp is None:
+                sweep_dir = os.path.join(table_dir, f"{KB_COL}={sweep}")
+                sp = [sweep_dir] if os.path.isdir(sweep_dir) else []
+            if sp and (
+                spark.read.option("basePath", table_dir)
+                .parquet(*sp)
+                .filter(~ttl_pred)
+                .limit(1)
+                .count()
+                > 0
+            ):
+                touched.add(sweep)
     if not touched:
         return
 
-    have_data = any(
-        name.startswith(f"{KB_COL}=") for name in os.listdir(table_dir)
-    )
-    if have_data:
-        current = spark.read.parquet(table_dir).filter(
-            F.col(KB_COL).isin([int(b) for b in touched])
+    cur_paths = bucket_paths(touched)
+    if cur_paths is None:
+        have = any(
+            name.startswith(f"{KB_COL}=")
+            for name in os.listdir(table_dir)
         )
+        current = (
+            spark.read.parquet(table_dir).filter(
+                F.col(KB_COL).isin([int(b) for b in touched])
+            )
+            if have
+            else None
+        )
+    elif cur_paths:
+        current = spark.read.option("basePath", table_dir).parquet(
+            *cur_paths
+        )
+    else:  # manifested store, but no committed files in these buckets
+        current = None
+    if current is not None:
         keep = current.join(
             F.broadcast(new.select(*key_cols)), key_cols, "left_anti"
         )
         merged = keep.unionByName(new)
-    else:  # store dir exists but holds no buckets yet (empty first batch)
-        current = None
+    else:
         merged = new
     if delta_dir is not None and batch_id is not None:
-        # before the swap: 'current' must still read pre-merge buckets
+        # before the commit: 'current' must still read pre-merge files
         _emit_delta(new, current, key_cols, delta_dir, batch_id, ttl_pred)
     if ttl_pred is not None:
         merged = merged.filter(ttl_pred)
     tmp = f"{table_dir}__tmp_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").partitionBy(KB_COL).parquet(tmp)
     try:
-        for b in sorted(touched):
-            _swap_bucket(table_dir, tmp, int(b))
+        # two-generation MVCC commit: new files in, manifest flip,
+        # reap generation N-2 — in-flight readers keep their plans
+        publish_bucket_files(
+            table_dir, tmp, touched, batch_id, merged.schema.json()
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    # publish the committed version AFTER every bucket swapped — readers
-    # planning from the manifest never assemble a torn multi-bucket
-    # snapshot
-    write_store_manifest(table_dir, batch_id, merged.schema.json())
 
 
 # --------------------------------------------------------------------------

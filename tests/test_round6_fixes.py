@@ -378,12 +378,14 @@ def test_rebucket_crash_between_renames_recovers(engine, spark, tmp_path):
     table_dir = engine.view_dir("agg")
     # simulate the crash window: first rename done, second never ran
     os.rename(table_dir, f"{table_dir}__rebucket_bak")
-    # reads recover the store...
+    # READERS don't mutate (a restore would race a live swap) — they
+    # plan from the bak generation and still see everything
     assert {
         r.k: (r.cnt, r.total) for r in engine.view_table("agg").collect()
     } == before
-    # ...and a subsequent merge sees the recovered data, not an empty dir
-    os.rename(table_dir, f"{table_dir}__rebucket_bak")
+    assert not os.path.isdir(table_dir)  # reader left the layout alone
+    # the next MERGE (under the store mutex) restores the store and
+    # merges on top of the recovered data, not an empty dir
     _put(src_root / "s1", ["a,10"], start=50)
     engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
     engine.wait_for_ingest()

@@ -14,7 +14,10 @@ from pipeline_kinesis_spark.sources.file_replay import (
     FileReplaySource,
     write_record_file,
 )
-from pipeline_kinesis_spark.streaming.continuous_view import upsert_to_parquet
+from pipeline_kinesis_spark.streaming.continuous_view import (
+    read_store,
+    upsert_to_parquet,
+)
 
 
 def _mem_query(df, name, ckpt, mode="append"):
@@ -192,7 +195,7 @@ def test_upsert_to_parquet_merge_semantics(spark, tmp_path):
         [("b", 20), ("c", 3)], "k STRING, v INT"
     )
     upsert_to_parquet(b2, d, ["k"])
-    rows = {(r.k, r.v) for r in spark.read.parquet(d).collect()}
+    rows = {(r.k, r.v) for r in read_store(spark, d).collect()}
     assert rows == {("a", 1), ("b", 20), ("c", 3)}
 
 
@@ -213,7 +216,7 @@ def test_upsert_recovers_interrupted_bucket_swap(spark, tmp_path):
         ["k"],
     )
     want = {(f"k{i}", i) for i in range(20)}
-    assert {(r.k, r.v) for r in spark.read.parquet(d).collect()} == want
+    assert {(r.k, r.v) for r in read_store(spark, d).collect()} == want
     victim = next(
         n for n in sorted(os.listdir(d)) if n.startswith(f"{KB_COL}=")
     )
@@ -222,7 +225,7 @@ def test_upsert_recovers_interrupted_bucket_swap(spark, tmp_path):
     upsert_to_parquet(
         spark.createDataFrame([], "k STRING, v INT"), d, ["k"]
     )
-    assert {(r.k, r.v) for r in spark.read.parquet(d).collect()} == want
+    assert {(r.k, r.v) for r in read_store(spark, d).collect()} == want
 
 
 def test_upsert_migrates_legacy_flat_store(spark, tmp_path):
@@ -241,7 +244,7 @@ def test_upsert_migrates_legacy_flat_store(spark, tmp_path):
         d,
         ["k"],
     )
-    rows = {(r.k, r.v) for r in spark.read.parquet(d).collect()}
+    rows = {(r.k, r.v) for r in read_store(spark, d).collect()}
     assert rows == {("a", 1), ("b", 20), ("c", 3)}
     names = os.listdir(d)
     assert any(n.startswith(f"{KB_COL}=") for n in names)
@@ -253,6 +256,7 @@ def test_upsert_ttl_sweep_reaps_untouched_bucket(spark, tmp_path):
     hashes into is still physically reaped once batch_id % n lands on
     its bucket — the store stays bounded without full-table rewrites."""
     from pipeline_kinesis_spark.streaming.continuous_view import (
+    read_store,
         UPSERT_BUCKETS,
     )
 
@@ -286,7 +290,7 @@ def test_upsert_ttl_sweep_reaps_untouched_bucket(spark, tmp_path):
         ttl_column="ts",
         batch_id=stale_b,
     )
-    rows = {r.k for r in spark.read.parquet(d).collect()}
+    rows = {r.k for r in read_store(spark, d).collect()}
     assert rows == {"live", "fresh"}
 
 
