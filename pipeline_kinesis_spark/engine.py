@@ -66,6 +66,7 @@ from pipeline_kinesis_spark.streaming.continuous_view import (
     parse_sw_view_sql,
     publish_bucket_files,
     read_reap_marker,
+    store_bucket_files,
     read_store_manifest,
     read_store_schema,
     recover_store_swap,
@@ -974,9 +975,10 @@ class Engine:
         rows removed. The background path already guarantees
         correctness (merge-time reap + round-robin sweep + read-time
         filter); this is the ops hammer for reclaiming space NOW.
-        Per-bucket rewrite via the same tmp-write + rename-swap the
-        merge uses, so readers never see a half-rewritten bucket; only
-        buckets that actually hold expired rows are rewritten.
+        Per-bucket rewrite through the same two-generation MVCC commit
+        the merge uses, so concurrent manifest-planned readers keep
+        their files; only buckets that actually hold expired rows are
+        rewritten.
 
         Output-stream note: the manual sweep does NOT emit delete
         tuples (it runs outside any batch, and reads already hide
@@ -994,8 +996,6 @@ class Engine:
                 "there is no store to reap"
             )
         table_dir = self.view_dir(view_name)
-        if not os.path.isdir(table_dir):
-            return 0
         alive = F.col(col) >= F.current_timestamp() - F.expr(
             f"INTERVAL {int(ttl)} SECOND"
         )
@@ -1005,24 +1005,22 @@ class Engine:
         # clobber the manifest) mid-sweep — merges queue behind the
         # sweep and proceed when it finishes
         with self._store_lock(view_name):
-            manifest = read_store_manifest(table_dir)
-            buckets: dict[int, list[str]] = {}
-            if manifest is not None:
-                from pipeline_kinesis_spark.streaming.continuous_view import (  # noqa: E501
-                    _load_manifest,
-                )
-
-                m = _load_manifest(table_dir) or {}
-                for key, fnames in m.get("files", {}).items():
-                    buckets[int(key.split("=", 1)[1])] = [
-                        os.path.join(table_dir, key, f) for f in fnames
+            # a writer holding the mutex owns crash recovery: a store
+            # stranded under a crashed legacy swap must be restored or
+            # the sweep would silently no-op on it
+            recover_store_swap(table_dir)
+            if not os.path.isdir(table_dir):
+                return 0
+            buckets = store_bucket_files(table_dir)
+            if buckets is None:
+                # pre-manifest store: single generation, listing ok
+                buckets = {
+                    int(name.split("=", 1)[1]): [
+                        os.path.join(table_dir, name)
                     ]
-            else:  # pre-manifest store: single generation, listing ok
-                for name in sorted(os.listdir(table_dir)):
-                    if name.startswith(f"{KB_COL}="):
-                        buckets[int(name.split("=", 1)[1])] = [
-                            os.path.join(table_dir, name)
-                        ]
+                    for name in sorted(os.listdir(table_dir))
+                    if name.startswith(f"{KB_COL}=")
+                }
             for bucket in sorted(buckets):
                 paths = buckets[bucket]
                 if not paths:
@@ -1055,19 +1053,20 @@ class Engine:
 
     def rebucket(self, view_name: str, num_buckets: int) -> None:
         """Resize a parquet_upsert view's hash-bucket count — the ops
-        path for a view whose keyspace outgrew the bucket count fixed at
-        creation (more buckets = smaller per-batch bucket rewrites).
-        One full-store rewrite through the legacy-migration machinery:
-        re-hash every committed row into the new layout in a tmp dir,
-        whole-dir rename-swap with restore guard, new ``_upsert_nb``
-        marker, fresh manifest. Serialized against the view's live
-        foreachBatch merge (and ttl_expire) via the store mutex, so the
-        single-writer manifest contract holds; merges queue behind the
-        rewrite and resume on the new layout (``_store_buckets`` reads
-        the marker, never the creation default). Readers planning from
-        the pre-swap manifest during the rename window degrade to the
-        committed-empty relation (missing files are dropped from the
-        plan) — same contract as the legacy migration."""
+        path for a view whose keyspace outgrew the bucket count fixed
+        at creation (more buckets = smaller per-batch bucket rewrites).
+        One full-store rewrite committed IN PLACE through the same
+        two-generation MVCC machinery as the merge: re-hash every
+        committed row into the new layout in a tmp dir, move the new
+        part files into the live bucket dirs, and flip the manifest —
+        which carries the bucket count, so the file list and the hash
+        modulus change in ONE atomic rename (a separate marker could
+        desync across a crash and make merges hash keys into the wrong
+        generation's buckets). The live directory is never renamed, so
+        in-flight readers keep every file they planned until the next
+        commit reaps the old generation. Serialized against the view's
+        live foreachBatch merge (and ttl_expire) via the store mutex;
+        merges queue behind the rewrite and resume on the new layout."""
         vd = self.catalog.state.views.get(view_name)
         if vd is None:
             raise KeyError(f"unknown continuous view {view_name!r}")
@@ -1080,23 +1079,34 @@ class Engine:
         key_cols = list(vd.get("key_cols") or [])
         table_dir = self.view_dir(view_name)
         with self._store_lock(view_name):
-            # a prior rebucket may have died between its two renames —
-            # restore before deciding whether the store exists
+            # heal any crashed LEGACY whole-dir swap before deciding
+            # whether the store exists (writers own recovery)
             recover_store_swap(table_dir)
             # future first-materializations (and restarts before one)
-            # pick the new count up from the catalog; existing stores
-            # are governed by the marker rewritten below
+            # pick the new count up from the catalog
             self.catalog.update_view_options(
                 view_name, upsert_buckets=num_buckets
             )
             if not os.path.isdir(table_dir):
                 return  # nothing materialized yet
-            if not any(
-                n.startswith(f"{KB_COL}=") or n.endswith(".parquet")
-                for n in os.listdir(table_dir)
-            ):
-                # dir exists but holds no data: new marker is enough
+            old_per_bucket = store_bucket_files(table_dir)
+            if old_per_bucket is None:
+                old_buckets = {
+                    int(n.split("=", 1)[1])
+                    for n in os.listdir(table_dir)
+                    if n.startswith(f"{KB_COL}=")
+                }
+            else:
+                old_buckets = set(old_per_bucket)
+            has_flat = any(
+                n.endswith(".parquet") for n in os.listdir(table_dir)
+            )
+            if not old_buckets and not has_flat:
+                # dir exists but holds no data: record the count only
                 _write_bucket_marker(table_dir, num_buckets)
+                write_store_manifest(
+                    table_dir, None, num_buckets=num_buckets
+                )
                 return
             cur = self._read_view_store(view_name)
             if KB_COL in cur.columns:
@@ -1110,20 +1120,36 @@ class Engine:
             rehashed.write.mode("overwrite").partitionBy(KB_COL).parquet(
                 tmp
             )
-            _write_bucket_marker(tmp, num_buckets)
-            bak = f"{table_dir}__rebucket_bak"
-            os.rename(table_dir, bak)
             try:
-                os.rename(tmp, table_dir)
-            except OSError:
-                os.rename(bak, table_dir)
-                raise
-            write_store_manifest(table_dir, None, rehashed.schema.json())
-            # the old generation is NOT deleted here: an in-flight
-            # reader may have planned its files moments ago. The next
-            # merge batch (under this same mutex) reaps the stale bak
-            # via recover_store_swap — a one-generation grace window,
-            # the filesystem stand-in for a table format's vacuum.
+                new_buckets = {
+                    int(n.split("=", 1)[1])
+                    for n in os.listdir(tmp)
+                    if n.startswith(f"{KB_COL}=")
+                }
+                # touch the UNION: old bucket ids not in the new layout
+                # get their manifest entries dropped (files retained one
+                # generation, reaped at the next commit)
+                publish_bucket_files(
+                    table_dir,
+                    tmp,
+                    old_buckets | new_buckets,
+                    None,
+                    rehashed.schema.json(),
+                    num_buckets=num_buckets,
+                )
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+            # legacy-compat marker (manifest is authoritative)
+            _write_bucket_marker(table_dir, num_buckets)
+            if has_flat:
+                # one-time migration of a FLAT legacy store: the flat
+                # files are now fully represented in the bucketed
+                # generation — remove them, or the next merge's legacy
+                # detection would re-migrate the stale flat data over
+                # the rebucketed store
+                for n in os.listdir(table_dir):
+                    if n.endswith(".parquet"):
+                        os.remove(os.path.join(table_dir, n))
 
     def pipeline_query_stats(self) -> DataFrame:
         """The pipeline_query_stats catalog relation (PipelineDB's
@@ -1822,16 +1848,19 @@ class Engine:
                         d = cand
                         break
                 else:
-                    if attempt > 0:
-                        # no generation at all across two looks: the
-                        # view was never materialized — fail fast, do
-                        # not burn the whole retry budget
-                        break
+                    # no generation at all: the view was never
+                    # materialized (a mid-swap store always has a bak)
+                    # — fail fast, do not burn the retry budget
+                    break
             raw = read_store_manifest(d)
             if raw is not None:
                 live = [p for p in raw if os.path.exists(p)]
                 if live:
-                    return self.spark.read.parquet(*live)
+                    # basePath keeps the KB_COL partition column in the
+                    # schema, same as a directory read would infer
+                    return self.spark.read.option(
+                        "basePath", d
+                    ).parquet(*live)
                 if raw:
                     # every manifest file gone: mid-swap — retry
                     _time.sleep(0.05)

@@ -72,9 +72,15 @@ _BAK_PREFIX = ".bak."  # `.` prefix: hidden from partition discovery
 
 
 def _store_buckets(table_dir: str, default: int) -> int:
-    """Bucket count is a physical property of the store layout — persist
-    it in a marker file so restarts (or changed defaults) can never hash
-    the same key into a different directory."""
+    """Bucket count is a physical property of the store layout. The
+    MANIFEST carries it (so a rebucket flips file list and bucket count
+    in ONE atomic rename — a marker written separately could desync
+    across a crash and make merges hash keys into the wrong
+    generation's buckets); the marker file is the pre-manifest
+    fallback."""
+    m = _load_manifest(table_dir)
+    if m and m.get("num_buckets"):
+        return int(m["num_buckets"])
     try:
         with open(os.path.join(table_dir, _NB_MARKER)) as f:
             return int(f.read().strip())
@@ -279,6 +285,7 @@ def write_store_manifest(
     schema_json: str | None = None,
     files: dict[str, list[str]] | None = None,
     prev_files: dict[str, list[str]] | None = None,
+    num_buckets: int | None = None,
 ) -> None:
     """schema_json (StructType.json()) makes a committed-but-EMPTY
     store readable as a typed empty relation (a merge can delete every
@@ -289,21 +296,15 @@ def write_store_manifest(
     omitted, the directory listing is scanned (whole-dir swap paths,
     where the directory holds exactly one generation)."""
     if files is None:
-        files = {}
-        for name in sorted(os.listdir(table_dir)):
-            if not name.startswith(f"{KB_COL}="):
-                continue
-            bdir = os.path.join(table_dir, name)
-            files[name] = sorted(
-                f
-                for f in os.listdir(bdir)
-                if f.endswith(".parquet") and not f.startswith(".")
-            )
+        files = _list_bucket_files(table_dir)
     mdir = os.path.join(table_dir, _MANIFEST)
     os.makedirs(mdir, exist_ok=True)
-    if schema_json is None:
-        prev = _load_manifest(table_dir)
-        schema_json = (prev or {}).get("schema")
+    if schema_json is None or num_buckets is None:
+        prev = _load_manifest(table_dir) or {}
+        if schema_json is None:
+            schema_json = prev.get("schema")
+        if num_buckets is None:
+            num_buckets = prev.get("num_buckets")
     tmp = os.path.join(mdir, f".tmp_{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(
@@ -312,10 +313,44 @@ def write_store_manifest(
                 "files": files,
                 "prev_files": prev_files or {},
                 "schema": schema_json,
+                "num_buckets": num_buckets,
             },
             f,
         )
     os.rename(tmp, os.path.join(mdir, "LATEST.json"))
+
+
+def _list_bucket_files(table_dir: str) -> dict[str, list[str]]:
+    """Per-bucket parquet file map from a DIRECTORY LISTING — only
+    valid for single-generation layouts (pre-manifest stores, or a
+    freshly swapped-in whole-dir generation)."""
+    files: dict[str, list[str]] = {}
+    for name in sorted(os.listdir(table_dir)):
+        if not name.startswith(f"{KB_COL}="):
+            continue
+        bdir = os.path.join(table_dir, name)
+        files[name] = sorted(
+            f
+            for f in os.listdir(bdir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+    return files
+
+
+def store_bucket_files(table_dir: str) -> dict[int, list[str]] | None:
+    """bucket id → absolute committed file paths per the manifest, or
+    None for pre-manifest stores (single source of truth for every
+    consumer that needs per-bucket paths: the merge's touched-bucket
+    read, the TTL sweep, diagnostics)."""
+    m = _load_manifest(table_dir)
+    if m is None:
+        return None
+    return {
+        int(key.split("=", 1)[1]): [
+            os.path.join(table_dir, key, f) for f in fnames
+        ]
+        for key, fnames in m.get("files", {}).items()
+    }
 
 
 def publish_bucket_files(
@@ -324,6 +359,7 @@ def publish_bucket_files(
     touched: set[int],
     batch_id: int | None,
     schema_json: str | None,
+    num_buckets: int | None = None,
 ) -> None:
     """Two-generation MVCC commit for an incremental merge: move the
     touched buckets' NEW part files INTO the live bucket dirs (uuid
@@ -336,8 +372,16 @@ def publish_bucket_files(
     between plan and execute. Crash-safe: files land before the
     manifest flips (readers keep seeing generation N); orphans from a
     died-and-retried batch are reaped by the retry's own commit."""
-    prev = _load_manifest(table_dir) or {}
-    prev_files: dict[str, list[str]] = dict(prev.get("files", {}))
+    prev = _load_manifest(table_dir)
+    if prev is None:
+        # pre-manifest bucketed store (first MVCC commit on an old
+        # layout): bootstrap the file map from the directory listing —
+        # single generation by construction at this moment. Without
+        # this, the committed manifest would list ONLY the touched
+        # buckets and silently orphan every other bucket's rows.
+        prev_files = _list_bucket_files(table_dir)
+    else:
+        prev_files = dict(prev.get("files", {}))
     new_files = dict(prev_files)
     for b in sorted(touched):
         key = f"{KB_COL}={b}"
@@ -366,6 +410,7 @@ def publish_bucket_files(
         schema_json,
         files=new_files,
         prev_files=prev_files,
+        num_buckets=num_buckets,
     )
     # reap generation N-1: anything not in (new ∪ prev) per bucket
     for b in sorted(touched):
@@ -555,7 +600,9 @@ def _upsert_batch(
             raise
         if legacy:
             shutil.rmtree(bak)
-        write_store_manifest(table_dir, batch_id, merged.schema.json())
+        write_store_manifest(
+            table_dir, batch_id, merged.schema.json(), num_buckets=n
+        )
         return
 
     touched = {
@@ -567,14 +614,14 @@ def _upsert_batch(
         None for pre-manifest stores (single-generation layout — a
         directory listing is then safe). NEVER list a manifested
         store's dirs: they hold TWO generations."""
-        m = _load_manifest(table_dir)
-        if m is None:
+        per_bucket = store_bucket_files(table_dir)
+        if per_bucket is None:
             return None
         return [
-            os.path.join(table_dir, key, fname)
-            for key, fnames in m.get("files", {}).items()
-            if int(key.split("=", 1)[1]) in buckets
-            for fname in fnames
+            p
+            for b, paths in per_bucket.items()
+            if b in buckets
+            for p in paths
         ]
 
     if ttl_pred is not None and batch_id is not None:

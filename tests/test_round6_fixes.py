@@ -443,3 +443,113 @@ def test_sql_resolves_relations_case_insensitively(
         0
     ].c == 2
     assert engine.sql("SELECT count(*) AS c FROM AGG").collect()[0].c == 2
+
+
+def test_first_mvcc_commit_on_premanifest_store_keeps_all_buckets(
+    spark, tmp_path
+):
+    """A bucketed store from before the manifest feature: the first
+    MVCC commit must bootstrap the file map from the (single
+    generation) listing — committing only the touched buckets would
+    silently orphan every other bucket's rows."""
+    import shutil
+
+    from pipeline_kinesis_spark.streaming.continuous_view import (
+        read_store,
+        upsert_to_parquet,
+    )
+
+    d = str(tmp_path / "tbl")
+    rows = [(f"k{i}", i) for i in range(20)]
+    upsert_to_parquet(
+        spark.createDataFrame(rows, "k STRING, v INT"), d, ["k"]
+    )
+    shutil.rmtree(os.path.join(d, "_manifest"))  # r04-era store
+    # merge touching ONE key's bucket
+    upsert_to_parquet(
+        spark.createDataFrame([("k3", 300)], "k STRING, v INT"),
+        d,
+        ["k"],
+    )
+    got = {(r.k, r.v) for r in read_store(spark, d).collect()}
+    want = {(k, v) for k, v in rows if k != "k3"} | {("k3", 300)}
+    assert got == want
+    # and a later merge in a DIFFERENT bucket still dedupes correctly
+    upsert_to_parquet(
+        spark.createDataFrame([("k7", 700)], "k STRING, v INT"),
+        d,
+        ["k"],
+    )
+    got = {(r.k, r.v) for r in read_store(spark, d).collect()}
+    assert got == (want - {("k7", 7)}) | {("k7", 700)}
+
+
+def test_ttl_expire_recovers_crashed_swap_state(engine, spark, tmp_path):
+    """ttl_expire is a writer: a store stranded under a crashed legacy
+    whole-dir swap must be restored and swept, not silently skipped."""
+    import datetime as dt
+    import time
+
+    now = dt.datetime.utcnow().replace(microsecond=0)
+    # stored while live (wide first-batch margin), expires at now+8
+    dying = (now + dt.timedelta(seconds=6)).strftime("%Y-%m-%d %H:%M:%S")
+    live = (now + dt.timedelta(hours=1)).strftime("%Y-%m-%d %H:%M:%S")
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("st", "k STRING, ts TIMESTAMP")
+    engine.create_continuous_view(
+        "v",
+        "SELECT k, max(ts) AS last_ts, count(*) AS n FROM st GROUP BY k",
+        "st",
+        materialize="parquet_upsert",
+        key_cols=["k"],
+        ttl_seconds=2,
+        ttl_column="last_ts",
+    )
+    _put(src_root / "s1", [f"dead,{dying}", f"live,{live}"])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    engine.consume_end_all()
+    table_dir = engine.view_dir("v")
+    os.rename(table_dir, f"{table_dir}__legacy_bak")  # crashed swap
+    while dt.datetime.utcnow() < now + dt.timedelta(seconds=9):
+        time.sleep(0.25)  # 'dead' passes its expiry
+    n = engine.ttl_expire("v")
+    assert n == 1  # restored AND swept the expired row
+    assert os.path.isdir(table_dir)
+    assert {r.k for r in engine.view_table("v").collect()} == {"live"}
+
+
+def test_rebucket_count_rides_the_manifest(engine, spark, tmp_path):
+    """The bucket count flips atomically WITH the manifest: a stale
+    marker file (the crash the old two-file design allowed) must not
+    make later merges hash keys into the wrong layout."""
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("st", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "agg",
+        _BASE_SQL,
+        "st",
+        materialize="parquet_upsert",
+        key_cols=["k"],
+        upsert_buckets=4,
+    )
+    keys = [chr(ord("a") + i) for i in range(10)]
+    _put(src_root / "s1", [f"{k},1" for k in keys])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    engine.consume_end_all()
+    engine.rebucket("agg", 16)
+    # sabotage the legacy marker: manifest must win
+    with open(os.path.join(engine.view_dir("agg"), _NB_MARKER), "w") as f:
+        f.write("4")
+    _put(src_root / "s1", ["a,10"], start=50)
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    engine.consume_end_all()
+    got = {
+        r.k: (r.cnt, r.total) for r in engine.view_table("agg").collect()
+    }
+    assert got["a"] == (2, 11)  # merged, not duplicated across layouts
+    assert all(got[k] == (1, 1) for k in keys if k != "a")

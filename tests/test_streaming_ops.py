@@ -256,7 +256,6 @@ def test_upsert_ttl_sweep_reaps_untouched_bucket(spark, tmp_path):
     hashes into is still physically reaped once batch_id % n lands on
     its bucket — the store stays bounded without full-table rewrites."""
     from pipeline_kinesis_spark.streaming.continuous_view import (
-    read_store,
         UPSERT_BUCKETS,
     )
 
