@@ -1011,16 +1011,9 @@ class Engine:
             recover_store_swap(table_dir)
             if not os.path.isdir(table_dir):
                 return 0
-            buckets = store_bucket_files(table_dir)
-            if buckets is None:
-                # pre-manifest store: single generation, listing ok
-                buckets = {
-                    int(name.split("=", 1)[1]): [
-                        os.path.join(table_dir, name)
-                    ]
-                    for name in sorted(os.listdir(table_dir))
-                    if name.startswith(f"{KB_COL}=")
-                }
+            # pre-manifest stores fall back to the single-generation
+            # directory listing inside the shared helper
+            buckets = store_bucket_files(table_dir, allow_listing=True)
             for bucket in sorted(buckets):
                 paths = buckets[bucket]
                 if not paths:
@@ -1089,15 +1082,10 @@ class Engine:
             )
             if not os.path.isdir(table_dir):
                 return  # nothing materialized yet
-            old_per_bucket = store_bucket_files(table_dir)
-            if old_per_bucket is None:
-                old_buckets = {
-                    int(n.split("=", 1)[1])
-                    for n in os.listdir(table_dir)
-                    if n.startswith(f"{KB_COL}=")
-                }
-            else:
-                old_buckets = set(old_per_bucket)
+            old_per_bucket = store_bucket_files(
+                table_dir, allow_listing=True
+            )
+            old_buckets = set(old_per_bucket or {})
             has_flat = any(
                 n.endswith(".parquet") for n in os.listdir(table_dir)
             )
@@ -1120,6 +1108,30 @@ class Engine:
             rehashed.write.mode("overwrite").partitionBy(KB_COL).parquet(
                 tmp
             )
+            if has_flat:
+                # FLAT legacy store: an in-place commit would leave a
+                # mixed flat+bucketed dir across a crash (which the
+                # next merge's legacy detection cannot read) — migrate
+                # through the one-time whole-dir swap instead, whose
+                # crash states recover_store_swap already heals. The
+                # brief reader window matches the legacy migration
+                # _upsert_batch performs on such stores anyway.
+                _write_bucket_marker(tmp, num_buckets)
+                bak = f"{table_dir}__rebucket_bak"
+                os.rename(table_dir, bak)
+                try:
+                    os.rename(tmp, table_dir)
+                except OSError:
+                    os.rename(bak, table_dir)
+                    raise
+                shutil.rmtree(bak, ignore_errors=True)
+                write_store_manifest(
+                    table_dir,
+                    None,
+                    rehashed.schema.json(),
+                    num_buckets=num_buckets,
+                )
+                return
             try:
                 new_buckets = {
                     int(n.split("=", 1)[1])
@@ -1128,7 +1140,8 @@ class Engine:
                 }
                 # touch the UNION: old bucket ids not in the new layout
                 # get their manifest entries dropped (files retained one
-                # generation, reaped at the next commit)
+                # generation, the orphan-dir reap claims them at the
+                # commit after next)
                 publish_bucket_files(
                     table_dir,
                     tmp,
@@ -1141,15 +1154,6 @@ class Engine:
                 shutil.rmtree(tmp, ignore_errors=True)
             # legacy-compat marker (manifest is authoritative)
             _write_bucket_marker(table_dir, num_buckets)
-            if has_flat:
-                # one-time migration of a FLAT legacy store: the flat
-                # files are now fully represented in the bucketed
-                # generation — remove them, or the next merge's legacy
-                # detection would re-migrate the stale flat data over
-                # the rebucketed store
-                for n in os.listdir(table_dir):
-                    if n.endswith(".parquet"):
-                        os.remove(os.path.join(table_dir, n))
 
     def pipeline_query_stats(self) -> DataFrame:
         """The pipeline_query_stats catalog relation (PipelineDB's
@@ -1848,10 +1852,15 @@ class Engine:
                         d = cand
                         break
                 else:
-                    # no generation at all: the view was never
-                    # materialized (a mid-swap store always has a bak)
-                    # — fail fast, do not burn the retry budget
-                    break
+                    if attempt > 0:
+                        # nothing across two looks: the view was never
+                        # materialized. (One brief retry is required —
+                        # a racing whole-dir swap can momentarily show
+                        # neither the live dir nor the bak between the
+                        # writer's two renames and its bak cleanup.)
+                        break
+                    _time.sleep(0.02)
+                    continue
             raw = read_store_manifest(d)
             if raw is not None:
                 live = [p for p in raw if os.path.exists(p)]

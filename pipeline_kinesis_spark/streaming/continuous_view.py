@@ -337,14 +337,25 @@ def _list_bucket_files(table_dir: str) -> dict[str, list[str]]:
     return files
 
 
-def store_bucket_files(table_dir: str) -> dict[int, list[str]] | None:
-    """bucket id → absolute committed file paths per the manifest, or
-    None for pre-manifest stores (single source of truth for every
-    consumer that needs per-bucket paths: the merge's touched-bucket
-    read, the TTL sweep, diagnostics)."""
+def store_bucket_files(
+    table_dir: str, allow_listing: bool = False
+) -> dict[int, list[str]] | None:
+    """bucket id → absolute committed file paths per the manifest
+    (single source of truth for every consumer that needs per-bucket
+    paths: the merge's touched-bucket read, the TTL sweep, rebucket).
+    Pre-manifest stores return None — or, with ``allow_listing``, the
+    directory listing (valid ONLY because pre-manifest layouts hold a
+    single generation)."""
     m = _load_manifest(table_dir)
     if m is None:
-        return None
+        if not allow_listing:
+            return None
+        return {
+            int(key.split("=", 1)[1]): [
+                os.path.join(table_dir, key, f) for f in fnames
+            ]
+            for key, fnames in _list_bucket_files(table_dir).items()
+        }
     return {
         int(key.split("=", 1)[1]): [
             os.path.join(table_dir, key, f) for f in fnames
@@ -375,13 +386,21 @@ def publish_bucket_files(
     prev = _load_manifest(table_dir)
     if prev is None:
         # pre-manifest bucketed store (first MVCC commit on an old
-        # layout): bootstrap the file map from the directory listing —
-        # single generation by construction at this moment. Without
-        # this, the committed manifest would list ONLY the touched
-        # buckets and silently orphan every other bucket's rows.
-        prev_files = _list_bucket_files(table_dir)
-    else:
-        prev_files = dict(prev.get("files", {}))
+        # layout): COMMIT a bootstrap manifest of the directory listing
+        # BEFORE moving any files in. Without a durable bootstrap, a
+        # crash between the file moves and the manifest flip would make
+        # the retry's listing read see two generations (duplicated
+        # current rows); with it, the retry plans from the bootstrap
+        # manifest and the orphans are invisible — then reaped below.
+        write_store_manifest(
+            table_dir,
+            None,
+            schema_json,
+            files=_list_bucket_files(table_dir),
+            num_buckets=num_buckets,
+        )
+        prev = _load_manifest(table_dir) or {}
+    prev_files = dict(prev.get("files", {}))
     new_files = dict(prev_files)
     for b in sorted(touched):
         key = f"{KB_COL}={b}"
@@ -429,6 +448,18 @@ def publish_bucket_files(
                     os.remove(os.path.join(dst, fname))
                 except OSError:
                     pass
+    # reap ORPHAN BUCKET DIRS with the same two-generation grace: a
+    # bucket absent from both the new and previous manifest can only be
+    # a layout the generation before last used (e.g. a shrinking
+    # rebucket's high bucket ids, which no future merge or round-robin
+    # sweep under the new modulus would ever touch — without this they
+    # would leak the old generation forever)
+    live_keys = set(new_files) | set(prev_files)
+    for name in os.listdir(table_dir):
+        if name.startswith(f"{KB_COL}=") and name not in live_keys:
+            shutil.rmtree(
+                os.path.join(table_dir, name), ignore_errors=True
+            )
 
 
 def _load_manifest(table_dir: str) -> dict | None:
@@ -678,9 +709,16 @@ def _upsert_batch(
     merged.write.mode("overwrite").partitionBy(KB_COL).parquet(tmp)
     try:
         # two-generation MVCC commit: new files in, manifest flip,
-        # reap generation N-2 — in-flight readers keep their plans
+        # reap generation N-2 — in-flight readers keep their plans.
+        # num_buckets rides along so a bootstrapped pre-manifest
+        # store's manifest becomes authoritative for the count too.
         publish_bucket_files(
-            table_dir, tmp, touched, batch_id, merged.schema.json()
+            table_dir,
+            tmp,
+            touched,
+            batch_id,
+            merged.schema.json(),
+            num_buckets=n,
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

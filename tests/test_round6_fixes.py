@@ -553,3 +553,90 @@ def test_rebucket_count_rides_the_manifest(engine, spark, tmp_path):
     }
     assert got["a"] == (2, 11)  # merged, not duplicated across layouts
     assert all(got[k] == (1, 1) for k in keys if k != "a")
+
+
+def test_shrinking_rebucket_reaps_old_high_buckets(
+    engine, spark, tmp_path
+):
+    """rebucket down: bucket ids outside the new modulus are dropped
+    from the manifest with one generation of grace, then the orphan-dir
+    reap claims them at the next commit — they must not leak forever
+    (no future merge or round-robin sweep would ever touch them)."""
+    src_root = tmp_path / "kinesis"
+    engine.add_endpoint("ep", url=str(src_root))
+    engine.create_stream("st", "k STRING, v BIGINT")
+    engine.create_continuous_view(
+        "agg",
+        _BASE_SQL,
+        "st",
+        materialize="parquet_upsert",
+        key_cols=["k"],
+        upsert_buckets=16,
+    )
+    keys = [f"key{i}" for i in range(40)]
+    _put(src_root / "s1", [f"{k},1" for k in keys])
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    engine.consume_end_all()
+    table_dir = engine.view_dir("agg")
+    high = [
+        n
+        for n in os.listdir(table_dir)
+        if n.startswith("upsert_kb=")
+        and int(n.split("=", 1)[1]) >= 4
+    ]
+    assert high  # 40 keys over 16 buckets: some land high
+
+    engine.rebucket("agg", 4)
+    # one generation of grace: old dirs may still exist right now, but
+    # the next commit reaps every bucket dir outside the new layout
+    _put(src_root / "s1", ["key0,10"], start=100)
+    engine.consume_begin("ep", "s1", "st", fmt="csv", delimiter=",")
+    engine.wait_for_ingest()
+    engine.consume_end_all()
+    left = {
+        int(n.split("=", 1)[1])
+        for n in os.listdir(table_dir)
+        if n.startswith("upsert_kb=")
+    }
+    assert left and all(b < 4 for b in left), left
+    got = {
+        r.k: (r.cnt, r.total) for r in engine.view_table("agg").collect()
+    }
+    assert got["key0"] == (2, 11)
+    assert all(got[k] == (1, 1) for k in keys if k != "key0")
+
+
+def test_first_mvcc_commit_bootstraps_manifest_durably(spark, tmp_path):
+    """The first commit on a pre-manifest store writes a bootstrap
+    manifest (full file map + bucket count) BEFORE moving files, so a
+    crash mid-commit can never leave a manifest-less two-generation
+    directory for the retry to double-read."""
+    import json
+    import shutil
+
+    from pipeline_kinesis_spark.streaming.continuous_view import (
+        upsert_to_parquet,
+    )
+
+    d = str(tmp_path / "tbl")
+    upsert_to_parquet(
+        spark.createDataFrame(
+            [(f"k{i}", i) for i in range(12)], "k STRING, v INT"
+        ),
+        d,
+        ["k"],
+    )
+    shutil.rmtree(os.path.join(d, "_manifest"))  # r04-era store
+    n_bucket_dirs = sum(
+        1 for n in os.listdir(d) if n.startswith("upsert_kb=")
+    )
+    upsert_to_parquet(
+        spark.createDataFrame([("k1", 100)], "k STRING, v INT"),
+        d,
+        ["k"],
+    )
+    with open(os.path.join(d, "_manifest", "LATEST.json")) as f:
+        m = json.load(f)
+    assert len(m["files"]) == n_bucket_dirs  # every bucket listed
+    assert m["num_buckets"]  # count is manifest-authoritative now
