@@ -1113,28 +1113,39 @@ def encode_gif(
 
 
 def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
-    """PCM16 (fmt 1) plus the G.711 COMPANDED codecs: μ-law (fmt 7)
-    and A-law (fmt 6) 8-bit samples expand to int16 through the
-    spec's piecewise-log formulas — real compressed-audio decode in
-    pure numpy (2:1, the telephony standard)."""
+    """PCM16 (fmt 1) plus the COMPRESSED audio codecs: G.711 μ-law
+    (fmt 7) / A-law (fmt 6) companding (2:1, the telephony standard)
+    and IMA ADPCM (fmt 0x11, 4:1 adaptive differential) — all pure
+    numpy/python from the specs."""
     import struct
 
     import numpy as np
 
     pos, rate, channels, fmt = 12, None, None, None
+    block_align = spb = n_total = None
     while pos + 8 <= len(payload):
         cid, size = struct.unpack_from("<4sI", payload, pos)
         pos += 8
-        if cid == b"fmt ":
+        if cid == b"fact":  # total sample count (compressed formats)
+            (n_total,) = struct.unpack_from("<I", payload, pos)
+        elif cid == b"fmt ":
             fmt, channels, rate = struct.unpack_from("<HHI", payload, pos)
-            bits = struct.unpack_from("<H", payload, pos + 14)[0]
-            if not (
+            block_align, bits = struct.unpack_from(
+                "<HH", payload, pos + 12
+            )
+            if fmt == 0x11:
+                if channels != 1:
+                    raise NotImplementedError(
+                        "only mono IMA ADPCM WAV supported"
+                    )
+                (spb,) = struct.unpack_from("<H", payload, pos + 18)
+            elif not (
                 (fmt == 1 and bits == 16)
                 or (fmt in (6, 7) and bits == 8)
             ):
                 raise NotImplementedError(
-                    f"only PCM16 / G.711 u-law / A-law WAV supported "
-                    f"(fmt={fmt}, bits={bits})"
+                    f"only PCM16 / G.711 u-law / A-law / IMA ADPCM WAV "
+                    f"supported (fmt={fmt}, bits={bits})"
                 )
         elif cid == b"data":
             if rate is None:
@@ -1143,6 +1154,18 @@ def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
                 samples = np.frombuffer(
                     payload, dtype="<i2", count=size // 2, offset=pos
                 )
+            elif fmt == 0x11:
+                out: list[int] = []
+                for bstart in range(pos, pos + size, block_align):
+                    block = payload[
+                        bstart : min(bstart + block_align, pos + size)
+                    ]
+                    if len(block) < 4:
+                        break
+                    out.extend(_ima_decode_block(block, spb))
+                if n_total is not None:
+                    out = out[:n_total]  # drop final-block padding
+                samples = np.asarray(out, dtype=np.int16)
             else:
                 codes = np.frombuffer(
                     payload, dtype=np.uint8, count=size, offset=pos
@@ -1225,6 +1248,119 @@ def encode_wav(rate: int, samples) -> bytes:
     )
     chunks = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks) - 4) + chunks
+
+
+# -- IMA ADPCM (WAV fmt 0x11): 4:1 adaptive differential audio --------------
+
+# ITU/IMA step-size table (89 entries, ~1.1x geometric growth) and the
+# per-nibble index adjustments — the complete codec state machine.
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+]
+_IMA_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step_nibble(nibble: int, pred: int, idx: int) -> tuple[int, int]:
+    """One decoder state transition (shared by the encoder so both
+    sides track identical reconstruction state)."""
+    step = _IMA_STEP[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_ADJ[nibble & 7]))
+    return pred, idx
+
+
+def _ima_decode_block(data: bytes, n_samples: int) -> list[int]:
+    """One mono IMA block: 4-byte header (predictor int16, step index,
+    reserved) then two low-nibble-first samples per byte."""
+    import struct
+
+    pred, idx = struct.unpack_from("<hB", data, 0)[0], data[2]
+    idx = max(0, min(88, idx))
+    out = [pred]
+    for byte in data[4:]:
+        for nibble in (byte & 0x0F, byte >> 4):
+            if len(out) >= n_samples:
+                break
+            pred, idx = _ima_step_nibble(nibble, pred, idx)
+            out.append(pred)
+    return out[:n_samples]
+
+
+def encode_wav_ima(rate: int, samples, block_align: int = 256) -> bytes:
+    """(n,) or (n, 1) int16 mono → IMA ADPCM RIFF/WAVE (fmt 0x11,
+    4 bits/sample ≈ 4:1). The encoder quantizes each delta against the
+    same state machine the decoder steps, so both reconstruct the
+    identical waveform. Fixture/export helper."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.int16).reshape(-1)
+    spb = (block_align - 4) * 2 + 1  # samples per block incl. header
+    body = bytearray()
+    pos = 0
+    idx = 0  # step index carries across blocks via each block header
+    while pos < len(a):
+        chunk = a[pos : pos + spb]
+        pred = int(chunk[0])
+        body += struct.pack("<hBB", pred, idx, 0)
+        nibbles: list[int] = []
+        for s in map(int, chunk[1:]):
+            delta = s - pred
+            n = 0
+            if delta < 0:
+                n |= 8
+                delta = -delta
+            step = _IMA_STEP[idx]
+            if delta >= step:
+                n |= 4
+                delta -= step
+            if delta >= step >> 1:
+                n |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                n |= 1
+            nibbles.append(n)
+            pred, idx = _ima_step_nibble(n, pred, idx)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            body.append(lo | (hi << 4))
+        # blocks pad to block_align
+        body += b"\x00" * (block_align - 4 - len(nibbles) // 2)
+        pos += spb
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11,
+        1,
+        rate,
+        rate * block_align // spb,
+        block_align,
+        4,
+        2,
+        spb,
+    )
+    chunks = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, len(a))
+    chunks += b"data" + struct.pack("<I", len(body)) + bytes(body)
+    if len(body) & 1:
+        chunks += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunks) - 4) + chunks
 
 

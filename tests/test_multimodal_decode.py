@@ -392,3 +392,63 @@ def test_progressive_jpeg_stays_gated():
     body[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
     with pytest.raises(NotImplementedError, match="baseline"):
         decode_media(bytes(body))
+
+
+def test_ima_adpcm_structural_tables():
+    from pipeline_kinesis_spark.operators.multimodal import (
+        _IMA_ADJ,
+        _IMA_STEP,
+    )
+
+    assert len(_IMA_STEP) == 89 and len(_IMA_ADJ) == 8
+    assert _IMA_STEP[0] == 7 and _IMA_STEP[-1] == 32767
+    assert all(b > a for a, b in zip(_IMA_STEP, _IMA_STEP[1:]))
+    ratios = [b / a for a, b in zip(_IMA_STEP[8:], _IMA_STEP[9:])]
+    assert all(1.05 < r < 1.15 for r in ratios)  # ~1.1x geometric
+
+
+def test_ima_adpcm_round_trip_snr():
+    """ADAPTIVE differential audio decode for real: a 4:1 compressed
+    sine round-trips above 25 dB SNR across multiple blocks, and the
+    padded final block is trimmed by the fact chunk."""
+    from pipeline_kinesis_spark.operators.multimodal import (
+        encode_wav_ima,
+    )
+
+    t = np.arange(2500)
+    # 440 Hz at 32 kHz: ~73 samples/cycle, the oversampling regime
+    # ADPCM is built for (slope per sample within the step ramp)
+    s = (12000 * np.sin(2 * np.pi * 440 * t / 32000)).astype(np.int16)
+    body = encode_wav_ima(32000, s)
+    assert len(body) < s.nbytes / 3  # ~4:1 with headers
+    rate, got = decode_media(body)
+    assert rate == 32000
+    got = got.reshape(-1)
+    assert got.shape == s.shape  # fact chunk trimmed the padding
+    err = got.astype(np.float64) - s.astype(np.float64)
+    snr = 10 * np.log10(
+        np.mean(s.astype(np.float64) ** 2) / np.mean(err**2)
+    )
+    assert snr > 25, snr
+
+
+def test_ima_adpcm_tracks_step_transients():
+    """A hard amplitude jump forces the step index through its full
+    ramp — the decoder must track the encoder's state machine exactly
+    (same nibble stream → same reconstruction, block after block)."""
+    from pipeline_kinesis_spark.operators.multimodal import (
+        encode_wav_ima,
+    )
+
+    rng = np.random.default_rng(13)
+    quiet = rng.integers(-50, 50, size=600)
+    loud = rng.integers(-30000, 30000, size=600)
+    s = np.concatenate([quiet, loud, quiet]).astype(np.int16)
+    rate, got = decode_media(encode_wav_ima(16000, s, block_align=64))
+    got = got.reshape(-1)
+    assert got.shape == s.shape
+    # quiet tail after the loud burst: the index ramps back down and
+    # small deltas are representable again within a few dozen samples
+    tail = slice(len(s) - 300, len(s))
+    err = np.abs(got[tail].astype(int) - s[tail].astype(int))
+    assert err.max() <= 512, int(err.max())
