@@ -1434,7 +1434,8 @@ PIXEL_STATS_SCHEMA = (
 
 
 def decode_pixel_stats(df: DataFrame) -> DataFrame:
-    """REAL-decode path over image payloads (PPM/BMP): Arrow-batched
+    """REAL-decode path over image payloads (PPM/BMP/PNG/GIF/JPEG,
+    dispatched per payload by magic bytes): Arrow-batched
     mapInPandas decoding each payload to pixels and emitting per-image
     statistics — the shape every image-quality/dedup filter at 100 TB
     takes (decode confined to executor-side batches, stats columns out).

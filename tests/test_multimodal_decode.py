@@ -1,4 +1,5 @@
-"""Pure-numpy media decode (C5): PPM/BMP/WAV round-trips with planted
+"""Pure-numpy media decode (C5): PPM/BMP/WAV plus the compressed
+formats (PNG, GIF, baseline JPEG, G.711, IMA ADPCM) round-trip with planted
 pixel/sample statistics, plus the real-decode path through Spark's
 Arrow-batched mapInPandas plumbing."""
 
