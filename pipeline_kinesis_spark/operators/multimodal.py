@@ -1685,7 +1685,86 @@ WHERE doc_id % 3 = 2
 """
 
 
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL codec decoders under the correctness gate (C5): every
+    document becomes a solid grayscale image whose level and container
+    derive from doc_id — PPM, BMP, PNG (filter cycling), GIF and
+    baseline JPEG round-robin — encoded AND decoded inside Arrow
+    -batched mapInPandas through the same magic-byte dispatch
+    production payloads take, then aggregated per language. A solid
+    grayscale image decodes to its exact level in every container
+    (JPEG included: the luma transform of r=g=b is identity and the
+    chroma planes quantize to exactly zero), so DuckDB can oracle the
+    result with pure column arithmetic — a misdecode in ANY of the
+    five codecs hash-fails the gate. Scale shape: decode is confined
+    to executor batches; the shuffle carries only (lang, 3 ints)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        encoders = ("ppm", "bmp", "png", "gif", "jpeg")
+        for pdf in batches:
+            recs = []
+            for did, lang in zip(pdf["doc_id"], pdf["lang"]):
+                did = int(did)
+                level = did % 256
+                px = np.full((6, 4, 3), level, dtype=np.uint8)
+                kind = encoders[did % 5]
+                if kind == "ppm":
+                    payload = encode_ppm(px)
+                elif kind == "bmp":
+                    payload = encode_bmp(px)
+                elif kind == "png":
+                    payload = encode_png(px, filter_type=did % 5)
+                elif kind == "gif":
+                    pal = np.full((1, 3), level, dtype=np.uint8)
+                    payload = encode_gif(
+                        pal, np.zeros((6, 4), dtype=np.uint8)
+                    )
+                else:
+                    payload = encode_jpeg(px)
+                decoded = decode_media(payload)
+                recs.append(
+                    (
+                        lang,
+                        int(decoded.min()),
+                        int(decoded.max()),
+                        int(round(float(decoded.mean()))),
+                    )
+                )
+            yield pd.DataFrame(
+                recs, columns=["lang", "min_px", "max_px", "mean_px"]
+            )
+
+    stats = d.mapInPandas(
+        run, "lang STRING, min_px BIGINT, max_px BIGINT, mean_px BIGINT"
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("min_px").alias("sum_level"),
+        F.max("max_px").alias("max_level"),
+        F.sum("mean_px").alias("sum_mean"),
+    )
+
+
+# solid grayscale decodes to its exact level in every container, so the
+# oracle needs no decoder — just the same doc_id arithmetic
+MULTIMODAL_DECODE_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(doc_id % 256) AS BIGINT) AS sum_level,
+       CAST(max(doc_id % 256) AS BIGINT) AS max_level,
+       CAST(sum(doc_id % 256) AS BIGINT) AS sum_mean
+FROM documents
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "multimodal_decode_stats": QuerySpec(
+        multimodal_decode_stats, MULTIMODAL_DECODE_SQL
+    ),
     "multimodal_meta_stats": QuerySpec(
         multimodal_meta_stats, MULTIMODAL_META_SQL
     ),

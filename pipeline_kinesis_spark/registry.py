@@ -111,9 +111,12 @@ _PRIORITY = (
     "cohort_retention",
     # late-round-5 curation additions (C4/C6)
     "domain_balance", "doc_chunk_overlap", "oov_rate_filter",
-    # multimodal
-    "multimodal_meta_stats", "multimodal_resize", "multimodal_frame_sample",
-    "multimodal_features",
+    # multimodal — multimodal_decode_stats (new r06: the REAL
+    # PPM/BMP/PNG/GIF/JPEG decoders under a full DuckDB oracle) takes
+    # multimodal_frame_sample's row (2x-green; C5 keeps four rows and
+    # gains its strongest check)
+    "multimodal_meta_stats", "multimodal_resize",
+    "multimodal_decode_stats", "multimodal_features",
 )
 
 # The driver checks exactly the first _WINDOW entries of queries();
