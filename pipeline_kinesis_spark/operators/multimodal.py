@@ -6,8 +6,8 @@ Arrow-batched mapInPandas signatures — is real and tested, and
 ``decode_media`` REALLY decodes PPM P6, 24-bit BMP, PCM16 WAV — and,
 since r06, the COMPRESSED formats: 8-bit PNG (stdlib zlib inflate +
 all five spec filters unapplied in numpy), GIF (variable-width LZW
-implemented from the spec), and G.711 companded audio (u-law/A-law
-WAV), plus the full transform codec baseline JPEG (SOF0 per ITU-T
+implemented from the spec), G.711 companded and IMA ADPCM audio
+(u-law/A-law/fmt-0x11 WAV), plus the full transform codec baseline JPEG (SOF0 per ITU-T
 T.81: generic-DHT Huffman, dequantize, vectorized IDCT, chroma
 upsampling) — no codec libraries involved. Only MP3/H.264 (MDCT /
 motion compensation) and progressive JPEG stay behind
@@ -79,7 +79,8 @@ FEATURES_SCHEMA = StructType(
 def decode_media(payload: bytes, mime: str = "") -> object:
     """Decode media containers in pure numpy/stdlib — no codec
     libraries needed: PPM P6 (binary RGB), BMP (24-bit uncompressed
-    BI_RGB), WAV (PCM16 + G.711 u-law/A-law), 8-bit PNG (zlib inflate
+    BI_RGB), WAV (PCM16, G.711 u-law/A-law, IMA ADPCM), 8-bit PNG
+    (zlib inflate
     + filter unapply), GIF (spec LZW), and baseline JPEG (SOF0 DCT).
     Dispatch is by magic bytes, so the mime hint is advisory. Returns
     an ``(h, w, 3) uint8`` pixel array for images, ``(sample_rate,
@@ -1138,6 +1139,15 @@ def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
                     raise NotImplementedError(
                         "only mono IMA ADPCM WAV supported"
                     )
+                if size < 20 or bits != 4:
+                    # the wSamplesPerBlock extension is mandatory for
+                    # fmt 0x11 — reading past a minimal fmt chunk
+                    # would take the NEXT chunk's bytes as spb
+                    raise ValueError(
+                        f"IMA ADPCM fmt chunk missing its "
+                        f"samples-per-block extension "
+                        f"(size={size}, bits={bits})"
+                    )
                 (spb,) = struct.unpack_from("<H", payload, pos + 18)
             elif not (
                 (fmt == 1 and bits == 16)
@@ -1163,8 +1173,15 @@ def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
                     if len(block) < 4:
                         break
                     out.extend(_ima_decode_block(block, spb))
-                if n_total is not None:
-                    out = out[:n_total]  # drop final-block padding
+                if n_total is None:
+                    # fact is mandatory for compressed WAV — without
+                    # it the final block's zero-pad nibbles would
+                    # decode as bogus trailing samples; fail loudly
+                    raise ValueError(
+                        "IMA ADPCM WAV missing its fact chunk "
+                        "(total sample count)"
+                    )
+                out = out[:n_total]  # drop final-block padding
                 samples = np.asarray(out, dtype=np.int16)
             else:
                 codes = np.frombuffer(
@@ -1290,16 +1307,16 @@ def _ima_decode_block(data: bytes, n_samples: int) -> list[int]:
     reserved) then two low-nibble-first samples per byte."""
     import struct
 
-    pred, idx = struct.unpack_from("<hB", data, 0)[0], data[2]
+    pred, idx = struct.unpack_from("<hB", data, 0)
     idx = max(0, min(88, idx))
     out = [pred]
     for byte in data[4:]:
         for nibble in (byte & 0x0F, byte >> 4):
             if len(out) >= n_samples:
-                break
+                return out  # skip the zero-pad tail entirely
             pred, idx = _ima_step_nibble(nibble, pred, idx)
             out.append(pred)
-    return out[:n_samples]
+    return out
 
 
 def encode_wav_ima(rate: int, samples, block_align: int = 256) -> bytes:
@@ -1716,7 +1733,12 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif kind == "bmp":
                     payload = encode_bmp(px)
                 elif kind == "png":
-                    payload = encode_png(px, filter_type=did % 5)
+                    # did % 5 == 2 for every PNG-routed doc (that IS
+                    # the router) — cycle filters on an independent
+                    # digit so all five filter paths face the gate
+                    payload = encode_png(
+                        px, filter_type=(did // 5) % 5
+                    )
                 elif kind == "gif":
                     pal = np.full((1, 3), level, dtype=np.uint8)
                     payload = encode_gif(
