@@ -1135,10 +1135,6 @@ def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
                 "<HH", payload, pos + 12
             )
             if fmt == 0x11:
-                if channels != 1:
-                    raise NotImplementedError(
-                        "only mono IMA ADPCM WAV supported"
-                    )
                 if size < 20 or bits != 4:
                     # the wSamplesPerBlock extension is mandatory for
                     # fmt 0x11 — reading past a minimal fmt chunk
@@ -1165,14 +1161,6 @@ def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
                     payload, dtype="<i2", count=size // 2, offset=pos
                 )
             elif fmt == 0x11:
-                out: list[int] = []
-                for bstart in range(pos, pos + size, block_align):
-                    block = payload[
-                        bstart : min(bstart + block_align, pos + size)
-                    ]
-                    if len(block) < 4:
-                        break
-                    out.extend(_ima_decode_block(block, spb))
                 if n_total is None:
                     # fact is mandatory for compressed WAV — without
                     # it the final block's zero-pad nibbles would
@@ -1181,8 +1169,20 @@ def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
                         "IMA ADPCM WAV missing its fact chunk "
                         "(total sample count)"
                     )
-                out = out[:n_total]  # drop final-block padding
-                samples = np.asarray(out, dtype=np.int16)
+                out_ch: list[list[int]] = [[] for _ in range(channels)]
+                for bstart in range(pos, pos + size, block_align):
+                    block = payload[
+                        bstart : min(bstart + block_align, pos + size)
+                    ]
+                    if len(block) < 4 * channels:
+                        break
+                    for c, vals in enumerate(
+                        _ima_decode_block(block, spb, channels)
+                    ):
+                        out_ch[c].extend(vals)
+                samples = np.asarray(
+                    [v[:n_total] for v in out_ch], dtype=np.int16
+                ).T.reshape(-1)
             else:
                 codes = np.frombuffer(
                     payload, dtype=np.uint8, count=size, offset=pos
@@ -1302,70 +1302,105 @@ def _ima_step_nibble(nibble: int, pred: int, idx: int) -> tuple[int, int]:
     return pred, idx
 
 
-def _ima_decode_block(data: bytes, n_samples: int) -> list[int]:
-    """One mono IMA block: 4-byte header (predictor int16, step index,
-    reserved) then two low-nibble-first samples per byte."""
+def _ima_decode_block(
+    data: bytes, n_samples: int, channels: int = 1
+) -> list[list[int]]:
+    """One IMA block: a 4-byte header per channel (predictor int16,
+    step index, reserved), then 4-byte nibble groups alternating
+    across channels (the spec's stereo interleave); two low-nibble-
+    first samples per byte. Returns per-channel sample lists."""
     import struct
 
-    pred, idx = struct.unpack_from("<hB", data, 0)
-    idx = max(0, min(88, idx))
-    out = [pred]
-    for byte in data[4:]:
-        for nibble in (byte & 0x0F, byte >> 4):
-            if len(out) >= n_samples:
-                return out  # skip the zero-pad tail entirely
-            pred, idx = _ima_step_nibble(nibble, pred, idx)
-            out.append(pred)
-    return out
+    preds, idxs, chans = [], [], []
+    for c in range(channels):
+        pred, idx = struct.unpack_from("<hB", data, 4 * c)
+        preds.append(pred)
+        idxs.append(max(0, min(88, idx)))
+        chans.append([pred])
+    pos = 4 * channels
+    while pos < len(data) and len(chans[0]) < n_samples:
+        for c in range(channels):
+            for byte in data[pos : pos + 4]:
+                for nibble in (byte & 0x0F, byte >> 4):
+                    if len(chans[c]) >= n_samples:
+                        break
+                    preds[c], idxs[c] = _ima_step_nibble(
+                        nibble, preds[c], idxs[c]
+                    )
+                    chans[c].append(preds[c])
+            pos += 4
+    return chans
+
+
+def _ima_quantize(s: int, pred: int, idx: int) -> int:
+    """Quantize one delta against the current step (encoder side of
+    the shared state machine)."""
+    delta = s - pred
+    n = 0
+    if delta < 0:
+        n |= 8
+        delta = -delta
+    step = _IMA_STEP[idx]
+    if delta >= step:
+        n |= 4
+        delta -= step
+    if delta >= step >> 1:
+        n |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        n |= 1
+    return n
 
 
 def encode_wav_ima(rate: int, samples, block_align: int = 256) -> bytes:
-    """(n,) or (n, 1) int16 mono → IMA ADPCM RIFF/WAVE (fmt 0x11,
-    4 bits/sample ≈ 4:1). The encoder quantizes each delta against the
-    same state machine the decoder steps, so both reconstruct the
-    identical waveform. Fixture/export helper."""
+    """(n,) mono or (n, channels) int16 → IMA ADPCM RIFF/WAVE
+    (fmt 0x11, 4 bits/sample ≈ 4:1; stereo interleaves 4-byte nibble
+    groups per channel, per the spec). The encoder quantizes each
+    delta against the same state machine the decoder steps, so both
+    reconstruct the identical waveform. Fixture/export helper."""
     import struct
 
     import numpy as np
 
-    a = np.asarray(samples, dtype=np.int16).reshape(-1)
-    spb = (block_align - 4) * 2 + 1  # samples per block incl. header
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    ch = a.shape[1]
+    data_bytes = block_align - 4 * ch
+    if data_bytes <= 0 or data_bytes % (4 * ch):
+        raise ValueError(
+            f"block_align {block_align} incompatible with {ch} channels"
+        )
+    per_ch_nibbles = data_bytes * 2 // ch
+    spb = per_ch_nibbles + 1  # sample frames per block incl. header
     body = bytearray()
     pos = 0
-    idx = 0  # step index carries across blocks via each block header
+    idx = [0] * ch  # step index carries across blocks via headers
     while pos < len(a):
         chunk = a[pos : pos + spb]
-        pred = int(chunk[0])
-        body += struct.pack("<hBB", pred, idx, 0)
-        nibbles: list[int] = []
-        for s in map(int, chunk[1:]):
-            delta = s - pred
-            n = 0
-            if delta < 0:
-                n |= 8
-                delta = -delta
-            step = _IMA_STEP[idx]
-            if delta >= step:
-                n |= 4
-                delta -= step
-            if delta >= step >> 1:
-                n |= 2
-                delta -= step >> 1
-            if delta >= step >> 2:
-                n |= 1
-            nibbles.append(n)
-            pred, idx = _ima_step_nibble(n, pred, idx)
-        if len(nibbles) % 2:
-            nibbles.append(0)
-        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
-            body.append(lo | (hi << 4))
-        # blocks pad to block_align
-        body += b"\x00" * (block_align - 4 - len(nibbles) // 2)
+        preds = [int(chunk[0, c]) for c in range(ch)]
+        for c in range(ch):
+            body += struct.pack("<hBB", preds[c], idx[c], 0)
+        nibs: list[list[int]] = [[] for _ in range(ch)]
+        for si in range(1, len(chunk)):
+            for c in range(ch):
+                n = _ima_quantize(int(chunk[si, c]), preds[c], idx[c])
+                nibs[c].append(n)
+                preds[c], idx[c] = _ima_step_nibble(
+                    n, preds[c], idx[c]
+                )
+        for c in range(ch):
+            nibs[c] += [0] * (per_ch_nibbles - len(nibs[c]))
+        for g in range(per_ch_nibbles // 8):
+            for c in range(ch):
+                seg = nibs[c][g * 8 : (g + 1) * 8]
+                for lo, hi in zip(seg[::2], seg[1::2]):
+                    body.append(lo | (hi << 4))
         pos += spb
     fmt = struct.pack(
         "<HHIIHHHH",
         0x11,
-        1,
+        ch,
         rate,
         rate * block_align // spb,
         block_align,

@@ -366,13 +366,20 @@ def test_jpeg_round_trip_property():
     )
     def rt(h, w, sub, seed):
         rng = np.random.default_rng(seed)
-        # smooth random field (noise defeats any transform codec)
+        # smooth random field (noise defeats any transform codec);
+        # CLIP rather than wrap — a modular 255→0 cliff is a genuine
+        # high-frequency edge that chroma subsampling must smear
         base = rng.integers(0, 256, size=(3,))
         yy, xx = np.mgrid[0:h, 0:w]
         px = np.stack(
             [
-                (base[c] + yy * int(rng.integers(0, 4))
-                 + xx * int(rng.integers(0, 4))) % 256
+                np.clip(
+                    base[c]
+                    + yy * int(rng.integers(0, 4))
+                    + xx * int(rng.integers(0, 4)),
+                    0,
+                    255,
+                )
                 for c in range(3)
             ],
             axis=-1,
@@ -453,3 +460,30 @@ def test_ima_adpcm_tracks_step_transients():
     tail = slice(len(s) - 300, len(s))
     err = np.abs(got[tail].astype(int) - s[tail].astype(int))
     assert err.max() <= 512, int(err.max())
+
+
+def test_ima_adpcm_stereo_interleave():
+    """Stereo fmt 0x11: per-channel headers and alternating 4-byte
+    nibble groups — two independent waveforms round-trip through one
+    interleaved stream without crosstalk."""
+    from pipeline_kinesis_spark.operators.multimodal import (
+        encode_wav_ima,
+    )
+
+    t = np.arange(1300)
+    left = (11000 * np.sin(2 * np.pi * 300 * t / 32000)).astype(np.int16)
+    right = (7000 * np.cos(2 * np.pi * 150 * t / 32000)).astype(np.int16)
+    s = np.stack([left, right], axis=1)
+    rate, got = decode_media(encode_wav_ima(32000, s))
+    assert rate == 32000 and got.shape == s.shape
+    for c in range(2):
+        err = got[:, c].astype(float) - s[:, c].astype(float)
+        snr = 10 * np.log10(
+            np.mean(s[:, c].astype(float) ** 2) / np.mean(err**2)
+        )
+        assert snr > 25, (c, snr)
+    # no crosstalk: each decoded channel correlates with ITS source,
+    # not the other (the signals are orthogonal sin/cos)
+    gl = got[:, 0].astype(float)
+    assert abs(np.corrcoef(gl, left)[0, 1]) > 0.99
+    assert abs(np.corrcoef(gl, right)[0, 1]) < 0.2
