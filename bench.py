@@ -65,6 +65,22 @@ def main() -> None:
 
     ingest_rps = _ingest_throughput(spark)
 
+    # Host-state provenance: bench numbers are only comparable within
+    # one VM boot, and a sample taken on a loaded host (e.g. minutes
+    # after a test battery) inflates uniformly — BENCH_r06's 26.96 s
+    # headline was exactly that. Recording boot_id + loadavg in the
+    # artifact makes a contaminated sample machine-visible instead of
+    # needing prose forensics in BENCH_NOTES.md.
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot_id = f.read().strip()
+    except OSError:
+        boot_id = None
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = None
+
     print(
         json.dumps(
             {
@@ -83,6 +99,11 @@ def main() -> None:
                 # reference envelope: ~4,000 records/s/shard
                 # (BASELINE.md: GetRecords pacing × batchsize)
                 "ingest_records_per_s": ingest_rps,
+                # provenance: numbers comparable only within one boot;
+                # loadavg (1/5/15 min, sampled at END of run) >~2 means
+                # a contended host inflated the samples
+                "boot_id": boot_id,
+                "loadavg": loadavg,
             }
         )
     )

@@ -52,6 +52,7 @@ from pipeline_kinesis_spark.sources.records import RECORD_SCHEMA
 from pipeline_kinesis_spark.streaming.listeners import QueryMetricsListener
 from pipeline_kinesis_spark.streaming.continuous_view import (
     KB_COL,
+    OSREL_KEEP_DEFAULT,
     PARTIAL_SEP,
     SW_BUCKET_COL,
     _write_bucket_marker,
@@ -87,13 +88,15 @@ MAX_PROCS = 8
 # source of truth for every parser that recognizes it
 _OSREL_RE = re.compile(r"^(\w+)_osrel$")
 
-# Default output-stream retention (batches). Unbounded delta history is
-# wrong as a default at 100 TB — a standing emitter would grow the osrel
-# dir with stream lifetime. 1000 batches at the default 500 ms trigger is
-# ~8 minutes of slack for chained consumers that run on the same cadence
-# (typically <1 batch behind). Pass osrel_keep_batches=None explicitly
-# (SQL: osrel_keep_batches=unbounded) for audit-everything deployments.
-OSREL_KEEP_DEFAULT = 1000
+# Default output-stream retention: OSREL_KEEP_DEFAULT (imported above,
+# 1000 batches). Unbounded delta history is wrong as a default at
+# 100 TB — a standing emitter would grow the osrel dir with stream
+# lifetime. 1000 batches at the default 500 ms trigger is ~8 minutes of
+# slack for chained consumers that run on the same cadence (typically
+# <1 batch behind). Pass osrel_keep_batches=None explicitly (SQL:
+# osrel_keep_batches=unbounded) for audit-everything deployments; the
+# first reap under the default warns once per store (README
+# "Output-stream retention").
 # sentinel distinguishing "caller said nothing" (finite default) from an
 # explicit None (unbounded opt-in)
 _OSREL_KEEP_UNSET = object()
@@ -637,17 +640,31 @@ class Engine:
                         consumer.id
                     ),
                 )
-                pump = KinesisPump(
-                    KinesisReplayBridge(poller, spool),
-                    rate_per_shard=cfg.max_fetch_rate_per_shard,
-                    # reference save_consumer_state parity: persist the
-                    # per-shard COMMITTED (spooled) positions after
-                    # every landing round
-                    on_round=lambda n, _cid=consumer.id, _p=poller: (
+                # reference save_consumer_state parity: persist the
+                # per-shard COMMITTED (spooled) positions after every
+                # landing round. snapshot+write happen under ONE lock:
+                # with parallelism>1 each worker thread lands rounds
+                # independently, and an unserialized pair would let a
+                # worker holding an older snapshot os.replace over a
+                # newer one — a restart would then resume BEFORE
+                # already-spooled records and re-ingest them. Within
+                # the lock, snapshots are taken in write order and the
+                # checkpoint map only ever advances per shard, so the
+                # last write is always the newest.
+                persist_lock = threading.Lock()
+
+                def _persist_round(
+                    n, _cid=consumer.id, _p=poller, _lk=persist_lock
+                ):
+                    with _lk:
                         self.catalog.save_kinesis_seqnums(
                             _cid, _p.snapshot_checkpoints()
                         )
-                    ),
+
+                pump = KinesisPump(
+                    KinesisReplayBridge(poller, spool),
+                    rate_per_shard=cfg.max_fetch_rate_per_shard,
+                    on_round=_persist_round,
                     name=f"kinesis_pump_c{consumer.id}",
                     # A4 parity: shards partition across up to
                     # MAX_PROCS polling workers (parallelism is already
@@ -1404,6 +1421,18 @@ class Engine:
                 # serialized against ttl_expire()/rebucket() — the
                 # store's manifest contract is single-writer
                 with _lk:
+                    # the FIRST materialization fixes the bucket count
+                    # in the (thereafter authoritative) manifest — if a
+                    # rebucket() ran between view start and this first
+                    # batch, the captured ViewDef's count is stale, so
+                    # re-read the catalog's current value; once the
+                    # store exists the manifest wins and the kwarg is
+                    # only a bootstrap default anyway
+                    buckets = _v.upsert_buckets
+                    if not os.path.isdir(_d):
+                        cur = self.catalog.state.views.get(_v.name)
+                        if cur is not None and cur.get("upsert_buckets"):
+                            buckets = cur["upsert_buckets"]
                     upsert_to_parquet(
                         bdf,
                         _d,
@@ -1413,11 +1442,7 @@ class Engine:
                         batch_id=bid,
                         delta_dir=delta_dir,
                         delta_keep_batches=_v.osrel_keep_batches,
-                        **(
-                            {"num_buckets": _v.upsert_buckets}
-                            if _v.upsert_buckets
-                            else {}
-                        ),
+                        **({"num_buckets": buckets} if buckets else {}),
                     )
 
             return (
@@ -1573,8 +1598,13 @@ class Engine:
         """Live state of the managed Kinesis pumps: rounds/records
         landed, per-shard MillisBehindLatest (A14 lag feed), and any
         terminal error (consumer_status analog)."""
+        # copy under the lock: consume_end/consume_end_all pop entries
+        # from other threads, and iterating the live dict could raise
+        # "dictionary changed size during iteration" in a monitor call
+        with self._lock:
+            pumps = dict(self._pumps)
         out = {}
-        for cid, p in self._pumps.items():
+        for cid, p in pumps.items():
             out[cid] = {
                 "alive": p.is_alive(),
                 "rounds": p.rounds,
@@ -1892,6 +1922,15 @@ class Engine:
             "legacy_bak": os.path.isdir(f"{table_dir}__legacy_bak"),
             "manifest": read_store_manifest(table_dir) is not None,
         }
+        if not any(state.values()) and last_exc is None:
+            # fast, plain miss (one ~20 ms confirm look, no retry
+            # ladder): the view simply has not materialized yet —
+            # distinct message so callers don't chase a swap race
+            raise RuntimeError(
+                f"view {view_name!r} not materialized: no store "
+                "directory exists yet (the standing query has not "
+                "committed a batch, or the view was never activated)"
+            )
         raise RuntimeError(
             f"store read for {view_name!r} found no readable generation "
             f"after retries: {state}"

@@ -50,73 +50,75 @@ _MODULES = (
 # already verified green follow after.
 _WINDOW = 50
 
-# Round-6 rotation (VERDICT r05 "Next round" #4 + #6): the stalest
-# oracled greens rotate back in — r01-only topk_per_group /
-# window_lag_lead / window_rank, r02/r03 text_quality / token_count_bpe,
-# r04 zscore_per_user — and the new combine_regroup (PipelineDB
-# combine() transition-state merge, batch-oracled) takes a gate row
-# immediately. Seven multi-round-green rows retire, each with its
-# family still represented inside the window:
-#   window_range_frame (4x) + window_distribution (3x)
-#                         → B17 stays via window_rank + window_lag_lead
-#                           (both returning fresh)
-#   token_stats (4x) + tfidf_top_terms (3x)
-#                         → C4 stays via text_quality + token_count_bpe
-#                           (returning) + text_normalize + winnow
-#   simhash_planted_capture (3x)
-#                         → C2 stays via exact/crossdoc/prefix/minhash/
-#                           spans-rewrite rows
-#   stratified_sample (2x, labeled exact anchor)
-#                         → C6 sampling stays via its scale twin
-#                           stratified_sample_hash + dataset_split
-#   sequence_pack (2x)    → C6 stays via the twins above +
-#                           domain_balance/oov/curation_report
-# Rotated-out rows remain covered by the local sf0.01 full differential
-# (tools/compare_oracle.py) and pytest; tools/gate_history.py asserts
-# every oracled registry query has held a driver-green row in some round.
+# Round-7 rotation (VERDICT r06 "Next round" #4): the stalest oracled
+# greens — r01-only relational rows and r01 TPC-H — rotate back into
+# the window for driver re-verification. Twelve return:
+#   filter_predicates (B6), join_left_outer (B8), join_semi/join_anti
+#   (B9), join_range (B10), agg_distinct (B13), order_limit (B18),
+#   set_union_distinct (B20), scalar_string_funcs (B21), json_extract
+#   (B22), q2_min_cost_supplier, q4_order_priority (r01 TPC-H).
+# Twelve multi-round greens retire, each with its family still
+# represented inside the window:
+#   decontaminate_overlap/gopher_repetition/pii_redact/dataset_split
+#     (4x each) → C6 stays via stratified_sample_hash, curation_report,
+#     domain_balance, doc_chunk_overlap, oov_rate_filter
+#   agg_approx_distinct (4x) → B14 stays via hll_mergeable_distinct
+#   cosine_topk_pq_recall (4x) → C7 stays via cosine_topk_ivfpq_recall
+#   cosine_topk_ivf_recall (4x) → C3 stays via cosine_topk_lsh_recall +
+#     embedding_neardup_clusters
+#   scaled_value_pandas (4x) → B27 stays via zscore_per_user
+#   join_salted_skew (4x) → B12 stays via q1/agg_corr_regression/
+#     agg_keyed_minmax/agg_exact_percentiles/value_histogram
+#   ngram_jaccard_prefix (5x) → C2 stays via crossdoc_span_dup,
+#     minhash_lsh_recall, dedup_spans_rewrite
+#   multimodal_meta_stats (5x) + multimodal_features (4x) → C5 stays
+#     via multimodal_resize + multimodal_decode_stats
+# Sole-family reps (asof_join B11, tumbling B23, unpivot B15,
+# exact_dedup C1, bpe_train_verify C9, neardup_components C8) stay put
+# regardless of streak. Rotated-out rows remain covered by the local
+# sf0.01 full differential (tools/compare_oracle.py) and pytest;
+# tools/gate_history.py asserts every oracled registry query has held
+# a driver-green row in some round.
 _PRIORITY = (
-    # TPC-H aggregate/join shapes
+    # TPC-H aggregate/join shapes (q2/q4: r01-stale, returning)
     "q1_pricing_summary", "q7_volume_shipping",
+    "q2_min_cost_supplier", "q4_order_priority",
     # PipelineDB combine() merge math, batch-expressible twin (B2)
     "combine_regroup",
-    # corpus-quality curation + dedup clustering + tokenizer training +
-    # ANN compression twins (late round-3)
-    "decontaminate_overlap", "gopher_repetition", "pii_redact",
-    "neardup_components", "bpe_train_verify",
-    "cosine_topk_pq_recall", "cosine_topk_ivfpq_recall",
+    # relational §2B rows returning from r01 (B6/B8/B9/B10/B13/B18/
+    # B20/B21/B22)
+    "filter_predicates", "join_left_outer", "join_semi", "join_anti",
+    "join_range", "agg_distinct", "order_limit", "set_union_distinct",
+    "scalar_string_funcs", "json_extract",
+    # dedup clustering + tokenizer training + ANN compression
+    "neardup_components", "bpe_train_verify", "cosine_topk_ivfpq_recall",
     # approx aggregates (B14)
-    "hll_mergeable_distinct", "agg_approx_distinct",
+    "hll_mergeable_distinct",
     # remaining §2B families
     "funnel_conversion", "agg_corr_regression",
-    "agg_keyed_minmax", "join_salted_skew", "unpivot_lineitem_measures",
-    # window functions / top-k (B17/B19): the r01-stale rows return
+    "agg_keyed_minmax", "unpivot_lineitem_measures",
+    # window functions / top-k (B17/B19)
     "window_rank", "window_lag_lead", "topk_per_group",
-    # timeseries (B11/B23) + pandas-UDF surface (B27, both spellings)
+    # timeseries (B11/B23) + pandas-UDF surface (B27)
     "curation_report", "tumbling_window_agg",
-    "asof_join", "scaled_value_pandas", "zscore_per_user",
-    # dedup (C1/C2: exact, prefix-jaccard, MinHash LSH, spans)
-    "exact_dedup", "crossdoc_span_dup", "ngram_jaccard_prefix",
-    "minhash_lsh_recall",
-    # text analysis / corpus ops: the r02/r03-stale rows return
+    "asof_join", "zscore_per_user",
+    # dedup (C1/C2: exact, crossdoc spans, MinHash LSH, span rewrite)
+    "exact_dedup", "crossdoc_span_dup", "minhash_lsh_recall",
+    # text analysis / corpus ops
     "text_quality", "token_count_bpe",
     "text_normalize", "agg_exact_percentiles", "value_histogram",
     "dedup_spans_rewrite", "lm_perplexity", "winnow_fingerprint_stats",
-    # corpus curation (C6: hash-threshold scale-path sampler + the
-    # deterministic-split primitive)
-    "stratified_sample_hash", "dataset_split",
+    # corpus curation (C6: hash-threshold scale-path sampler et al.)
+    "stratified_sample_hash",
     # similarity search
-    "cosine_topk_lsh_recall", "cosine_topk_ivf_recall",
-    "embedding_neardup_clusters",
+    "cosine_topk_lsh_recall", "embedding_neardup_clusters",
     # sketches / events
     "cohort_retention",
     # late-round-5 curation additions (C4/C6)
     "domain_balance", "doc_chunk_overlap", "oov_rate_filter",
-    # multimodal — multimodal_decode_stats (new r06: the REAL
-    # PPM/BMP/PNG/GIF/JPEG decoders under a full DuckDB oracle) takes
-    # multimodal_frame_sample's row (2x-green; C5 keeps four rows and
-    # gains its strongest check)
-    "multimodal_meta_stats", "multimodal_resize",
-    "multimodal_decode_stats", "multimodal_features",
+    # multimodal (C5): the strongest check (real decoders under a full
+    # DuckDB oracle) + the resize pipeline
+    "multimodal_resize", "multimodal_decode_stats",
 )
 
 # The driver checks exactly the first _WINDOW entries of queries();

@@ -2,12 +2,13 @@
 
 Maps the reference's endpoint/consumer surface (pipeline_kinesis--0.9.0.sql:
 4-25; kinesis_add_endpoint args region/credfile/url, pipeline_kinesis.c:
-120-188) onto a Structured Streaming source configuration. The actual wire
-protocol needs a Kinesis connector on the Spark classpath (or boto3 for a
-driver-side shard lister); neither ships in this environment, so the
-network path is import-gated — everything testable without AWS (config
-validation, start-position → ShardIteratorType resolution, option
-assembly) is real and tested.
+120-188) onto a Structured Streaming source configuration plus a complete
+client-side consumer protocol (KinesisShardPoller → KinesisReplayBridge →
+KinesisPump). The wire path is implemented and tested: boto3 IS installed
+here, make_boto3_client builds real clients, and test_kinesis_wire.py
+drives genuine SigV4-signed HTTP through botocore against an in-process
+fake Kinesis REST endpoint (x-amz-json-1.1). Only live AWS itself is
+absent from the sandbox; against real AWS the same code runs unchanged.
 
 Reference flow parity:
 - shard discovery (DescribeStream, kinesis_consumer.cpp:200-234)
@@ -114,9 +115,12 @@ def make_boto3_client(
 ):
     """Production client for the consumer-protocol engine — the analog
     of the reference's per-endpoint AWS client construction
-    (pipeline_kinesis.c:120-188: region/credfile/url → client). Env
-    gated: this sandbox has no boto3 and no AWS wire; tests inject a
-    fake client instead (Engine.register_kinesis_client)."""
+    (pipeline_kinesis.c:120-188: region/credfile/url → client). boto3
+    is present in this environment and the SigV4 wire is exercised
+    end-to-end in test_kinesis_wire.py (against an in-process fake
+    Kinesis REST endpoint; only live AWS is absent). The import guard
+    below is for minimal deployments without boto3, where an injected
+    client (Engine.register_kinesis_client) is the alternative."""
     try:
         import boto3
     except ImportError as exc:

@@ -22,6 +22,7 @@ import json
 import os
 import shutil
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +67,12 @@ def materialize_memory(
 # column name: Spark's file listing hides `_`-prefixed paths, which would
 # make the partition dirs invisible to readers.
 UPSERT_BUCKETS = 16
+
+# Default output-stream retention (batches); engine.py re-exports this
+# as its osrel default. Lives here so the reap path can tell "the
+# default is reaping" (warn once) from an explicit keep value.
+OSREL_KEEP_DEFAULT = 1000
+_warned_default_reap: set[str] = set()
 KB_COL = "upsert_kb"
 _NB_MARKER = "_upsert_nb"  # `_` prefix: invisible to Spark's listing
 _BAK_PREFIX = ".bak."  # `.` prefix: hidden from partition discovery
@@ -234,6 +241,23 @@ def reap_delta_batches(
     cutoff = int(batch_id) - int(keep_batches)
     if cutoff <= 0:
         return
+    if (
+        int(keep_batches) == OSREL_KEEP_DEFAULT
+        and delta_dir not in _warned_default_reap
+    ):
+        # the bounded default replaced round-5's unbounded behavior —
+        # surface the first actual reap under the default once per
+        # store so deployments relying on full delta history notice
+        # (README "Output-stream retention"); explicit keep values and
+        # osrel_keep_batches=None (unbounded) never warn
+        _warned_default_reap.add(delta_dir)
+        warnings.warn(
+            f"osrel retention default ({OSREL_KEEP_DEFAULT} batches) is "
+            f"reaping output-stream history under {delta_dir}; pass "
+            "osrel_keep_batches explicitly (None = unbounded) to "
+            "silence",
+            stacklevel=2,
+        )
     removed = False
     for name in os.listdir(delta_dir):
         if not name.startswith("b") or not name[1:].isdigit():

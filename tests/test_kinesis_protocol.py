@@ -5,7 +5,8 @@ GetRecords responses, so the PROTOCOL logic is the unit under test —
 iterator-type resolution, NextShardIterator follow, linear 1-5 s
 throttle backoff (kinesis_consumer.cpp:395-430 parity), expired-iterator
 re-acquisition, mid-stream resharding, and MillisBehindLatest surfacing.
-No network, no boto3.
+This file deliberately uses no network and no boto3 (the SigV4 wire has
+its own suite, test_kinesis_wire.py, which DOES drive real boto3 HTTP).
 """
 
 from __future__ import annotations
