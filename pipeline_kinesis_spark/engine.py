@@ -46,6 +46,7 @@ from pipeline_kinesis_spark.sources.kinesis import (
     KinesisPump,
     KinesisReplayBridge,
     KinesisSource,
+    describe_all_shards,
     make_boto3_client,
 )
 from pipeline_kinesis_spark.sources.records import RECORD_SCHEMA
@@ -167,6 +168,12 @@ class Engine:
         # a restart (production builds one from the endpoint row via
         # make_boto3_client when none is registered).
         self._kinesis_clients: dict[str, object] = {}
+        self._kinesis_client_factories: dict[str, str] = {}
+        # consumer ids running the executor-parallel datasource path —
+        # their landing query needs quiescence-polling instead of
+        # processAllAvailable (an always-advancing source never sets
+        # Spark's noNewData flag)
+        self._ds_consumers: set[int] = set()
         # consumer id → running KinesisPump background thread
         self._pumps: dict[int, KinesisPump] = {}
         # view names whose CURRENT standing query was started with
@@ -213,6 +220,18 @@ class Engine:
         a real boto3 client from the endpoint's region/credfile/url)."""
         self.catalog.endpoint(endpoint)  # must exist
         self._kinesis_clients[endpoint] = client
+
+    def register_kinesis_client_factory(
+        self, endpoint: str, factory: str
+    ) -> None:
+        """Bind a "module:attr" factory string resolving to a zero-arg
+        callable that builds a boto3-shaped Kinesis client. Unlike
+        register_kinesis_client (an in-process OBJECT, driver-only),
+        a factory string can ship to executor tasks — it is what the
+        executor-parallel datasource path uses when the endpoint row
+        alone cannot build a boto3 client (tests; exotic auth)."""
+        self.catalog.endpoint(endpoint)  # must exist
+        self._kinesis_client_factories[endpoint] = factory
 
     def create_stream(self, name: str, schema_ddl: str) -> None:
         self.catalog.create_stream(StreamDef(name, schema_ddl))
@@ -528,6 +547,14 @@ class Engine:
             self.metadata_dir, "checkpoints", str(consumer_id), kind
         )
 
+    def _ds_state_dir(self, consumer_id: int) -> str:
+        """Attained-position metadata for the executor-parallel
+        datasource path — pairs 1:1 with the consumer's checkpoints
+        (wipe both together or neither)."""
+        return os.path.join(
+            self.metadata_dir, "dsstate", str(consumer_id)
+        )
+
     # ------------------------------------------------------------- consume
 
     def consume_begin(
@@ -543,6 +570,7 @@ class Engine:
         parallelism: int = 1,
         start_position: str = "trim_horizon",
         rate_limit_rps: float | None = None,
+        source: str = "auto",
     ) -> Consumer:
         """Start ingesting `stream` (a directory under the endpoint url)
         into the declared `relation`, plus one incremental query per
@@ -552,6 +580,19 @@ class Engine:
         batchsize=1000, parallelism=1 — pipeline_kinesis--0.9.0.sql:54-60).
         Restarting an existing consumer resumes from its checkpoints — the
         analog of seqnum recovery (pipeline_kinesis.c:459-536).
+
+        ``source`` picks the Kinesis ingest architecture:
+        - "pump": the managed driver-side polling pump (reference
+          bgworker parity; fine up to MAX_PROCS-ish shards);
+        - "datasource": the executor-parallel Python DataSource
+          (sources/kinesis_datasource.py) — one input partition per
+          shard, GetRecords on executors, ingest bandwidth scales with
+          the cluster; needs a boto3-reachable endpoint row (or a
+          registered client factory), not an injected client object;
+        - "auto" (default): "datasource" when discovery reports more
+          shards than MAX_PROCS (the reference's own worker ceiling,
+          pipeline_kinesis.c:54) and the endpoint can serve it,
+          else "pump".
         """
         with self._lock:
             ep = self.catalog.endpoint(endpoint)
@@ -607,7 +648,97 @@ class Engine:
             interval = self._trigger_for(consumer)
 
             pump: KinesisPump | None = None
+            if is_kinesis and source not in ("auto", "pump", "datasource"):
+                raise ValueError(f"unknown source mode {source!r}")
+            ds_mode = False
             if is_kinesis:
+                client = self._kinesis_clients.get(endpoint)
+                factory = self._kinesis_client_factories.get(endpoint)
+                if client is None and factory is not None:
+                    from pipeline_kinesis_spark.sources.kinesis_datasource import (  # noqa: E501
+                        _load_factory,
+                    )
+
+                    client = _load_factory(factory)()
+                if client is None:
+                    client = make_boto3_client(
+                        ep.region, ep.credfile, ep.url
+                    )
+                # an injected client OBJECT is driver-only; the
+                # datasource needs executors to build their own
+                # (factory string, or a boto3-usable endpoint row)
+                ds_capable = (
+                    factory is not None
+                    or endpoint not in self._kinesis_clients
+                )
+                if source == "datasource":
+                    if not ds_capable:
+                        raise ValueError(
+                            "source='datasource' needs a boto3-usable "
+                            "endpoint row or register_kinesis_client_"
+                            "factory — an injected client object "
+                            "cannot ship to executors"
+                        )
+                    ds_mode = True
+                elif source == "auto" and ds_capable:
+                    # the reference's own worker ceiling (MAX_PROCS=8,
+                    # pipeline_kinesis.c:54): beyond it, shard-parallel
+                    # executor ingest wins; discovery failure here is
+                    # not fatal — the pump will surface it properly
+                    try:
+                        n_shards = len(
+                            describe_all_shards(client, stream)
+                        )
+                    except Exception as exc:  # noqa: BLE001
+                        if isinstance(
+                            exc, (NameError, AttributeError, TypeError)
+                        ):
+                            raise  # programming error, never swallow
+                        n_shards = 0
+                    ds_mode = n_shards > MAX_PROCS
+            ds_raw = None
+            if ds_mode:
+                # Executor-parallel ingest: one input partition per
+                # shard, GetRecords polled ON executors (sources/
+                # kinesis_datasource.py). Exactly ONE streaming query
+                # may consume the source (its attained side-channel is
+                # single-consumer), so the topology is LANDING + FAN-
+                # OUT: a landing query writes each micro-batch's raw
+                # records — executor-parallel, deterministic file
+                # names, idempotent under replay — into the same spool
+                # format the pump uses, and the proven FileReplaySource
+                # → parse → archive/dead-letter/view pipeline consumes
+                # the spool with per-query file-source offsets. Bytes
+                # flow Kinesis → executors → shared storage; the
+                # driver only renames spool files (metadata). Offsets
+                # live in the Spark checkpoint (+ attained files) —
+                # the catalog seqnum round-trip of the pump path is
+                # not needed; seqnums() reads the attained files.
+                cfg = KinesisSource(
+                    stream_name=stream,
+                    region=ep.region or "local",
+                    endpoint_url=ep.url,
+                    credfile=ep.credfile,
+                    start_position=start_position,
+                    batch_size=batchsize,
+                    max_fetch_rate_per_shard=rate_limit_rps or 4.0,
+                )
+                ds_raw = cfg.read_stream(
+                    self.spark,
+                    state_dir=self._ds_state_dir(consumer.id),
+                    client_factory=self._kinesis_client_factories.get(
+                        endpoint
+                    ),
+                )
+                spool = os.path.join(
+                    self.metadata_dir, "spool", str(consumer.id)
+                )
+                os.makedirs(spool, exist_ok=True)
+                replay_src = FileReplaySource(
+                    spool, max_files_per_trigger=parallelism
+                )
+                records = replay_src.read_stream(self.spark)
+            elif is_kinesis:
                 # full consumer protocol on a managed background pump
                 # (reference consume_thread, kinesis_consumer.cpp:
                 # 328-332, 364-434): poller → record spool → the same
@@ -616,11 +747,6 @@ class Engine:
                 # catalog checkpoint always wins), so no driver-side
                 # seqnum filtering — kinesis seqnums need not compare
                 # lexicographically.
-                client = self._kinesis_clients.get(endpoint)
-                if client is None:
-                    client = make_boto3_client(
-                        ep.region, ep.credfile, ep.url
-                    )
                 spool = os.path.join(
                     self.metadata_dir, "spool", str(consumer.id)
                 )
@@ -671,17 +797,17 @@ class Engine:
                     # clamped above)
                     workers=parallelism,
                 )
-                source = FileReplaySource(
+                replay_src = FileReplaySource(
                     spool, max_files_per_trigger=parallelism
                 )
-                records = source.read_stream(self.spark)
+                records = replay_src.read_stream(self.spark)
             else:
-                source = FileReplaySource(
+                replay_src = FileReplaySource(
                     os.path.join(ep.url, stream),
                     max_files_per_trigger=parallelism,
                 )
                 records = self._apply_start_position(
-                    consumer, source, source.read_stream(self.spark)
+                    consumer, replay_src, replay_src.read_stream(self.spark)
                 )
             parsed = parse_records(
                 records, sd.schema_ddl, fmt, delimiter, quote, escape
@@ -689,6 +815,50 @@ class Engine:
             good, bad = split_quarantine(parsed)
 
             queries: list[StreamingQuery] = []
+            if ds_mode:
+                # (0) landing: drain the executor-parallel source into
+                # the spool. bdf.write.json runs ON EXECUTORS (the
+                # data path); the driver only renames the part files
+                # to deterministic per-(batch, partition) spool names
+                # — with the source's pinned-replay guarantee a
+                # replayed batch rewrites byte-identical files, so the
+                # publish is idempotent and downstream file sources
+                # never see a torn or divergent batch.
+                def _land(bdf, bid, _spool=spool):
+                    tmp = f"{_spool}__tmp_b{bid}"
+                    bdf.write.mode("overwrite").json(tmp)
+                    i = 0
+                    for n in sorted(os.listdir(tmp)):
+                        full = os.path.join(tmp, n)
+                        if not n.startswith("part-") or n.endswith(
+                            ".crc"
+                        ):
+                            continue
+                        if os.path.getsize(full) == 0:
+                            continue
+                        os.replace(
+                            full,
+                            os.path.join(
+                                _spool,
+                                f"batch-ds{int(bid):010d}-{i:04d}.jsonl",
+                            ),
+                        )
+                        i += 1
+                    shutil.rmtree(tmp, ignore_errors=True)
+
+                queries.append(
+                    ds_raw.writeStream.foreachBatch(_land)
+                    .queryName(
+                        f"kds_landing_{relation}_c{consumer.id}"
+                    )
+                    .option(
+                        "checkpointLocation",
+                        self._ckpt(consumer.id, "kds_landing"),
+                    )
+                    .trigger(processingTime=interval)
+                    .start()
+                )
+                self._ds_consumers.add(consumer.id)
             # (a) exactly-once durable archive of the parsed stream.
             queries.append(
                 good.writeStream.format("parquet")
@@ -1544,6 +1714,7 @@ class Engine:
             for q in self._queries.pop(consumer.id, []):
                 q.stop()
             self._parsed.pop(consumer.id, None)
+            self._ds_consumers.discard(consumer.id)
             return True
 
     def consume_begin_all(self) -> list[Consumer]:
@@ -1590,6 +1761,7 @@ class Engine:
                     q.stop()
                 del self._queries[cid]
                 self._parsed.pop(cid, None)
+                self._ds_consumers.discard(cid)
                 n += 1
             self._detach_metrics()
             return n
@@ -2264,6 +2436,24 @@ class Engine:
         frames = []
         ck_rows = []
         for c in self.catalog.all_consumers():
+            ds_state = self._ds_state_dir(c.id)
+            if os.path.isdir(os.path.join(ds_state, "attained")):
+                # datasource consumers: Spark's checkpoint owns the
+                # offsets; the attained side-channel is the queryable
+                # per-shard high-water mark
+                from pipeline_kinesis_spark.sources.kinesis_datasource import (  # noqa: E501
+                    _read_attained,
+                )
+
+                att = _read_attained(ds_state)
+                rows = [
+                    (c.id, sid, st["seq"])
+                    for sid, st in sorted(att.items())
+                    if st.get("seq") is not None
+                ]
+                if rows:
+                    ck_rows.extend(rows)
+                    continue
             ck = self.catalog.load_kinesis_seqnums(c.id)
             if ck:
                 ck_rows.extend(
@@ -2293,10 +2483,46 @@ class Engine:
 
     def wait_for_ingest(self, timeout_s: float = 60.0) -> None:
         """Block until all running queries have processed available input
-        (test/demo helper)."""
+        (test/demo helper). Datasource landing queries poll an
+        always-advancing source (every trigger plans a batch), so
+        Spark's noNewData flag — what processAllAvailable waits on —
+        never sets for them; they are instead polled until two
+        consecutive completed batches carried zero input rows."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
         for queries in list(self._queries.values()):
             for q in queries:
-                q.processAllAvailable()
+                if (q.name or "").startswith("kds_landing_"):
+                    self._await_quiescent(q, deadline)
+        for queries in list(self._queries.values()):
+            for q in queries:
+                if not (q.name or "").startswith("kds_landing_"):
+                    q.processAllAvailable()
+
+    @staticmethod
+    def _await_quiescent(q, deadline: float) -> None:
+        import time as _time
+
+        zero_streak = 0
+        last_bid = None
+        while _time.monotonic() < deadline:
+            if not q.isActive:
+                return
+            p = q.lastProgress
+            bid = p.get("batchId") if p else None
+            if bid is not None and bid != last_bid:
+                last_bid = bid
+                if p.get("numInputRows", 0) == 0:
+                    zero_streak += 1
+                    if zero_streak >= 2:
+                        return
+                else:
+                    zero_streak = 0
+            _time.sleep(0.05)
+        raise TimeoutError(
+            f"landing query {q.name!r} did not quiesce before deadline"
+        )
 
     def progress(self) -> list[dict]:
         """Per-consumer ingest progress — the queryable analog of the

@@ -96,16 +96,54 @@ class KinesisSource:
             client, self, checkpoints=checkpoints, sleep=sleep
         )
 
-    def read_stream(self, spark: SparkSession) -> DataFrame:
-        raise NotImplementedError(
-            "direct readStream needs a Kinesis Structured Streaming "
-            "connector on the Spark classpath (assemble with "
-            "reader_options()). The built-in path is the managed pump: "
-            "Engine.register_kinesis_client(endpoint, client) (or let "
-            "consume_begin build a boto3 client from the endpoint row) "
-            "and consume_begin drives poller→bridge→ingest on a paced "
-            "background thread."
+    def read_stream(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        client_factory: str | None = None,
+        max_records_per_shard_per_batch: int | None = None,
+    ) -> DataFrame:
+        """Executor-parallel streaming read via the Python DataSource
+        API (sources/kinesis_datasource.py): one input partition per
+        live shard, GetRecords polled ON EXECUTORS — ingest bandwidth
+        scales with the cluster instead of funneling through the
+        driver (the managed-pump path). ``state_dir`` holds the
+        attained-position metadata; on a cluster it must be shared
+        storage, paired 1:1 with the query's checkpointLocation."""
+        from pipeline_kinesis_spark.sources import kinesis_datasource
+
+        kinesis_datasource.register(spark)
+        FORMAT_NAME = kinesis_datasource.FORMAT_NAME
+        it, seq = iterator_type(self.start_position)
+        start = (
+            f"after_sequence_number:{seq}"
+            if seq is not None
+            else self.start_position
         )
+        reader = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("streamName", self.stream_name)
+            .option("stateDir", state_dir)
+            .option("region", self.region)
+            .option("startingPosition", start)
+            .option("maxRecordsPerFetch", str(self.batch_size))
+            .option(
+                "maxFetchRatePerShard",
+                str(self.max_fetch_rate_per_shard),
+            )
+        )
+        if max_records_per_shard_per_batch is not None:
+            reader = reader.option(
+                "maxRecordsPerShardPerBatch",
+                str(max_records_per_shard_per_batch),
+            )
+        if self.endpoint_url:
+            reader = reader.option("endpointUrl", self.endpoint_url)
+        if self.credfile:
+            reader = reader.option("credfile", self.credfile)
+        if client_factory:
+            reader = reader.option("clientFactory", client_factory)
+        return reader.load()
 
 
 def make_boto3_client(
@@ -131,10 +169,12 @@ def make_boto3_client(
         ) from exc
     session_kwargs = {}
     if credfile:
-        # reference credfile: shared-credentials-file style
+        # reference credfile: shared-credentials-file style. Assignment
+        # (not setdefault): THIS endpoint's credfile must win — boto3
+        # reads the variable at Session construction, immediately below
         import os as _os
 
-        _os.environ.setdefault("AWS_SHARED_CREDENTIALS_FILE", credfile)
+        _os.environ["AWS_SHARED_CREDENTIALS_FILE"] = credfile
     session = boto3.session.Session(**session_kwargs)
     return session.client(
         "kinesis", region_name=region, endpoint_url=endpoint_url
@@ -174,6 +214,14 @@ class ShardState:
     # the flag every later round would DescribeStream again (AWS caps
     # that call at ~10/s account-wide)
     refreshed_after_close: bool = False
+
+
+# canonical copy lives in kinesis_datasource.py (which must be
+# self-contained for planner/executor pickling); re-exported here for
+# the poller path and external callers
+from pipeline_kinesis_spark.sources.kinesis_datasource import (  # noqa: E402
+    describe_all_shards,
+)
 
 
 def _error_code(exc: Exception) -> str:
@@ -237,18 +285,7 @@ class KinesisShardPoller:
     def discover_shards(self) -> list[dict]:
         """DescribeStream, following HasMoreShards pagination
         (kinesis_consumer.cpp:200-234)."""
-        shards: list[dict] = []
-        start_id = None
-        while True:
-            kwargs = {"StreamName": self.source.stream_name}
-            if start_id is not None:
-                kwargs["ExclusiveStartShardId"] = start_id
-            resp = self.client.describe_stream(**kwargs)
-            desc = resp["StreamDescription"]
-            shards.extend(desc["Shards"])
-            if not desc.get("HasMoreShards"):
-                return shards
-            start_id = shards[-1]["ShardId"]
+        return describe_all_shards(self.client, self.source.stream_name)
 
     def refresh_shards(self) -> list[str]:
         """Register newly discovered shards (split/merge children appear

@@ -1,0 +1,540 @@
+"""Executor-parallel Kinesis source on PySpark's Python DataSource API.
+
+The managed pump (sources/kinesis.py) is the direct analog of the
+reference's <=8 driver-side bgworkers (pipeline_kinesis.c:54,774-823) and
+is fine at reference scale — but every ingested byte crosses the driver.
+This module removes that ceiling: a `pyspark.sql.datasource.DataSource`
+whose stream reader plans ONE INPUT PARTITION PER LIVE SHARD (the
+reference's shard list, kinesis_consumer.cpp:200-234) and whose
+per-partition `read()` runs the GetRecords consumer protocol
+(kinesis_consumer.cpp:364-434 parity: iterator resolution, pacing,
+NextShardIterator follow, closed-shard drain) ON EXECUTORS — GetRecords
+responses land in executor Python workers and flow straight into the
+micro-batch, never through the driver. Ingest bandwidth then scales with
+the cluster: 1000 shards on a 1000-executor cluster poll concurrently.
+
+Offset & exactly-once model
+---------------------------
+Kinesis, unlike Kafka, has no "tail offset" API: the only way to learn a
+shard's latest sequence number is to read records. Ends can therefore
+not be pinned at planning time. The design used here:
+
+- The Spark offset WAL stores, per batch, ``{"epoch": n, "shards":
+  {shard_id: last_consumed_seqnum}}`` — the COMMITTED start positions of
+  that batch (frozen at planning time, so a replayed batch always starts
+  from the same seqnums).
+- Each executor task polls from its shard's start seqnum up to
+  ``maxRecordsPerShardPerBatch`` (or until caught up / shard closed) and
+  atomically records the position it reached in a tiny per-shard
+  "attained" file under ``stateDir`` (metadata only — a few bytes, not
+  data).
+- ``latestOffset()`` (driver) folds the attained files into the next
+  batch's offset dict. The batch END is not known at planning time, but
+  replays are still DETERMINISTIC: the attained file records which
+  (epoch, start) produced its reach, and a replayed attempt of the same
+  batch treats that reach as a hard end bound — it emits exactly the
+  records the first attempt emitted, never the longer tail the stream
+  grew in between. Sinks that skip an already-committed batch id and
+  sinks that rewrite it are therefore BOTH correct, and the pipeline is
+  exactly-once end to end — the upgrade over the reference's
+  at-least-once wire + transactional landing
+  (pipeline_kinesis.c:543-579,742).
+- ``stateDir`` pairs 1:1 with the query's checkpointLocation and, on a
+  real cluster, must live on the same shared storage (it is written by
+  executors and read by the driver). Wipe both together or neither.
+
+Resharding: a task that drains a closed shard (GetRecords returns no
+NextShardIterator) marks it closed in its attained file; planning skips
+fully-drained closed shards and gates child shards until every parent is
+drained (records between parent end and child start are never skipped —
+children start at TRIM_HORIZON, kinesis_consumer.cpp:258-325 parity).
+
+Sticky latest: a shard started at LATEST that reads nothing persists its
+shard iterator (valid ~5 min) in the attained file; the next batch
+resumes from it, so records arriving between polls are not skipped. If
+the iterator expires during an idle gap, LATEST is re-acquired (same
+semantics as a reference consumer restart).
+"""
+
+from __future__ import annotations
+
+import importlib
+import json
+import os
+import sys
+import time
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from pipeline_kinesis_spark.sources.records import RECORD_SCHEMA
+
+FORMAT_NAME = "pipeline_kinesis"
+
+# SELF-CONTAINMENT CONTRACT: Spark runs the driver-side reader methods
+# (initialOffset/latestOffset/partitions/commit) in a separate Python
+# planner process, and read() in executor workers — neither of which
+# necessarily has this repo on sys.path. register() therefore tells
+# cloudpickle to serialize this MODULE by value (the class ships inside
+# the pickle, like a --py-files wheel but self-carried), which works
+# only because nothing executed after planning imports the package:
+# every helper the reader calls is defined in THIS module, and only
+# stdlib/boto3/pyspark are imported at call time. Do not add package
+# imports to reader methods or their helpers.
+
+# GetRecords pacing within one read() call — reference 4 req/s/shard
+# (kinesis_consumer.cpp:415-421). Across batches the trigger interval
+# paces; within a batch consecutive calls sleep this floor.
+DEFAULT_RATE_PER_SHARD = 4.0
+DEFAULT_LIMIT = 1000  # reference batchsize default
+DEFAULT_MAX_PER_SHARD_PER_BATCH = 10_000
+
+
+def _load_factory(spec: str):
+    """'pkg.mod:attr' → the callable it names (test seam: lets suites
+    swap boto3 for an in-process fake client without any network)."""
+    mod, _, attr = spec.partition(":")
+    return getattr(importlib.import_module(mod), attr)
+
+
+def _make_client(opts: dict):
+    """boto3 Kinesis client from reader options (the per-endpoint
+    client construction of pipeline_kinesis.c:120-188, rebuilt lazily
+    wherever a planner/executor process needs one — clients are never
+    stored on the pickled reader)."""
+    factory = opts.get("clientfactory")
+    if factory:
+        return _load_factory(factory)()
+    import boto3
+
+    if opts.get("credfile"):
+        # reference credfile: shared-credentials-file style; also how
+        # executor workers (whose env Spark controls) get credentials.
+        # Assignment, not setdefault: this reader's credfile must win
+        # over whatever a previous task left in the worker's env
+        os.environ["AWS_SHARED_CREDENTIALS_FILE"] = opts["credfile"]
+    session = boto3.session.Session()
+    return session.client(
+        "kinesis",
+        region_name=opts.get("region", "us-east-1"),
+        endpoint_url=opts.get("endpointurl") or None,
+    )
+
+
+def describe_all_shards(client, stream_name: str) -> list[dict]:
+    """DescribeStream following HasMoreShards pagination
+    (kinesis_consumer.cpp:200-234) — canonical copy; the poller path
+    (sources/kinesis.py) reuses it."""
+    shards: list[dict] = []
+    start_id = None
+    while True:
+        kwargs = {"StreamName": stream_name}
+        if start_id is not None:
+            kwargs["ExclusiveStartShardId"] = start_id
+        resp = client.describe_stream(**kwargs)
+        desc = resp["StreamDescription"]
+        shards.extend(desc["Shards"])
+        if not desc.get("HasMoreShards"):
+            return shards
+        start_id = shards[-1]["ShardId"]
+
+
+def _aws_error_code(exc: Exception) -> str:
+    """AWS error code of an exception: botocore ClientError carries it
+    in .response, fakes in .code or the type name (kept local — see
+    SELF-CONTAINMENT CONTRACT)."""
+    name = getattr(exc, "code", None) or type(exc).__name__
+    resp = getattr(exc, "response", None)
+    if isinstance(resp, dict):
+        name = resp.get("Error", {}).get("Code") or name
+    return name
+
+
+# -- attained-position side channel -----------------------------------------
+# One tiny JSON file per shard under <stateDir>/attained/. Written
+# atomically (tmp + os.replace) by the executor task that read the
+# shard; read by the driver in latestOffset(). Content:
+#   {"seq": str|None, "it": str|None, "closed": bool}
+# seq   — last consumed sequence number (None until the first record)
+# it    — cached NextShardIterator (saves one GetShardIterator per
+#         batch; also carries sticky-latest across empty polls)
+# closed — shard fully drained after a reshard
+
+
+def _attained_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "attained")
+
+
+def _read_attained(state_dir: str) -> dict[str, dict]:
+    d = _attained_dir(state_dir)
+    out: dict[str, dict] = {}
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return out
+    for name in names:
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(d, name)) as f:
+                out[name[:-5]] = json.load(f)
+        except (OSError, ValueError):
+            continue  # torn concurrent write: the next round heals
+    return out
+
+
+def _write_attained(state_dir: str, shard_id: str, state: dict) -> None:
+    d = _attained_dir(state_dir)
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{shard_id}.json")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.replace(tmp, path)
+
+
+@dataclass
+class KinesisShardPartition(InputPartition):
+    """One live shard = one Spark input partition (A1/A4 parity: the
+    reference's shard→bgworker assignment becomes Spark task
+    scheduling over input partitions)."""
+
+    shard_id: str
+    start_seq: str | None  # committed position from the offset WAL
+    from_reshard: bool  # child shard: start TRIM_HORIZON, not config
+    epoch: int
+
+    def __init__(self, shard_id, start_seq, from_reshard, epoch):
+        # InputPartition.__init__ wants a single value; bypass it
+        self.shard_id = shard_id
+        self.start_seq = start_seq
+        self.from_reshard = from_reshard
+        self.epoch = epoch
+
+
+class KinesisStreamReader(DataSourceStreamReader):
+    """Driver side: offset bookkeeping + per-shard partition planning.
+    Executor side (`read`): the GetRecords polling protocol.
+
+    The reader object is pickled to executors — it holds only plain
+    option strings (clients are built lazily per call and cached
+    module-side, never on self).
+    """
+
+    def __init__(self, options: dict) -> None:
+        opts = {k.lower(): v for k, v in options.items()}
+        self.opts = opts
+        if not opts.get("streamname"):
+            raise ValueError("streamName option is required")
+        if not opts.get("statedir"):
+            raise ValueError(
+                "stateDir option is required (shared-storage dir for "
+                "attained-position metadata; pair it 1:1 with the "
+                "query's checkpointLocation)"
+            )
+        self.stream = opts["streamname"]
+        self.state_dir = opts["statedir"]
+        self.start_position = opts.get("startingposition", "latest").lower()
+        if self.start_position not in (
+            "trim_horizon",
+            "latest",
+        ) and not self.start_position.startswith("after_sequence_number:"):
+            raise ValueError(
+                f"unknown startingPosition {self.start_position!r}"
+            )
+        self.limit = int(opts.get("maxrecordsperfetch", DEFAULT_LIMIT))
+        self.max_per_batch = int(
+            opts.get(
+                "maxrecordspershardperbatch",
+                DEFAULT_MAX_PER_SHARD_PER_BATCH,
+            )
+        )
+        self.rate = float(
+            opts.get("maxfetchratepershard", DEFAULT_RATE_PER_SHARD)
+        )
+        self._epoch = 0
+
+    # -- offsets -----------------------------------------------------------
+
+    def initialOffset(self) -> dict:  # noqa: N802 — Spark API
+        return {"epoch": 0, "shards": json.dumps({})}
+
+    def latestOffset(self) -> dict:  # noqa: N802 — Spark API
+        # epoch always advances so every trigger plans a batch (the
+        # poll cadence IS the trigger cadence, like the rate source);
+        # monotonic across restarts via the epoch file written in
+        # commit(). The shards map = positions attained through the
+        # last COMPLETED batch — i.e. the start positions of the batch
+        # that will end at this offset (frozen into the WAL so replays
+        # are start-deterministic).
+        self._epoch = max(self._epoch, self._read_epoch()) + 1
+        attained = _read_attained(self.state_dir)
+        shards = {
+            sid: st["seq"]
+            for sid, st in attained.items()
+            if st.get("seq") is not None
+        }
+        return {"epoch": self._epoch, "shards": json.dumps(shards)}
+
+    def _epoch_path(self) -> str:
+        return os.path.join(self.state_dir, "epoch")
+
+    def _read_epoch(self) -> int:
+        try:
+            with open(self._epoch_path()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return 0
+
+    def commit(self, end: dict) -> None:
+        # the batch ending at `end` is fully committed downstream;
+        # persist the epoch so a restarted reader keeps it monotonic
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = f"{self._epoch_path()}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(int(end.get("epoch", 0))))
+        os.replace(tmp, self._epoch_path())
+
+    # -- planning ----------------------------------------------------------
+
+    def partitions(self, start: dict, end: dict):
+        if start == end:
+            return []
+        starts = json.loads(end.get("shards") or "{}")
+        # WAL `end.shards` carries this batch's frozen start positions
+        # (see latestOffset); `start.shards` is one batch staler — fold
+        # it in only for shards the newer map lacks (first batch after
+        # a restart where attained files were wiped but the WAL wasn't)
+        for sid, seq in json.loads(start.get("shards") or "{}").items():
+            starts.setdefault(sid, seq)
+        epoch = int(end.get("epoch", 0))
+        client = _make_client(self.opts)
+        shards = describe_all_shards(client, self.stream)
+        meta = {s["ShardId"]: s for s in shards}
+        attained = _read_attained(self.state_dir)
+
+        def drained(sid: str) -> bool:
+            st = attained.get(sid)
+            return bool(
+                st
+                and st.get("closed")
+                and st.get("seq") == starts.get(sid)
+            )
+
+        parts: list[KinesisShardPartition] = []
+        for sid, sh in meta.items():
+            if drained(sid):
+                continue  # closed shard fully consumed: nothing left
+            parents = [
+                p
+                for p in (
+                    sh.get("ParentShardId"),
+                    sh.get("AdjacentParentShardId"),
+                )
+                if p and p in meta
+            ]
+            if any(not drained(p) for p in parents):
+                # reshard ordering: children wait for every parent to
+                # drain (records keep per-key order across the split)
+                continue
+            parts.append(
+                KinesisShardPartition(
+                    shard_id=sid,
+                    start_seq=starts.get(sid),
+                    from_reshard=bool(parents),
+                    epoch=epoch,
+                )
+            )
+        return parts
+
+    # -- executor-side read ------------------------------------------------
+
+    def read(self, partition: KinesisShardPartition):
+        """One shard's poll loop for one micro-batch, ON AN EXECUTOR.
+        Emits RECORD_SCHEMA tuples; stops at the per-batch record cap,
+        when caught up (empty response), or when the shard closes."""
+        opts = self.opts
+        client = _make_client(opts)
+        sid = partition.shard_id
+        state_dir = self.state_dir
+        attained = _read_attained(state_dir).get(sid, {})
+
+        # Deterministic replay: if a previous ATTEMPT of this same
+        # (epoch, start) already ran — its attained file records this
+        # epoch and start — its reach becomes a hard END BOUND, so the
+        # replay emits exactly the records the first attempt emitted
+        # (never a longer tail the stream grew in between). Downstream
+        # sinks that key on batch id may then either skip or rewrite
+        # the batch; both are correct because the content is identical.
+        bound = None
+        if (
+            attained.get("epoch") == partition.epoch
+            and attained.get("start") == partition.start_seq
+        ):
+            bound = attained.get("seq")
+            if bound == partition.start_seq:
+                # first attempt emitted nothing — the replay must too
+                return
+
+        iterator = None
+        if (
+            attained.get("it")
+            and attained.get("seq") == partition.start_seq
+        ):
+            # cached NextShardIterator from the previous batch — valid
+            # only if it continues exactly from our committed start
+            # (also carries sticky-latest across empty polls)
+            iterator = attained["it"]
+
+        def acquire(seq: str | None) -> str:
+            if seq is not None:
+                kwargs = {
+                    "ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
+                    "StartingSequenceNumber": seq,
+                }
+            elif partition.from_reshard:
+                kwargs = {"ShardIteratorType": "TRIM_HORIZON"}
+            elif self.start_position.startswith("after_sequence_number:"):
+                kwargs = {
+                    "ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
+                    "StartingSequenceNumber": self.start_position.split(
+                        ":", 1
+                    )[1],
+                }
+            else:
+                kwargs = {
+                    "ShardIteratorType": self.start_position.upper()
+                }
+            return client.get_shard_iterator(
+                StreamName=self.stream, ShardId=sid, **kwargs
+            )["ShardIterator"]
+
+        last_seq = partition.start_seq
+        closed = False
+        emitted = 0
+        backoff = 0.0
+        empty_polls = 0
+        done = False
+        min_gap = 1.0 / self.rate if self.rate > 0 else 0.0
+        last_call = 0.0
+        while not done and emitted < self.max_per_batch:
+            if iterator is None:
+                iterator = acquire(last_seq)
+            gap = min_gap - (time.monotonic() - last_call)
+            if gap > 0:
+                time.sleep(gap)
+            last_call = time.monotonic()
+            try:
+                resp = client.get_records(
+                    ShardIterator=iterator,
+                    Limit=min(self.limit, self.max_per_batch - emitted),
+                )
+            except Exception as exc:  # noqa: BLE001 — classify by code
+                code = _aws_error_code(exc)
+                if "ProvisionedThroughputExceeded" in code:
+                    # bounded in-batch backoff; the next batch retries
+                    backoff += 1.0
+                    if backoff > 5.0:
+                        break
+                    time.sleep(backoff)
+                    continue
+                if "ExpiredIterator" in code:
+                    iterator = None  # re-acquire from last_seq
+                    continue
+                raise
+            backoff = 0.0
+            recs = resp["Records"]
+            for rec in recs:
+                last_seq = rec["SequenceNumber"]
+                data = rec["Data"]
+                emitted += 1
+                yield (
+                    data.decode("utf-8", "replace")
+                    if isinstance(data, (bytes, bytearray))
+                    else data,
+                    rec["SequenceNumber"],
+                    rec.get("PartitionKey"),
+                    rec.get("ApproximateArrivalTimestamp"),
+                    sid,
+                )
+                if bound is not None and last_seq == bound:
+                    # replay reached the pinned end, possibly MID-
+                    # response: the response's NextShardIterator points
+                    # past records not emitted — discard it so the next
+                    # batch re-acquires AFTER the bound and reads them
+                    done = True
+                    iterator = None
+                    break
+            if done:
+                break
+            nxt = resp.get("NextShardIterator")
+            if nxt is None:
+                closed = True
+                iterator = None
+                break
+            iterator = nxt
+            if not recs:
+                if bound is not None and empty_polls < 100:
+                    # pinned replay: the bound's records were read once
+                    # already, so they exist — keep polling (bounded,
+                    # in case retention expired them meanwhile)
+                    empty_polls += 1
+                    continue
+                break  # caught up; keep the iterator for next batch
+        _write_attained(
+            state_dir,
+            sid,
+            {
+                "seq": last_seq,
+                "it": iterator,
+                "closed": closed,
+                # replay pinning (see `bound` above): which (epoch,
+                # start) produced this reach
+                "epoch": partition.epoch,
+                "start": partition.start_seq,
+            },
+        )
+
+
+class KinesisDataSource(DataSource):
+    """``spark.readStream.format("pipeline_kinesis")`` — executor-
+    parallel Kinesis ingestion. Register with
+    ``spark.dataSource.register(KinesisDataSource)``.
+
+    Options (case-insensitive):
+      streamName (required), stateDir (required, shared storage),
+      region, endpointUrl, credfile, startingPosition
+      (trim_horizon | latest | after_sequence_number:X),
+      maxRecordsPerFetch (GetRecords limit, default 1000),
+      maxRecordsPerShardPerBatch (default 10000),
+      maxFetchRatePerShard (req/s, default 4 — reference pacing),
+      clientFactory ("module:attr" test seam returning a boto3-shaped
+      client).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def schema(self) -> StructType:
+        return RECORD_SCHEMA
+
+    def streamReader(self, schema: StructType) -> KinesisStreamReader:  # noqa: N802
+        return KinesisStreamReader(self.options)
+
+
+def register(spark) -> None:
+    """Register the format with this SparkSession AND switch this
+    module to pickle-by-value, so the planner process and executor
+    workers receive the classes inside the pickle instead of needing
+    ``pipeline_kinesis_spark`` on their sys.path (see SELF-CONTAINMENT
+    CONTRACT above). Idempotent."""
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(KinesisDataSource)

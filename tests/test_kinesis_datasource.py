@@ -1,0 +1,469 @@
+"""Executor-parallel Kinesis source (Python DataSource API).
+
+Two layers:
+- protocol unit tests drive KinesisStreamReader directly (no Spark):
+  offset bookkeeping, per-shard partition planning, committed-start
+  determinism, reshard gating, sticky latest, throttle/expiry;
+- Spark e2e runs the registered format through readStream against the
+  in-process fake Kinesis HTTP endpoint (real boto3 SigV4 wire, records
+  polled by executor tasks): shard→partition mapping, mid-stream
+  appends, mid-stream reshard, kill/resume from checkpoint with no
+  loss or duplication.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import pytest
+
+from pipeline_kinesis_spark.sources.kinesis_datasource import (
+    KinesisStreamReader,
+    _read_attained,
+)
+
+from tests.test_kinesis_protocol import FakeKinesisClient
+
+# module-global seam for the clientFactory option: unit tests run the
+# reader in-process, so a factory referencing this module works
+_FAKE: FakeKinesisClient | None = None
+
+
+def fake_factory() -> FakeKinesisClient:
+    assert _FAKE is not None
+    return _FAKE
+
+
+def _reader(tmp_path, fake, start="trim_horizon", **opts):
+    global _FAKE
+    _FAKE = fake
+    base = {
+        "streamName": "events",
+        "stateDir": str(tmp_path / "state"),
+        # __name__ (not a hardcoded path): pytest may import this file
+        # under either "tests.test_kinesis_datasource" or the bare
+        # module name, and the factory must resolve to THIS instance
+        "clientFactory": f"{__name__}:fake_factory",
+        "startingPosition": start,
+        "maxFetchRatePerShard": "100000",  # unpaced in unit tests
+    }
+    base.update(opts)
+    return KinesisStreamReader(base)
+
+
+def _run_batch(r, start):
+    """Plan and read one micro-batch; returns (end_offset, rows)."""
+    end = r.latestOffset()
+    rows = [t for p in r.partitions(start, end) for t in r.read(p)]
+    r.commit(end)
+    return end, rows
+
+
+class TestProtocol:
+    def test_one_partition_per_shard_with_committed_starts(self, tmp_path):
+        fake = FakeKinesisClient(
+            {"shardId-000": [b"a"], "shardId-001": [b"b"], "shardId-002": []}
+        )
+        r = _reader(tmp_path, fake)
+        o0 = r.initialOffset()
+        o1, rows = _run_batch(r, o0)
+        assert {t[4] for t in rows} == {"shardId-000", "shardId-001"}
+        o2 = r.latestOffset()
+        parts = {p.shard_id: p for p in r.partitions(o1, o2)}
+        assert set(parts) == {"shardId-000", "shardId-001", "shardId-002"}
+        # starts are the COMMITTED positions frozen into the offset
+        assert parts["shardId-000"].start_seq == "shardId-000-0"
+        assert parts["shardId-002"].start_seq is None
+
+    def test_caught_up_batches_are_empty_then_appends_arrive(self, tmp_path):
+        fake = FakeKinesisClient({"shardId-000": [b"x", b"y"]})
+        r = _reader(tmp_path, fake)
+        o1, rows = _run_batch(r, r.initialOffset())
+        assert [t[0] for t in rows] == ["x", "y"]
+        o2, rows2 = _run_batch(r, o1)
+        assert rows2 == []
+        fake.append("shardId-000", b"z")
+        _, rows3 = _run_batch(r, o2)
+        assert [t[0] for t in rows3] == ["z"]
+
+    def test_replay_reads_from_same_starts(self, tmp_path):
+        """A batch re-planned from the same WAL (start, end) offsets
+        reads from the same seqnums even though a previous attempt
+        already advanced the attained files — committed-start
+        determinism (the crash-replay path)."""
+        fake = FakeKinesisClient({"shardId-000": [b"x", b"y"]})
+        r = _reader(tmp_path, fake)
+        o1, _ = _run_batch(r, r.initialOffset())
+        fake.append("shardId-000", b"z")
+        o2 = r.latestOffset()
+        first = [t for p in r.partitions(o1, o2) for t in r.read(p)]
+        # attained now points past z; a replay of the SAME offsets must
+        # still start after y (start frozen in o2), re-emitting z
+        replay = [t for p in r.partitions(o1, o2) for t in r.read(p)]
+        assert [t[0] for t in first] == ["z"]
+        assert [t[0] for t in replay] == ["z"]
+
+    def test_reshard_children_gated_until_parent_drained(self, tmp_path):
+        fake = FakeKinesisClient({"shardId-000": [b"p1"]})
+        r = _reader(tmp_path, fake)
+        o1, _ = _run_batch(r, r.initialOffset())
+        fake.reshard("shardId-000", ["shardId-001", "shardId-002"])
+        fake.append("shardId-001", b"c1")
+        # parent not yet observed-closed: children not planned
+        o2 = r.latestOffset()
+        parts = r.partitions(o1, o2)
+        assert [p.shard_id for p in parts] == ["shardId-000"]
+        rows = [t for p in parts for t in r.read(p)]
+        assert rows == []  # drain round marks the parent closed
+        r.commit(o2)
+        # children now planned, from TRIM_HORIZON; drained parent skipped
+        o3 = r.latestOffset()
+        parts = {p.shard_id: p for p in r.partitions(o2, o3)}
+        assert set(parts) == {"shardId-001", "shardId-002"}
+        assert all(p.from_reshard for p in parts.values())
+        rows = [t for p in parts.values() for t in r.read(p)]
+        assert [t[0] for t in rows] == ["c1"]
+
+    def test_replay_pinned_to_first_attempt_reach(self, tmp_path):
+        """Crash-replay determinism, the stronger property: records
+        arriving AFTER the first attempt ran are excluded from the
+        replayed batch (the attained file pins the reach per (epoch,
+        start)), so batch-id-keyed sinks may skip OR rewrite the
+        replayed batch — identical content either way."""
+        fake = FakeKinesisClient({"shardId-000": [b"x"]})
+        r = _reader(tmp_path, fake)
+        o1, _ = _run_batch(r, r.initialOffset())
+        fake.append("shardId-000", b"y")
+        o2 = r.latestOffset()
+        first = [t for p in r.partitions(o1, o2) for t in r.read(p)]
+        assert [t[0] for t in first] == ["y"]
+        fake.append("shardId-000", b"z")  # arrives between attempts
+        replay = [t for p in r.partitions(o1, o2) for t in r.read(p)]
+        assert [t[0] for t in replay] == ["y"]  # z NOT widened in
+        r.commit(o2)
+        _, rows3 = _run_batch(r, o2)
+        assert [t[0] for t in rows3] == ["z"]  # and never lost
+
+    def test_replay_of_empty_first_attempt_stays_empty(self, tmp_path):
+        fake = FakeKinesisClient({"shardId-000": [b"x"]})
+        r = _reader(tmp_path, fake)
+        o1, _ = _run_batch(r, r.initialOffset())
+        o2 = r.latestOffset()
+        first = [t for p in r.partitions(o1, o2) for t in r.read(p)]
+        assert first == []
+        fake.append("shardId-000", b"late")
+        replay = [t for p in r.partitions(o1, o2) for t in r.read(p)]
+        assert replay == []  # pinned-empty, not widened
+        r.commit(o2)
+        _, rows = _run_batch(r, o2)
+        assert [t[0] for t in rows] == ["late"]
+
+    def test_sticky_latest_no_gap_between_polls(self, tmp_path):
+        """LATEST with no traffic: the executor caches the shard
+        iterator, so records arriving between batches are not skipped
+        by a fresh LATEST acquisition."""
+        fake = FakeKinesisClient({"shardId-000": [b"old1", b"old2"]})
+        r = _reader(tmp_path, fake, start="latest")
+        o1, rows = _run_batch(r, r.initialOffset())
+        assert rows == []  # history skipped
+        fake.append("shardId-000", b"new")
+        _, rows2 = _run_batch(r, o1)
+        assert [t[0] for t in rows2] == ["new"]
+
+    def test_after_sequence_number_start(self, tmp_path):
+        fake = FakeKinesisClient({"shardId-000": [b"a", b"b", b"c"]})
+        r = _reader(
+            tmp_path, fake, start="after_sequence_number:shardId-000-0"
+        )
+        _, rows = _run_batch(r, r.initialOffset())
+        assert [t[0] for t in rows] == ["b", "c"]
+
+    def test_throttle_bounded_then_recovers(self, tmp_path):
+        fake = FakeKinesisClient({"shardId-000": [b"a"]})
+        fake.throttle_next = 2
+        r = _reader(tmp_path, fake)
+        o1, rows = _run_batch(r, r.initialOffset())
+        assert [t[0] for t in rows] == ["a"]  # in-batch backoff absorbed
+
+    def test_expired_iterator_reacquires_without_loss(self, tmp_path):
+        fake = FakeKinesisClient({"shardId-000": [b"a", b"b"]})
+        r = _reader(tmp_path, fake)
+        o1, rows = _run_batch(r, r.initialOffset())
+        fake.append("shardId-000", b"c")
+        fake.expire_next = 1  # cached iterator rejected on first use
+        _, rows2 = _run_batch(r, o1)
+        assert [t[0] for t in rows2] == ["c"]
+
+    def test_per_batch_record_cap(self, tmp_path):
+        fake = FakeKinesisClient({"shardId-000": [b"a", b"b", b"c", b"d"]})
+        r = _reader(
+            tmp_path,
+            fake,
+            maxRecordsPerShardPerBatch="3",
+            maxRecordsPerFetch="2",
+        )
+        o1, rows = _run_batch(r, r.initialOffset())
+        assert len(rows) == 3
+        _, rows2 = _run_batch(r, o1)
+        assert [t[0] for t in rows2] == ["d"]
+
+    def test_epoch_monotonic_across_reader_restarts(self, tmp_path):
+        fake = FakeKinesisClient({"shardId-000": [b"a"]})
+        r = _reader(tmp_path, fake)
+        o1, _ = _run_batch(r, r.initialOffset())
+        r2 = _reader(tmp_path, fake)  # simulated driver restart
+        o2 = r2.latestOffset()
+        assert o2["epoch"] > o1["epoch"]
+
+    def test_missing_options_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="streamName"):
+            KinesisStreamReader({"stateDir": str(tmp_path)})
+        with pytest.raises(ValueError, match="stateDir"):
+            KinesisStreamReader({"streamName": "s"})
+        with pytest.raises(ValueError, match="startingPosition"):
+            KinesisStreamReader(
+                {
+                    "streamName": "s",
+                    "stateDir": str(tmp_path),
+                    "startingPosition": "bogus",
+                }
+            )
+
+
+# ---------------------------------------------------------------- Spark e2e
+
+
+@pytest.fixture
+def wire(tmp_path):
+    """(fake, endpoint_url, credfile): HTTP Kinesis endpoint + a
+    shared-credentials file (how executor workers, whose env Spark
+    controls, get SigV4 material)."""
+    from http.server import ThreadingHTTPServer
+
+    from tests.test_kinesis_wire import _KinesisHandler
+
+    boto3 = pytest.importorskip("boto3")  # noqa: F841
+
+    fake = FakeKinesisClient(
+        {"shardId-000": [b"a,1", b"a,2"], "shardId-001": [b"b,5"]}
+    )
+    handler = type("H", (_KinesisHandler,), {"fake": fake})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    cred = tmp_path / "creds"
+    cred.write_text(
+        "[default]\naws_access_key_id = testing\n"
+        "aws_secret_access_key = testing\n"
+    )
+    yield fake, f"http://127.0.0.1:{srv.server_address[1]}", str(cred)
+    srv.shutdown()
+    srv.server_close()
+
+
+def _stream(spark, wire, wd, start="trim_horizon"):
+    from pipeline_kinesis_spark.sources.kinesis import KinesisSource
+
+    fake, url, cred = wire
+    src = KinesisSource(
+        stream_name="events",
+        region="us-east-1",
+        endpoint_url=url,
+        credfile=cred,
+        start_position=start,
+    )
+    return src.read_stream(spark, state_dir=os.path.join(wd, "state"))
+
+
+def _collecting_query(df, wd, batches):
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn("pid", F.spark_partition_id())
+        .writeStream.foreachBatch(
+            lambda b, i: batches.append((i, b.collect()))
+        )
+        .option("checkpointLocation", os.path.join(wd, "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+
+def _await_rows(q, batches, n, timeout=90):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        rows = [r for _, bs in batches for r in bs]
+        if len(rows) >= n:
+            return rows
+        if not q.isActive:
+            raise AssertionError(f"query died: {q.exception()}")
+        time.sleep(0.2)
+    raise AssertionError(
+        f"timed out at {len([r for _, bs in batches for r in bs])}/{n} rows"
+    )
+
+
+def test_e2e_shard_per_partition_and_append(spark, wire, tmp_path):
+    """Records polled by executor tasks over real SigV4 HTTP; each
+    shard is its own input partition; appends arrive exactly once."""
+    fake, _, _ = wire
+    wd = str(tmp_path / "q")
+    batches: list = []
+    q = _collecting_query(_stream(spark, wire, wd), wd, batches)
+    try:
+        rows = _await_rows(q, batches, 3)
+        pids = {}
+        for r in rows:
+            pids.setdefault(r.shard_id, set()).add(r.pid)
+        # one input partition per shard, distinct across shards
+        assert all(len(v) == 1 for v in pids.values())
+        assert pids["shardId-000"] != pids["shardId-001"]
+        fake.append("shardId-001", b"b,6")
+        rows = _await_rows(q, batches, 4)
+        assert len({r.sequence_number for r in rows}) == 4  # no dups
+        assert sorted(r.data for r in rows) == ["a,1", "a,2", "b,5", "b,6"]
+    finally:
+        q.stop()
+
+
+def test_e2e_reshard_mid_stream(spark, wire, tmp_path):
+    fake, _, _ = wire
+    wd = str(tmp_path / "q")
+    batches: list = []
+    q = _collecting_query(_stream(spark, wire, wd), wd, batches)
+    try:
+        _await_rows(q, batches, 3)
+        fake.reshard("shardId-000", ["shardId-002", "shardId-003"])
+        fake.append("shardId-002", b"c,7")
+        fake.append("shardId-003", b"d,8")
+        rows = _await_rows(q, batches, 5)
+        assert len({r.sequence_number for r in rows}) == 5
+        assert {r.shard_id for r in rows} >= {"shardId-002", "shardId-003"}
+    finally:
+        q.stop()
+
+
+def test_engine_datasource_mode_end_to_end(spark, wire, tmp_path):
+    """consume_begin(source='datasource'): the engine's full pipeline —
+    landing query → spool → parse → archive + dead letter + continuous
+    view — fed by executor-parallel Kinesis polling over real SigV4
+    HTTP, with seqnums() surfacing the attained positions and a
+    stop/resume cycle staying exactly-once."""
+    from pipeline_kinesis_spark.engine import Engine
+
+    fake, url, cred = wire
+    eng = Engine(
+        spark,
+        metadata_dir=str(tmp_path / "meta"),
+        trigger_interval="300 milliseconds",
+    )
+    eng.add_endpoint("ep", region="us-east-1", url=url, credfile=cred)
+    eng.create_stream("k_in", "k STRING, v BIGINT")
+    eng.create_continuous_view(
+        "k_counts",
+        "SELECT k, count(*) AS n, sum(v) AS total FROM k_in GROUP BY k",
+        stream="k_in",
+    )
+    c = eng.consume_begin(
+        "ep", "events", "k_in", fmt="csv", delimiter=",",
+        source="datasource",
+    )
+    assert c.id in eng._ds_consumers
+    assert not eng.pump_status()  # no driver pump on this path
+    eng.wait_for_ingest(timeout_s=120)
+    assert eng.stream_table("k_in").count() == 3
+    rows = {
+        r.k: (r.n, r.total) for r in eng.view_table("k_counts").collect()
+    }
+    assert rows == {"a": (2, 3), "b": (1, 5)}
+    marks = {
+        (r.consumer_id, r.shard_id): r.seqnum
+        for r in eng.seqnums().collect()
+    }
+    assert marks[(c.id, "shardId-000")] == "shardId-000-1"
+    # stop, append while down, resume: exactly-once
+    assert eng.consume_end("ep", "events", "k_in")
+    fake.append("shardId-000", b"a,7")
+    eng.consume_begin(
+        "ep", "events", "k_in", fmt="csv", delimiter=",",
+        source="datasource",
+    )
+    eng.wait_for_ingest(timeout_s=120)
+    seqs = [r.sequence_number for r in eng.stream_table("k_in").collect()]
+    assert len(seqs) == len(set(seqs))
+    rows = {
+        r.k: (r.n, r.total) for r in eng.view_table("k_counts").collect()
+    }
+    assert rows["a"] == (3, 10)
+    eng.consume_end_all()
+
+
+def test_engine_auto_mode_picks_datasource_beyond_max_procs(
+    spark, wire, tmp_path
+):
+    """source='auto' crosses to the executor-parallel path when
+    discovery reports more shards than the reference's worker ceiling
+    (MAX_PROCS=8)."""
+    from pipeline_kinesis_spark.engine import MAX_PROCS, Engine
+
+    fake, url, cred = wire
+    for i in range(2, MAX_PROCS + 2):  # 2 existing + 8 more = 10 > 8
+        fake.shards[f"shardId-{i:03d}"] = [f"s{i},1".encode()]
+        fake.meta[f"shardId-{i:03d}"] = {}
+    eng = Engine(
+        spark,
+        metadata_dir=str(tmp_path / "meta"),
+        trigger_interval="300 milliseconds",
+    )
+    eng.add_endpoint("ep", region="us-east-1", url=url, credfile=cred)
+    eng.create_stream("k_in", "k STRING, v BIGINT")
+    c = eng.consume_begin(
+        "ep", "events", "k_in", fmt="csv", delimiter=",", source="auto"
+    )
+    try:
+        assert c.id in eng._ds_consumers  # crossed the threshold
+        eng.wait_for_ingest(timeout_s=120)
+        assert eng.stream_table("k_in").count() == 3 + MAX_PROCS
+    finally:
+        eng.consume_end_all()
+
+
+def test_engine_datasource_rejects_injected_client_object(
+    spark, wire, tmp_path
+):
+    from pipeline_kinesis_spark.engine import Engine
+
+    fake, url, cred = wire
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    eng.add_endpoint("ep", region="us-east-1", url=url, credfile=cred)
+    eng.create_stream("k_in", "k STRING, v BIGINT")
+    eng.register_kinesis_client("ep", fake)
+    with pytest.raises(ValueError, match="datasource"):
+        eng.consume_begin(
+            "ep", "events", "k_in", fmt="csv", delimiter=",",
+            source="datasource",
+        )
+
+
+def test_e2e_kill_resume_no_loss_no_dup(spark, wire, tmp_path):
+    fake, _, _ = wire
+    wd = str(tmp_path / "q")
+    batches: list = []
+    q = _collecting_query(_stream(spark, wire, wd), wd, batches)
+    try:
+        _await_rows(q, batches, 3)
+    finally:
+        q.stop()
+    # records arriving while the query is down
+    fake.append("shardId-000", b"a,3")
+    fake.append("shardId-001", b"b,6")
+    q2 = _collecting_query(_stream(spark, wire, wd), wd, batches)
+    try:
+        rows = _await_rows(q2, batches, 5)
+        assert sorted(r.data for r in rows) == [
+            "a,1", "a,2", "a,3", "b,5", "b,6",
+        ]
+        assert len({r.sequence_number for r in rows}) == 5
+    finally:
+        q2.stop()

@@ -50,7 +50,15 @@ def test_config_validation():
         KinesisSource(stream_name="s", region="r", start_position="nope")
 
 
-def test_network_path_gated(spark):
+def test_read_stream_builds_datasource_stream(spark, tmp_path):
+    """read_stream (executor-parallel DataSource path) needs no network
+    to PLAN: it registers the format and returns a streaming DataFrame
+    in RECORD_SCHEMA; polling happens only once a query starts."""
+    from pipeline_kinesis_spark.sources.records import RECORD_SCHEMA
+
     src = KinesisSource(stream_name="s", region="us-east-1")
-    with pytest.raises(NotImplementedError):
-        src.read_stream(spark)
+    with pytest.raises(TypeError):
+        src.read_stream(spark)  # state_dir is required
+    df = src.read_stream(spark, state_dir=str(tmp_path / "state"))
+    assert df.isStreaming
+    assert df.schema == RECORD_SCHEMA

@@ -9,6 +9,8 @@ toward 100.
 Usage: python tools/scaling_probe.py [query ...]   (default: probe set)
        python tools/scaling_probe.py --streaming   (osrel chain + combine
                                                     read growth probes)
+       python tools/scaling_probe.py --ingest      (pump vs datasource
+                                                    A/B at 4/16/64 shards)
 Prints one JSON line per query with per-SF min-of-2 timings and ratios.
 """
 
@@ -163,11 +165,112 @@ def probe_combine_read(spark) -> None:
     )
 
 
+def probe_ingest_ab(spark) -> None:
+    """Pump-vs-datasource ingest A/B at growing shard counts, over the
+    real boto3 SigV4 HTTP wire for both. Reports records/s and DRIVER
+    Python CPU seconds — the pump polls and spools on driver threads
+    (its scale ceiling), while the datasource path polls on executor
+    workers, so driver CPU should stay ~flat as shards grow."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tests.test_kinesis_protocol import FakeKinesisClient
+    from tests.test_kinesis_wire import _KinesisHandler
+
+    from pipeline_kinesis_spark.engine import Engine
+
+    per_shard = 2000
+    for n_shards in (4, 16, 64):
+        for mode in ("pump", "datasource"):
+            fake = FakeKinesisClient(
+                {
+                    f"shardId-{i:03d}": [
+                        f"k{j % 97},{j}".encode()
+                        for j in range(per_shard)
+                    ]
+                    for i in range(n_shards)
+                }
+            )
+            handler = type("H", (_KinesisHandler,), {"fake": fake})
+            srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+            threading.Thread(
+                target=srv.serve_forever, daemon=True
+            ).start()
+            url = f"http://127.0.0.1:{srv.server_address[1]}"
+            wd = tempfile.mkdtemp(prefix="ingest_ab_")
+            cred = os.path.join(wd, "creds")
+            with open(cred, "w") as f:
+                f.write(
+                    "[default]\naws_access_key_id = probe\n"
+                    "aws_secret_access_key = probe\n"
+                )
+            total = n_shards * per_shard
+            try:
+                eng = Engine(
+                    spark,
+                    metadata_dir=os.path.join(wd, "meta"),
+                    trigger_interval="100 milliseconds",
+                )
+                eng.add_endpoint(
+                    "ep", region="us-east-1", url=url, credfile=cred
+                )
+                eng.create_stream("probe_in", "k STRING, v BIGINT")
+                t0 = time.time()
+                cpu0 = time.process_time()
+                eng.consume_begin(
+                    "ep",
+                    "events",
+                    "probe_in",
+                    fmt="csv",
+                    delimiter=",",
+                    parallelism=8,
+                    rate_limit_rps=1000.0,  # unpaced: measure the path
+                    source=mode,
+                )
+                deadline = time.time() + 600
+                n = 0
+                while time.time() < deadline:
+                    try:
+                        n = eng.stream_table("probe_in").count()
+                    except Exception:  # noqa: BLE001 — not landed yet
+                        n = 0
+                    if n >= total:
+                        break
+                    time.sleep(0.25)
+                dt = time.time() - t0
+                driver_cpu = time.process_time() - cpu0
+                eng.consume_end_all()
+                print(
+                    json.dumps(
+                        {
+                            "probe": "ingest_ab",
+                            "mode": mode,
+                            "shards": n_shards,
+                            "records": n,
+                            "complete": n >= total,
+                            "wall_s": round(dt, 2),
+                            "records_per_s": round(n / dt, 1),
+                            "driver_python_cpu_s": round(driver_cpu, 2),
+                        }
+                    ),
+                    flush=True,
+                )
+            finally:
+                srv.shutdown()
+                srv.server_close()
+                shutil.rmtree(wd, ignore_errors=True)
+
+
 def main() -> None:
     if "--streaming" in sys.argv[1:]:
         spark = get_spark("scaling-probe-streaming", shuffle_partitions=8)
         probe_osrel_chain(spark)
         probe_combine_read(spark)
+        return
+    if "--ingest" in sys.argv[1:]:
+        spark = get_spark("scaling-probe-ingest", shuffle_partitions=8)
+        probe_ingest_ab(spark)
         return
     names = sys.argv[1:] or list(PROBE)
     spark = get_spark("scaling-probe")
