@@ -2386,7 +2386,10 @@ class Engine:
         query2 = self._COMBINE_CALL.sub(
             lambda m: (
                 combine_select_expr(
-                    m.group(1), specs[m.group(1)]["fn"], sw=is_sw
+                    m.group(1),
+                    specs[m.group(1)]["fn"],
+                    sw=is_sw,
+                    spec=specs[m.group(1)],
                 )
                 if mask[m.start()]
                 else m.group(0)

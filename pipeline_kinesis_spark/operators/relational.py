@@ -1310,8 +1310,96 @@ FROM fine GROUP BY lang
 """
 
 
+# the continuous view's declared SQL: percentiles at a FINE grouping;
+# the standing query carries hidden mergeable KLL sketch partials
+_COMBINE_PCT_VIEW_SQL = (
+    "SELECT lang, source, count(*) AS n_docs, "
+    "approx_percentile(n_chars, 0.5) AS p50_chars, "
+    "approx_percentile(n_chars, 0.9) AS p90_chars "
+    "FROM combine_pct_src GROUP BY lang, source"
+)
+
+
+def combine_percentile_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combine() over PERCENTILE transition states (B2/B14 — the round-6
+    verdict's missing combinable): the standing query carries a
+    mergeable KLL quantile sketch (Apache DataSketches, native Spark
+    4.1) as the hidden partial for each approx_percentile item, and
+    regrouping merges sketches with kll_merge_agg_double — never
+    re-scanning rows, O(k)=O(200) state per group. PipelineDB does the
+    same with tdigest transition states. Gate form is the sketch
+    envelope pattern (see hll_mergeable_distinct): exact percentiles
+    (DuckDB-computable) plus booleans that each merged-sketch estimate
+    lies within the KLL rank-error envelope — between the exact
+    quantiles at p∓0.05 (k=200 guarantees ~1.65% rank error, so 5% is
+    generous)."""
+    from pipeline_kinesis_spark.streaming.continuous_view import (
+        combine_rewrite_sql,
+        combine_view,
+        parse_combine_view_sql,
+    )
+
+    specs = parse_combine_view_sql(_COMBINE_PCT_VIEW_SQL)
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("combine_pct_src")
+    matrel = spark.sql(
+        combine_rewrite_sql(_COMBINE_PCT_VIEW_SQL, specs)
+    )
+    merged = combine_view(matrel, ["lang"], specs).select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("p50_chars").alias("p50_est"),
+        F.col("p90_chars").alias("p90_est"),
+    )
+    exact = docs.groupBy("lang").agg(
+        *[
+            F.round(
+                F.percentile(F.col("n_chars").cast("double"), F.lit(q)),
+                6,
+            ).alias(name)
+            for q, name in (
+                (0.5, "p50_exact"),
+                (0.9, "p90_exact"),
+                (0.45, "_p50_lo"),
+                (0.55, "_p50_hi"),
+                (0.85, "_p90_lo"),
+                (0.95, "_p90_hi"),
+            )
+        ]
+    )
+    return (
+        merged.join(exact, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "p50_exact",
+            "p90_exact",
+            F.col("p50_est").between(
+                F.col("_p50_lo"), F.col("_p50_hi")
+            ).alias("p50_in_bound"),
+            F.col("p90_est").between(
+                F.col("_p90_lo"), F.col("_p90_hi")
+            ).alias("p90_in_bound"),
+        )
+    )
+
+
+COMBINE_PCT_REGROUP_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_exact,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90_exact,
+       TRUE AS p50_in_bound,
+       TRUE AS p90_in_bound
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "combine_regroup": QuerySpec(combine_regroup, COMBINE_REGROUP_SQL),
+    "combine_percentile_regroup": QuerySpec(
+        combine_percentile_regroup, COMBINE_PCT_REGROUP_SQL
+    ),
     "agg_corr_regression": QuerySpec(
         agg_corr_regression, AGG_CORR_REGRESSION_SQL
     ),

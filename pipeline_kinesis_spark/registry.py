@@ -83,8 +83,11 @@ _PRIORITY = (
     # TPC-H aggregate/join shapes (q2/q4: r01-stale, returning)
     "q1_pricing_summary", "q7_volume_shipping",
     "q2_min_cost_supplier", "q4_order_priority",
-    # PipelineDB combine() merge math, batch-expressible twin (B2)
-    "combine_regroup",
+    # PipelineDB combine() merge math, batch-expressible twins (B2):
+    # exact transition states + the new KLL percentile sketch merge
+    # (r07; takes text_normalize's row — 3x green, C4 stays via
+    # text_quality/token_count_bpe/winnow/lm_perplexity)
+    "combine_regroup", "combine_percentile_regroup",
     # relational §2B rows returning from r01 (B6/B8/B9/B10/B13/B18/
     # B20/B21/B22)
     "filter_predicates", "join_left_outer", "join_semi", "join_anti",
@@ -106,7 +109,7 @@ _PRIORITY = (
     "exact_dedup", "crossdoc_span_dup", "minhash_lsh_recall",
     # text analysis / corpus ops
     "text_quality", "token_count_bpe",
-    "text_normalize", "agg_exact_percentiles", "value_histogram",
+    "agg_exact_percentiles", "value_histogram",
     "dedup_spans_rewrite", "lm_perplexity", "winnow_fingerprint_stats",
     # corpus curation (C6: hash-threshold scale-path sampler et al.)
     "stratified_sample_hash",

@@ -1085,6 +1085,11 @@ _CB_DECOMP = {
     "variance": "var_samp",
     "var_samp": "var_samp",
     "approx_count_distinct": "approx_count_distinct",
+    # percentile via a mergeable KLL quantile sketch partial (Apache
+    # DataSketches, native in Spark 4.1) — PipelineDB's combine() over
+    # percentile transition states (its tdigest), Spark-first
+    "approx_percentile": "approx_percentile",
+    "percentile_approx": "approx_percentile",
 }
 def parse_combine_view_sql(sql: str) -> dict[str, dict] | None:
     """Best-effort SELECT-list analysis for combine() support: returns
@@ -1117,6 +1122,25 @@ def parse_combine_view_sql(sql: str) -> dict[str, dict] | None:
         alias = am.group(1)
         if fn in _CB_DIRECT:
             specs[alias] = {"fn": _CB_DIRECT[fn], "arg": arg}
+        elif _CB_DECOMP.get(fn) == "approx_percentile":
+            # approx_percentile(x, p[, accuracy]): p must be a literal
+            # (the merge expression needs it at parse time); accuracy is
+            # dropped — the KLL partial's own accuracy (k=200, ~1.65%
+            # rank error) governs the combined estimate
+            args = _split_select_items(arg)
+            if len(args) < 2:
+                continue
+            try:
+                p = float(args[1])
+            except ValueError:
+                continue  # non-literal percentage: not combinable
+            if not 0.0 <= p <= 1.0:
+                continue
+            specs[alias] = {
+                "fn": "approx_percentile",
+                "arg": args[0],
+                "p": p,
+            }
         elif fn in _CB_DECOMP:
             specs[alias] = {"fn": _CB_DECOMP[fn], "arg": arg}
     return specs or None
@@ -1141,6 +1165,14 @@ def combine_partial_cols(specs: dict[str, dict]) -> dict[str, str]:
         elif fn == "approx_count_distinct":
             # the partial is the MERGEABLE sketch, not the estimate
             cols[f"{alias}{PARTIAL_SEP}h"] = f"hll_sketch_agg({arg})"
+        elif fn == "approx_percentile":
+            # mergeable KLL quantile sketch (binary column in the
+            # matrel); O(k)=O(200) state per group regardless of how
+            # many rows fed it — the sketch property that makes
+            # percentile regrouping scale
+            cols[f"{alias}{PARTIAL_SEP}k"] = (
+                f"kll_sketch_agg_double(CAST(({arg}) AS DOUBLE))"
+            )
     return cols
 
 
@@ -1161,7 +1193,9 @@ def combine_rewrite_sql(sql: str, specs: dict[str, dict]) -> str:
     return f"{head}{select_list}, {extra_sql} {rest}"
 
 
-def combine_select_expr(alias: str, fn: str, sw: bool = False) -> str:
+def combine_select_expr(
+    alias: str, fn: str, sw: bool = False, spec: dict | None = None
+) -> str:
     """The SQL expression that merges partials for one aggregate under a
     new grouping — exactly PipelineDB's combine() transition-state
     merge, spelled as stock Spark SQL so it stays whole-stage-codegen
@@ -1189,6 +1223,12 @@ def combine_select_expr(alias: str, fn: str, sw: bool = False) -> str:
     if fn == "approx_count_distinct":
         col = alias if sw else f"{alias}{PARTIAL_SEP}h"
         return f"hll_sketch_estimate(hll_union_agg({col}))"
+    if fn == "approx_percentile":
+        p = (spec or {}).get("p", 0.5)
+        return (
+            f"kll_sketch_get_quantile_double("
+            f"kll_merge_agg_double({alias}{PARTIAL_SEP}k), {p})"
+        )
     raise ValueError(f"no combine merge for aggregate {fn!r}")
 
 
@@ -1210,7 +1250,9 @@ def combine_view(
     the Python-API form of ``SELECT g, combine(a) FROM v GROUP BY g``.
     One hash aggregate over O(view groups) rows, never the raw stream."""
     aggs = [
-        F.expr(combine_select_expr(alias, spec["fn"])).alias(alias)
+        F.expr(
+            combine_select_expr(alias, spec["fn"], spec=spec)
+        ).alias(alias)
         for alias, spec in specs.items()
     ]
     if group_cols:

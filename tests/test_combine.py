@@ -161,6 +161,51 @@ def test_combine_approx_distinct_unions_sketches(engine, tmp_path):
     assert sql_got == {"a": 4, "b": 2}
 
 
+def test_combine_approx_percentile_merges_kll_sketches(engine, tmp_path):
+    """approx_percentile survives regrouping: the standing query keeps
+    a mergeable KLL quantile sketch per (k, g) and combine() merges the
+    sketches per k. With group sizes below the sketch's k=200, the
+    sketch is exact, so the merged median is the true median — which
+    naive median-of-medians gets wrong for group 'a'."""
+    _start_view(
+        engine,
+        tmp_path,
+        "SELECT k, g, approx_percentile(v, 0.5) AS med "
+        "FROM cst GROUP BY k, g",
+    )
+    mrel_cols = set(engine.matrel("cv").columns)
+    assert "med__pkpart_k" in mrel_cols  # the hidden KLL sketch
+    rows = {r.k: r.med for r in engine.combine("cv", ["k"]).collect()}
+    assert rows["a"] == statistics.median(_VALS["a"])  # 3, not 2.5/10 mix
+    assert rows["b"] == statistics.median(_VALS["b"])
+    # SQL spelling drives the same merge
+    got = {
+        r.k: r.med
+        for r in engine.sql(
+            "SELECT k, combine(med) AS med FROM cv GROUP BY k"
+        ).collect()
+    }
+    assert got == rows
+
+
+def test_combine_percentile_non_literal_p_not_combinable(engine, tmp_path):
+    _start_view(
+        engine,
+        tmp_path,
+        # 0.25 + 0.25 is foldable (valid Spark SQL) but not a literal
+        # our combine parser accepts — the alias is simply left out of
+        # the combinable set
+        "SELECT k, g, count(*) AS cnt, "
+        "approx_percentile(v, 0.25 + 0.25) AS bad "
+        "FROM cst GROUP BY k, g",
+    )
+    out = engine.combine("cv", ["k"])
+    # non-literal percentage cannot merge: excluded from the combinable
+    # set, while the combinable subset still works
+    assert "bad" not in out.columns
+    assert {r.k: r.cnt for r in out.collect()} == {"a": 5, "b": 5}
+
+
 def test_combine_parquet_upsert_view(engine, tmp_path):
     _start_view(
         engine,
