@@ -7,12 +7,13 @@ Arrow-batched mapInPandas signatures — is real and tested, and
 since r06, the COMPRESSED formats: 8-bit PNG (stdlib zlib inflate +
 all five spec filters unapplied in numpy), GIF (variable-width LZW
 implemented from the spec), G.711 companded and IMA ADPCM audio
-(u-law/A-law/fmt-0x11 WAV), plus the full transform codec baseline JPEG (SOF0 per ITU-T
-T.81: generic-DHT Huffman, dequantize, vectorized IDCT, chroma
-upsampling) — no codec libraries involved. Only MP3/H.264 (MDCT /
-motion compensation) and progressive JPEG stay behind
-``NotImplementedError``, with a deterministic fake for their plumbing
-tests.
+(u-law/A-law/fmt-0x11 WAV), plus the full transform codec JPEG — both
+baseline (SOF0) and, since r07, PROGRESSIVE (SOF2: spectral selection,
+successive approximation with DC/AC refinement scans and EOB runs, per
+ITU-T T.81 G) — generic-DHT Huffman, dequantize, vectorized IDCT,
+chroma upsampling, no codec libraries involved. Only MP3/H.264 (MDCT /
+motion compensation) stay behind ``NotImplementedError``, with a
+deterministic fake for their plumbing tests.
 
 At 100 TB the pattern is: binary parquet columns, ``mapInPandas`` with
 modest ``spark.sql.execution.arrow.maxRecordsPerBatch`` (payloads are big),
@@ -81,12 +82,13 @@ def decode_media(payload: bytes, mime: str = "") -> object:
     libraries needed: PPM P6 (binary RGB), BMP (24-bit uncompressed
     BI_RGB), WAV (PCM16, G.711 u-law/A-law, IMA ADPCM), 8-bit PNG
     (zlib inflate
-    + filter unapply), GIF (spec LZW), and baseline JPEG (SOF0 DCT).
-    Dispatch is by magic bytes, so the mime hint is advisory. Returns
-    an ``(h, w, 3) uint8`` pixel array for images, ``(sample_rate,
-    (n, channels) int16 array)`` for audio. MP3/H.264 and progressive
-    JPEG stay environment-gated — cluster deployments plug a real
-    decoder into this same dispatch.
+    + filter unapply), GIF (spec LZW), and JPEG — baseline SOF0 and
+    progressive SOF2 (T.81 G successive approximation + spectral
+    selection). Dispatch is by magic bytes, so the mime hint is
+    advisory. Returns an ``(h, w, 3) uint8`` pixel array for images,
+    ``(sample_rate, (n, channels) int16 array)`` for audio. MP3/H.264
+    stay environment-gated — cluster deployments plug a real decoder
+    into this same dispatch.
     """
     if payload is None:
         raise ValueError("empty payload")
@@ -104,9 +106,8 @@ def decode_media(payload: bytes, mime: str = "") -> object:
         return _decode_wav(payload)
     raise NotImplementedError(
         f"no pure-numpy decoder for this container (mime={mime!r}); "
-        "MP3/H.264 (and progressive JPEG) require decoder libraries "
-        "not present in this container — use fake_features() for "
-        "plumbing tests"
+        "MP3/H.264 require decoder libraries not present in this "
+        "container — use fake_features() for plumbing tests"
     )
 
 
@@ -386,7 +387,10 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
 # from Annex K), dequantize, inverse zigzag, vectorized 8x8 IDCT
 # (matrix form, einsum over all blocks at once), chroma upsampling,
 # YCbCr→RGB. Baseline sequential only (SOF0, 8-bit, 4:4:4 / 4:2:0 /
-# 4:2:2, restart markers honored); progressive (SOF2) stays gated.
+# 4:2:2, restart markers honored). Progressive (SOF2) decodes too:
+# _decode_progressive_scan accumulates each scan's spectral band at
+# its successive-approximation stage into shared coefficient planes
+# (T.81 G.2), finalized by the same IDCT/color tail.
 
 
 def _zigzag_order() -> list[tuple[int, int]]:
@@ -509,7 +513,8 @@ def _huff_decode(reader: _BitReader, table) -> int:
 
 
 def _decode_jpeg(payload: bytes) -> "np.ndarray":
-    """Baseline sequential JPEG → (h, w, 3) uint8 RGB."""
+    """Baseline sequential (SOF0) or progressive (SOF2) JPEG →
+    (h, w, 3) uint8 RGB."""
     import struct
 
     import numpy as np
@@ -523,6 +528,10 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
     comps: list[dict] = []
     h = w = None
     restart_interval = 0
+    progressive = False
+    # progressive state, shared across the frame's many scans
+    prog_planes: dict[int, "np.ndarray"] | None = None
+    prog_pred: dict[int, int] = {}
     zz = _zigzag_order()
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -530,7 +539,8 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
             continue
         marker = payload[pos + 1]
         pos += 2
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+        if marker in (0xD8, 0x01, 0x00) or 0xD0 <= marker <= 0xD7:
+            # 0x00 = byte-stuffing remnant after an entropy segment
             continue
         if marker == 0xD9:  # EOI
             break
@@ -548,7 +558,8 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                     t[i, j] = seg[p + k]
                 qtables[tq] = t
                 p += 64
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             _, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             p = 6
             for _ in range(nc):
@@ -562,9 +573,10 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                     }
                 )
                 p += 3
-        elif marker in (0xC1, 0xC2, 0xC3):
+        elif marker in (0xC1, 0xC3):
             raise NotImplementedError(
-                "only baseline sequential JPEG (SOF0) supported"
+                "only baseline (SOF0) and progressive (SOF2) JPEG "
+                "supported"
             )
         elif marker == 0xC4:  # DHT
             p = 0
@@ -589,18 +601,56 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                     (comp, tables >> 4, tables & 0x0F)
                 )
             data_start = pos + seg_len
-            return _decode_scan(
+            if not progressive:
+                return _decode_scan(
+                    payload,
+                    data_start,
+                    scan,
+                    qtables,
+                    huff_dc,
+                    huff_ac,
+                    h,
+                    w,
+                    restart_interval,
+                )
+            # progressive: Ss/Se spectral band, Ah/Al approximation
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if prog_planes is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                prog_planes = {
+                    c["id"]: np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 8, 8),
+                        dtype=np.int32,
+                    )
+                    for c in comps
+                }
+                prog_pred = {c["id"]: 0 for c in comps}
+            pos = _decode_progressive_scan(
                 payload,
                 data_start,
                 scan,
-                qtables,
+                ss,
+                se,
+                ah,
+                al,
+                prog_planes,
+                prog_pred,
                 huff_dc,
                 huff_ac,
+                restart_interval,
+                comps,
                 h,
                 w,
-                restart_interval,
             )
+            continue
         pos += seg_len
+    if progressive and prog_planes is not None:
+        return _finalize_jpeg(prog_planes, comps, qtables, h, w)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -672,10 +722,214 @@ def _decode_scan(
             # premature restart: resync (decoder robustness)
             reader.align_past_restart()
             pred = {cid: 0 for cid in pred}
-    # dequantize + IDCT, all blocks of a component at once
+    return _finalize_jpeg(
+        planes, [comp for comp, _, _ in scan], qtables, h, w
+    )
+
+
+def _decode_progressive_scan(
+    payload,
+    data_start,
+    scan,
+    ss,
+    se,
+    ah,
+    al,
+    planes,
+    pred,
+    huff_dc,
+    huff_ac,
+    restart_interval,
+    comps,
+    h,
+    w,
+):
+    """One progressive scan (T.81 G.2): spectral selection [Ss, Se] at
+    successive-approximation stage (Ah → Al) accumulated into the
+    frame's shared coefficient planes. Four cases: DC first / DC
+    refinement (interleaved over MCUs when the scan lists several
+    components), AC first / AC refinement (single-component, block
+    raster over that component's own grid). Returns the position just
+    past the scan's entropy-coded data."""
+    import numpy as np  # noqa: F401 — planes are numpy arrays
+
+    reader = _BitReader(payload, data_start)
+    zz = _zigzag_order()
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    eobrun = 0  # per-scan EOB-run state (never crosses scans)
+    p1 = 1 << al
+
+    def correct(blk, i, j):
+        """Refinement correction bit for an already-nonzero coefficient
+        (G.1.2.3): if the bit arrives set and this magnitude bit is not
+        yet present, grow the magnitude away from zero. The & works on
+        two's complement because at stage Al every stored coefficient
+        is a multiple of 2^Al."""
+        if reader.read_bit() and not (int(blk[i, j]) & p1):
+            blk[i, j] += p1 if blk[i, j] > 0 else -p1
+
+    def dc_block(blk, comp, tdc):
+        if ah == 0:
+            s = _huff_decode(reader, huff_dc[tdc])
+            pred[comp["id"]] += _extend(reader.receive(s), s)
+            blk[0, 0] = pred[comp["id"]] << al
+        elif reader.read_bit():
+            # DC refinement appends one magnitude bit (G.1.2.1); OR is
+            # the spec's arithmetic on the two's-complement value
+            blk[0, 0] = int(blk[0, 0]) | p1
+    def ac_first_block(blk, tac):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(reader, huff_ac[tac])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break  # EOBn: this block (and eobrun more) done
+            k += r
+            i, j = zz[k]
+            blk[i, j] = _extend(reader.receive(s), s) << al
+            k += 1
+
+    def ac_refine_block(blk, tac):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(reader, huff_ac[tac])
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        # NOT the AC-first (1<<r)-1: the block reading
+                        # the EOB symbol still owes its correction-bit
+                        # sweep, so the run counts it and decrements
+                        # AFTER the sweep below (G.1.2.3)
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break  # remaining coeffs handled by EOB sweep
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    # s must be 1 in a refinement scan: a coefficient
+                    # becoming visible at this precision, value ±2^Al
+                    val = p1 if reader.read_bit() else -p1
+                # advance past `r` zero-history coefficients, emitting
+                # correction bits for nonzero ones along the way
+                while k <= se:
+                    i, j = zz[k]
+                    if blk[i, j] != 0:
+                        correct(blk, i, j)
+                    else:
+                        if r == 0:
+                            if val:
+                                blk[i, j] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            # inside an EOB run: correction bits still arrive for the
+            # nonzero coefficients of the remaining band
+            while k <= se:
+                i, j = zz[k]
+                if blk[i, j] != 0:
+                    correct(blk, i, j)
+                k += 1
+            eobrun -= 1
+
+    def reset_state():
+        nonlocal eobrun
+        eobrun = 0
+        for cid in pred:
+            pred[cid] = 0
+
+    if len(scan) > 1:
+        # interleaved scan (DC only in progressive mode): MCU order,
+        # each MCU carrying h×v blocks per component
+        n_mcu = mcux * mcuy
+        mcu = 0
+        while mcu < n_mcu:
+            try:
+                my, mx = divmod(mcu, mcux)
+                for comp, tdc, _ in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            dc_block(
+                                planes[comp["id"]][
+                                    my * comp["v"] + by,
+                                    mx * comp["h"] + bx,
+                                ],
+                                comp,
+                                tdc,
+                            )
+                mcu += 1
+                if (
+                    restart_interval
+                    and mcu % restart_interval == 0
+                    and mcu < n_mcu
+                ):
+                    reader.align_past_restart()
+                    reset_state()
+            except _RestartMarker:
+                reader.align_past_restart()
+                reset_state()
+    else:
+        # single-component scan (AC always; DC when ns == 1): raster
+        # over the COMPONENT's own block grid, which can be smaller
+        # than the MCU-padded plane (T.81 A.2.2 non-interleaved order)
+        comp, tdc, tac = scan[0]
+        comp_w = -(-w * comp["h"] // hmax)
+        comp_h = -(-h * comp["v"] // vmax)
+        cw = -(-comp_w // 8)
+        ch = -(-comp_h // 8)
+        plane = planes[comp["id"]]
+        n_blk = cw * ch
+        blk_i = 0
+        while blk_i < n_blk:
+            try:
+                byi, bxi = divmod(blk_i, cw)
+                if ss == 0:
+                    dc_block(plane[byi, bxi], comp, tdc)
+                elif ah == 0:
+                    ac_first_block(plane[byi, bxi], tac)
+                else:
+                    ac_refine_block(plane[byi, bxi], tac)
+                blk_i += 1
+                if (
+                    restart_interval
+                    and blk_i % restart_interval == 0
+                    and blk_i < n_blk
+                ):
+                    reader.align_past_restart()
+                    reset_state()
+            except _RestartMarker:
+                reader.align_past_restart()
+                reset_state()
+    return reader.pos + (1 if reader.bit else 0)
+
+
+def _finalize_jpeg(planes, comps, qtables, h, w):
+    """Shared tail of both JPEG modes: dequantize + IDCT every block of
+    every component at once, upsample chroma, YCbCr→RGB. `planes` maps
+    component id → (bh, bw, 8, 8) int32 coefficient blocks."""
+    import numpy as np
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     c = _dct_matrix()
     out_planes = {}
-    for comp, _, _ in scan:
+    for comp in comps:
         coeff = planes[comp["id"]].astype(np.float64)
         coeff *= qtables[comp["tq"]][None, None, :, :]
         bh, bw = coeff.shape[:2]
@@ -689,7 +943,7 @@ def _decode_scan(
         if ry > 1 or rx > 1:
             px = np.repeat(np.repeat(px, ry, axis=0), rx, axis=1)
         out_planes[comp["id"]] = px[:h, :w]
-    ids = [comp["id"] for comp, _, _ in scan]
+    ids = [comp["id"] for comp in comps]
     if len(ids) == 1:
         y = np.clip(out_planes[ids[0]], 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
@@ -896,6 +1150,295 @@ def encode_jpeg(pixels, subsampling: str = "4:4:4") -> bytes:
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     seg(0xDA, sos)
     out.extend(body)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def encode_jpeg_progressive(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB → PROGRESSIVE JPEG (SOF2, 4:4:4), using the
+    classic ten-scan script (DC first at Al=1 + DC refinement; per-
+    component AC bands with successive approximation Al=2→1→0 for luma,
+    1→0 for chroma) so every T.81 G.1.2 case — spectral selection,
+    EOB runs, ZRL-with-corrections, AC/DC refinement bits — appears in
+    the stream. Same quantization tables as encode_jpeg, so the
+    progressive decode is bit-identical to the baseline decode of the
+    same pixels (the round-trip test's anchor). Encoder twin of
+    _decode_progressive_scan; per-scan fixed-length canonical DHTs,
+    like the baseline encoder."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.uint8).astype(np.float64)
+    h, w = a.shape[:2]
+    r_, g_, b_ = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+    cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+
+    def pad8(img):
+        ph, pw = -(-img.shape[0] // 8) * 8, -(-img.shape[1] // 8) * 8
+        return np.pad(
+            img,
+            ((0, ph - img.shape[0]), (0, pw - img.shape[1])),
+            mode="edge",
+        )
+
+    qt = {
+        0: np.full((8, 8), _JPEG_QTABLE_LUMA, dtype=np.int32),
+        1: np.full((8, 8), _JPEG_QTABLE_CHROMA, dtype=np.int32),
+    }
+    c = _dct_matrix()
+    zz = _zigzag_order()
+    comp_zz: dict[int, "np.ndarray"] = {}  # cid → (nblk, 64) zigzag coefs
+    grids: dict[int, tuple[int, int]] = {}
+    for cid, img, tq in ((1, pad8(y), 0), (2, pad8(cb), 1), (3, pad8(cr), 1)):
+        coeff = img - 128.0
+        bh, bw = img.shape[0] // 8, img.shape[1] // 8
+        blocks = coeff.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        f = np.einsum("ij,nmjk,kl->nmil", c, blocks, c.T)
+        q = np.round(f / qt[tq][None, None]).astype(np.int64)
+        flat = q.reshape(bh * bw, 8, 8)
+        zzv = np.stack(
+            [flat[:, i, j] for (i, j) in zz], axis=1
+        )  # (nblk, 64) in zigzag order
+        comp_zz[cid] = zzv
+        grids[cid] = (bh, bw)
+
+    def category(v: int) -> int:
+        return int(abs(int(v))).bit_length()
+
+    def pt(v: int, al: int) -> int:
+        """AC point transform: magnitude shift, sign preserved."""
+        v = int(v)
+        m = abs(v) >> al
+        return m if v >= 0 else -m
+
+    # token stream per scan: ("s", tkey, symbol) | ("b", value, nbits)
+    def encode_dc_first(comp_ids, al):
+        toks = []
+        pred = {cid: 0 for cid in comp_ids}
+        nblk = comp_zz[comp_ids[0]].shape[0]
+        for bi in range(nblk):  # 4:4:4 → identical grids, MCU = 1 blk/comp
+            for cid in comp_ids:
+                tkey = ("dc", 0 if cid == 1 else 1)
+                v = int(comp_zz[cid][bi, 0]) >> al  # arithmetic shift
+                diff = v - pred[cid]
+                pred[cid] = v
+                s = category(diff)
+                amp = diff if diff >= 0 else diff + (1 << s) - 1
+                toks.append(("s", tkey, s))
+                if s:
+                    toks.append(("b", amp, s))
+        return toks
+
+    def encode_dc_refine(comp_ids, al):
+        toks = []
+        nblk = comp_zz[comp_ids[0]].shape[0]
+        for bi in range(nblk):
+            for cid in comp_ids:
+                toks.append(("b", (int(comp_zz[cid][bi, 0]) >> al) & 1, 1))
+        return toks
+
+    def encode_ac_first(cid, ss_, se_, al):
+        toks = []
+        tkey = ("ac", 0 if cid == 1 else 1)
+        eob = [0]
+
+        def flush_eob():
+            if eob[0]:
+                r = eob[0].bit_length() - 1
+                toks.append(("s", tkey, r << 4))
+                if r:
+                    toks.append(("b", eob[0] - (1 << r), r))
+                eob[0] = 0
+
+        for blk in comp_zz[cid]:
+            band = [pt(blk[k], al) for k in range(ss_, se_ + 1)]
+            if not any(band):
+                eob[0] += 1
+                if eob[0] == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(k for k, v in enumerate(band) if v)
+            for k in range(last_nz + 1):
+                v = band[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    toks.append(("s", tkey, 0xF0))
+                    run -= 16
+                s = category(v)
+                amp = v if v >= 0 else v + (1 << s) - 1
+                toks.append(("s", tkey, (run << 4) | s))
+                toks.append(("b", amp, s))
+                run = 0
+            if last_nz < len(band) - 1:
+                eob[0] += 1
+                if eob[0] == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return toks
+
+    def encode_ac_refine(cid, ss_, se_, al):
+        # T.81 G.1.2.3 encoder: newly-visible coefficients (magnitude
+        # 1 at this stage) emit run/sign symbols; already-visible ones
+        # emit buffered correction bits; trailing all-zero tails fold
+        # into EOB runs whose buffered bits ride along
+        toks = []
+        tkey = ("ac", 0 if cid == 1 else 1)
+        eob = [0]
+        be: list[int] = []  # correction bits pending with the EOB run
+
+        def flush_eob():
+            if eob[0] or be:
+                r = eob[0].bit_length() - 1 if eob[0] else 0
+                toks.append(("s", tkey, r << 4))
+                if r:
+                    toks.append(("b", eob[0] - (1 << r), r))
+                for bit in be:
+                    toks.append(("b", bit, 1))
+                be.clear()
+                eob[0] = 0
+
+        for blk in comp_zz[cid]:
+            band = [int(blk[k]) for k in range(ss_, se_ + 1)]
+            absv = [abs(v) >> al for v in band]
+            # last newly-visible position: ZRLs are only emitted while
+            # another new coefficient lies ahead; trailing zero runs
+            # fold into the EOB run instead (G.1.2.3)
+            eob_pos = max(
+                (k for k, t in enumerate(absv) if t == 1), default=-1
+            )
+            br: list[int] = []
+            run = 0
+            for k, v in enumerate(band):
+                t = absv[k]
+                if t == 0:
+                    run += 1
+                    continue
+                # the >15-zero-run flush happens at EVERY nonzero
+                # coefficient (history or new): each ZRL's window must
+                # carry exactly the correction bits of the history
+                # coefficients interleaved in ITS 16 skipped zeros, so
+                # the buffer may never span more than one window
+                while run > 15 and k <= eob_pos:
+                    flush_eob()
+                    toks.append(("s", tkey, 0xF0))
+                    for bit in br:
+                        toks.append(("b", bit, 1))
+                    br.clear()
+                    run -= 16
+                if t > 1:
+                    br.append(t & 1)  # history coef: correction bit
+                    continue
+                # newly visible (t == 1)
+                flush_eob()
+                toks.append(("s", tkey, (run << 4) | 1))
+                toks.append(("b", 1 if v > 0 else 0, 1))
+                for bit in br:
+                    toks.append(("b", bit, 1))
+                br.clear()
+                run = 0
+            if run > 0 or br:
+                eob[0] += 1
+                be.extend(br)
+                if eob[0] == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return toks
+
+    # the scan script (libjpeg's classic default, spelled explicitly)
+    scans = [
+        (("dcf", [1, 2, 3]), 0, 0, 0, 1),
+        (("acf", [1]), 1, 5, 0, 2),
+        (("acf", [3]), 1, 63, 0, 1),
+        (("acf", [2]), 1, 63, 0, 1),
+        (("acf", [1]), 6, 63, 0, 2),
+        (("acr", [1]), 1, 63, 2, 1),
+        (("dcr", [1, 2, 3]), 0, 0, 1, 0),
+        (("acr", [3]), 1, 63, 1, 0),
+        (("acr", [2]), 1, 63, 1, 0),
+        (("acr", [1]), 1, 63, 1, 0),
+    ]
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, payload_):
+        out.extend(
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload_) + 2)
+            + payload_
+        )
+
+    for tq in (0, 1):
+        seg(0xDB, bytes([tq]) + bytes(int(qt[tq][i, j]) for i, j in zz))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])
+    seg(0xC2, sof)
+
+    for (kind, cids), ss_, se_, ah_, al_ in scans:
+        if kind == "dcf":
+            toks = encode_dc_first(cids, al_)
+        elif kind == "dcr":
+            toks = encode_dc_refine(cids, al_)
+        elif kind == "acf":
+            toks = encode_ac_first(cids[0], ss_, se_, al_)
+        else:
+            toks = encode_ac_refine(cids[0], ss_, se_, al_)
+        # per-scan fixed-length canonical Huffman over this scan's
+        # symbols (legal per T.81 — tables may be redefined per scan)
+        by_key: dict[tuple, set] = {}
+        for t in toks:
+            if t[0] == "s":
+                by_key.setdefault(t[1], set()).add(t[2])
+        tables = {}
+        for tkey, syms in by_key.items():
+            syms = sorted(syms)
+            length = max((len(syms) + 1 - 1).bit_length(), 1)
+            codes = {sym: (i, length) for i, sym in enumerate(syms)}
+            bits = [0] * 16
+            bits[length - 1] = len(syms)
+            tables[tkey] = (codes, bits, syms)
+            tc = 0 if tkey[0] == "dc" else 1
+            seg(
+                0xC4,
+                bytes([(tc << 4) | tkey[1]]) + bytes(bits) + bytes(syms),
+            )
+        sos = bytes([len(cids)])
+        for cid in cids:
+            tid = 0 if cid == 1 else 1
+            sos += bytes([cid, (tid << 4) | tid])
+        sos += bytes([ss_, se_, (ah_ << 4) | al_])
+        seg(0xDA, sos)
+        body = bytearray()
+        acc = accn = 0
+        for t in toks:
+            if t[0] == "s":
+                v, n = tables[t[1]][0][t[2]]
+            else:
+                v, n = t[1], t[2]
+            if n == 0:
+                continue
+            acc = (acc << n) | (v & ((1 << n) - 1))
+            accn += n
+            while accn >= 8:
+                byte = (acc >> (accn - 8)) & 0xFF
+                body.append(byte)
+                if byte == 0xFF:
+                    body.append(0x00)
+                accn -= 8
+            acc &= (1 << accn) - 1
+        if accn:
+            byte = ((acc << (8 - accn)) | ((1 << (8 - accn)) - 1)) & 0xFF
+            body.append(byte)
+            if byte == 0xFF:
+                body.append(0x00)
+        out.extend(body)
     out.extend(b"\xff\xd9")
     return bytes(out)
 
@@ -1746,41 +2289,46 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     production payloads take, then aggregated per language. A solid
     grayscale image decodes to its exact level in every container
     (JPEG included: the luma transform of r=g=b is identity and the
-    chroma planes quantize to exactly zero), so DuckDB can oracle the
+    chroma planes quantize to exactly zero; progressive JPEG's many
+    scans rebuild the same DC-only spectrum), so DuckDB can oracle the
     result with pure column arithmetic — a misdecode in ANY of the
-    five codecs hash-fails the gate. Scale shape: decode is confined
+    six codec paths hash-fails the gate. Scale shape: decode is confined
     to executor batches; the shuffle carries only (lang, 3 ints)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        encoders = ("ppm", "bmp", "png", "gif", "jpeg")
+        encoders = ("ppm", "bmp", "png", "gif", "jpeg", "jpeg_prog")
         for pdf in batches:
             recs = []
             for did, lang in zip(pdf["doc_id"], pdf["lang"]):
                 did = int(did)
                 level = did % 256
                 px = np.full((6, 4, 3), level, dtype=np.uint8)
-                kind = encoders[did % 5]
+                kind = encoders[did % 6]
                 if kind == "ppm":
                     payload = encode_ppm(px)
                 elif kind == "bmp":
                     payload = encode_bmp(px)
                 elif kind == "png":
-                    # did % 5 == 2 for every PNG-routed doc (that IS
+                    # did % 6 == 2 for every PNG-routed doc (that IS
                     # the router) — cycle filters on an independent
                     # digit so all five filter paths face the gate
                     payload = encode_png(
-                        px, filter_type=(did // 5) % 5
+                        px, filter_type=(did // 6) % 5
                     )
                 elif kind == "gif":
                     pal = np.full((1, 3), level, dtype=np.uint8)
                     payload = encode_gif(
                         pal, np.zeros((6, 4), dtype=np.uint8)
                     )
-                else:
+                elif kind == "jpeg":
                     payload = encode_jpeg(px)
+                else:
+                    # SOF2: ten-scan successive approximation through
+                    # the same magic-byte dispatch (r07)
+                    payload = encode_jpeg_progressive(px)
                 decoded = decode_media(payload)
                 recs.append(
                     (

@@ -392,13 +392,55 @@ def test_jpeg_round_trip_property():
     rt()
 
 
-def test_progressive_jpeg_stays_gated():
+def test_progressive_jpeg_decodes_identically_to_baseline():
+    """SOF2 support (r07): the ten-scan successive-approximation
+    stream — DC first/refine, per-band AC first at Al=2/1, AC refine
+    with EOB runs and correction bits — rebuilds EXACTLY the same
+    coefficients as the baseline encoding of the same pixels (same
+    quantization tables), so the decodes are bit-identical."""
+    from pipeline_kinesis_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for shape in ((8, 8), (16, 24), (37, 53)):
+        px = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        prog = encode_jpeg_progressive(px)
+        # it really is progressive: SOF2 marker, many SOS scans
+        assert b"\xff\xc2" in prog and b"\xff\xc0" not in prog
+        assert prog.count(b"\xff\xda") >= 10
+        dp = decode_media(prog, "image/jpeg")
+        db = decode_media(encode_jpeg(px), "image/jpeg")
+        assert np.array_equal(dp, db)
+
+
+def test_progressive_jpeg_flat_and_structured():
+    from pipeline_kinesis_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    flat = np.full((24, 16, 3), 77, dtype=np.uint8)
+    assert np.array_equal(
+        decode_media(encode_jpeg_progressive(flat)), flat
+    )  # solid image: DC-only spectrum reconstructs exactly
+    grad = np.stack(
+        [np.tile(np.arange(48, dtype=np.uint8) * 5, (32, 1))] * 3,
+        axis=2,
+    )
+    dp = decode_media(encode_jpeg_progressive(grad))
+    db = decode_media(encode_jpeg(grad))
+    assert np.array_equal(dp, db)
+
+
+def test_unsupported_sof_variants_still_gated():
     from pipeline_kinesis_spark.operators.multimodal import encode_jpeg
 
     body = bytearray(encode_jpeg(np.full((8, 8, 3), 99, dtype=np.uint8)))
     i = body.index(b"\xff\xc0")
-    body[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    body[i + 1] = 0xC3  # lossless sequential: still unsupported
+    with pytest.raises(NotImplementedError, match="SOF2"):
         decode_media(bytes(body))
 
 
