@@ -777,6 +777,10 @@ _SW_APPROX = _re.compile(
     r"^approx_count_distinct\s*\((.+)\)\s+AS\s+(\w+)$",
     _re.IGNORECASE | _re.DOTALL,
 )
+_SW_PCT = _re.compile(
+    r"^(?:approx_percentile|percentile_approx)\s*\((.+)\)\s+AS\s+(\w+)$",
+    _re.IGNORECASE | _re.DOTALL,
+)
 _SW_EXACT_DISTINCT = _re.compile(
     r"^\w+\s*\(\s*distinct\b", _re.IGNORECASE
 )
@@ -980,6 +984,24 @@ def parse_sw_view_sql(sql: str) -> tuple[list[str], dict[str, str]]:
             if fn == "approx_count_distinct":
                 aggs[alias] = "approx_count_distinct"
                 continue
+            if fn in ("approx_percentile", "percentile_approx"):
+                # per-step mergeable KLL quantile sketch (the
+                # approx_count_distinct pattern for percentiles);
+                # the percentage rides in the agg map as
+                # "approx_percentile:<p>" — catalog-JSON-safe
+                args = _split_select_items(arg)
+                try:
+                    p = float(args[1]) if len(args) >= 2 else None
+                except ValueError:
+                    p = None
+                if p is None or not 0.0 <= p <= 1.0:
+                    raise ValueError(
+                        "sw approx_percentile needs a literal "
+                        "percentage in [0, 1] (the sketch merge is "
+                        "planned at CREATE time)"
+                    )
+                aggs[alias] = f"approx_percentile:{p}"
+                continue
             raise ValueError(
                 f"sw views support only combinable aggregates "
                 f"(count/sum/min/max) and plain group columns; got {item!r}"
@@ -1035,11 +1057,22 @@ def sw_rewrite_sql(sql: str, step_seconds: int) -> str:
     items = []
     for item in _split_select_items(select_list):
         am = _SW_APPROX.match(item)
-        items.append(
-            f"hll_sketch_agg({am.group(1)}) AS {am.group(2)}"
-            if am
-            else item
-        )
+        if am:
+            items.append(
+                f"hll_sketch_agg({am.group(1)}) AS {am.group(2)}"
+            )
+            continue
+        pm = _SW_PCT.match(item)
+        if pm:
+            # per-step partial = the mergeable KLL sketch of the VALUE
+            # argument (the percentage is applied at read time)
+            val = _split_select_items(pm.group(1))[0]
+            items.append(
+                f"kll_sketch_agg_double(CAST(({val}) AS DOUBLE)) "
+                f"AS {pm.group(2)}"
+            )
+            continue
+        items.append(item)
     select_list = ", ".join(items)
     rewritten = f"{head}{select_list}, {bucket} AS {SW_BUCKET_COL} {rest}"
     # anchor to the OUTER query's GROUP BY: only a match at paren depth
@@ -1223,11 +1256,17 @@ def combine_select_expr(
     if fn == "approx_count_distinct":
         col = alias if sw else f"{alias}{PARTIAL_SEP}h"
         return f"hll_sketch_estimate(hll_union_agg({col}))"
-    if fn == "approx_percentile":
-        p = (spec or {}).get("p", 0.5)
+    if fn.startswith("approx_percentile"):
+        # non-sw specs carry p in spec["p"]; sw agg maps encode it in
+        # the fn string itself ("approx_percentile:<p>")
+        if ":" in fn:
+            p = float(fn.split(":", 1)[1])
+        else:
+            p = (spec or {}).get("p", 0.5)
+        col = alias if sw else f"{alias}{PARTIAL_SEP}k"
         return (
             f"kll_sketch_get_quantile_double("
-            f"kll_merge_agg_double({alias}{PARTIAL_SEP}k), {p})"
+            f"kll_merge_agg_double({col}), {p})"
         )
     raise ValueError(f"no combine merge for aggregate {fn!r}")
 
@@ -1272,10 +1311,17 @@ def sw_combine(
         f"INTERVAL {int(sw_seconds)} SECOND"
     )
     live = df.filter(F.col(f"{SW_BUCKET_COL}.end") > cutoff)
-    aggs = [
-        _SW_COMBINE[fn](F.col(alias)).alias(alias)
-        for alias, fn in sw_aggs.items()
-    ]
+
+    def merge_agg(alias, fn):
+        if fn.startswith("approx_percentile:"):
+            p = float(fn.split(":", 1)[1])
+            return F.expr(
+                f"kll_sketch_get_quantile_double("
+                f"kll_merge_agg_double({alias}), {p})"
+            ).alias(alias)
+        return _SW_COMBINE[fn](F.col(alias)).alias(alias)
+
+    aggs = [merge_agg(alias, fn) for alias, fn in sw_aggs.items()]
     if sw_group_cols:
         return live.groupBy(*sw_group_cols).agg(*aggs)
     return live.agg(*aggs)

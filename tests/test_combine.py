@@ -308,6 +308,45 @@ def test_combine_sw_approx_distinct_unions_sketches(engine, tmp_path):
     assert (row.du, row.cnt) == (4, 6)
 
 
+def test_sw_approx_percentile_merges_kll_across_steps_and_keys(
+    engine, tmp_path
+):
+    """Sliding-window views keep a per-(group, step) KLL quantile
+    sketch for approx_percentile; reads recombine the live steps and
+    combine() regroups across keys with true quantile semantics (small
+    inputs are below the sketch's exact threshold, so medians are
+    exact)."""
+    rows = ["a,x,1", "a,x,2", "a,y,3", "b,x,10", "b,y,20", "b,y,30"]
+    _start_view(
+        engine,
+        tmp_path,
+        "SELECT k, approx_percentile(v, 0.5) AS med, count(*) AS cnt "
+        "FROM cst GROUP BY k",
+        rows=rows,
+        sw_seconds=3600,
+    )
+    per_k = {r.k: (r.med, r.cnt) for r in engine.view_table("cv").collect()}
+    assert per_k == {"a": (2.0, 3), "b": (20.0, 3)}
+    # regroup across keys: true median of {1,2,3,10,20,30}, never a
+    # merge of per-key medians
+    g = engine.combine("cv", []).collect()[0]
+    assert g.cnt == 6 and g.med in (3.0, 10.0)  # either true middle
+    row = engine.sql("SELECT combine(med) AS med FROM cv").collect()[0]
+    assert row.med == g.med
+
+
+def test_sw_approx_percentile_requires_literal_percentage(
+    engine, tmp_path
+):
+    with pytest.raises(ValueError, match="literal percentage"):
+        _start_view(
+            engine,
+            tmp_path,
+            "SELECT k, approx_percentile(v, v) AS bad FROM cst GROUP BY k",
+            sw_seconds=3600,
+        )
+
+
 def test_parse_rejects_expressions_over_aggregates():
     """Expressions OVER aggregates must stay out of the combinable map
     (summing per-group ratios is not the regrouped ratio), and a FROM
