@@ -1786,6 +1786,48 @@ class Engine:
             }
         return out
 
+    def datasource_status(self) -> dict[int, dict]:
+        """Live state of executor-parallel (datasource-mode) consumers —
+        the pump_status analog for the path where polling happens on
+        executors: landing-query liveness and batch progress, plus the
+        per-shard attained positions / closed flags from the
+        side-channel (A14 lag feed counterpart)."""
+        with self._lock:
+            ids = sorted(self._ds_consumers)
+            queries = {
+                cid: list(self._queries.get(cid, [])) for cid in ids
+            }
+        from pipeline_kinesis_spark.sources.kinesis_datasource import (
+            _read_attained,
+        )
+
+        out = {}
+        for cid in ids:
+            landing = next(
+                (
+                    q
+                    for q in queries[cid]
+                    if (q.name or "").startswith("kds_landing_")
+                ),
+                None,
+            )
+            p = landing.lastProgress if landing is not None else None
+            out[cid] = {
+                "alive": bool(landing is not None and landing.isActive),
+                "batch_id": p.get("batchId") if p else None,
+                "num_input_rows": p.get("numInputRows") if p else None,
+                "shards": {
+                    sid: {
+                        "seqnum": st.get("seq"),
+                        "closed": bool(st.get("closed")),
+                    }
+                    for sid, st in sorted(
+                        _read_attained(self._ds_state_dir(cid)).items()
+                    )
+                },
+            }
+        return out
+
     # ---------------------------------------------------------- inspection
 
     def alter_stream_add_column(

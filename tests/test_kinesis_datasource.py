@@ -382,6 +382,11 @@ def test_engine_datasource_mode_end_to_end(spark, wire, tmp_path):
         for r in eng.seqnums().collect()
     }
     assert marks[(c.id, "shardId-000")] == "shardId-000-1"
+    st = eng.datasource_status()[c.id]
+    assert st["alive"] and st["shards"]["shardId-000"] == {
+        "seqnum": "shardId-000-1",
+        "closed": False,
+    }
     # stop, append while down, resume: exactly-once
     assert eng.consume_end("ep", "events", "k_in")
     fake.append("shardId-000", b"a,7")
