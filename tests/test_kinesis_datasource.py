@@ -290,7 +290,10 @@ def _collecting_query(df, wd, batches):
     )
 
 
-def _await_rows(q, batches, n, timeout=90):
+def _await_rows(q, batches, n, timeout=240):
+    # generous margin: under a full-suite battery the host is saturated
+    # and a streaming-query (re)start — planner worker spawn, offset
+    # replay — can take minutes; short margins turn load into flakes
     deadline = time.monotonic() + timeout
     while time.monotonic() < deadline:
         rows = [r for _, bs in batches for r in bs]
