@@ -734,8 +734,16 @@ class Engine:
                     self.metadata_dir, "spool", str(consumer.id)
                 )
                 os.makedirs(spool, exist_ok=True)
+                # flow control on this path lives in the LANDING query
+                # (per-shard record caps + trigger pacing); the file
+                # -source admission cap is only a backstop, so it must
+                # not throttle the drain below the landing rate — one
+                # landing batch can publish one file per SHARD, far
+                # more than `parallelism` when the shard count is what
+                # sent us down the datasource path in the first place
                 replay_src = FileReplaySource(
-                    spool, max_files_per_trigger=parallelism
+                    spool,
+                    max_files_per_trigger=max(parallelism, 64),
                 )
                 records = replay_src.read_stream(self.spark)
             elif is_kinesis:
