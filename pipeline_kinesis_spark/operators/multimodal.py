@@ -220,12 +220,16 @@ _PNG_COLOR_FOR = {1: 0, 2: 4, 3: 2, 4: 6}  # channels → color type
 
 
 def _decode_png(payload: bytes) -> "np.ndarray":
-    """8-bit non-interlaced PNG (gray / RGB / gray+alpha / RGBA).
-    Sub and Up filters unapply vectorized (per-lane cumsum / row add);
-    Average and Paeth rows fall back to a per-byte loop — encoders
-    overwhelmingly emit 0-2 for synthetic data, and correctness beats
-    speed on the rare rows. Output normalized to (h, w, 3) RGB uint8
-    (gray replicated, alpha dropped) like the other image decoders."""
+    """PNG → (h, w, 3) uint8 RGB, from the spec: gray / RGB /
+    gray+alpha / RGBA / PALETTE color types, bit depths 1/2/4/8/16,
+    Adam7 INTERLACED or not. Sub and Up filters unapply vectorized
+    (per-lane cumsum / row add); Average and Paeth rows fall back to a
+    per-byte loop — encoders overwhelmingly emit 0-2 for synthetic
+    data, and correctness beats speed on the rare rows. Sub-8-bit
+    samples unpack from bit runs and scale to 8-bit (palette indices
+    never scale); 16-bit samples keep their high byte (the standard
+    16→8 reduction). Gray replicates, alpha drops — same
+    normalization as the other image decoders."""
     import struct
     import zlib
 
@@ -235,6 +239,7 @@ def _decode_png(payload: bytes) -> "np.ndarray":
         raise ValueError("not a PNG")
     pos, w = 8, None
     idat = bytearray()
+    palette = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -244,29 +249,93 @@ def _decode_png(payload: bytes) -> "np.ndarray":
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+            valid = {
+                0: (1, 2, 4, 8, 16),  # grayscale
+                2: (8, 16),  # RGB
+                3: (1, 2, 4, 8),  # palette
+                4: (8, 16),  # gray+alpha
+                6: (8, 16),  # RGBA
+            }
             if (
-                depth != 8
-                or color not in _PNG_CHANNELS
+                color not in valid
+                or depth not in valid[color]
                 or comp != 0
                 or filt != 0
-                or interlace != 0
+                or interlace not in (0, 1)
             ):
                 raise NotImplementedError(
-                    f"only 8-bit non-interlaced gray/RGB/GA/RGBA PNG "
-                    f"supported (depth={depth}, color={color}, "
-                    f"interlace={interlace})"
+                    f"invalid/unsupported PNG (depth={depth}, "
+                    f"color={color}, interlace={interlace})"
                 )
-            ch = _PNG_CHANNELS[color]
+            ch = 1 if color == 3 else _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
             break
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunks")
-    stride = w * ch
-    raw = np.frombuffer(
-        zlib.decompress(bytes(idat)), dtype=np.uint8
-    ).reshape(h, stride + 1)
+    if color == 3 and palette is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    stream = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+
+    # Adam7 pass grids (PNG spec 8.2): (row0, col0) starts and
+    # (row, col) increments per pass; non-interlaced = one full pass
+    if interlace:
+        starts = [(0, 0), (0, 4), (4, 0), (0, 2), (2, 0), (0, 1), (1, 0)]
+        steps = [(8, 8), (8, 8), (8, 4), (4, 4), (4, 2), (2, 2), (2, 1)]
+    else:
+        starts, steps = [(0, 0)], [(1, 1)]
+
+    out_samples = np.zeros((h, w, ch), dtype=np.uint16)
+    off = 0
+    for (row0, col0), (rstep, cstep) in zip(starts, steps):
+        pw = (w - col0 + cstep - 1) // cstep
+        ph = (h - row0 + rstep - 1) // rstep
+        if pw == 0 or ph == 0:
+            continue
+        stride = (pw * ch * depth + 7) // 8
+        bpp = max(1, ch * depth // 8)
+        need = ph * (stride + 1)
+        raw = stream[off : off + need].reshape(ph, stride + 1)
+        off += need
+        recon = _png_unfilter(raw, stride, bpp)
+        samples = _png_rows_to_samples(recon, pw, ch, depth)
+        out_samples[
+            row0 : row0 + ph * rstep : rstep,
+            col0 : col0 + pw * cstep : cstep,
+        ] = samples.reshape(ph, pw, ch)
+
+    if color == 3:
+        idx = out_samples[:, :, 0].astype(np.int64)
+        if idx.max() >= len(palette):
+            raise ValueError("palette index out of range")
+        return palette[idx]
+    if depth == 16:
+        px = (out_samples >> 8).astype(np.uint8)  # high byte
+    elif depth < 8:
+        scale = 255 // ((1 << depth) - 1)
+        px = (out_samples * scale).astype(np.uint8)
+    else:
+        px = out_samples.astype(np.uint8)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    if ch == 2:  # gray + alpha: replicate gray, drop alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if ch == 4:
+        return px[:, :, :3].copy()
+    return px
+
+
+def _png_unfilter(raw, stride, bpp):
+    """Unapply PNG scanline filters over one (sub)image: raw is
+    (h, stride+1) with the filter byte leading each row; bpp is the
+    byte distance to the left neighbor (1 for sub-byte depths, the
+    spec's rule)."""
+    import numpy as np
+
+    h = raw.shape[0]
     ftypes = raw[:, 0]
     rows = raw[:, 1:].astype(np.int64)
     recon = np.zeros((h, stride), dtype=np.uint8)
@@ -275,44 +344,64 @@ def _decode_png(payload: bytes) -> "np.ndarray":
         f, row = int(ftypes[y]), rows[y]
         if f == 0:
             cur = row
-        elif f == 1:  # Sub: left-neighbor chain = per-lane cumsum
+        elif f == 1 and stride % bpp == 0:
+            # Sub: left-neighbor chain = per-lane cumsum
             cur = (
-                np.cumsum(row.reshape(w, ch), axis=0).reshape(stride)
+                np.cumsum(row.reshape(stride // bpp, bpp), axis=0)
+                .reshape(stride)
                 % 256
             )
         elif f == 2:  # Up
             cur = (row + prev) % 256
-        elif f == 3:  # Average: sequential left dependency
+        elif f in (1, 3, 4):  # sequential left dependency
             cur = np.zeros(stride, dtype=np.int64)
             for i in range(stride):
-                left = cur[i - ch] if i >= ch else 0
-                cur[i] = (row[i] + (left + prev[i]) // 2) % 256
-        elif f == 4:  # Paeth
-            cur = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                a = cur[i - ch] if i >= ch else 0
-                b = prev[i]
-                c = prev[i - ch] if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = (
-                    a
-                    if pa <= pb and pa <= pc
-                    else (b if pb <= pc else c)
-                )
+                a = cur[i - bpp] if i >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:  # Average
+                    pred = (a + prev[i]) // 2
+                else:  # Paeth
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
                 cur[i] = (row[i] + pred) % 256
         else:
             raise ValueError(f"bad PNG filter type {f}")
         recon[y] = cur
         prev = cur
-    px = recon.reshape(h, w, ch)
-    if ch == 1:
-        return np.repeat(px, 3, axis=2)
-    if ch == 2:  # gray + alpha: replicate gray, drop alpha
-        return np.repeat(px[:, :, :1], 3, axis=2)
-    if ch == 4:
-        return px[:, :, :3].copy()
-    return px
+    return recon
+
+
+def _png_rows_to_samples(recon, w, ch, depth):
+    """(h, stride) filtered-out bytes → (h, w*ch) samples at the
+    stream's native depth (uint16 so 16-bit survives)."""
+    import numpy as np
+
+    h = recon.shape[0]
+    if depth == 8:
+        return recon[:, : w * ch].astype(np.uint16)
+    if depth == 16:
+        pairs = recon.reshape(h, -1)[:, : w * ch * 2].reshape(
+            h, w * ch, 2
+        )
+        return (
+            pairs[:, :, 0].astype(np.uint16) << 8
+        ) | pairs[:, :, 1].astype(np.uint16)
+    # sub-byte: unpack MSB-first bit runs, regroup to `depth`-bit values
+    bits = np.unpackbits(recon, axis=1)
+    vals = np.zeros((h, w * ch), dtype=np.uint16)
+    for b in range(depth):
+        vals = (vals << 1) | bits[
+            :, b : w * ch * depth : depth
+        ].astype(np.uint16)
+    return vals
 
 
 def encode_png(pixels, filter_type: int = 0) -> bytes:
@@ -375,6 +464,90 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_variant(
+    samples,
+    depth: int = 8,
+    color: int = 0,
+    palette=None,
+    interlaced: bool = False,
+) -> bytes:
+    """Encoder twin for the PNG edge variants the decoder covers:
+    sub-8-bit grayscale (depth 1/2/4), 16-bit gray/RGB, PALETTE
+    (color=3, `samples` are indices, `palette` is (n, 3) uint8), and
+    Adam7 interlacing — all with filter type 0 scanlines (filter-type
+    coverage lives in encode_png's 8-bit cycling). `samples` is
+    (h, w) for 1-channel types or (h, w, 3) for RGB, holding values at
+    the target depth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.uint16)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if color == 3:
+        assert palette is not None and depth in (1, 2, 4, 8)
+    elif color == 0:
+        assert depth in (1, 2, 4, 8, 16)
+    elif color == 2:
+        assert depth == 16 and ch == 3
+    else:
+        raise ValueError("variant encoder covers color 0/2/3")
+
+    if interlaced:
+        starts = [(0, 0), (0, 4), (4, 0), (0, 2), (2, 0), (0, 1), (1, 0)]
+        steps = [(8, 8), (8, 8), (8, 4), (4, 4), (4, 2), (2, 2), (2, 1)]
+    else:
+        starts, steps = [(0, 0)], [(1, 1)]
+
+    body = bytearray()
+    for (row0, col0), (rstep, cstep) in zip(starts, steps):
+        sub = a[row0::rstep, col0::cstep]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        flat = sub.reshape(ph, pw * ch)
+        for y in range(ph):
+            body.append(0)  # filter type 0
+            row = flat[y]
+            if depth == 16:
+                be = np.zeros(pw * ch * 2, dtype=np.uint8)
+                be[0::2] = row >> 8
+                be[1::2] = row & 0xFF
+                body += be.tobytes()
+            elif depth == 8:
+                body += row.astype(np.uint8).tobytes()
+            else:
+                bits = np.zeros(pw * ch * depth, dtype=np.uint8)
+                for b in range(depth):
+                    bits[b::depth] = (row >> (depth - 1 - b)) & 1
+                body += np.packbits(bits).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlaced else 0
+    )
+    out = _PNG_MAGIC + chunk(b"IHDR", ihdr)
+    if color == 3:
+        out += chunk(
+            b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes()
+        )
+    return (
+        out
         + chunk(b"IDAT", zlib.compress(bytes(body)))
         + chunk(b"IEND", b"")
     )

@@ -213,6 +213,82 @@ def test_png_flows_through_pixel_stats_with_other_containers(spark):
         assert r.min_px == r.max_px == 25 * i
 
 
+def test_png_variant_depths_palette_and_interlace():
+    """The PNG edge variants (r07): sub-8-bit grayscale (1/2/4),
+    16-bit gray/RGB (high-byte reduction), PALETTE color type at every
+    legal depth, and Adam7 interlacing — all round-tripped through the
+    variant encoder twin, including pass-degenerate dims < 8."""
+    from pipeline_kinesis_spark.operators.multimodal import (
+        encode_png_variant,
+    )
+
+    rng = np.random.default_rng(5)
+    for d in (1, 2, 4):
+        vals = rng.integers(0, 1 << d, (11, 9))
+        exp = (vals * (255 // ((1 << d) - 1))).astype(np.uint8)
+        dec = decode_media(encode_png_variant(vals, depth=d, color=0))
+        assert np.array_equal(dec, np.repeat(exp[:, :, None], 3, axis=2))
+    g16 = rng.integers(0, 65536, (10, 6))
+    dec = decode_media(encode_png_variant(g16, depth=16, color=0))
+    assert np.array_equal(
+        dec, np.repeat((g16 >> 8).astype(np.uint8)[:, :, None], 3, axis=2)
+    )
+    rgb16 = rng.integers(0, 65536, (9, 5, 3))
+    dec = decode_media(encode_png_variant(rgb16, depth=16, color=2))
+    assert np.array_equal(dec, (rgb16 >> 8).astype(np.uint8))
+    for d in (1, 2, 4, 8):
+        n = 1 << d
+        pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+        idx = rng.integers(0, n, (12, 10))
+        dec = decode_media(
+            encode_png_variant(idx, depth=d, color=3, palette=pal)
+        )
+        assert np.array_equal(dec, pal[idx])
+    # Adam7: multi-pass grids incl. dims smaller than a full pass cell
+    gray = rng.integers(0, 256, (21, 13))
+    dec = decode_media(
+        encode_png_variant(gray, depth=8, color=0, interlaced=True)
+    )
+    assert np.array_equal(
+        dec, np.repeat(gray.astype(np.uint8)[:, :, None], 3, axis=2)
+    )
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, (19, 23))
+    dec = decode_media(
+        encode_png_variant(
+            idx, depth=4, color=3, palette=pal, interlaced=True
+        )
+    )
+    assert np.array_equal(dec, pal[idx])
+    tiny = rng.integers(0, 4, (7, 3))
+    dec = decode_media(
+        encode_png_variant(tiny, depth=2, color=0, interlaced=True)
+    )
+    assert np.array_equal(
+        dec, np.repeat((tiny * 85).astype(np.uint8)[:, :, None], 3, axis=2)
+    )
+
+
+def test_png_invalid_combinations_still_rejected():
+    import struct
+    import zlib
+    from pipeline_kinesis_spark.operators.multimodal import _PNG_MAGIC
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    # RGB at depth 4 is illegal per the spec — must gate, not misdecode
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)
+    bad = _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="depth=4"):
+        decode_media(bad)
+
+
 def test_g711_code_round_trips():
     """Compress∘expand is the identity on the code space — the
     canonical G.711 invariant (μ-law excludes 0x7F, the spec's second
