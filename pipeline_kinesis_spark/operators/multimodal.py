@@ -719,18 +719,25 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
             break
         (seg_len,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2 : pos + seg_len]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=0: 8-bit entries; Pq=1: 16-bit)
             p = 0
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0x0F
                 p += 1
-                if pq != 0:
-                    raise NotImplementedError("16-bit DQT unsupported")
                 t = np.zeros((8, 8), dtype=np.int32)
-                for k, (i, j) in enumerate(zz):
-                    t[i, j] = seg[p + k]
+                if pq == 0:
+                    for k, (i, j) in enumerate(zz):
+                        t[i, j] = seg[p + k]
+                    p += 64
+                elif pq == 1:
+                    for k, (i, j) in enumerate(zz):
+                        t[i, j] = (seg[p + 2 * k] << 8) | seg[
+                            p + 2 * k + 1
+                        ]
+                    p += 128
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
                 qtables[tq] = t
-                p += 64
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
             _, h, w, nc = struct.unpack_from(">BHHB", seg, 0)

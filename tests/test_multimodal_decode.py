@@ -510,6 +510,37 @@ def test_progressive_jpeg_flat_and_structured():
     assert np.array_equal(dp, db)
 
 
+def test_jpeg_16bit_dqt_decodes():
+    """A DQT with Pq=1 carries 16-bit big-endian entries (T.81 B.2.4.1)
+    — rewrite a baseline JPEG's 8-bit tables to the wide form with the
+    same values and the decode must be identical."""
+    import struct
+
+    from pipeline_kinesis_spark.operators.multimodal import encode_jpeg
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    enc = encode_jpeg(px)
+    out = bytearray()
+    pos = 0
+    while pos < len(enc):
+        if enc[pos : pos + 2] == b"\xff\xdb":
+            (seglen,) = struct.unpack_from(">H", enc, pos + 2)
+            seg = enc[pos + 4 : pos + 2 + seglen]
+            tq = seg[0] & 0x0F
+            wide = bytes([0x10 | tq]) + b"".join(
+                struct.pack(">H", v) for v in seg[1:65]
+            )
+            out += b"\xff\xdb" + struct.pack(">H", len(wide) + 2) + wide
+            pos += 2 + seglen
+        else:
+            out.append(enc[pos])
+            pos += 1
+    assert np.array_equal(
+        decode_media(bytes(out)), decode_media(enc)
+    )
+
+
 def test_unsupported_sof_variants_still_gated():
     from pipeline_kinesis_spark.operators.multimodal import encode_jpeg
 
