@@ -137,6 +137,10 @@ class Consumer:
     # analog of the reference's KINESIS_READS_PER_SEC GetRecords pacing
     # (kinesis_consumer.cpp:364-434). None → engine default trigger.
     rate_limit_rps: float | None = None
+    # spool retention: raw kinesis record files older than this are
+    # auto-reaped during ingestion (None = keep forever; see
+    # Engine.reap_spool for the safety contract)
+    spool_keep_seconds: float | None = None
     # per-shard max seqnum snapshot, filled once when start_position is
     # 'latest' — the analog of resolving LATEST into a concrete iterator at
     # first start (kinesis_consumer.cpp:296-325); restarts reuse it so a

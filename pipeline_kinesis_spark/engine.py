@@ -174,6 +174,9 @@ class Engine:
         # processAllAvailable (an always-advancing source never sets
         # Spark's noNewData flag)
         self._ds_consumers: set[int] = set()
+        # auto spool-reap cadence (spool_keep_seconds consumers):
+        # listdir cost per sweep, so gated; tests shrink it
+        self._spool_reap_interval_s = 30.0
         # consumer id → running KinesisPump background thread
         self._pumps: dict[int, KinesisPump] = {}
         # view names whose CURRENT standing query was started with
@@ -571,6 +574,7 @@ class Engine:
         start_position: str = "trim_horizon",
         rate_limit_rps: float | None = None,
         source: str = "auto",
+        spool_keep_seconds: float | None = None,
     ) -> Consumer:
         """Start ingesting `stream` (a directory under the endpoint url)
         into the declared `relation`, plus one incremental query per
@@ -593,6 +597,13 @@ class Engine:
           shards than MAX_PROCS (the reference's own worker ceiling,
           pipeline_kinesis.c:54) and the endpoint can serve it,
           else "pump".
+
+        ``spool_keep_seconds`` bounds the raw kinesis spool (the record
+        files the pump/landing writes and the ingest pipeline consumes):
+        files older than this are auto-reaped during ingestion. None
+        (default) keeps them forever — the audit-everything behavior;
+        at scale pass a retention comfortably above the slowest
+        standing query's lag (see reap_spool for the safety contract).
         """
         with self._lock:
             ep = self.catalog.endpoint(endpoint)
@@ -641,6 +652,7 @@ class Engine:
                     parallelism=parallelism,
                     start_position=start_position,
                     rate_limit_rps=rate_limit_rps,
+                    spool_keep_seconds=spool_keep_seconds,
                 )
             )
             if self._queries.get(consumer.id):
@@ -786,14 +798,33 @@ class Engine:
                 # checkpoint map only ever advances per shard, so the
                 # last write is always the newest.
                 persist_lock = threading.Lock()
+                reap_state = {"t": 0.0}
 
                 def _persist_round(
-                    n, _cid=consumer.id, _p=poller, _lk=persist_lock
+                    n,
+                    _cid=consumer.id,
+                    _p=poller,
+                    _lk=persist_lock,
+                    _spool=spool,
+                    _keep=spool_keep_seconds,
+                    _rs=reap_state,
                 ):
                     with _lk:
                         self.catalog.save_kinesis_seqnums(
                             _cid, _p.snapshot_checkpoints()
                         )
+                    if _keep is not None:
+                        import time as _t
+
+                        now = _t.monotonic()
+                        # time-gated: a listdir every landing round
+                        # would be O(spool) work per batch
+                        if (
+                            now - _rs["t"]
+                            > self._spool_reap_interval_s
+                        ):
+                            _rs["t"] = now
+                            self._reap_spool_dir(_spool, _keep)
 
                 pump = KinesisPump(
                     KinesisReplayBridge(poller, spool),
@@ -832,7 +863,25 @@ class Engine:
                 # replayed batch rewrites byte-identical files, so the
                 # publish is idempotent and downstream file sources
                 # never see a torn or divergent batch.
-                def _land(bdf, bid, _spool=spool):
+                _land_reap = {"t": 0.0}
+
+                def _land(
+                    bdf,
+                    bid,
+                    _spool=spool,
+                    _keep=spool_keep_seconds,
+                    _rs=_land_reap,
+                ):
+                    if _keep is not None:
+                        import time as _t
+
+                        now = _t.monotonic()
+                        if (
+                            now - _rs["t"]
+                            > self._spool_reap_interval_s
+                        ):
+                            _rs["t"] = now
+                            self._reap_spool_dir(_spool, _keep)
                     tmp = f"{_spool}__tmp_b{bid}"
                     bdf.write.mode("overwrite").json(tmp)
                     i = 0
@@ -1749,6 +1798,9 @@ class Engine:
                         c.parallelism,
                         c.start_position,
                         getattr(c, "rate_limit_rps", None),
+                        spool_keep_seconds=getattr(
+                            c, "spool_keep_seconds", None
+                        ),
                     )
                 )
             except Exception as exc:  # noqa: BLE001 — isolate per consumer
@@ -1835,6 +1887,56 @@ class Engine:
                 },
             }
         return out
+
+    @staticmethod
+    def _reap_spool_dir(spool: str, older_than_s: float) -> int:
+        import time as _time
+
+        now = _time.time()
+        n = 0
+        try:
+            names = os.listdir(spool)
+        except OSError:
+            return 0
+        for f in names:
+            if not f.endswith(".jsonl"):
+                continue
+            p = os.path.join(spool, f)
+            try:
+                if now - os.path.getmtime(p) > older_than_s:
+                    os.unlink(p)
+                    n += 1
+            except OSError:
+                pass  # concurrent reap / already gone
+        return n
+
+    def reap_spool(
+        self,
+        endpoint: str,
+        stream: str,
+        relation: str,
+        older_than_s: float = 3600.0,
+    ) -> int:
+        """Delete the consumer's raw spool record files older than
+        ``older_than_s`` — the maintenance op that bounds the kinesis
+        landing area (compact_stream_table's sibling; without it the
+        spool duplicates the archived stream forever). SAFETY CONTRACT:
+        the age must exceed the slowest standing query's processing lag
+        — already-processed files are tracked BY NAME in each query's
+        file-source offset log (and spool names are never reused), so
+        reaping them is invisible to consumers; reaping an unprocessed
+        file would lose its records. Returns files deleted. Runs
+        automatically during ingestion when the consumer was started
+        with spool_keep_seconds."""
+        c = self.catalog.find_consumer(endpoint, stream, relation)
+        if c is None:
+            raise KeyError(
+                f"no consumer for {endpoint}/{stream}→{relation}"
+            )
+        return self._reap_spool_dir(
+            os.path.join(self.metadata_dir, "spool", str(c.id)),
+            older_than_s,
+        )
 
     # ---------------------------------------------------------- inspection
 

@@ -497,9 +497,11 @@ class KinesisReplayBridge:
     def pump(self, owner: int | None = None, workers: int = 1) -> int:
         """One poll round → one record file (if any records). Returns the
         number of records landed. With (owner, workers) set, only this
-        worker's shard subset is polled and the batch file carries a
-        collision-free worker-unique name (concurrent workers append to
-        the same spool dir)."""
+        worker's shard subset is polled. Batch files ALWAYS carry
+        collision-free unique names (never the count-based default):
+        concurrent workers append to one spool dir, and spool retention
+        (Engine.reap_spool) deletes old files — a reused name would be
+        skipped as already-seen by the file source's offset log."""
         import uuid as _uuid
 
         from pipeline_kinesis_spark.sources.file_replay import (
@@ -510,9 +512,8 @@ class KinesisReplayBridge:
         if not recs:
             return 0
         file_name = (
-            None
-            if owner is None
-            else f"batch-w{owner}-{_uuid.uuid4().hex[:12]}.jsonl"
+            f"batch-w{owner if owner is not None else 0}"
+            f"-{_uuid.uuid4().hex[:12]}.jsonl"
         )
         rows = []
         for r in recs:
