@@ -1334,13 +1334,15 @@ def encode_jpeg(pixels, subsampling: str = "4:4:4") -> bytes:
     return bytes(out)
 
 
-def encode_jpeg_progressive(pixels) -> bytes:
-    """(h, w, 3) uint8 RGB → PROGRESSIVE JPEG (SOF2, 4:4:4), using the
-    classic ten-scan script (DC first at Al=1 + DC refinement; per-
-    component AC bands with successive approximation Al=2→1→0 for luma,
-    1→0 for chroma) so every T.81 G.1.2 case — spectral selection,
-    EOB runs, ZRL-with-corrections, AC/DC refinement bits — appears in
-    the stream. Same quantization tables as encode_jpeg, so the
+def encode_jpeg_progressive(pixels, subsampling: str = "4:4:4") -> bytes:
+    """(h, w, 3) uint8 RGB → PROGRESSIVE JPEG (SOF2, 4:4:4 or 4:2:0),
+    using the classic ten-scan script (DC first at Al=1 + DC
+    refinement; per-component AC bands with successive approximation
+    Al=2→1→0 for luma, 1→0 for chroma) so every T.81 G.1.2 case —
+    spectral selection, EOB runs, ZRL-with-corrections, AC/DC
+    refinement bits, and (4:2:0) multi-block interleaved DC MCUs with
+    per-component non-interleaved AC grids — appears in the stream.
+    Same quantization tables and downsampling as encode_jpeg, so the
     progressive decode is bit-identical to the baseline decode of the
     same pixels (the round-trip test's anchor). Encoder twin of
     _decode_progressive_scan; per-scan fixed-length canonical DHTs,
@@ -1355,14 +1357,29 @@ def encode_jpeg_progressive(pixels) -> bytes:
     y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
     cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
     cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+    if subsampling == "4:4:4":
+        sh = sv = 1
+    elif subsampling == "4:2:0":
+        sh = sv = 2
+    else:
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
 
-    def pad8(img):
-        ph, pw = -(-img.shape[0] // 8) * 8, -(-img.shape[1] // 8) * 8
+    def pad_to(img, mult):
+        ph = -(-img.shape[0] // mult) * mult
+        pw = -(-img.shape[1] // mult) * mult
         return np.pad(
             img,
             ((0, ph - img.shape[0]), (0, pw - img.shape[1])),
             mode="edge",
         )
+
+    def downsample(img, f):
+        if f == 1:
+            return img
+        p = pad_to(img, f)
+        return p.reshape(
+            p.shape[0] // f, f, p.shape[1] // f, f
+        ).mean(axis=(1, 3))
 
     qt = {
         0: np.full((8, 8), _JPEG_QTABLE_LUMA, dtype=np.int32),
@@ -1371,8 +1388,14 @@ def encode_jpeg_progressive(pixels) -> bytes:
     c = _dct_matrix()
     zz = _zigzag_order()
     comp_zz: dict[int, "np.ndarray"] = {}  # cid → (nblk, 64) zigzag coefs
-    grids: dict[int, tuple[int, int]] = {}
-    for cid, img, tq in ((1, pad8(y), 0), (2, pad8(cb), 1), (3, pad8(cr), 1)):
+    grids: dict[int, tuple[int, int]] = {}  # padded (MCU) block grid
+    samp = {1: (sh, sv), 2: (1, 1), 3: (1, 1)}
+    planes_src = (
+        (1, pad_to(y, 8 * sh), 0),
+        (2, pad_to(downsample(cb, sv), 8), 1),
+        (3, pad_to(downsample(cr, sv), 8), 1),
+    )
+    for cid, img, tq in planes_src:
         coeff = img - 128.0
         bh, bw = img.shape[0] // 8, img.shape[1] // 8
         blocks = coeff.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
@@ -1381,9 +1404,21 @@ def encode_jpeg_progressive(pixels) -> bytes:
         flat = q.reshape(bh * bw, 8, 8)
         zzv = np.stack(
             [flat[:, i, j] for (i, j) in zz], axis=1
-        )  # (nblk, 64) in zigzag order
+        )  # (nblk, 64) in zigzag order, raster over the padded grid
         comp_zz[cid] = zzv
         grids[cid] = (bh, bw)
+    mcuy = grids[1][0] // sv
+    mcux = grids[1][1] // sh
+
+    def spec_grid(cid):
+        """The T.81 A.2.2 non-interleaved grid: ceil(comp_dim / 8)
+        where comp_dim = ceil(image_dim * h_i / hmax) — can be one
+        block SHORT of the padded MCU grid (those blocks carry DC via
+        interleaved scans but never AC)."""
+        ch_, cv_ = samp[cid]
+        cw_px = -(-w * ch_ // sh)
+        ch_px = -(-h * cv_ // sv)
+        return (-(-ch_px // 8), -(-cw_px // 8))
 
     def category(v: int) -> int:
         return int(abs(int(v))).bit_length()
@@ -1394,30 +1429,49 @@ def encode_jpeg_progressive(pixels) -> bytes:
         m = abs(v) >> al
         return m if v >= 0 else -m
 
+    def dc_order(comp_ids):
+        """Block visit order for DC scans: interleaved MCU order with
+        h×v blocks per component per MCU (reduces to plain raster for
+        4:4:4)."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid in comp_ids:
+                    ch_, cv_ = samp[cid]
+                    _, bw = grids[cid]
+                    for by in range(cv_):
+                        for bx in range(ch_):
+                            yield cid, (my * cv_ + by) * bw + (
+                                mx * ch_ + bx
+                            )
+
+    def ac_blocks(cid):
+        """Non-interleaved raster over the component's SPEC grid."""
+        sh_, sw_ = spec_grid(cid)
+        _, bw = grids[cid]
+        for by in range(sh_):
+            for bx in range(sw_):
+                yield comp_zz[cid][by * bw + bx]
+
     # token stream per scan: ("s", tkey, symbol) | ("b", value, nbits)
     def encode_dc_first(comp_ids, al):
         toks = []
         pred = {cid: 0 for cid in comp_ids}
-        nblk = comp_zz[comp_ids[0]].shape[0]
-        for bi in range(nblk):  # 4:4:4 → identical grids, MCU = 1 blk/comp
-            for cid in comp_ids:
-                tkey = ("dc", 0 if cid == 1 else 1)
-                v = int(comp_zz[cid][bi, 0]) >> al  # arithmetic shift
-                diff = v - pred[cid]
-                pred[cid] = v
-                s = category(diff)
-                amp = diff if diff >= 0 else diff + (1 << s) - 1
-                toks.append(("s", tkey, s))
-                if s:
-                    toks.append(("b", amp, s))
+        for cid, bi in dc_order(comp_ids):
+            tkey = ("dc", 0 if cid == 1 else 1)
+            v = int(comp_zz[cid][bi, 0]) >> al  # arithmetic shift
+            diff = v - pred[cid]
+            pred[cid] = v
+            s = category(diff)
+            amp = diff if diff >= 0 else diff + (1 << s) - 1
+            toks.append(("s", tkey, s))
+            if s:
+                toks.append(("b", amp, s))
         return toks
 
     def encode_dc_refine(comp_ids, al):
         toks = []
-        nblk = comp_zz[comp_ids[0]].shape[0]
-        for bi in range(nblk):
-            for cid in comp_ids:
-                toks.append(("b", (int(comp_zz[cid][bi, 0]) >> al) & 1, 1))
+        for cid, bi in dc_order(comp_ids):
+            toks.append(("b", (int(comp_zz[cid][bi, 0]) >> al) & 1, 1))
         return toks
 
     def encode_ac_first(cid, ss_, se_, al):
@@ -1433,7 +1487,7 @@ def encode_jpeg_progressive(pixels) -> bytes:
                     toks.append(("b", eob[0] - (1 << r), r))
                 eob[0] = 0
 
-        for blk in comp_zz[cid]:
+        for blk in ac_blocks(cid):
             band = [pt(blk[k], al) for k in range(ss_, se_ + 1)]
             if not any(band):
                 eob[0] += 1
@@ -1484,7 +1538,7 @@ def encode_jpeg_progressive(pixels) -> bytes:
                 be.clear()
                 eob[0] = 0
 
-        for blk in comp_zz[cid]:
+        for blk in ac_blocks(cid):
             band = [int(blk[k]) for k in range(ss_, se_ + 1)]
             absv = [abs(v) >> al for v in band]
             # last newly-visible position: ZRLs are only emitted while
@@ -1557,8 +1611,9 @@ def encode_jpeg_progressive(pixels) -> bytes:
     for tq in (0, 1):
         seg(0xDB, bytes([tq]) + bytes(int(qt[tq][i, j]) for i, j in zz))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        sof += bytes([cid, 0x11, tq])
+    sof += bytes([1, (sh << 4) | sv, 0])
+    sof += bytes([2, 0x11, 1])
+    sof += bytes([3, 0x11, 1])
     seg(0xC2, sof)
 
     for (kind, cids), ss_, se_, ah_, al_ in scans:

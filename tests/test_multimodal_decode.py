@@ -491,6 +491,25 @@ def test_progressive_jpeg_decodes_identically_to_baseline():
         assert np.array_equal(dp, db)
 
 
+def test_progressive_jpeg_420_subsampled():
+    """4:2:0 progressive (the common web-photo shape): interleaved DC
+    scans carry 2x2 luma blocks per MCU while AC scans raster each
+    component's own spec grid — which for luma can be one block short
+    of the MCU-padded plane at odd dims. Decode must equal the 4:2:0
+    baseline decode bit-for-bit."""
+    from pipeline_kinesis_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(21)
+    for shape in ((16, 16), (37, 53), (33, 17)):
+        px = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        dp = decode_media(encode_jpeg_progressive(px, "4:2:0"))
+        db = decode_media(encode_jpeg(px, "4:2:0"))
+        assert np.array_equal(dp, db)
+
+
 def test_progressive_jpeg_flat_and_structured():
     from pipeline_kinesis_spark.operators.multimodal import (
         encode_jpeg,
