@@ -343,7 +343,125 @@ GROUP BY o_orderpriority
 """
 
 
+def theta_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA across segments (B14's set-operation
+    tier, Apache DataSketches native in Spark 4.1): per event type,
+    one theta sketch of its distinct users; for every type pair the
+    audience union / intersection / difference come from sketch
+    algebra (theta_union / theta_intersection / theta_difference) —
+    the operation HLL cannot do (HLL unions only; intersections via
+    inclusion-exclusion explode in error). This is the scale shape for
+    cross-segment overlap (decontamination across corpus slices,
+    audience overlap): O(types) sketches of O(k) bytes each, pairwise
+    algebra over O(types²) TINY operands — the raw table is scanned
+    once, never self-joined, at any volume.
+
+    Gate form is the sketch envelope pattern (hll_mergeable_distinct):
+    the exact pairwise counts (one distinct + one user-keyed self-join
+    — the labeled exact ANCHOR tier, DuckDB-computable) ride along
+    with booleans that each sketch estimate lands within 5%; at
+    fixture cardinalities the sketches are in exact mode, so the
+    bound is loose."""
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = e.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk"),
+        F.count_distinct("user_id").alias("nd"),
+    )
+    pairs = (
+        per_type.alias("a")
+        .join(
+            per_type.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.nd").alias("n_a"),
+            F.col("b.nd").alias("n_b"),
+            F.expr(
+                "theta_sketch_estimate(theta_union(a.sk, b.sk))"
+            ).alias("u_est"),
+            F.expr(
+                "theta_sketch_estimate(theta_intersection(a.sk, b.sk))"
+            ).alias("i_est"),
+            F.expr(
+                "theta_sketch_estimate(theta_difference(a.sk, b.sk))"
+            ).alias("d_est"),
+        )
+    )
+    du = e.distinct()
+    inter = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = pairs.join(inter, ["type_a", "type_b"], "left").fillna(
+        0, subset=["n_inter"]
+    )
+
+    def bound(est, exact):
+        return (
+            F.abs(est - exact) <= 0.05 * F.greatest(exact, F.lit(1))
+        )
+
+    return out.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .cast("long")
+        .alias("n_union"),
+        bound(F.col("u_est"), F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias(
+            "union_in_bound"
+        ),
+        bound(F.col("i_est"), F.col("n_inter")).alias(
+            "intersect_in_bound"
+        ),
+        bound(F.col("d_est"), F.col("n_a") - F.col("n_inter")).alias(
+            "diff_in_bound"
+        ),
+    )
+
+
+THETA_SET_OVERLAP_SQL = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+nd AS (SELECT event_type, count(*) AS n FROM du GROUP BY event_type),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         count(*) AS n_inter
+  FROM du x JOIN du y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(a.n AS BIGINT) AS n_a,
+       CAST(b.n AS BIGINT) AS n_b,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(a.n + b.n - coalesce(i.n_inter, 0) AS BIGINT) AS n_union,
+       TRUE AS union_in_bound,
+       TRUE AS intersect_in_bound,
+       TRUE AS diff_in_bound
+FROM nd a
+JOIN nd b ON a.event_type < b.event_type
+LEFT JOIN inter i
+  ON i.type_a = a.event_type AND i.type_b = b.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "theta_set_overlap": QuerySpec(
+        theta_set_overlap, THETA_SET_OVERLAP_SQL
+    ),
     "cms_event_counts": QuerySpec(cms_event_counts, CMS_EVENT_COUNTS_SQL),
     "hll_mergeable_distinct": QuerySpec(
         hll_mergeable_distinct, HLL_MERGEABLE_SQL

@@ -95,11 +95,14 @@ _PRIORITY = (
     "scalar_string_funcs", "json_extract",
     # dedup clustering + tokenizer training + ANN compression
     "neardup_components", "bpe_train_verify", "cosine_topk_ivfpq_recall",
-    # approx aggregates (B14)
-    "hll_mergeable_distinct",
+    # approx aggregates (B14) — theta_set_overlap is new r07 (sketch
+    # SET ALGEBRA: union/intersection/difference across segments) and
+    # takes agg_keyed_minmax's row (4x green; B12 stays via q1 /
+    # agg_corr_regression / agg_exact_percentiles / value_histogram)
+    "hll_mergeable_distinct", "theta_set_overlap",
     # remaining §2B families
     "funnel_conversion", "agg_corr_regression",
-    "agg_keyed_minmax", "unpivot_lineitem_measures",
+    "unpivot_lineitem_measures",
     # window functions / top-k (B17/B19)
     "window_rank", "window_lag_lead", "topk_per_group",
     # timeseries (B11/B23) + pandas-UDF surface (B27)
