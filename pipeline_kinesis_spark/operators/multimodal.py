@@ -1334,7 +1334,9 @@ def encode_jpeg(pixels, subsampling: str = "4:4:4") -> bytes:
     return bytes(out)
 
 
-def encode_jpeg_progressive(pixels, subsampling: str = "4:4:4") -> bytes:
+def encode_jpeg_progressive(
+    pixels, subsampling: str = "4:4:4", restart_interval: int = 0
+) -> bytes:
     """(h, w, 3) uint8 RGB → PROGRESSIVE JPEG (SOF2, 4:4:4 or 4:2:0),
     using the classic ten-scan script (DC first at Al=1 + DC
     refinement; per-component AC bands with successive approximation
@@ -1346,7 +1348,11 @@ def encode_jpeg_progressive(pixels, subsampling: str = "4:4:4") -> bytes:
     progressive decode is bit-identical to the baseline decode of the
     same pixels (the round-trip test's anchor). Encoder twin of
     _decode_progressive_scan; per-scan fixed-length canonical DHTs,
-    like the baseline encoder."""
+    like the baseline encoder. ``restart_interval`` > 0 emits DRI and
+    inserts RSTn markers every that-many MCUs in every scan (with the
+    spec's per-interval DC-predictor and EOB-run resets) — real
+    progressive encoders do, and it exercises the decoder's
+    restart-resync paths."""
     import struct
 
     import numpy as np
@@ -1429,20 +1435,36 @@ def encode_jpeg_progressive(pixels, subsampling: str = "4:4:4") -> bytes:
         m = abs(v) >> al
         return m if v >= 0 else -m
 
-    def dc_order(comp_ids):
-        """Block visit order for DC scans: interleaved MCU order with
-        h×v blocks per component per MCU (reduces to plain raster for
-        4:4:4)."""
+    def dc_mcus(comp_ids):
+        """DC-scan MCUs in interleaved order: each yields the MCU's
+        (cid, block_index) list — h×v blocks per component (reduces to
+        one block per component for 4:4:4)."""
         for my in range(mcuy):
             for mx in range(mcux):
+                mcu = []
                 for cid in comp_ids:
                     ch_, cv_ = samp[cid]
                     _, bw = grids[cid]
                     for by in range(cv_):
                         for bx in range(ch_):
-                            yield cid, (my * cv_ + by) * bw + (
-                                mx * ch_ + bx
+                            mcu.append(
+                                (
+                                    cid,
+                                    (my * cv_ + by) * bw
+                                    + (mx * ch_ + bx),
+                                )
                             )
+                yield mcu
+
+    def rst_points(total):
+        """Interval boundaries (MCU counts after which an RSTn goes),
+        excluding the end of the scan."""
+        if not restart_interval:
+            return set()
+        return {
+            i
+            for i in range(restart_interval, total, restart_interval)
+        }
 
     def ac_blocks(cid):
         """Non-interleaved raster over the component's SPEC grid."""
@@ -1453,25 +1475,41 @@ def encode_jpeg_progressive(pixels, subsampling: str = "4:4:4") -> bytes:
                 yield comp_zz[cid][by * bw + bx]
 
     # token stream per scan: ("s", tkey, symbol) | ("b", value, nbits)
+    # | ("rst", m) — byte-align and emit the RSTm marker
     def encode_dc_first(comp_ids, al):
         toks = []
         pred = {cid: 0 for cid in comp_ids}
-        for cid, bi in dc_order(comp_ids):
-            tkey = ("dc", 0 if cid == 1 else 1)
-            v = int(comp_zz[cid][bi, 0]) >> al  # arithmetic shift
-            diff = v - pred[cid]
-            pred[cid] = v
-            s = category(diff)
-            amp = diff if diff >= 0 else diff + (1 << s) - 1
-            toks.append(("s", tkey, s))
-            if s:
-                toks.append(("b", amp, s))
+        marks = rst_points(mcux * mcuy)
+        m = 0
+        for n, mcu in enumerate(dc_mcus(comp_ids), start=1):
+            for cid, bi in mcu:
+                tkey = ("dc", 0 if cid == 1 else 1)
+                v = int(comp_zz[cid][bi, 0]) >> al  # arithmetic shift
+                diff = v - pred[cid]
+                pred[cid] = v
+                s = category(diff)
+                amp = diff if diff >= 0 else diff + (1 << s) - 1
+                toks.append(("s", tkey, s))
+                if s:
+                    toks.append(("b", amp, s))
+            if n in marks:
+                toks.append(("rst", m))
+                m = (m + 1) % 8
+                pred = {cid: 0 for cid in comp_ids}
         return toks
 
     def encode_dc_refine(comp_ids, al):
         toks = []
-        for cid, bi in dc_order(comp_ids):
-            toks.append(("b", (int(comp_zz[cid][bi, 0]) >> al) & 1, 1))
+        marks = rst_points(mcux * mcuy)
+        m = 0
+        for n, mcu in enumerate(dc_mcus(comp_ids), start=1):
+            for cid, bi in mcu:
+                toks.append(
+                    ("b", (int(comp_zz[cid][bi, 0]) >> al) & 1, 1)
+                )
+            if n in marks:
+                toks.append(("rst", m))
+                m = (m + 1) % 8
         return toks
 
     def encode_ac_first(cid, ss_, se_, al):
@@ -1487,33 +1525,41 @@ def encode_jpeg_progressive(pixels, subsampling: str = "4:4:4") -> bytes:
                     toks.append(("b", eob[0] - (1 << r), r))
                 eob[0] = 0
 
-        for blk in ac_blocks(cid):
+        sh_, sw_ = spec_grid(cid)
+        marks = rst_points(sh_ * sw_)  # non-interleaved: MCU = block
+        m = 0
+        for bn, blk in enumerate(ac_blocks(cid), start=1):
             band = [pt(blk[k], al) for k in range(ss_, se_ + 1)]
             if not any(band):
                 eob[0] += 1
                 if eob[0] == 0x7FFF:
                     flush_eob()
-                continue
-            flush_eob()
-            run = 0
-            last_nz = max(k for k, v in enumerate(band) if v)
-            for k in range(last_nz + 1):
-                v = band[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    toks.append(("s", tkey, 0xF0))
-                    run -= 16
-                s = category(v)
-                amp = v if v >= 0 else v + (1 << s) - 1
-                toks.append(("s", tkey, (run << 4) | s))
-                toks.append(("b", amp, s))
+            else:
+                flush_eob()
                 run = 0
-            if last_nz < len(band) - 1:
-                eob[0] += 1
-                if eob[0] == 0x7FFF:
-                    flush_eob()
+                last_nz = max(k for k, v in enumerate(band) if v)
+                for k in range(last_nz + 1):
+                    v = band[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        toks.append(("s", tkey, 0xF0))
+                        run -= 16
+                    s = category(v)
+                    amp = v if v >= 0 else v + (1 << s) - 1
+                    toks.append(("s", tkey, (run << 4) | s))
+                    toks.append(("b", amp, s))
+                    run = 0
+                if last_nz < len(band) - 1:
+                    eob[0] += 1
+                    if eob[0] == 0x7FFF:
+                        flush_eob()
+            if bn in marks:
+                # interval boundary: EOB runs never cross a restart
+                flush_eob()
+                toks.append(("rst", m))
+                m = (m + 1) % 8
         flush_eob()
         return toks
 
@@ -1538,7 +1584,10 @@ def encode_jpeg_progressive(pixels, subsampling: str = "4:4:4") -> bytes:
                 be.clear()
                 eob[0] = 0
 
-        for blk in ac_blocks(cid):
+        sh_, sw_ = spec_grid(cid)
+        marks = rst_points(sh_ * sw_)  # non-interleaved: MCU = block
+        m = 0
+        for bn, blk in enumerate(ac_blocks(cid), start=1):
             band = [int(blk[k]) for k in range(ss_, se_ + 1)]
             absv = [abs(v) >> al for v in band]
             # last newly-visible position: ZRLs are only emitted while
@@ -1582,6 +1631,12 @@ def encode_jpeg_progressive(pixels, subsampling: str = "4:4:4") -> bytes:
                 be.extend(br)
                 if eob[0] == 0x7FFF:
                     flush_eob()
+            if bn in marks:
+                # interval boundary: EOB runs (and their buffered
+                # correction bits) never cross a restart
+                flush_eob()
+                toks.append(("rst", m))
+                m = (m + 1) % 8
         flush_eob()
         return toks
 
@@ -1615,6 +1670,8 @@ def encode_jpeg_progressive(pixels, subsampling: str = "4:4:4") -> bytes:
     sof += bytes([2, 0x11, 1])
     sof += bytes([3, 0x11, 1])
     seg(0xC2, sof)
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
 
     for (kind, cids), ss_, se_, ah_, al_ in scans:
         if kind == "dcf":
@@ -1652,7 +1709,25 @@ def encode_jpeg_progressive(pixels, subsampling: str = "4:4:4") -> bytes:
         seg(0xDA, sos)
         body = bytearray()
         acc = accn = 0
+
+        def pad_byte():
+            nonlocal acc, accn
+            if accn:
+                byte = (
+                    (acc << (8 - accn)) | ((1 << (8 - accn)) - 1)
+                ) & 0xFF
+                body.append(byte)
+                if byte == 0xFF:
+                    body.append(0x00)
+                acc = accn = 0
+
         for t in toks:
+            if t[0] == "rst":
+                # byte-align with 1-fill, then the bare RSTm marker
+                # (markers are never byte-stuffed)
+                pad_byte()
+                body += bytes([0xFF, 0xD0 + t[1]])
+                continue
             if t[0] == "s":
                 v, n = tables[t[1]][0][t[2]]
             else:
@@ -1668,11 +1743,7 @@ def encode_jpeg_progressive(pixels, subsampling: str = "4:4:4") -> bytes:
                     body.append(0x00)
                 accn -= 8
             acc &= (1 << accn) - 1
-        if accn:
-            byte = ((acc << (8 - accn)) | ((1 << (8 - accn)) - 1)) & 0xFF
-            body.append(byte)
-            if byte == 0xFF:
-                body.append(0x00)
+        pad_byte()
         out.extend(body)
     out.extend(b"\xff\xd9")
     return bytes(out)

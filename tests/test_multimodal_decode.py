@@ -510,6 +510,29 @@ def test_progressive_jpeg_420_subsampled():
         assert np.array_equal(dp, db)
 
 
+def test_progressive_jpeg_with_restart_markers():
+    """DRI + RSTn inside progressive scans (real encoders emit them):
+    per-interval DC-predictor and EOB-run resets on the encoder side,
+    byte-aligned marker resync on the decoder side, across both
+    sampling modes — decode stays bit-identical to baseline."""
+    from pipeline_kinesis_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        db = decode_media(encode_jpeg(px, sub))
+        for ri in (1, 3):
+            enc = encode_jpeg_progressive(px, sub, restart_interval=ri)
+            assert b"\xff\xdd" in enc  # DRI
+            assert any(
+                bytes([0xFF, 0xD0 + m]) in enc for m in range(8)
+            )
+            assert np.array_equal(decode_media(enc), db)
+
+
 def test_progressive_jpeg_flat_and_structured():
     from pipeline_kinesis_spark.operators.multimodal import (
         encode_jpeg,
