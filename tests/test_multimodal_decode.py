@@ -269,6 +269,57 @@ def test_png_variant_depths_palette_and_interlace():
     )
 
 
+def test_png_unfilter_property_any_bpp():
+    """The generalized scanline unfilter inverts a reference forward
+    filter at every type and left-neighbor distance (bpp) the spec
+    allows — including the 16-bit RGB bpp=6 and sub-byte bpp=1 cases
+    the container tests don't cycle."""
+    from pipeline_kinesis_spark.operators.multimodal import _png_unfilter
+
+    rng = np.random.default_rng(13)
+
+    def forward(rows, ftype, bpp):
+        h, stride = rows.shape
+        out = np.zeros((h, stride + 1), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(h):
+            cur = rows[y].astype(np.int64)
+            filt = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a
+                        if pa <= pb and pa <= pc
+                        else (b if pb <= pc else c)
+                    )
+                filt[i] = (cur[i] - pred) % 256
+            out[y, 0] = ftype
+            out[y, 1:] = filt
+            prev = cur
+        return out
+
+    for bpp, stride in ((1, 7), (2, 8), (3, 9), (4, 12), (6, 18), (8, 24)):
+        rows = rng.integers(0, 256, (5, stride)).astype(np.uint8)
+        for ftype in range(5):
+            raw = forward(rows, ftype, bpp)
+            assert np.array_equal(
+                _png_unfilter(raw, stride, bpp), rows
+            ), (bpp, ftype)
+
+
 def test_png_invalid_combinations_still_rejected():
     import struct
     import zlib
