@@ -107,3 +107,65 @@ def test_spool_keep_seconds_auto_reaps_during_ingest(engine):
 def test_reap_spool_unknown_consumer(engine):
     with pytest.raises(KeyError):
         engine.reap_spool("nope", "s", "r")
+
+
+def test_datasource_landing_auto_reaps(spark, tmp_path):
+    """The executor-parallel path's landing query runs the same
+    retention sweep: spool files past spool_keep_seconds disappear
+    while ingestion keeps flowing."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    pytest.importorskip("boto3")
+    from tests.test_kinesis_wire import _KinesisHandler
+
+    fake = FakeKinesisClient({"shardId-000": [b"a,1", b"a,2"]})
+    handler = type("H", (_KinesisHandler,), {"fake": fake})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    cred = tmp_path / "creds"
+    cred.write_text(
+        "[default]\naws_access_key_id = testing\n"
+        "aws_secret_access_key = testing\n"
+    )
+    eng = Engine(
+        spark,
+        metadata_dir=str(tmp_path / "meta"),
+        trigger_interval="300 milliseconds",
+    )
+    eng._spool_reap_interval_s = 0.0
+    try:
+        eng.add_endpoint(
+            "ep",
+            region="us-east-1",
+            url=f"http://127.0.0.1:{srv.server_address[1]}",
+            credfile=str(cred),
+        )
+        eng.create_stream("ds_in", "k STRING, v BIGINT")
+        c = eng.consume_begin(
+            "ep",
+            "events",
+            "ds_in",
+            fmt="csv",
+            delimiter=",",
+            source="datasource",
+            spool_keep_seconds=60.0,
+        )
+        eng.wait_for_ingest(timeout_s=120)
+        assert eng.stream_table("ds_in").count() == 2
+        _backdate(eng, c.id, 300)
+        fake.append("shardId-000", b"a,3")
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            if (
+                eng.stream_table("ds_in").count() == 3
+                and len(_spool_files(eng, c.id)) <= 1
+            ):
+                break
+            time.sleep(0.3)
+        assert eng.stream_table("ds_in").count() == 3
+        assert len(_spool_files(eng, c.id)) <= 1
+    finally:
+        eng.consume_end_all()
+        srv.shutdown()
+        srv.server_close()
