@@ -102,28 +102,49 @@ def _load_factory(spec: str):
     return getattr(importlib.import_module(mod), attr)
 
 
+# per-process client cache: the planner process calls partitions()
+# every trigger and executor workers are reused across tasks — a fresh
+# boto3 client each time would pay client construction + a TLS
+# handshake per micro-batch per shard. Keyed by the full connection
+# config; boto3 clients are thread-safe for our call set.
+_CLIENT_CACHE: dict[tuple, object] = {}
+
+
 def _make_client(opts: dict):
     """boto3 Kinesis client from reader options (the per-endpoint
-    client construction of pipeline_kinesis.c:120-188, rebuilt lazily
-    wherever a planner/executor process needs one — clients are never
-    stored on the pickled reader)."""
+    client construction of pipeline_kinesis.c:120-188), cached per
+    process and config — clients are never stored on the pickled
+    reader."""
+    key = (
+        opts.get("clientfactory"),
+        opts.get("region"),
+        opts.get("endpointurl"),
+        opts.get("credfile"),
+    )
+    client = _CLIENT_CACHE.get(key)
+    if client is not None:
+        return client
     factory = opts.get("clientfactory")
     if factory:
-        return _load_factory(factory)()
-    import boto3
+        client = _load_factory(factory)()
+    else:
+        import boto3
 
-    if opts.get("credfile"):
-        # reference credfile: shared-credentials-file style; also how
-        # executor workers (whose env Spark controls) get credentials.
-        # Assignment, not setdefault: this reader's credfile must win
-        # over whatever a previous task left in the worker's env
-        os.environ["AWS_SHARED_CREDENTIALS_FILE"] = opts["credfile"]
-    session = boto3.session.Session()
-    return session.client(
-        "kinesis",
-        region_name=opts.get("region", "us-east-1"),
-        endpoint_url=opts.get("endpointurl") or None,
-    )
+        if opts.get("credfile"):
+            # reference credfile: shared-credentials-file style; also
+            # how executor workers (whose env Spark controls) get
+            # SigV4 material. Assignment, not setdefault: this
+            # reader's credfile must win over whatever a previous
+            # task left in the worker's env
+            os.environ["AWS_SHARED_CREDENTIALS_FILE"] = opts["credfile"]
+        session = boto3.session.Session()
+        client = session.client(
+            "kinesis",
+            region_name=opts.get("region", "us-east-1"),
+            endpoint_url=opts.get("endpointurl") or None,
+        )
+    _CLIENT_CACHE[key] = client
+    return client
 
 
 def describe_all_shards(client, stream_name: str) -> list[dict]:

@@ -39,6 +39,11 @@ def fake_factory() -> FakeKinesisClient:
 def _reader(tmp_path, fake, start="trim_horizon", **opts):
     global _FAKE
     _FAKE = fake
+    # the per-process client cache would pin the PREVIOUS test's fake
+    # (same factory key); each test gets a fresh client world
+    import pipeline_kinesis_spark.sources.kinesis_datasource as kd
+
+    kd._CLIENT_CACHE.clear()
     base = {
         "streamName": "events",
         "stateDir": str(tmp_path / "state"),
