@@ -104,6 +104,10 @@ def decode_media(payload: bytes, mime: str = "") -> object:
         return _decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload[:4] == b"fLaC":
+        from pipeline_kinesis_spark.operators.flac import decode_flac
+
+        return decode_flac(payload)
     raise NotImplementedError(
         f"no pure-numpy decoder for this container (mime={mime!r}); "
         "MP3/H.264 require decoder libraries not present in this "
