@@ -2663,6 +2663,105 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LOSSLESS audio codecs under the correctness gate (C5): every
+    document becomes a deterministic int16 ramp clip — mono or stereo by
+    doc_id — encoded through PCM16 WAV and FLAC (cycling subframe models
+    fixed/LPC/verbatim, all four stereo decorrelation modes, Rice
+    partition orders) and decoded back through the same magic-byte
+    dispatch production payloads take. Both containers are bit-exact, so
+    DuckDB can oracle the per-language sample statistics with pure
+    column arithmetic — a misdecode anywhere in the WAV or FLAC paths
+    (predictor math, Rice coding, stereo reconstruction, CRC/MD5
+    bookkeeping) hash-fails the gate. Scale shape: encode+decode confined
+    to executor batches; the shuffle carries (lang, 4 ints) per doc."""
+    from pipeline_kinesis_spark.operators.flac import encode_flac
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        stereo_modes = ("independent", "left_side", "right_side", "mid_side")
+        subframes = ("fixed", "lpc", "verbatim", "auto")
+        for pdf in batches:
+            recs = []
+            for did, lang in zip(pdf["doc_id"], pdf["lang"]):
+                did = int(did)
+                n = 64 + did % 64
+                i = np.arange(n, dtype=np.int64)
+                v0 = (did * 7 + i * 13) % 4096 - 2048
+                if did % 2:  # stereo
+                    v1 = (did * 11 + i * 5) % 4096 - 2048
+                    clip = np.stack([v0, v1], axis=1).astype(np.int16)
+                else:
+                    clip = v0[:, None].astype(np.int16)
+                if did % 3 == 0:
+                    payload = encode_wav(8000, clip)
+                else:
+                    payload = encode_flac(
+                        8000,
+                        clip,
+                        block_size=64,  # multi-frame for n > 64
+                        subframe=subframes[(did // 3) % 4],
+                        stereo=stereo_modes[did % 4],
+                        partition_order=did % 3,
+                    )
+                rate, dec = decode_media(payload)
+                flat = dec.astype(np.int64).reshape(-1)
+                recs.append(
+                    (
+                        lang,
+                        int(flat.sum()),
+                        int(flat.min()),
+                        int(flat.max()),
+                        int(flat.size),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["lang", "clip_sum", "clip_min", "clip_max", "n_s"],
+            )
+
+    stats = d.mapInPandas(
+        run,
+        "lang STRING, clip_sum BIGINT, clip_min BIGINT, "
+        "clip_max BIGINT, n_s BIGINT",
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("clip_sum").alias("sum_amp"),
+        F.min("clip_min").alias("min_amp"),
+        F.max("clip_max").alias("max_amp"),
+        F.sum("n_s").alias("n_samples"),
+    )
+
+
+# both audio containers are lossless, so the oracle recomputes the ramp
+# arithmetic directly — no decoder involved
+MULTIMODAL_AUDIO_SQL = """
+WITH samp AS (
+  SELECT doc_id, lang,
+         unnest(range(0, 64 + doc_id % 64)) AS i,
+         1 + doc_id % 2 AS ch
+  FROM documents
+), vals AS (
+  SELECT doc_id, lang, (doc_id * 7 + i * 13) % 4096 - 2048 AS v FROM samp
+  UNION ALL
+  SELECT doc_id, lang, (doc_id * 11 + i * 5) % 4096 - 2048 FROM samp
+  WHERE ch = 2
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_clips,
+       CAST(sum(v) AS BIGINT) AS sum_amp,
+       CAST(min(v) AS BIGINT) AS min_amp,
+       CAST(max(v) AS BIGINT) AS max_amp,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM vals
+GROUP BY lang
+"""
+
+
 # solid grayscale decodes to its exact level in every container, so the
 # oracle needs no decoder — just the same doc_id arithmetic
 MULTIMODAL_DECODE_SQL = """
@@ -2679,6 +2778,9 @@ GROUP BY lang
 QUERIES: dict[str, QuerySpec] = {
     "multimodal_decode_stats": QuerySpec(
         multimodal_decode_stats, MULTIMODAL_DECODE_SQL
+    ),
+    "multimodal_audio_stats": QuerySpec(
+        multimodal_audio_stats, MULTIMODAL_AUDIO_SQL
     ),
     "multimodal_meta_stats": QuerySpec(
         multimodal_meta_stats, MULTIMODAL_META_SQL

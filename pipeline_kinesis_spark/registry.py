@@ -122,9 +122,11 @@ _PRIORITY = (
     "cohort_retention",
     # late-round-5 curation additions (C4/C6)
     "domain_balance", "doc_chunk_overlap", "oov_rate_filter",
-    # multimodal (C5): the strongest check (real decoders under a full
-    # DuckDB oracle) + the resize pipeline
-    "multimodal_resize", "multimodal_decode_stats",
+    # multimodal (C5): the strongest checks — real image AND audio
+    # codecs under full DuckDB oracles (multimodal_resize, 3x green,
+    # rotates out mid-r07 for the new FLAC/WAV audio gate row; the
+    # resize pipeline stays in the full differential)
+    "multimodal_audio_stats", "multimodal_decode_stats",
 )
 
 # The driver checks exactly the first _WINDOW entries of queries();
