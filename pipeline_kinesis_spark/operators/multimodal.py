@@ -11,8 +11,13 @@ implemented from the spec), G.711 companded and IMA ADPCM audio
 baseline (SOF0) and, since r07, PROGRESSIVE (SOF2: spectral selection,
 successive approximation with DC/AC refinement scans and EOB runs, per
 ITU-T T.81 G) — generic-DHT Huffman, dequantize, vectorized IDCT,
-chroma upsampling, no codec libraries involved. Only MP3/H.264 (MDCT /
-motion compensation) stay behind ``NotImplementedError``, with a
+chroma upsampling, no codec libraries involved. r07 also adds the two
+fully-algorithmic archival formats: FLAC (Rice residuals, fixed + LPC
+predictors, stereo decorrelation, CRC/MD5 — ``flac.py``) and baseline
+TIFF (strips, PackBits/TIFF-LZW/Deflate, predictor 2, both byte orders
+— ``tiff.py``). Only MP3/H.264 (MDCT / motion compensation) stay
+behind ``NotImplementedError`` — their big constant tables (Huffman /
+synthesis windows) can't be derived from the spec text alone — with a
 deterministic fake for their plumbing tests.
 
 At 100 TB the pattern is: binary parquet columns, ``mapInPandas`` with
@@ -80,9 +85,9 @@ FEATURES_SCHEMA = StructType(
 def decode_media(payload: bytes, mime: str = "") -> object:
     """Decode media containers in pure numpy/stdlib — no codec
     libraries needed: PPM P6 (binary RGB), BMP (24-bit uncompressed
-    BI_RGB), WAV (PCM16, G.711 u-law/A-law, IMA ADPCM), 8-bit PNG
-    (zlib inflate
-    + filter unapply), GIF (spec LZW), and JPEG — baseline SOF0 and
+    BI_RGB), WAV (PCM16, G.711 u-law/A-law, IMA ADPCM), FLAC, 8-bit
+    PNG (zlib inflate + filter unapply), GIF (spec LZW), baseline TIFF
+    (none/PackBits/LZW/Deflate strips), and JPEG — baseline SOF0 and
     progressive SOF2 (T.81 G successive approximation + spectral
     selection). Dispatch is by magic bytes, so the mime hint is
     advisory. Returns an ``(h, w, 3) uint8`` pixel array for images,
@@ -108,6 +113,10 @@ def decode_media(payload: bytes, mime: str = "") -> object:
         from pipeline_kinesis_spark.operators.flac import decode_flac
 
         return decode_flac(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from pipeline_kinesis_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
         f"no pure-numpy decoder for this container (mime={mime!r}); "
         "MP3/H.264 require decoder libraries not present in this "
@@ -2593,8 +2602,9 @@ WHERE doc_id % 3 = 2
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL codec decoders under the correctness gate (C5): every
     document becomes a solid grayscale image whose level and container
-    derive from doc_id — PPM, BMP, PNG (filter cycling), GIF and
-    baseline JPEG round-robin — encoded AND decoded inside Arrow
+    derive from doc_id — PPM, BMP, PNG (filter cycling), GIF, baseline
+    + progressive JPEG, and TIFF (compression/predictor/byte-order
+    cycling) round-robin — encoded AND decoded inside Arrow
     -batched mapInPandas through the same magic-byte dispatch
     production payloads take, then aggregated per language. A solid
     grayscale image decodes to its exact level in every container
@@ -2602,31 +2612,34 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     chroma planes quantize to exactly zero; progressive JPEG's many
     scans rebuild the same DC-only spectrum), so DuckDB can oracle the
     result with pure column arithmetic — a misdecode in ANY of the
-    six codec paths hash-fails the gate. Scale shape: decode is confined
+    seven codec paths hash-fails the gate. Scale shape: decode is confined
     to executor batches; the shuffle carries only (lang, 3 ints)."""
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        encoders = ("ppm", "bmp", "png", "gif", "jpeg", "jpeg_prog")
+        encoders = (
+            "ppm", "bmp", "png", "gif", "jpeg", "jpeg_prog", "tiff",
+        )
+        tiff_comps = ("none", "packbits", "lzw", "deflate")
         for pdf in batches:
             recs = []
             for did, lang in zip(pdf["doc_id"], pdf["lang"]):
                 did = int(did)
                 level = did % 256
                 px = np.full((6, 4, 3), level, dtype=np.uint8)
-                kind = encoders[did % 6]
+                kind = encoders[did % 7]
                 if kind == "ppm":
                     payload = encode_ppm(px)
                 elif kind == "bmp":
                     payload = encode_bmp(px)
                 elif kind == "png":
-                    # did % 6 == 2 for every PNG-routed doc (that IS
-                    # the router) — cycle filters on an independent
-                    # digit so all five filter paths face the gate
+                    # the router fixes did % 7 for every PNG-routed doc
+                    # — cycle filters on an independent digit so all
+                    # five filter paths face the gate
                     payload = encode_png(
-                        px, filter_type=(did // 6) % 5
+                        px, filter_type=(did // 7) % 5
                     )
                 elif kind == "gif":
                     pal = np.full((1, 3), level, dtype=np.uint8)
@@ -2635,6 +2648,20 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 elif kind == "jpeg":
                     payload = encode_jpeg(px)
+                elif kind == "tiff":
+                    # r07: baseline TIFF, cycling strip compression and
+                    # the horizontal-differencing predictor
+                    from pipeline_kinesis_spark.operators.tiff import (
+                        encode_tiff,
+                    )
+
+                    payload = encode_tiff(
+                        px,
+                        compression=tiff_comps[(did // 7) % 4],
+                        predictor=1 + (did // 28) % 2,
+                        byte_order="II" if (did // 56) % 2 == 0 else "MM",
+                        rows_per_strip=2,
+                    )
                 else:
                     # SOF2: ten-scan successive approximation through
                     # the same magic-byte dispatch (r07)
