@@ -637,6 +637,16 @@ class Engine:
                 start_position.startswith("after_sequence_number:")
             ):
                 raise ValueError(f"unknown start_position {start_position!r}")
+            if spool_keep_seconds is not None and not is_kinesis:
+                # the file-feed path reads the caller's own directory
+                # directly — there is no engine-owned spool to reap, and
+                # silently accepting the knob would let a user believe
+                # their landing area is retention-bounded when it isn't
+                raise ValueError(
+                    "spool_keep_seconds applies to kinesis consumers "
+                    "only (file-feed consumers read the source "
+                    "directory directly; nothing is spooled)"
+                )
             parallelism = min(max(parallelism, 1), MAX_PROCS)
             consumer = self.catalog.upsert_consumer(
                 Consumer(

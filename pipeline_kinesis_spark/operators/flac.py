@@ -359,8 +359,13 @@ def _write_subframe(
     wasted: int,
 ) -> None:
     if wasted:
-        if any(v & ((1 << wasted) - 1) for v in samples):
-            raise ValueError("samples do not share the claimed wasted bits")
+        # the caller's value is a MAXIMUM: decorrelated channels may
+        # share fewer trailing zeros than the input did (mid = (l+r)>>1
+        # drops one whenever l'+r' is odd), so use what THIS channel
+        # actually has
+        while wasted and any(v & ((1 << wasted) - 1) for v in samples):
+            wasted -= 1
+    if wasted:
         samples = [v >> wasted for v in samples]
     eff = bps - wasted
     n = len(samples)
@@ -488,6 +493,7 @@ def encode_flac(
     force_escape: bool = False,
     lpc_order: int = 8,
     wasted_bits: int = 0,
+    bits_per_sample: int = 16,
 ) -> bytes:
     """(n, channels) int16 → FLAC stream (RFC 9639 layout).
 
@@ -496,7 +502,11 @@ def encode_flac(
     ``stereo`` the decorrelation ('independent' | 'left_side' |
     'right_side' | 'mid_side'; 'auto' = mid_side for 2ch) so tests can
     exercise every decoder path; the remaining knobs expose Rice
-    partitioning, the escape-to-raw encoding and the wasted-bits shift.
+    partitioning, the escape-to-raw encoding and the wasted-bits shift
+    (a MAXIMUM — each subframe uses the trailing zeros its channel
+    actually shares, since decorrelated side/mid channels may keep
+    fewer). ``bits_per_sample`` 8 encodes an 8-bit stream (samples must
+    fit int8) — exercises the decoder's 1-byte MD5 convention.
     """
     import numpy as np
 
@@ -506,16 +516,22 @@ def encode_flac(
     n_total, channels = a.shape
     if not 1 <= channels <= 8:
         raise ValueError("FLAC supports 1-8 channels")
-    bps = 16
+    if bits_per_sample not in (8, 16):
+        raise ValueError("bits_per_sample must be 8 or 16")
+    bps = bits_per_sample
     if wasted_bits:
-        # tests inject a known shared trailing-zero shift; the encoded
-        # stream stays bps=16 with `wasted_bits` low zero bits per sample
+        # tests inject a known trailing-zero shift; the encoded stream
+        # keeps bps with `wasted_bits` low zero bits per sample
         a = a << wasted_bits
-        if a.size and int(np.abs(a).max()) >= 1 << (bps - 1):
-            raise ValueError("wasted-bits shift overflows the sample size")
+    if a.size and (
+        int(a.max()) >= 1 << (bps - 1) or int(a.min()) < -(1 << (bps - 1))
+    ):
+        raise ValueError(f"samples overflow bps={bps}")
 
+    # MD5 is over the unencoded samples at their STORED width: one byte
+    # each for bps<=8, int16 LE for 9-16 (RFC 9639 streaminfo md5)
     md5 = hashlib.md5(
-        a.astype("<i2").tobytes() if bps == 16 else b""
+        a.astype("<i2").tobytes() if bps > 8 else a.astype("i1").tobytes()
     ).digest()
 
     w = _BitWriter()
@@ -700,8 +716,14 @@ def decode_flac(payload: bytes) -> tuple[int, "np.ndarray"]:
     ).T
     arr = samples.astype(np.int16)
     if md5_expect and md5_expect != b"\x00" * 16:
-        got = hashlib.md5(arr.astype("<i2").tobytes()).digest()
-        if got != md5_expect:
+        # stored sample width governs the hash: 1 byte for bps<=8,
+        # int16 LE for 9-16 (matches the encoder and RFC 9639)
+        raw = (
+            arr.astype("<i2").tobytes()
+            if bps > 8
+            else arr.astype("i1").tobytes()
+        )
+        if hashlib.md5(raw).digest() != md5_expect:
             raise ValueError("FLAC MD5 mismatch: decoded audio corrupt")
     return rate, arr
 

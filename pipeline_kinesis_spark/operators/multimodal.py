@@ -2726,13 +2726,20 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if did % 3 == 0:
                     payload = encode_wav(8000, clip)
                 else:
+                    # the router fixes did % 3 (codec) and did % 2
+                    # (channels) — i.e. did % 6 — so every knob cycles
+                    # on digits of q = did // 6, keeping each
+                    # independent of the routing (the image gate's
+                    # discipline): ALL four stereo modes and all
+                    # subframe models face the gate on stereo docs
+                    q = did // 6
                     payload = encode_flac(
                         8000,
                         clip,
                         block_size=64,  # multi-frame for n > 64
-                        subframe=subframes[(did // 3) % 4],
-                        stereo=stereo_modes[did % 4],
-                        partition_order=did % 3,
+                        subframe=subframes[(q // 4) % 4],
+                        stereo=stereo_modes[q % 4],
+                        partition_order=(q // 16) % 3,
                     )
                 rate, dec = decode_media(payload)
                 flat = dec.astype(np.int64).reshape(-1)

@@ -195,7 +195,11 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
     else:
         raise ValueError("not a TIFF stream")
     (ifd_off,) = struct.unpack_from(e + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF: IFD offset beyond payload")
     (n_entries,) = struct.unpack_from(e + "H", payload, ifd_off)
+    if ifd_off + 2 + 12 * n_entries > len(payload):
+        raise ValueError("truncated TIFF: IFD overruns payload")
 
     tags: dict[int, list[int]] = {}
     for k in range(n_entries):

@@ -76,6 +76,31 @@ def test_wasted_bits_shift():
     assert np.array_equal(dec, (base.astype(np.int64) << 4).astype(np.int16))
 
 
+def test_wasted_bits_with_stereo_decorrelation():
+    # mid = (l+r)>>1 keeps FEWER trailing zeros than the inputs when
+    # l'+r' is odd — the encoder must use what each decorrelated
+    # channel actually shares, not the caller's maximum
+    x = _signal(256, 2) // 8
+    for mode in ("mid_side", "left_side", "right_side", "auto"):
+        enc = encode_flac(8000, x, wasted_bits=2, stereo=mode)
+        assert np.array_equal(
+            decode_flac(enc)[1], (x.astype(np.int64) << 2).astype(np.int16)
+        ), mode
+
+
+def test_8bit_stream_uses_one_byte_md5():
+    # RFC 9639: the STREAMINFO MD5 hashes samples at their stored width
+    # — 1 byte for bps<=8. A 2-byte hash would reject every valid
+    # externally-encoded 8-bit FLAC.
+    rng = np.random.default_rng(11)
+    x = rng.integers(-128, 128, size=(500, 2)).astype(np.int16)
+    enc = encode_flac(8000, x, bits_per_sample=8, block_size=192)
+    rate, dec = decode_flac(enc)
+    assert np.array_equal(dec, x)
+    with pytest.raises(ValueError, match="overflow"):
+        encode_flac(8000, np.full((4, 1), 300, np.int16), bits_per_sample=8)
+
+
 def test_lpc_on_pathological_signals():
     # all-zero (autocorrelation zero) and pure DC both hit Levinson
     # -Durbin early-outs

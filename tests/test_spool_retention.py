@@ -53,6 +53,19 @@ def _start(engine, fake, **kw):
     )
 
 
+def test_spool_keep_rejected_for_file_feed_consumers(engine, tmp_path):
+    # the file-feed path has no engine-owned spool: accepting the knob
+    # would promise retention the engine cannot deliver
+    feed = tmp_path / "feed" / "events"
+    feed.mkdir(parents=True)
+    engine.add_endpoint("files", url=str(tmp_path / "feed"), region="local")
+    engine.create_stream("sp_f", "k STRING, v BIGINT")
+    with pytest.raises(ValueError, match="kinesis consumers only"):
+        engine.consume_begin(
+            "files", "events", "sp_f", fmt="csv", spool_keep_seconds=60.0
+        )
+
+
 def test_reap_spool_deletes_old_files_without_reingest(engine):
     fake = FakeKinesisClient(
         {"shardId-000": [b"a,1", b"a,2"], "shardId-001": [b"b,5"]}

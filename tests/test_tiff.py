@@ -112,13 +112,32 @@ def test_not_tiff_rejected():
         decode_tiff(b"ABCD1234")
 
 
-def test_truncated_strip_rejected():
+def test_truncated_payload_rejected():
+    px = _gradient(8, 8)
+    enc = encode_tiff(px, compression="none")
+    # the IFD sits at the end; chopping the payload must fail loudly
+    # with a truncation error, not an arbitrary parse exception
+    for cut in (10, 40, len(enc) - 8):
+        with pytest.raises(ValueError, match="truncated TIFF"):
+            decode_tiff(enc[:cut])
+
+
+def test_short_strip_data_rejected():
     px = _gradient(8, 8)
     enc = bytearray(encode_tiff(px, compression="none"))
-    # zero out the strip byte count region is fiddly; instead chop the
-    # payload so the strip read comes back short
-    with pytest.raises((ValueError, NotImplementedError, Exception)):
-        decode_tiff(bytes(enc[:40]))
+    # shrink the declared strip byte count (tag 279) so assembled rows
+    # run short of h*row_bytes
+    import struct
+
+    (ifd_off,) = struct.unpack_from("<I", enc, 4)
+    (n,) = struct.unpack_from("<H", enc, ifd_off)
+    for k in range(n):
+        off = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", enc, off)
+        if tag == 279 and cnt == 1:
+            struct.pack_into("<I", enc, off + 8, 16)  # was h*w*3
+    with pytest.raises(ValueError, match="truncated TIFF strip data"):
+        decode_tiff(bytes(enc))
 
 
 def test_round_trip_property():
