@@ -18,7 +18,9 @@ TIFF (strips, PackBits/TIFF-LZW/Deflate, predictor 2, both byte orders
 — ``tiff.py``). Only MP3/H.264 (MDCT / motion compensation) stay
 behind ``NotImplementedError`` — their big constant tables (Huffman /
 synthesis windows) can't be derived from the spec text alone — with a
-deterministic fake for their plumbing tests.
+deterministic fake for their plumbing tests. Video is REAL via MJPEG
+AVI (``avi.py``: RIFF container walk + per-frame in-repo JPEG decode),
+the standard capture-pipeline fallback codec.
 
 At 100 TB the pattern is: binary parquet columns, ``mapInPandas`` with
 modest ``spark.sql.execution.arrow.maxRecordsPerBatch`` (payloads are big),
@@ -91,9 +93,11 @@ def decode_media(payload: bytes, mime: str = "") -> object:
     progressive SOF2 (T.81 G successive approximation + spectral
     selection). Dispatch is by magic bytes, so the mime hint is
     advisory. Returns an ``(h, w, 3) uint8`` pixel array for images,
-    ``(sample_rate, (n, channels) int16 array)`` for audio. MP3/H.264
-    stay environment-gated — cluster deployments plug a real decoder
-    into this same dispatch.
+    ``(sample_rate, (n, channels) int16 array)`` for audio, and
+    ``(fps, (n, h, w, 3) uint8 frames)`` for MJPEG AVI video (each
+    frame chunk runs through the in-repo JPEG decoder). MP3/H.264 stay
+    environment-gated — cluster deployments plug a real decoder into
+    this same dispatch.
     """
     if payload is None:
         raise ValueError("empty payload")
@@ -109,6 +113,10 @@ def decode_media(payload: bytes, mime: str = "") -> object:
         return _decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from pipeline_kinesis_spark.operators.avi import decode_avi
+
+        return decode_avi(payload)
     if payload[:4] == b"fLaC":
         from pipeline_kinesis_spark.operators.flac import decode_flac
 
@@ -2771,6 +2779,90 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode under the correctness gate (C5): a quarter of
+    the documents become short MJPEG AVI clips — solid frames whose
+    levels and count derive from doc_id — encoded with the in-repo JPEG
+    encoder, wrapped in the RIFF/AVI container, and decoded back through
+    the production magic-byte dispatch (container walk + per-frame JPEG
+    decode). Solid r=g=b frames decode EXACTLY (the image gate's
+    property), so DuckDB oracles the per-language frame statistics with
+    pure arithmetic — a misparse of the container or a frame misdecode
+    hash-fails the gate. Scale shape: decode confined to executor
+    batches; the shuffle carries (lang, 4 ints) per clip."""
+    from pipeline_kinesis_spark.operators.avi import encode_avi_mjpeg
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .filter(F.col("doc_id") % 4 == 1)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for did, lang in zip(pdf["doc_id"], pdf["lang"]):
+                did = int(did)
+                n_frames = 2 + did % 4
+                levels = [(did * 13 + i * 29) % 256 for i in range(n_frames)]
+                frames = np.stack(
+                    [np.full((6, 4, 3), lv, np.uint8) for lv in levels]
+                )
+                fps = float(10 + did % 20)
+                fps_dec, dec = decode_media(
+                    encode_avi_mjpeg(fps, frames)
+                )
+                if fps_dec != fps:
+                    raise ValueError(
+                        f"fps mismatch for doc {did}: {fps_dec} != {fps}"
+                    )
+                per_frame = dec.reshape(dec.shape[0], -1)
+                recs.append(
+                    (
+                        lang,
+                        int(dec.shape[0]),
+                        int(per_frame[:, 0].sum()),  # solid: level/frame
+                        int(per_frame.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                recs, columns=["lang", "n_frames", "sum_level", "max_level"]
+            )
+
+    stats = d.mapInPandas(
+        run, "lang STRING, n_frames BIGINT, sum_level BIGINT, max_level BIGINT"
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.sum("n_frames").alias("total_frames"),
+        F.sum("sum_level").alias("sum_level"),
+        F.max("max_level").alias("max_level"),
+    )
+
+
+# solid MJPEG frames decode to their exact level, so the oracle is the
+# same doc_id arithmetic with a per-frame unnest
+MULTIMODAL_VIDEO_SQL = """
+WITH clip AS (
+  SELECT doc_id, lang,
+         unnest(range(0, 2 + doc_id % 4)) AS i
+  FROM documents
+  WHERE doc_id % 4 = 1
+), lv AS (
+  SELECT doc_id, lang, (doc_id * 13 + i * 29) % 256 AS level FROM clip
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+       CAST(count(*) AS BIGINT) AS total_frames,
+       CAST(sum(level) AS BIGINT) AS sum_level,
+       CAST(max(level) AS BIGINT) AS max_level
+FROM lv
+GROUP BY lang
+"""
+
+
 # both audio containers are lossless, so the oracle recomputes the ramp
 # arithmetic directly — no decoder involved
 MULTIMODAL_AUDIO_SQL = """
@@ -2815,6 +2907,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_audio_stats": QuerySpec(
         multimodal_audio_stats, MULTIMODAL_AUDIO_SQL
+    ),
+    "multimodal_video_stats": QuerySpec(
+        multimodal_video_stats, MULTIMODAL_VIDEO_SQL
     ),
     "multimodal_meta_stats": QuerySpec(
         multimodal_meta_stats, MULTIMODAL_META_SQL
