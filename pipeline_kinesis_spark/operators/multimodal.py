@@ -2779,6 +2779,88 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_signal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over DECODED audio (C5): every third document
+    becomes a deterministic mono int16 ramp, FLAC-encoded (fixed
+    predictors) and decoded back through the production dispatch, then
+    reduced to the classic signal features — energy (sum of squares) and
+    zero-crossing count — per clip, aggregated per language. Both
+    features are integer arithmetic over the exact samples, so DuckDB
+    recomputes them from the ramp formula with a window lag for the
+    crossings: any decode error (a single wrong sample) shifts the
+    energy sum and hash-fails the gate. Spectral features (FFT) live in
+    pytest (see test_multimodal_decode) — not SQL-expressible. Scale
+    shape: decode+reduce per executor batch; shuffle carries
+    (lang, 3 ints) per clip."""
+    from pipeline_kinesis_spark.operators.flac import encode_flac
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .filter(F.col("doc_id") % 3 == 2)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for did, lang in zip(pdf["doc_id"], pdf["lang"]):
+                did = int(did)
+                n = 96 + did % 32
+                i = np.arange(n, dtype=np.int64)
+                clip = ((did * 7 + i * 13) % 4096 - 2048).astype(np.int16)
+                rate, dec = decode_media(encode_flac(8000, clip))
+                v = dec.astype(np.int64).reshape(-1)
+                neg = v < 0  # sign convention: v >= 0 is positive
+                crossings = int((neg[1:] != neg[:-1]).sum())
+                recs.append(
+                    (lang, int((v * v).sum()), crossings, int(v.size))
+                )
+            yield pd.DataFrame(
+                recs, columns=["lang", "energy", "crossings", "n_s"]
+            )
+
+    stats = d.mapInPandas(
+        run, "lang STRING, energy BIGINT, crossings BIGINT, n_s BIGINT"
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("energy").alias("total_energy"),
+        F.sum("crossings").alias("total_crossings"),
+        F.sum("n_s").alias("n_samples"),
+    )
+
+
+# FLAC is lossless, so the oracle recomputes energy and crossings from
+# the ramp formula — the lag window reproduces the sign-transition count
+AUDIO_SIGNAL_FEATURES_SQL = """
+WITH samp AS (
+  SELECT doc_id, lang,
+         unnest(range(0, 96 + doc_id % 32)) AS i
+  FROM documents
+  WHERE doc_id % 3 = 2
+), vals AS (
+  SELECT doc_id, lang, i,
+         (doc_id * 7 + i * 13) % 4096 - 2048 AS v
+  FROM samp
+), marked AS (
+  SELECT doc_id, lang, v,
+         CASE WHEN (v < 0) != lag(v < 0) OVER (
+           PARTITION BY doc_id ORDER BY i
+         ) THEN 1 ELSE 0 END AS crossed
+  FROM vals
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_clips,
+       CAST(sum(v * v) AS BIGINT) AS total_energy,
+       CAST(sum(crossed) AS BIGINT) AS total_crossings,
+       CAST(count(*) AS BIGINT) AS n_samples
+FROM marked
+GROUP BY lang
+"""
+
+
 def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode under the correctness gate (C5): a quarter of
     the documents become short MJPEG AVI clips — solid frames whose
@@ -2910,6 +2992,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_video_stats": QuerySpec(
         multimodal_video_stats, MULTIMODAL_VIDEO_SQL
+    ),
+    "audio_signal_features": QuerySpec(
+        audio_signal_features, AUDIO_SIGNAL_FEATURES_SQL
     ),
     "multimodal_meta_stats": QuerySpec(
         multimodal_meta_stats, MULTIMODAL_META_SQL

@@ -159,6 +159,24 @@ def test_not_flac_rejected():
         decode_flac(b"RIFFxxxxWAVE")
 
 
+def test_spectral_features_on_decoded_sine():
+    # the non-SQL-expressible half of audio feature extraction: a pure
+    # sine survives the FLAC round trip bit-exactly, so its spectrum
+    # peaks at the injected bin
+    n, rate, freq = 1024, 8000, 500.0
+    t = np.arange(n) / rate
+    x = (12000 * np.sin(2 * np.pi * freq * t)).astype(np.int16)[:, None]
+    _, dec = decode_flac(encode_flac(rate, x, subframe="lpc"))
+    assert np.array_equal(dec, x)
+    spec = np.abs(np.fft.rfft(dec[:, 0].astype(np.float64)))
+    peak_hz = np.argmax(spec[1:]) * rate / n + rate / n
+    assert abs(peak_hz - freq) <= rate / n  # within one bin
+    centroid = float(
+        (spec * np.arange(spec.size)).sum() / spec.sum()
+    ) * rate / n
+    assert 300 < centroid < 900  # energy concentrated around 500 Hz
+
+
 def test_round_trip_property():
     from hypothesis import given, settings
     from hypothesis import strategies as st
