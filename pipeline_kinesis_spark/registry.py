@@ -104,7 +104,12 @@ _PRIORITY = (
     "funnel_conversion", "agg_corr_regression",
     "unpivot_lineitem_measures",
     # window functions / top-k (B17/B19)
-    "window_rank", "window_lag_lead", "topk_per_group",
+    "window_rank", "topk_per_group",
+    # mid-r07 additions (C5: real video + audio-feature decode gates;
+    # window_lag_lead retires — B17 stays via window_rank — and
+    # winnow_fingerprint_stats retires (3x green) — C4 stays via
+    # text_quality/token_count_bpe)
+    "multimodal_video_stats", "audio_signal_features",
     # timeseries (B11/B23) + pandas-UDF surface (B27)
     "curation_report", "tumbling_window_agg",
     "asof_join", "zscore_per_user",
@@ -113,7 +118,7 @@ _PRIORITY = (
     # text analysis / corpus ops
     "text_quality", "token_count_bpe",
     "agg_exact_percentiles", "value_histogram",
-    "dedup_spans_rewrite", "lm_perplexity", "winnow_fingerprint_stats",
+    "dedup_spans_rewrite", "lm_perplexity",
     # corpus curation (C6: hash-threshold scale-path sampler et al.)
     "stratified_sample_hash",
     # similarity search
