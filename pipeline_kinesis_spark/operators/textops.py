@@ -677,7 +677,132 @@ GROUP BY lang
 """
 
 
+# subtrees a main-content extractor always drops (the trafilatura-style
+# boilerplate set expressible with tag structure alone)
+_HTML_SKIP_TAGS = frozenset(
+    {"script", "style", "nav", "header", "footer", "aside"}
+)
+
+
+def extract_main_text(page: str) -> str:
+    """Stack-based main-content extraction over stdlib ``html.parser``:
+    text nodes inside ``<main>`` excluding any ``_HTML_SKIP_TAGS``
+    subtree (nesting-aware), entities resolved."""
+    from html.parser import HTMLParser
+
+    class _MainText(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.skip_depth = 0
+            self.in_main = False
+            self.parts: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _HTML_SKIP_TAGS:
+                self.skip_depth += 1
+            elif tag == "main":
+                self.in_main = True
+
+        def handle_endtag(self, tag):
+            if tag in _HTML_SKIP_TAGS and self.skip_depth:
+                self.skip_depth -= 1
+            elif tag == "main":
+                self.in_main = False
+
+        def handle_data(self, data):
+            if self.in_main and not self.skip_depth:
+                self.parts.append(data)
+
+    p = _MainText()
+    p.feed(page)
+    p.close()
+    return "".join(p.parts)
+
+
+def wrap_in_chrome(did: int, text: str) -> str:
+    """Deterministic page chrome around ``text`` (html-escaped): head
+    with script/style, nav with ``did``-dependent link count, comments,
+    an aside nested INSIDE main, and a footer — everything an extractor
+    must drop."""
+    import html as _html
+
+    links = "".join(
+        f'<li><a href="/p/{did}/{k}">item {k}</a></li>'
+        for k in range(did % 5)
+    )
+    return (
+        "<!DOCTYPE html><html><head><title>doc</title>"
+        f"<script>var x = {did} < 9 && true;</script>"
+        "<style>.ad { display: none }</style></head><body>"
+        f"<header><h1>site {did % 7}</h1></header>"
+        f"<nav><ul>{links}</ul></nav>"
+        "<!-- boilerplate comment -->"
+        f"<main><aside>related {did}</aside>"
+        f"<p>{_html.escape(text)}</p></main>"
+        f"<footer>&copy; {1990 + did % 30}</footer></body></html>"
+    )
+
+
+def html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus boilerplate stripping (C4): every document is wrapped
+    in deterministic HTML chrome — head/script/style blocks, a nav with
+    doc_id-dependent link counts, HTML comments, a footer, and an
+    ``<aside>`` NESTED inside ``<main>`` — with the real ``text``
+    html-escaped into the main ``<p>``. A stack-based stdlib
+    ``html.parser`` extractor (Arrow-batched ``mapInPandas`` — HTML
+    parsing is the legitimate non-SQL exception to this module's
+    JVM-only rule) drops the boilerplate subtrees and recovers the main
+    content; the operator reports per-language doc counts, extracted
+    character sums, and EXACT-match counts against the original text.
+    The DuckDB oracle knows extraction must be lossless, so it computes
+    the same aggregates from ``text`` directly — any parser slip
+    (entity mishandling, a skipped-subtree leak, whitespace mangling)
+    breaks either the char sum or the match count and hash-fails the
+    gate. Scale shape: one scan, parse confined to executor batches,
+    shuffle carries (lang, 3 ints)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for did, lang, text in zip(
+                pdf["doc_id"], pdf["lang"], pdf["text"]
+            ):
+                text = text or ""
+                got = extract_main_text(wrap_in_chrome(int(did), text))
+                recs.append(
+                    (lang, len(got), int(got == text))
+                )
+            yield pd.DataFrame(
+                recs, columns=["lang", "n_chars", "exact"]
+            )
+
+    stats = d.mapInPandas(
+        run, "lang STRING, n_chars BIGINT, exact BIGINT"
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("extracted_chars"),
+        F.sum("exact").alias("exact_matches"),
+    )
+
+
+# extraction must be lossless, so the oracle aggregates the original
+# text column directly — equality only holds if the parser is right
+HTML_EXTRACT_MAIN_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(text)) AS BIGINT) AS extracted_chars,
+       CAST(count(*) AS BIGINT) AS exact_matches
+FROM documents
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "html_extract_main": QuerySpec(html_extract_main, HTML_EXTRACT_MAIN_SQL),
     "corpus_clean": QuerySpec(corpus_clean, CORPUS_CLEAN_SQL, bench=True),
     "text_normalize": QuerySpec(text_normalize, TEXT_NORMALIZE_SQL),
     "dataset_split": QuerySpec(dataset_split, DATASET_SPLIT_SQL),

@@ -113,8 +113,11 @@ _PRIORITY = (
     # timeseries (B11/B23) + pandas-UDF surface (B27)
     "curation_report", "tumbling_window_agg",
     "asof_join", "zscore_per_user",
-    # dedup (C1/C2: exact, crossdoc spans, MinHash LSH, span rewrite)
-    "exact_dedup", "crossdoc_span_dup", "minhash_lsh_recall",
+    # dedup (C1/C2: exact, crossdoc spans, span rewrite;
+    # minhash_lsh_recall retires mid-r07 — multi-round green, C2 stays
+    # via crossdoc_span_dup + dedup_spans_rewrite — for the new C4
+    # boilerplate-stripping gate row)
+    "exact_dedup", "crossdoc_span_dup", "html_extract_main",
     # text analysis / corpus ops
     "text_quality", "token_count_bpe",
     "agg_exact_percentiles", "value_histogram",

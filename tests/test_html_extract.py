@@ -1,0 +1,56 @@
+"""HTML main-content extraction (C4): the stack-based boilerplate
+stripper must recover embedded text EXACTLY, including adversarial
+content that looks like markup."""
+
+from __future__ import annotations
+
+from pipeline_kinesis_spark.operators.textops import (
+    extract_main_text,
+    html_extract_main,
+    wrap_in_chrome,
+)
+
+
+def test_adversarial_text_survives_escaping():
+    cases = [
+        "plain words",
+        "a < b && b > c",
+        "<script>alert('x')</script>",
+        "ampers & entities &amp; &lt;tags&gt;",
+        "nested <main><aside>fake chrome</aside></main> in text",
+        "newlines\nand\ttabs preserved",
+        "unicode: naïve café — ünïcødé ✓",
+        "",
+    ]
+    for did in (0, 4, 13):
+        for text in cases:
+            got = extract_main_text(wrap_in_chrome(did, text))
+            assert got == text, f"mangled {text!r} -> {got!r}"
+
+
+def test_boilerplate_fully_dropped():
+    got = extract_main_text(wrap_in_chrome(13, "only the payload"))
+    assert got == "only the payload"
+    for leak in ("item", "related", "site", "boilerplate", "©"):
+        assert leak not in got
+
+
+def test_nested_skip_subtrees():
+    page = (
+        "<main>A<aside>drop<nav>deeper</nav>still dropped</aside>B"
+        "<footer>no</footer>C</main><footer>outside</footer>"
+    )
+    assert extract_main_text(page) == "ABC"
+
+
+def test_text_outside_main_ignored():
+    assert extract_main_text("<body>stray<main>kept</main>tail</body>") == (
+        "kept"
+    )
+
+
+def test_operator_end_to_end(spark, sf_dir):
+    out = {r.lang: r for r in html_extract_main(spark, sf_dir).collect()}
+    assert out
+    for lang, row in out.items():
+        assert row.exact_matches == row.n_docs, lang
