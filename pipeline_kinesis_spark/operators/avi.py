@@ -191,7 +191,7 @@ def encode_avi_mjpeg(fps: float, frames, quality_subsampling="4:4:4") -> bytes:
     off = 4
     for j in jpegs:
         idx_entries.append(
-            struct.pack("<4sII I".replace(" ", ""), b"00dc", 0x10, off, len(j))
+            struct.pack("<4sIII", b"00dc", 0x10, off, len(j))
         )
         off += 8 + len(j) + (len(j) & 1)
     idx1 = chunk(b"idx1", b"".join(idx_entries))
