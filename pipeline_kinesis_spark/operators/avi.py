@@ -35,9 +35,16 @@ __all__ = ["decode_avi", "encode_avi_mjpeg"]
 
 def _chunks(buf: bytes, pos: int, end: int):
     """Iterate (fourcc, body_start, body_size) over a RIFF chunk run;
-    chunks pad to even length."""
+    chunks pad to even length. Declared sizes are clamped to the buffer
+    so a truncated payload surfaces as ValueError, never struct.error."""
+    end = min(end, len(buf))
     while pos + 8 <= end:
         cid, size = struct.unpack_from("<4sI", buf, pos)
+        if pos + 8 + size > len(buf):
+            raise ValueError(
+                "truncated AVI: chunk "
+                f"{cid!r} declares {size} bytes past end of payload"
+            )
         yield cid, pos + 8, size
         pos += 8 + size + (size & 1)
 
@@ -57,7 +64,20 @@ def decode_avi(payload: bytes) -> tuple[float, "np.ndarray"]:
 
     fps = None
     usec_per_frame = None
+    vid_stream = None  # stream number of the MJPG 'vids' strl
+    stream_idx = 0
     frames: list["np.ndarray"] = []
+
+    def collect_frames(pos: int, stop: int) -> None:
+        """Walk a movi-list body; interleaved writers nest frame chunks
+        one level deeper inside LIST('rec ') groups."""
+        want = b"%02ddc" % (vid_stream if vid_stream is not None else 0)
+        for c2, b2, s2 in _chunks(payload, pos, stop):
+            if c2 == b"LIST" and payload[b2 : b2 + 4] == b"rec ":
+                collect_frames(b2 + 4, b2 + s2)
+            elif c2 == want:  # NNdc: frame for OUR video stream only
+                frames.append(_decode_jpeg(payload[b2 : b2 + s2]))
+
     for cid, body, size in _chunks(payload, 12, end):
         if cid != b"LIST":
             continue
@@ -82,16 +102,16 @@ def decode_avi(payload: bytes) -> tuple[float, "np.ndarray"]:
                                         "implemented (H.264 et al. "
                                         "need decoder libraries)"
                                     )
-                                scale, rate = struct.unpack_from(
-                                    "<II", payload, b3 + 20
-                                )
-                                if scale:
-                                    fps = rate / scale
+                                if vid_stream is None:
+                                    vid_stream = stream_idx
+                                    scale, rate = struct.unpack_from(
+                                        "<II", payload, b3 + 20
+                                    )
+                                    if scale:
+                                        fps = rate / scale
+                    stream_idx += 1
         elif list_type == b"movi":
-            for c2, b2, s2 in _chunks(payload, body + 4, body + size):
-                # NNdc = compressed video frame for stream NN
-                if c2[2:4] == b"dc":
-                    frames.append(_decode_jpeg(payload[b2 : b2 + s2]))
+            collect_frames(body + 4, body + size)
     if not frames:
         raise ValueError("AVI stream holds no video frames")
     if fps is None:

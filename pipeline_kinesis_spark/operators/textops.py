@@ -684,36 +684,44 @@ _HTML_SKIP_TAGS = frozenset(
 )
 
 
+from html.parser import HTMLParser as _HTMLParser
+
+
+class _MainTextParser(_HTMLParser):
+    """Text nodes inside ``<main>`` excluding any ``_HTML_SKIP_TAGS``
+    subtree; BOTH trackers are depth counters so nested/stray closers
+    of either kind never truncate or leak content. Module-level (not
+    per-call) — ``extract_main_text`` runs once per document in the
+    Arrow-batched hot path."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.skip_depth = 0
+        self.main_depth = 0
+        self.parts: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _HTML_SKIP_TAGS:
+            self.skip_depth += 1
+        elif tag == "main":
+            self.main_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _HTML_SKIP_TAGS and self.skip_depth:
+            self.skip_depth -= 1
+        elif tag == "main" and self.main_depth:
+            self.main_depth -= 1
+
+    def handle_data(self, data):
+        if self.main_depth and not self.skip_depth:
+            self.parts.append(data)
+
+
 def extract_main_text(page: str) -> str:
     """Stack-based main-content extraction over stdlib ``html.parser``:
     text nodes inside ``<main>`` excluding any ``_HTML_SKIP_TAGS``
-    subtree (nesting-aware), entities resolved."""
-    from html.parser import HTMLParser
-
-    class _MainText(HTMLParser):
-        def __init__(self):
-            super().__init__(convert_charrefs=True)
-            self.skip_depth = 0
-            self.in_main = False
-            self.parts: list[str] = []
-
-        def handle_starttag(self, tag, attrs):
-            if tag in _HTML_SKIP_TAGS:
-                self.skip_depth += 1
-            elif tag == "main":
-                self.in_main = True
-
-        def handle_endtag(self, tag):
-            if tag in _HTML_SKIP_TAGS and self.skip_depth:
-                self.skip_depth -= 1
-            elif tag == "main":
-                self.in_main = False
-
-        def handle_data(self, data):
-            if self.in_main and not self.skip_depth:
-                self.parts.append(data)
-
-    p = _MainText()
+    subtree (nesting-aware on both), entities resolved."""
+    p = _MainTextParser()
     p.feed(page)
     p.close()
     return "".join(p.parts)

@@ -69,6 +69,56 @@ def test_empty_and_corrupt_rejected():
         decode_avi(b"RIFF\x04\x00\x00\x00WAVE")
     frames = np.full((1, 6, 4, 3), 9, np.uint8)
     enc = encode_avi_mjpeg(5.0, frames)
-    movi = enc.find(b"movi")
-    with pytest.raises(ValueError, match="no video frames"):
-        decode_avi(enc[: movi - 8])  # chop the movi list off
+    # chopping anywhere must surface as ValueError (truncation or
+    # no-frames), never struct.error — callers filter with ValueError
+    for cut in (40, enc.find(b"movi") - 8, len(enc) - 6):
+        with pytest.raises(ValueError, match="truncated AVI|no video"):
+            decode_avi(enc[:cut])
+
+
+def test_rec_grouped_interleaved_layout():
+    # interleaved capture writers nest frame chunks in LIST('rec ')
+    # groups one level below movi — repackage the twin's output
+    import struct
+
+    frames = np.stack(
+        [np.full((6, 4, 3), lv, np.uint8) for lv in (30, 60)]
+    )
+    enc = encode_avi_mjpeg(12.0, frames)
+    movi_at = enc.find(b"LIST", 12)
+    # locate the movi LIST (skip hdrl)
+    while enc[movi_at + 8 : movi_at + 12] != b"movi":
+        (sz,) = struct.unpack_from("<I", enc, movi_at + 4)
+        movi_at += 8 + sz + (sz & 1)
+    (movi_sz,) = struct.unpack_from("<I", enc, movi_at + 4)
+    body = enc[movi_at + 12 : movi_at + 8 + movi_sz]
+    rec = b"LIST" + struct.pack("<I", 4 + len(body)) + b"rec " + body
+    new_movi = b"LIST" + struct.pack("<I", 4 + len(rec)) + b"movi" + rec
+    rebuilt = bytearray(
+        enc[:movi_at] + new_movi + enc[movi_at + 8 + movi_sz :]
+    )
+    struct.pack_into("<I", rebuilt, 4, len(rebuilt) - 8)  # riff size
+    fps, dec = decode_avi(bytes(rebuilt))
+    assert fps == 12.0
+    assert np.array_equal(dec, frames)
+
+
+def test_secondary_stream_frames_not_mixed_in():
+    # a '01dc' chunk from another stream must not join our frame stack
+    import struct
+
+    frames = np.full((1, 6, 4, 3), 77, np.uint8)
+    enc = encode_avi_mjpeg(8.0, frames)
+    movi_at = enc.find(b"LIST", 12)
+    while enc[movi_at + 8 : movi_at + 12] != b"movi":
+        (sz,) = struct.unpack_from("<I", enc, movi_at + 4)
+        movi_at += 8 + sz + (sz & 1)
+    (movi_sz,) = struct.unpack_from("<I", enc, movi_at + 4)
+    alien = b"01dc" + struct.pack("<I", 4) + b"\xde\xad\xbe\xef"
+    insert_at = movi_at + 8 + movi_sz
+    rebuilt = bytearray(enc)
+    rebuilt[movi_at + 4 : movi_at + 8] = struct.pack("<I", movi_sz + len(alien))
+    rebuilt[insert_at:insert_at] = alien
+    struct.pack_into("<I", rebuilt, 4, len(rebuilt) - 8)
+    fps, dec = decode_avi(bytes(rebuilt))
+    assert dec.shape == (1, 6, 4, 3)  # alien frame ignored

@@ -43,6 +43,13 @@ def test_nested_skip_subtrees():
     assert extract_main_text(page) == "ABC"
 
 
+def test_nested_main_tags_depth_tracked():
+    # real pages nest/misbalance <main>; a boolean tracker would drop C
+    assert extract_main_text("<main>A<main>B</main>C</main>") == "ABC"
+    # stray closer before any opener must not go negative
+    assert extract_main_text("</main><main>kept</main>") == "kept"
+
+
 def test_text_outside_main_ignored():
     assert extract_main_text("<body>stray<main>kept</main>tail</body>") == (
         "kept"
