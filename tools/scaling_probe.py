@@ -47,6 +47,11 @@ PROBE = (
     "domain_balance",
     "doc_chunk_overlap",
     "oov_rate_filter",
+    # r07 codec/extraction rows (heaviest of the five new mapInPandas
+    # gates + the C4 HTML path) — decode/parse cost is linear in docs
+    # and executor-confined by construction; keep the evidence standing
+    "multimodal_audio_stats",
+    "html_extract_main",
 )
 
 
