@@ -2861,6 +2861,103 @@ GROUP BY lang
 """
 
 
+def dhash64(pixels) -> int:
+    """64-bit difference hash (dHash), the standard perceptual image
+    fingerprint: grayscale → 8x9 block-mean downsample → horizontal
+    gradient sign bits. Deterministic pure numpy; robust to re-encoding
+    because it depends only on decoded pixels."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.float64)
+    gray = a.mean(axis=2) if a.ndim == 3 else a
+    h, w = gray.shape
+    # block-mean resample to 8 rows x 9 cols (edges padded by repeat)
+    ys = (np.arange(8 + 1) * h / 8).astype(int)
+    xs = (np.arange(9 + 1) * w / 9).astype(int)
+    small = np.empty((8, 9))
+    for i in range(8):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(9):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            small[i, j] = gray[
+                min(y0, h - 1) : min(y1, h), min(x0, w - 1) : min(x1, w)
+            ].mean()
+    bits = (small[:, 1:] > small[:, :-1]).reshape(-1)
+    out = 0
+    for b in bits:
+        out = (out << 1) | int(b)
+    # fold to signed int64 so the value survives a BIGINT column
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (C2 for media): a quarter of the documents
+    become 16x16 gradient images whose PATTERN derives from
+    ``doc_id % 17`` while the CONTAINER cycles PNG / BMP / TIFF by
+    doc_id — so docs sharing a pattern carry byte-identical pixels in
+    different encodings. Each payload is decoded through the production
+    dispatch and dHashed; grouping by the hash must therefore reunite
+    every pattern class ACROSS codecs (a PNG that decodes even one
+    pixel off its BMP twin splits a group and shifts the histogram).
+    The oracle recomputes the group-size histogram from the doc_id
+    arithmetic alone. Scale shape: decode+hash per executor batch, one
+    groupBy on a 64-bit key, then a histogram over group sizes —
+    exactly the exact-dedup plan with sha256 swapped for dHash."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 4 == 3)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipeline_kinesis_spark.operators.tiff import encode_tiff
+
+        def pattern(p: int) -> "np.ndarray":
+            # seeded high-entropy texture per pattern id: dHash bits are
+            # effectively random per class (measured min pairwise
+            # Hamming distance 23/64 across the 17 classes — linear
+            # gradients would saturate the diff signs and collide)
+            rng = np.random.default_rng(1000 + p)
+            return rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                px = pattern(did % 17)
+                enc = (encode_png, encode_bmp, encode_tiff)[did % 3]
+                decoded = decode_media(enc(px))
+                recs.append((dhash64(decoded),))
+            yield pd.DataFrame(recs, columns=["h"])
+
+    hashes = d.mapInPandas(run, "h BIGINT")
+    sizes = hashes.groupBy("h").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .orderBy("group_size")
+    )
+
+
+# distinct gradient patterns hash distinctly and identical pixels hash
+# identically whatever the container, so the histogram is pure doc_id
+# arithmetic: group sizes = per-pattern doc counts
+IMAGE_DHASH_SQL = """
+WITH sel AS (
+  SELECT doc_id % 17 AS pat FROM documents WHERE doc_id % 4 = 3
+), grp AS (
+  SELECT pat, count(*) AS group_size FROM sel GROUP BY pat
+)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM grp
+GROUP BY group_size
+ORDER BY group_size
+"""
+
+
 def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode under the correctness gate (C5): a quarter of
     the documents become short MJPEG AVI clips — solid frames whose
@@ -2996,6 +3093,7 @@ QUERIES: dict[str, QuerySpec] = {
     "audio_signal_features": QuerySpec(
         audio_signal_features, AUDIO_SIGNAL_FEATURES_SQL
     ),
+    "image_dhash_dedup": QuerySpec(image_dhash_dedup, IMAGE_DHASH_SQL),
     "multimodal_meta_stats": QuerySpec(
         multimodal_meta_stats, MULTIMODAL_META_SQL
     ),

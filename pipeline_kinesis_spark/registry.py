@@ -127,8 +127,10 @@ _PRIORITY = (
     "stratified_sample_hash",
     # similarity search
     "cosine_topk_lsh_recall", "embedding_neardup_clusters",
-    # sketches / events
-    "cohort_retention",
+    # sketches / events / perceptual media dedup (cohort_retention
+    # retires late-r07 — events stays via funnel_conversion — for the
+    # new C2-for-media cross-codec dHash gate row)
+    "image_dhash_dedup",
     # late-round-5 curation additions (C4/C6)
     "domain_balance", "doc_chunk_overlap", "oov_rate_filter",
     # multimodal (C5): the strongest checks — real image AND audio

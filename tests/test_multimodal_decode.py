@@ -729,3 +729,44 @@ def test_ima_adpcm_stereo_interleave():
     gl = got[:, 0].astype(float)
     assert abs(np.corrcoef(gl, left)[0, 1]) > 0.99
     assert abs(np.corrcoef(gl, right)[0, 1]) < 0.2
+
+
+def test_dhash_distinct_classes_and_cross_codec_agreement():
+    # perceptual dedup invariants the image_dhash_dedup gate leans on:
+    # 17 seeded texture classes hash distinctly with wide margins, and
+    # the SAME pixels hash identically whatever container carried them
+    from itertools import combinations
+
+    from pipeline_kinesis_spark.operators.multimodal import (
+        dhash64,
+        encode_png,
+    )
+    from pipeline_kinesis_spark.operators.tiff import encode_tiff
+
+    def pattern(p):
+        rng = np.random.default_rng(1000 + p)
+        return rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+
+    hs = [dhash64(pattern(p)) for p in range(17)]
+    assert len(set(hs)) == 17
+    min_ham = min(
+        bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        for a, b in combinations(hs, 2)
+    )
+    assert min_ham >= 10  # measured 23; wide safety margin
+    for p in (0, 9, 16):
+        px = pattern(p)
+        vals = {
+            dhash64(decode_media(enc(px)))
+            for enc in (encode_png, encode_bmp, encode_tiff)
+        }
+        assert len(vals) == 1
+    # perceptual robustness: ±2 noise flips at most a few bits
+    px = pattern(3).astype(int)
+    noisy = np.clip(
+        px + np.random.default_rng(0).integers(-2, 3, px.shape), 0, 255
+    ).astype(np.uint8)
+    flips = bin(
+        (dhash64(px.astype(np.uint8)) ^ dhash64(noisy)) & ((1 << 64) - 1)
+    ).count("1")
+    assert flips <= 8
