@@ -2958,6 +2958,106 @@ ORDER BY group_size
 """
 
 
+def audio_fingerprint64(samples) -> int:
+    """64-bit spectral fingerprint (chromaprint-style shape): the mono
+    signal is cut into 8 time slices, each rfft'd into 9 log-ish band
+    energies, and the sign of adjacent-band energy differences yields
+    8x8 bits. Depends only on decoded samples, so any lossless
+    container of the same audio fingerprints identically."""
+    import numpy as np
+
+    v = np.asarray(samples, dtype=np.float64).reshape(-1)
+    if v.size == 0:
+        return 0
+    n_slices, n_bands = 8, 9
+    step = max(1, v.size // n_slices)
+    bits: list[int] = []
+    for s in range(n_slices):
+        seg = v[s * step : (s + 1) * step]
+        if seg.size == 0:
+            seg = np.zeros(4)
+        mag = np.abs(np.fft.rfft(seg))
+        # log-spaced band edges over the half-spectrum
+        edges = np.unique(
+            np.geomspace(1, mag.size, n_bands + 1).astype(int)
+        )
+        e = [
+            float(mag[a:b].sum()) if b > a else 0.0
+            for a, b in zip(edges[:-1], edges[1:])
+        ]
+        e += [0.0] * (n_bands - len(e))
+        bits.extend(int(e[k + 1] > e[k]) for k in range(n_bands - 1))
+    out = 0
+    for b in bits[:64]:
+        out = (out << 1) | b
+    return out - (1 << 64) if out >= 1 << 63 else out
+
+
+def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO dedup (C2 for media, the image_dhash_dedup
+    twin): a quarter of the documents become seeded-noise clips whose
+    CLASS derives from ``doc_id % 13`` while the lossless CONTAINER
+    alternates WAV-PCM / FLAC by doc_id — so docs sharing a class carry
+    identical samples in different encodings. Decode through the
+    production dispatch + spectral fingerprint; grouping by the
+    fingerprint must reunite every class ACROSS containers (one wrong
+    sample anywhere in the WAV or FLAC decode flips band energies and
+    splits a group). Oracle = the class-size histogram from doc_id
+    arithmetic. Scale shape: exact-dedup plan, decode+FFT per executor
+    batch, one groupBy on a 64-bit key."""
+    from pipeline_kinesis_spark.operators.flac import encode_flac
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 4 == 2)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def clip(c: int) -> "np.ndarray":
+            rng = np.random.default_rng(2000 + c)
+            return rng.integers(-20000, 20000, size=(512, 1)).astype(
+                np.int16
+            )
+
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                x = clip(did % 13)
+                if did % 2:
+                    payload = encode_flac(8000, x, subframe="lpc")
+                else:
+                    payload = encode_wav(8000, x)
+                _, dec = decode_media(payload)
+                recs.append((audio_fingerprint64(dec),))
+            yield pd.DataFrame(recs, columns=["h"])
+
+    hashes = d.mapInPandas(run, "h BIGINT")
+    sizes = hashes.groupBy("h").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        sizes.groupBy("group_size")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+        .orderBy("group_size")
+    )
+
+
+AUDIO_FINGERPRINT_SQL = """
+WITH sel AS (
+  SELECT doc_id % 13 AS cls FROM documents WHERE doc_id % 4 = 2
+), grp AS (
+  SELECT cls, count(*) AS group_size FROM sel GROUP BY cls
+)
+SELECT CAST(group_size AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS n_groups
+FROM grp
+GROUP BY group_size
+ORDER BY group_size
+"""
+
+
 def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode under the correctness gate (C5): a quarter of
     the documents become short MJPEG AVI clips — solid frames whose
@@ -3094,6 +3194,9 @@ QUERIES: dict[str, QuerySpec] = {
         audio_signal_features, AUDIO_SIGNAL_FEATURES_SQL
     ),
     "image_dhash_dedup": QuerySpec(image_dhash_dedup, IMAGE_DHASH_SQL),
+    "audio_fingerprint_dedup": QuerySpec(
+        audio_fingerprint_dedup, AUDIO_FINGERPRINT_SQL
+    ),
     "multimodal_meta_stats": QuerySpec(
         multimodal_meta_stats, MULTIMODAL_META_SQL
     ),

@@ -102,7 +102,11 @@ _PRIORITY = (
     # agg_corr_regression / agg_exact_percentiles / value_histogram)
     "hll_mergeable_distinct", "theta_set_overlap",
     # remaining §2B families
-    "funnel_conversion", "agg_corr_regression",
+    "funnel_conversion",
+    # late-r07: the audio twin of the cross-codec perceptual-dedup
+    # gate (agg_corr_regression retires — multi-round green, B12 stays
+    # via q1/agg_exact_percentiles/value_histogram)
+    "audio_fingerprint_dedup",
     "unpivot_lineitem_measures",
     # window functions / top-k (B17/B19)
     "window_rank", "topk_per_group",

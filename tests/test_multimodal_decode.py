@@ -770,3 +770,32 @@ def test_dhash_distinct_classes_and_cross_codec_agreement():
         (dhash64(px.astype(np.uint8)) ^ dhash64(noisy)) & ((1 << 64) - 1)
     ).count("1")
     assert flips <= 8
+
+
+def test_audio_fingerprint_distinct_classes_and_containers():
+    from itertools import combinations
+
+    from pipeline_kinesis_spark.operators.flac import encode_flac
+    from pipeline_kinesis_spark.operators.multimodal import (
+        audio_fingerprint64,
+    )
+
+    def clip(c):
+        rng = np.random.default_rng(2000 + c)
+        return rng.integers(-20000, 20000, size=(512, 1)).astype(np.int16)
+
+    hs = [audio_fingerprint64(clip(c)) for c in range(13)]
+    assert len(set(hs)) == 13
+    assert min(
+        bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        for a, b in combinations(hs, 2)
+    ) >= 4  # measured 11
+    for c in (0, 6, 12):
+        x = clip(c)
+        vals = {
+            audio_fingerprint64(decode_media(encode_wav(8000, x))[1]),
+            audio_fingerprint64(
+                decode_media(encode_flac(8000, x, subframe="lpc"))[1]
+            ),
+        }
+        assert len(vals) == 1
