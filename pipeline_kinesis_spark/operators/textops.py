@@ -809,8 +809,134 @@ GROUP BY lang
 """
 
 
+def format_srt_timestamp(ms: int) -> str:
+    """``HH:MM:SS,mmm`` (SubRip's comma convention)."""
+    s, ms = divmod(ms, 1000)
+    m, s = divmod(s, 60)
+    h, m = divmod(m, 60)
+    return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
+
+
+def parse_srt(payload: str) -> list[tuple[int, int, int, str]]:
+    """SubRip parser: ``(index, start_ms, end_ms, text)`` per cue.
+    Cues are blank-line separated; multi-line cue text is preserved
+    verbatim (joined with ``\\n``)."""
+    import re
+
+    ts = r"(\d+):(\d{2}):(\d{2}),(\d{3})"
+    arrow = re.compile(rf"^{ts}\s*-->\s*{ts}\s*$")
+    cues: list[tuple[int, int, int, str]] = []
+    for block in re.split(r"\n\s*\n", payload.strip("\n")):
+        lines = block.split("\n")
+        if len(lines) < 2:
+            continue
+        idx = int(lines[0].strip())
+        m = arrow.match(lines[1].strip())
+        if not m:
+            raise ValueError(f"bad SRT timing line: {lines[1]!r}")
+        g = [int(v) for v in m.groups()]
+        start = ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
+        end = ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+        cues.append((idx, start, end, "\n".join(lines[2:])))
+    return cues
+
+
+def srt_caption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-alignment parsing (C4/C5 bridge): every third document's
+    text is split into caption cues on deterministic word boundaries,
+    rendered as a SubRip file (index / ``HH:MM:SS,mmm --> ...`` timing /
+    text blocks), and parsed back by the SRT parser inside Arrow-batched
+    ``mapInPandas``. The operator reports cue counts, total caption
+    character sums (reassembled text must equal the original word
+    sequence), and total cue duration per language. Durations and cue
+    counts are pure doc_id/token arithmetic, so DuckDB oracles all of it
+    — a parser slip in timing math or multi-line cue handling
+    hash-fails. Scale shape: one documents scan, parse per executor
+    batch, (lang, 3 ints) shuffle."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.col("doc_id") % 3 == 0)
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = []
+            for did, lang, text in zip(
+                pdf["doc_id"], pdf["lang"], pdf["text"]
+            ):
+                did = int(did)
+                words = (text or "").split()
+                per_cue = 3 + did % 4  # words per cue
+                cues_src = [
+                    " ".join(words[i : i + per_cue])
+                    for i in range(0, len(words), per_cue)
+                ] or [""]
+                # deterministic timing: cue k spans [k*1500, k*1500+1200)
+                srt = "\n\n".join(
+                    f"{k + 1}\n"
+                    f"{format_srt_timestamp(k * 1500)} --> "
+                    f"{format_srt_timestamp(k * 1500 + 1200)}\n"
+                    f"{cue}"
+                    for k, cue in enumerate(cues_src)
+                )
+                cues = parse_srt(srt)
+                joined = " ".join(c[3] for c in cues)
+                ok = joined == " ".join(words)
+                recs.append(
+                    (
+                        lang,
+                        len(cues),
+                        sum(c[2] - c[1] for c in cues),
+                        int(ok),
+                    )
+                )
+            yield pd.DataFrame(
+                recs, columns=["lang", "n_cues", "dur_ms", "exact"]
+            )
+
+    stats = d.mapInPandas(
+        run, "lang STRING, n_cues BIGINT, dur_ms BIGINT, exact BIGINT"
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_cues").alias("total_cues"),
+        F.sum("dur_ms").alias("total_dur_ms"),
+        F.sum("exact").alias("exact_matches"),
+    )
+
+
+# cue count = ceil(words / per_cue) (min 1), each cue 1200 ms; the
+# reassembly must be lossless, so exact_matches == doc count
+SRT_CAPTION_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\s+')) AS n_words,
+         3 + doc_id % 4 AS per_cue
+  FROM documents
+  WHERE doc_id % 3 = 0
+), cues AS (
+  SELECT lang,
+         CASE WHEN n_words = 0 THEN 1
+              ELSE CAST(ceil(n_words / (1.0 * per_cue)) AS BIGINT)
+         END AS n_cues
+  FROM docs
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_cues) AS BIGINT) AS total_cues,
+       CAST(sum(n_cues) * 1200 AS BIGINT) AS total_dur_ms,
+       CAST(count(*) AS BIGINT) AS exact_matches
+FROM cues
+GROUP BY lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "html_extract_main": QuerySpec(html_extract_main, HTML_EXTRACT_MAIN_SQL),
+    "srt_caption_stats": QuerySpec(srt_caption_stats, SRT_CAPTION_SQL),
     "corpus_clean": QuerySpec(corpus_clean, CORPUS_CLEAN_SQL, bench=True),
     "text_normalize": QuerySpec(text_normalize, TEXT_NORMALIZE_SQL),
     "dataset_split": QuerySpec(dataset_split, DATASET_SPLIT_SQL),

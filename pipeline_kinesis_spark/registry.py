@@ -116,7 +116,10 @@ _PRIORITY = (
     # text_quality/token_count_bpe)
     "multimodal_video_stats", "audio_signal_features",
     # timeseries (B11/B23) + pandas-UDF surface (B27)
-    "curation_report", "tumbling_window_agg",
+    # late-r07: caption-alignment parsing gate (curation_report
+    # retires — multi-round green, C6 stays via stratified_sample_hash
+    # + domain_balance + doc_chunk_overlap + oov_rate_filter)
+    "srt_caption_stats", "tumbling_window_agg",
     "asof_join", "zscore_per_user",
     # dedup (C1/C2: exact, crossdoc spans, span rewrite;
     # minhash_lsh_recall retires mid-r07 — multi-round green, C2 stays

@@ -61,3 +61,35 @@ def test_operator_end_to_end(spark, sf_dir):
     assert out
     for lang, row in out.items():
         assert row.exact_matches == row.n_docs, lang
+
+
+def test_srt_parser_round_trip_and_edges():
+    from pipeline_kinesis_spark.operators.textops import (
+        format_srt_timestamp,
+        parse_srt,
+    )
+
+    assert format_srt_timestamp(0) == "00:00:00,000"
+    assert format_srt_timestamp(3661234) == "01:01:01,234"
+    srt = (
+        "1\n00:00:00,000 --> 00:00:01,200\nhello world\n\n"
+        "2\n00:00:01,500 --> 00:01:02,750\nmulti\nline cue\n\n"
+        "3\n01:00:00,000 --> 01:00:00,001\n\n"
+    )
+    cues = parse_srt(srt)
+    assert cues == [
+        (1, 0, 1200, "hello world"),
+        (2, 1500, 62750, "multi\nline cue"),
+        (3, 3600000, 3600001, ""),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad SRT timing"):
+        parse_srt("1\nnot a timing line\ntext")
+
+
+def test_srt_operator_end_to_end(spark, sf_dir):
+    from pipeline_kinesis_spark.operators.textops import srt_caption_stats
+
+    for r in srt_caption_stats(spark, sf_dir).collect():
+        assert r.exact_matches == r.n_docs, r.lang
