@@ -1,9 +1,12 @@
 """Text-analysis operators over documents (SURVEY.md §2C C4).
 
 Token statistics, per-document quality scores, stopword-ratio language ID,
-content fingerprinting. All pure JVM higher-order-function expressions
+content fingerprinting. Pure JVM higher-order-function expressions
 (transform/filter/aggregate over token arrays) — no Python UDFs in the hot
-path, so whole-stage codegen covers everything.
+path, so whole-stage codegen covers everything — with two deliberate
+exceptions that genuinely need a parser: HTML boilerplate stripping
+(``html_extract_main``) and SubRip caption parsing
+(``srt_caption_stats``), both Arrow-batched ``mapInPandas``.
 """
 
 from __future__ import annotations
