@@ -2960,9 +2960,9 @@ ORDER BY group_size
 
 def audio_fingerprint64(samples) -> int:
     """64-bit spectral fingerprint (chromaprint-style shape): the mono
-    signal is cut into 8 time slices, each rfft'd into 9 log-ish band
-    energies, and the sign of adjacent-band energy differences yields
-    8x8 bits. Depends only on decoded samples, so any lossless
+    signal is cut into 8 time slices, each rfft'd into 9 linear band
+    energies, and the sign of the 8 adjacent-band energy differences
+    yields 8x8 bits. Depends only on decoded samples, so any lossless
     container of the same audio fingerprints identically."""
     import numpy as np
 
@@ -2977,15 +2977,12 @@ def audio_fingerprint64(samples) -> int:
         if seg.size == 0:
             seg = np.zeros(4)
         mag = np.abs(np.fft.rfft(seg))
-        # log-spaced band edges over the half-spectrum
-        edges = np.unique(
-            np.geomspace(1, mag.size, n_bands + 1).astype(int)
-        )
-        e = [
-            float(mag[a:b].sum()) if b > a else 0.0
-            for a, b in zip(edges[:-1], edges[1:])
-        ]
-        e += [0.0] * (n_bands - len(e))
+        # linear band edges guarantee n_bands DISTINCT non-empty bands
+        # even for short slices (geomspace edges collapse under int
+        # truncation and would zero-pad — leaving structurally-constant
+        # bits in the fingerprint)
+        edges = np.linspace(0, mag.size, n_bands + 1).astype(int)
+        e = [float(mag[a:b].sum()) for a, b in zip(edges[:-1], edges[1:])]
         bits.extend(int(e[k + 1] > e[k]) for k in range(n_bands - 1))
     out = 0
     for b in bits[:64]:
@@ -3027,7 +3024,10 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 x = clip(did % 13)
-                if did % 2:
+                # the selector fixes did % 4 == 2 (all even), so the
+                # container must cycle on a digit that varies within
+                # the selected set: did // 4 alternates parity
+                if (did // 4) % 2:
                     payload = encode_flac(8000, x, subframe="lpc")
                 else:
                     payload = encode_wav(8000, x)

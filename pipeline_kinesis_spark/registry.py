@@ -60,15 +60,17 @@ _WINDOW = 50
 # Twelve multi-round greens retire, each with its family still
 # represented inside the window:
 #   decontaminate_overlap/gopher_repetition/pii_redact/dataset_split
-#     (4x each) → C6 stays via stratified_sample_hash, curation_report,
-#     domain_balance, doc_chunk_overlap, oov_rate_filter
+#     (4x each) → C6 stays via stratified_sample_hash, domain_balance,
+#     doc_chunk_overlap, oov_rate_filter (curation_report also covered
+#     until it retired late-r07, see below)
 #   agg_approx_distinct (4x) → B14 stays via hll_mergeable_distinct
 #   cosine_topk_pq_recall (4x) → C7 stays via cosine_topk_ivfpq_recall
 #   cosine_topk_ivf_recall (4x) → C3 stays via cosine_topk_lsh_recall +
 #     embedding_neardup_clusters
 #   scaled_value_pandas (4x) → B27 stays via zscore_per_user
-#   join_salted_skew (4x) → B12 stays via q1/agg_corr_regression/
-#     agg_keyed_minmax/agg_exact_percentiles/value_histogram
+#   join_salted_skew (4x) → B12 stays via q1/agg_exact_percentiles/
+#     value_histogram (agg_corr_regression also covered until it
+#     retired late-r07, see below)
 #   ngram_jaccard_prefix (5x) → C2 stays via crossdoc_span_dup,
 #     minhash_lsh_recall, dedup_spans_rewrite
 #   multimodal_meta_stats (5x) + multimodal_features (4x) → C5 stays
@@ -99,7 +101,7 @@ _PRIORITY = (
     # approx aggregates (B14) — theta_set_overlap is new r07 (sketch
     # SET ALGEBRA: union/intersection/difference across segments) and
     # takes agg_keyed_minmax's row (4x green; B12 stays via q1 /
-    # agg_corr_regression / agg_exact_percentiles / value_histogram)
+    # agg_exact_percentiles / value_histogram)
     "hll_mergeable_distinct", "theta_set_overlap",
     # remaining §2B families
     "funnel_conversion",

@@ -789,7 +789,7 @@ def test_audio_fingerprint_distinct_classes_and_containers():
     assert min(
         bin((a ^ b) & ((1 << 64) - 1)).count("1")
         for a, b in combinations(hs, 2)
-    ) >= 4  # measured 11
+    ) >= 10  # measured 20 (linear bands, no structurally-constant bits)
     for c in (0, 6, 12):
         x = clip(c)
         vals = {
