@@ -93,3 +93,53 @@ def test_srt_operator_end_to_end(spark, sf_dir):
 
     for r in srt_caption_stats(spark, sf_dir).collect():
         assert r.exact_matches == r.n_docs, r.lang
+
+
+def test_srt_round_trip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pipeline_kinesis_spark.operators.textops import (
+        format_srt_timestamp,
+        parse_srt,
+    )
+
+    # cue text lines: printable, no blank lines (blank separates cues by
+    # design), no leading/trailing whitespace ambiguity
+    line = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"), blacklist_characters="\n"
+        ),
+        min_size=1,
+        max_size=40,
+    ).map(str.strip).filter(bool)
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        cues=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3_600_000),
+                st.integers(min_value=1, max_value=60_000),
+                st.lists(line, min_size=1, max_size=3),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(cues):
+        srt = "\n\n".join(
+            f"{k + 1}\n"
+            f"{format_srt_timestamp(start)} --> "
+            f"{format_srt_timestamp(start + dur)}\n" + "\n".join(lines)
+            for k, (start, dur, lines) in enumerate(cues)
+        )
+        parsed = parse_srt(srt)
+        assert len(parsed) == len(cues)
+        for k, ((start, dur, lines), (idx, s, e, text)) in enumerate(
+            zip(cues, parsed)
+        ):
+            assert idx == k + 1
+            assert (s, e) == (start, start + dur)
+            assert text == "\n".join(lines)
+
+    check()
