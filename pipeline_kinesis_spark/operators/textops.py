@@ -844,18 +844,58 @@ def parse_srt(payload: str) -> list[tuple[int, int, int, str]]:
     return cues
 
 
+def format_vtt_timestamp(ms: int) -> str:
+    """``HH:MM:SS.mmm`` (WebVTT's dot convention)."""
+    return format_srt_timestamp(ms).replace(",", ".")
+
+
+def parse_vtt(payload: str) -> list[tuple[int, int, int, str]]:
+    """WebVTT parser (caption subset): ``WEBVTT`` header line, blank-
+    line separated cues with optional identifier lines, ``.``-decimal
+    timestamps. Returns the same ``(index, start_ms, end_ms, text)``
+    shape as :func:`parse_srt` (index = 1-based cue order; the optional
+    cue id is not a number in VTT)."""
+    import re
+
+    body = payload.lstrip("﻿")
+    first, _, rest = body.partition("\n")
+    if not first.strip().startswith("WEBVTT"):
+        raise ValueError("missing WEBVTT header")
+    ts = r"(\d+):(\d{2}):(\d{2})\.(\d{3})"
+    arrow = re.compile(rf"^{ts}\s*-->\s*{ts}(?:\s+.*)?$")
+    cues: list[tuple[int, int, int, str]] = []
+    for block in re.split(r"\n\s*\n", rest.strip("\n")):
+        lines = [ln for ln in block.split("\n")]
+        if not lines or not any(ln.strip() for ln in lines):
+            continue
+        if lines[0].strip().startswith(("NOTE", "STYLE", "REGION")):
+            continue  # non-cue blocks
+        m = arrow.match(lines[0].strip())
+        text_from = 1
+        if not m and len(lines) > 1:  # optional cue identifier line
+            m = arrow.match(lines[1].strip())
+            text_from = 2
+        if not m:
+            raise ValueError(f"bad VTT cue block: {lines[0]!r}")
+        g = [int(v) for v in m.groups()]
+        start = ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
+        end = ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+        cues.append((len(cues) + 1, start, end, "\n".join(lines[text_from:])))
+    return cues
+
+
 def srt_caption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caption-alignment parsing (C4/C5 bridge): every third document's
     text is split into caption cues on deterministic word boundaries,
-    rendered as a SubRip file (index / ``HH:MM:SS,mmm --> ...`` timing /
-    text blocks), and parsed back by the SRT parser inside Arrow-batched
-    ``mapInPandas``. The operator reports cue counts, total caption
-    character sums (reassembled text must equal the original word
-    sequence), and total cue duration per language. Durations and cue
-    counts are pure doc_id/token arithmetic, so DuckDB oracles all of it
-    — a parser slip in timing math or multi-line cue handling
-    hash-fails. Scale shape: one documents scan, parse per executor
-    batch, (lang, 3 ints) shuffle."""
+    rendered as SubRip OR WebVTT by doc_id parity (index/identifier
+    lines, ``HH:MM:SS,mmm`` vs ``HH:MM:SS.mmm`` timing, VTT header),
+    and parsed back by the matching parser inside Arrow-batched
+    ``mapInPandas``. The operator reports cue counts, total cue
+    duration, and lossless-reassembly counts per language — all pure
+    doc_id/token arithmetic, so DuckDB oracles every column; a parser
+    slip in either format's timing math or cue framing hash-fails.
+    Scale shape: one documents scan, parse per executor batch,
+    (lang, 3 ints) shuffle."""
     d = (
         load(spark, sf_dir, "documents")
         .select("doc_id", "lang", "text")
@@ -878,14 +918,24 @@ def srt_caption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(0, len(words), per_cue)
                 ] or [""]
                 # deterministic timing: cue k spans [k*1500, k*1500+1200)
-                srt = "\n\n".join(
-                    f"{k + 1}\n"
-                    f"{format_srt_timestamp(k * 1500)} --> "
-                    f"{format_srt_timestamp(k * 1500 + 1200)}\n"
-                    f"{cue}"
-                    for k, cue in enumerate(cues_src)
-                )
-                cues = parse_srt(srt)
+                if (did // 3) % 2:
+                    vtt = "WEBVTT\n\n" + "\n\n".join(
+                        f"cue-{k + 1}\n"
+                        f"{format_vtt_timestamp(k * 1500)} --> "
+                        f"{format_vtt_timestamp(k * 1500 + 1200)}\n"
+                        f"{cue}"
+                        for k, cue in enumerate(cues_src)
+                    )
+                    cues = parse_vtt(vtt)
+                else:
+                    srt = "\n\n".join(
+                        f"{k + 1}\n"
+                        f"{format_srt_timestamp(k * 1500)} --> "
+                        f"{format_srt_timestamp(k * 1500 + 1200)}\n"
+                        f"{cue}"
+                        for k, cue in enumerate(cues_src)
+                    )
+                    cues = parse_srt(srt)
                 joined = " ".join(c[3] for c in cues)
                 ok = joined == " ".join(words)
                 recs.append(

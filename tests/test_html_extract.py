@@ -143,3 +143,24 @@ def test_srt_round_trip_property():
             assert text == "\n".join(lines)
 
     check()
+
+
+def test_vtt_parser_header_ids_and_note_blocks():
+    from pipeline_kinesis_spark.operators.textops import parse_vtt
+
+    vtt = (
+        "WEBVTT\n\n"
+        "NOTE this block is ignored\n\n"
+        "intro-cue\n00:00:00.000 --> 00:00:01.200\nhello world\n\n"
+        "00:00:01.500 --> 00:01:02.750 align:start\nno id\nsecond line\n"
+    )
+    assert parse_vtt(vtt) == [
+        (1, 0, 1200, "hello world"),
+        (2, 1500, 62750, "no id\nsecond line"),
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="WEBVTT header"):
+        parse_vtt("1\n00:00:00,000 --> 00:00:01,200\nsrt not vtt")
+    with _pytest.raises(ValueError, match="bad VTT cue"):
+        parse_vtt("WEBVTT\n\njust some text without timing")
