@@ -3058,6 +3058,116 @@ ORDER BY group_size
 """
 
 
+def resize_nearest(pixels, out_h: int, out_w: int) -> "np.ndarray":
+    """Nearest-neighbor resize (floor index mapping): the standard
+    cheap kernel for normalizing training images to model input dims.
+    out[y, x] = in[floor(y*h/out_h), floor(x*w/out_w)] — pure numpy
+    fancy indexing, vectorized per image."""
+    import numpy as np
+
+    a = np.asarray(pixels)
+    h, w = a.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return a[ys[:, None], xs[None, :]]
+
+
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize under the gate (C5): a fifth of the documents
+    become deterministic gradient images (dims and pixel formula from
+    doc_id), encoded through PNG/BMP/TIFF round-robin, decoded through
+    the production dispatch, and resized with the nearest-neighbor
+    kernel to doc_id-derived target dims. The reported per-language
+    pixel sums depend on every decoded source pixel the floor mapping
+    selects, so DuckDB can oracle them exactly by recomputing the
+    gradient at the mapped indices — a wrong decode OR a wrong index
+    mapping (off-by-one, swapped axes, rounding instead of floor)
+    hash-fails. Scale shape: decode+resize per executor batch,
+    (lang, 3 ints) shuffle."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .filter(F.col("doc_id") % 5 == 4)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pipeline_kinesis_spark.operators.tiff import encode_tiff
+
+        for pdf in batches:
+            recs = []
+            for did, lang in zip(pdf["doc_id"], pdf["lang"]):
+                did = int(did)
+                h0, w0 = 12 + did % 5, 8 + did % 7
+                y, x = np.mgrid[0:h0, 0:w0]
+                px = np.stack(
+                    [(x * 3 + y * 7 + c * 11) % 256 for c in range(3)],
+                    axis=-1,
+                ).astype(np.uint8)
+                enc = (encode_png, encode_bmp, encode_tiff)[did % 3]
+                decoded = decode_media(enc(px))
+                out_h, out_w = 5 + did % 4, 4 + did % 3
+                small = resize_nearest(decoded, out_h, out_w)
+                recs.append(
+                    (
+                        lang,
+                        int(small.astype(np.int64).sum()),
+                        int(small.shape[0] * small.shape[1]),
+                    )
+                )
+            yield pd.DataFrame(
+                recs, columns=["lang", "pix_sum", "n_out_px"]
+            )
+
+    stats = d.mapInPandas(
+        run, "lang STRING, pix_sum BIGINT, n_out_px BIGINT"
+    )
+    return stats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("pix_sum").alias("total_pixel_sum"),
+        F.sum("n_out_px").alias("total_out_pixels"),
+    )
+
+
+# the floor index mapping and the gradient formula are both plain
+# integer arithmetic, so the oracle regenerates the resized pixel sums
+IMAGE_RESIZE_SQL = """
+WITH docs AS (
+  SELECT doc_id, lang,
+         12 + doc_id % 5 AS h0, 8 + doc_id % 7 AS w0,
+         5 + doc_id % 4 AS oh, 4 + doc_id % 3 AS ow
+  FROM documents
+  WHERE doc_id % 5 = 4
+), grid AS (
+  SELECT doc_id, lang, h0, w0, oh, ow,
+         unnest(range(0, oh)) AS y
+  FROM docs
+), cells AS (
+  SELECT doc_id, lang, h0, w0, ow,
+         y, unnest(range(0, ow)) AS x
+  FROM grid
+), mapped AS (
+  SELECT doc_id, lang,
+         (y * h0) // (5 + doc_id % 4) AS sy,
+         (x * w0) // (4 + doc_id % 3) AS sx
+  FROM cells
+), vals AS (
+  SELECT doc_id, lang,
+         (sx * 3 + sy * 7) % 256
+         + (sx * 3 + sy * 7 + 11) % 256
+         + (sx * 3 + sy * 7 + 22) % 256 AS v
+  FROM mapped
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_images,
+       CAST(sum(v) AS BIGINT) AS total_pixel_sum,
+       CAST(count(*) AS BIGINT) AS total_out_pixels
+FROM vals
+GROUP BY lang
+"""
+
+
 def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode under the correctness gate (C5): a quarter of
     the documents become short MJPEG AVI clips — solid frames whose
@@ -3197,6 +3307,7 @@ QUERIES: dict[str, QuerySpec] = {
     "audio_fingerprint_dedup": QuerySpec(
         audio_fingerprint_dedup, AUDIO_FINGERPRINT_SQL
     ),
+    "image_resize_stats": QuerySpec(image_resize_stats, IMAGE_RESIZE_SQL),
     "multimodal_meta_stats": QuerySpec(
         multimodal_meta_stats, MULTIMODAL_META_SQL
     ),

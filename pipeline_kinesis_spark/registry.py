@@ -131,7 +131,12 @@ _PRIORITY = (
     # text analysis / corpus ops
     "text_quality", "token_count_bpe",
     "agg_exact_percentiles", "value_histogram",
-    "dedup_spans_rewrite", "lm_perplexity",
+    "dedup_spans_rewrite",
+    # late-r07: the real nearest-neighbor resize kernel under the gate
+    # (lm_perplexity retires — 4x green, C6 stays via
+    # stratified_sample_hash/domain_balance/doc_chunk_overlap/
+    # oov_rate_filter)
+    "image_resize_stats",
     # corpus curation (C6: hash-threshold scale-path sampler et al.)
     "stratified_sample_hash",
     # similarity search

@@ -799,3 +799,20 @@ def test_audio_fingerprint_distinct_classes_and_containers():
             ),
         }
         assert len(vals) == 1
+
+
+def test_resize_nearest_kernel():
+    from pipeline_kinesis_spark.operators.multimodal import resize_nearest
+
+    # identity, downscale, upscale, degenerate 1x1
+    src = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(6, 4, 3)
+    assert np.array_equal(resize_nearest(src, 6, 4), src)
+    down = resize_nearest(src, 3, 2)
+    assert down.shape == (3, 2, 3)
+    # floor mapping: out[y,x] = in[(y*6)//3, (x*4)//2] = in[2y, 2x]
+    assert np.array_equal(down, src[::2, ::2])
+    up = resize_nearest(src, 12, 8)
+    assert up.shape == (12, 8, 3)
+    assert np.array_equal(up[::2, ::2], src)  # every source pixel kept
+    one = resize_nearest(src, 1, 1)
+    assert np.array_equal(one[0, 0], src[0, 0])
