@@ -820,6 +820,16 @@ def format_srt_timestamp(ms: int) -> str:
     return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
 
 
+def _timing_groups_to_ms(groups) -> tuple[int, int]:
+    """8 regex groups (h?, m, s, ms twice; hours may be None for VTT's
+    short form) → (start_ms, end_ms). Shared by both caption parsers so
+    the ms math cannot drift between formats."""
+    g = [int(v) if v is not None else 0 for v in groups]
+    start = ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
+    end = ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+    return start, end
+
+
 def parse_srt(payload: str) -> list[tuple[int, int, int, str]]:
     """SubRip parser: ``(index, start_ms, end_ms, text)`` per cue.
     Cues are blank-line separated; multi-line cue text is preserved
@@ -837,9 +847,7 @@ def parse_srt(payload: str) -> list[tuple[int, int, int, str]]:
         m = arrow.match(lines[1].strip())
         if not m:
             raise ValueError(f"bad SRT timing line: {lines[1]!r}")
-        g = [int(v) for v in m.groups()]
-        start = ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
-        end = ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+        start, end = _timing_groups_to_ms(m.groups())
         cues.append((idx, start, end, "\n".join(lines[2:])))
     return cues
 
@@ -859,17 +867,22 @@ def parse_vtt(payload: str) -> list[tuple[int, int, int, str]]:
 
     body = payload.lstrip("﻿")
     first, _, rest = body.partition("\n")
-    if not first.strip().startswith("WEBVTT"):
+    # spec signature: "WEBVTT" alone or followed by space/tab + label
+    if not re.match(r"^WEBVTT(?:[ \t]|$)", first.strip()):
         raise ValueError("missing WEBVTT header")
-    ts = r"(\d+):(\d{2}):(\d{2})\.(\d{3})"
+    # hours are OPTIONAL in VTT (MM:SS.mmm is the common short form)
+    ts = r"(?:(\d+):)?(\d{2}):(\d{2})\.(\d{3})"
     arrow = re.compile(rf"^{ts}\s*-->\s*{ts}(?:\s+.*)?$")
+    # comment/metadata blocks start with the TOKEN followed by
+    # whitespace or end-of-line — "NOTE-cue-1" is a legal cue id
+    non_cue = re.compile(r"^(?:NOTE|STYLE|REGION)(?:\s|$)")
     cues: list[tuple[int, int, int, str]] = []
     for block in re.split(r"\n\s*\n", rest.strip("\n")):
-        lines = [ln for ln in block.split("\n")]
-        if not lines or not any(ln.strip() for ln in lines):
+        lines = block.split("\n")
+        if not any(ln.strip() for ln in lines):
             continue
-        if lines[0].strip().startswith(("NOTE", "STYLE", "REGION")):
-            continue  # non-cue blocks
+        if non_cue.match(lines[0].strip()):
+            continue
         m = arrow.match(lines[0].strip())
         text_from = 1
         if not m and len(lines) > 1:  # optional cue identifier line
@@ -877,9 +890,7 @@ def parse_vtt(payload: str) -> list[tuple[int, int, int, str]]:
             text_from = 2
         if not m:
             raise ValueError(f"bad VTT cue block: {lines[0]!r}")
-        g = [int(v) for v in m.groups()]
-        start = ((g[0] * 60 + g[1]) * 60 + g[2]) * 1000 + g[3]
-        end = ((g[4] * 60 + g[5]) * 60 + g[6]) * 1000 + g[7]
+        start, end = _timing_groups_to_ms(m.groups())
         cues.append((len(cues) + 1, start, end, "\n".join(lines[text_from:])))
     return cues
 

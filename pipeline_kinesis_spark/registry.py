@@ -88,8 +88,8 @@ _PRIORITY = (
     # PipelineDB combine() merge math, batch-expressible twins (B2):
     # exact transition states + the new KLL percentile sketch merge
     # (r07; takes text_normalize's row — 3x green, C4 stays via
-    # text_quality/token_count_bpe/lm_perplexity + the new
-    # html_extract_main; winnow retired later in r07)
+    # text_quality/token_count_bpe + the new html_extract_main and
+    # srt_caption_stats; winnow and lm_perplexity retired later in r07)
     "combine_regroup", "combine_percentile_regroup",
     # relational §2B rows returning from r01 (B6/B8/B9/B10/B13/B18/
     # B20/B21/B22)

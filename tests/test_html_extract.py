@@ -164,3 +164,29 @@ def test_vtt_parser_header_ids_and_note_blocks():
         parse_vtt("1\n00:00:00,000 --> 00:00:01,200\nsrt not vtt")
     with _pytest.raises(ValueError, match="bad VTT cue"):
         parse_vtt("WEBVTT\n\njust some text without timing")
+
+
+def test_vtt_spec_edge_forms():
+    from pipeline_kinesis_spark.operators.textops import parse_vtt
+
+    # hourless short-form timestamps (the common real-world form)
+    assert parse_vtt("WEBVTT\n\n00:01.000 --> 00:02.500\nhi") == [
+        (1, 1000, 2500, "hi")
+    ]
+    # a cue id beginning with NOTE/STYLE/REGION text is NOT a comment
+    assert parse_vtt(
+        "WEBVTT\n\nNOTE-cue-1\n00:00:00.000 --> 00:00:01.000\nhi"
+    ) == [(1, 0, 1000, "hi")]
+    # ...but a real NOTE block is
+    assert parse_vtt(
+        "WEBVTT\n\nNOTE a comment\n\n00:00.000 --> 00:01.000\nhi"
+    ) == [(1, 0, 1000, "hi")]
+    # malformed signature rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="WEBVTT header"):
+        parse_vtt("WEBVTTxyz\n\n00:00:00.000 --> 00:00:01.000\nhi")
+    # header label after a space is legal
+    assert parse_vtt("WEBVTT label\n\n00:00.000 --> 00:01.000\nx") == [
+        (1, 0, 1000, "x")
+    ]
