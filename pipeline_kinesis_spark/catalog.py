@@ -146,6 +146,15 @@ class Consumer:
     # first start (kinesis_consumer.cpp:296-325); restarts reuse it so a
     # crash between start and first checkpoint can't skip records.
     resolved_position: dict[str, str] | None = None
+    # RESOLVED ingest architecture ("pump" | "datasource" | "file"),
+    # persisted at first start so consume_begin_all restarts a consumer
+    # on the SAME path it ran on. "auto" = not yet resolved. This
+    # matters for exactly-once: pump checkpoints live in the catalog
+    # seqnums, datasource offsets in the Spark WAL + attained files —
+    # restarting a datasource consumer in pump mode would resume from
+    # checkpoints that path never wrote and re-ingest from
+    # start_position.
+    source: str = "auto"
 
 
 @dataclass
@@ -396,6 +405,12 @@ class Catalog:
                     c.id = existing["id"]
                     if c.resolved_position is None:
                         c.resolved_position = existing.get("resolved_position")
+                    if c.source == "auto":
+                        # keep the previously RESOLVED ingest path — a
+                        # restart in "auto" must not re-roll the
+                        # pump/datasource decision (their checkpoints
+                        # are not interchangeable)
+                        c.source = existing.get("source", "auto")
                     self.state.consumers[str(c.id)] = asdict(c)
                     self._save()
                     return c

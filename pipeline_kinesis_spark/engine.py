@@ -103,6 +103,39 @@ _OSREL_RE = re.compile(r"^(\w+)_osrel$")
 _OSREL_KEEP_UNSET = object()
 
 
+def _publish_spool_batch(spool: str, bid: int, tmp: str) -> None:
+    """Publish one landed datasource micro-batch into the spool: rename
+    `tmp`'s non-empty part files to deterministic
+    `batch-ds{bid}-{i}.jsonl` names. A REPLAY must fully replace the
+    prior attempt's publish — if the first attempt wrote more files for
+    this batch id than the replay does (shard set changed between
+    attempts, or pinned records expired from retention), a stale
+    leftover would duplicate its records downstream — so any existing
+    files for this batch id are deleted first. With the source's
+    pinned-replay guarantee the rewritten files are byte-identical, so
+    the publish is idempotent as seen by downstream file sources."""
+    stale_prefix = f"batch-ds{int(bid):010d}-"
+    for n in os.listdir(spool):
+        if n.startswith(stale_prefix):
+            try:
+                os.unlink(os.path.join(spool, n))
+            except OSError:
+                pass
+    i = 0
+    for n in sorted(os.listdir(tmp)):
+        full = os.path.join(tmp, n)
+        if not n.startswith("part-") or n.endswith(".crc"):
+            continue
+        if os.path.getsize(full) == 0:
+            continue
+        os.replace(
+            full,
+            os.path.join(spool, f"{stale_prefix}{i:04d}.jsonl"),
+        )
+        i += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _view_qnames(name: str) -> set[str]:
     """Every streaming-query name a view may run under: the public name
     (plain memory), the sw per-step partial sink, and the combine()
@@ -663,6 +696,7 @@ class Engine:
                     start_position=start_position,
                     rate_limit_rps=rate_limit_rps,
                     spool_keep_seconds=spool_keep_seconds,
+                    source=source,
                 )
             )
             if self._queries.get(consumer.id):
@@ -672,7 +706,21 @@ class Engine:
             pump: KinesisPump | None = None
             if is_kinesis and source not in ("auto", "pump", "datasource"):
                 raise ValueError(f"unknown source mode {source!r}")
+            # a restart in "auto" reuses the RESOLVED path from the
+            # catalog (upsert_consumer preserved it): pump checkpoints
+            # (catalog seqnums) and datasource offsets (Spark WAL +
+            # attained files) are not interchangeable, so re-rolling
+            # the auto decision on restart could resume from
+            # checkpoints the original path never wrote and re-ingest
+            # from start_position (duplicates)
+            source_req = source
+            if source_req == "auto" and consumer.source in (
+                "pump",
+                "datasource",
+            ):
+                source_req = consumer.source
             ds_mode = False
+            n_live_shards = 0
             if is_kinesis:
                 client = self._kinesis_clients.get(endpoint)
                 factory = self._kinesis_client_factories.get(endpoint)
@@ -693,7 +741,7 @@ class Engine:
                     factory is not None
                     or endpoint not in self._kinesis_clients
                 )
-                if source == "datasource":
+                if source_req == "datasource":
                     if not ds_capable:
                         raise ValueError(
                             "source='datasource' needs a boto3-usable "
@@ -702,7 +750,7 @@ class Engine:
                             "cannot ship to executors"
                         )
                     ds_mode = True
-                elif source == "auto" and ds_capable:
+                elif source_req == "auto" and ds_capable:
                     # the reference's own worker ceiling (MAX_PROCS=8,
                     # pipeline_kinesis.c:54): beyond it, shard-parallel
                     # executor ingest wins; discovery failure here is
@@ -717,7 +765,18 @@ class Engine:
                         ):
                             raise  # programming error, never swallow
                         n_shards = 0
+                    n_live_shards = n_shards
                     ds_mode = n_shards > MAX_PROCS
+            # persist the RESOLVED ingest path so consume_begin_all
+            # restarts this consumer the same way (see source_req above)
+            resolved_source = (
+                ("datasource" if ds_mode else "pump")
+                if is_kinesis
+                else "file"
+            )
+            if consumer.source != resolved_source:
+                consumer.source = resolved_source
+                self.catalog.upsert_consumer(consumer)
             ds_raw = None
             if ds_mode:
                 # Executor-parallel ingest: one input partition per
@@ -736,6 +795,21 @@ class Engine:
                 # live in the Spark checkpoint (+ attained files) —
                 # the catalog seqnum round-trip of the pump path is
                 # not needed; seqnums() reads the attained files.
+                spec = self.spark.sparkContext.getConf().get(
+                    "spark.speculation", "false"
+                )
+                if str(spec).lower() == "true":
+                    # the attained side-channel pins replays first-
+                    # writer-wins per (epoch, start), which removes the
+                    # record-LOSS window — but a speculative attempt
+                    # whose output commits after losing the pin race
+                    # could still duplicate a tail; refuse rather than
+                    # weaken exactly-once
+                    raise ValueError(
+                        "source='datasource' requires "
+                        "spark.speculation=false (speculative task "
+                        "attempts race the attained-position pin)"
+                    )
                 cfg = KinesisSource(
                     stream_name=stream,
                     region=ep.region or "local",
@@ -760,12 +834,22 @@ class Engine:
                 # (per-shard record caps + trigger pacing); the file
                 # -source admission cap is only a backstop, so it must
                 # not throttle the drain below the landing rate — one
-                # landing batch can publish one file per SHARD, far
-                # more than `parallelism` when the shard count is what
-                # sent us down the datasource path in the first place
+                # landing batch publishes up to one file per SHARD, so
+                # the backstop is derived from the LIVE shard count
+                # (2x headroom for resharding splits between restarts),
+                # never a constant a bigger stream can outgrow
+                if n_live_shards == 0:
+                    try:
+                        n_live_shards = len(
+                            describe_all_shards(client, stream)
+                        )
+                    except Exception:  # noqa: BLE001 — backstop only
+                        n_live_shards = 0
                 replay_src = FileReplaySource(
                     spool,
-                    max_files_per_trigger=max(parallelism, 64),
+                    max_files_per_trigger=max(
+                        parallelism, 2 * n_live_shards, 64
+                    ),
                 )
                 records = replay_src.read_stream(self.spark)
             elif is_kinesis:
@@ -894,24 +978,7 @@ class Engine:
                             self._reap_spool_dir(_spool, _keep)
                     tmp = f"{_spool}__tmp_b{bid}"
                     bdf.write.mode("overwrite").json(tmp)
-                    i = 0
-                    for n in sorted(os.listdir(tmp)):
-                        full = os.path.join(tmp, n)
-                        if not n.startswith("part-") or n.endswith(
-                            ".crc"
-                        ):
-                            continue
-                        if os.path.getsize(full) == 0:
-                            continue
-                        os.replace(
-                            full,
-                            os.path.join(
-                                _spool,
-                                f"batch-ds{int(bid):010d}-{i:04d}.jsonl",
-                            ),
-                        )
-                        i += 1
-                    shutil.rmtree(tmp, ignore_errors=True)
+                    _publish_spool_batch(_spool, bid, tmp)
 
                 queries.append(
                     ds_raw.writeStream.foreachBatch(_land)
@@ -1808,6 +1875,12 @@ class Engine:
                         c.parallelism,
                         c.start_position,
                         getattr(c, "rate_limit_rps", None),
+                        # restart on the RESOLVED ingest path — a
+                        # datasource consumer restarted in pump mode
+                        # would resume from catalog seqnums that path
+                        # never wrote and re-ingest from
+                        # start_position (and vice versa)
+                        source=getattr(c, "source", "auto"),
                         spool_keep_seconds=getattr(
                             c, "spool_keep_seconds", None
                         ),

@@ -185,15 +185,38 @@ def _aws_error_code(exc: Exception) -> str:
 # it    — cached NextShardIterator (saves one GetShardIterator per
 #         batch; also carries sticky-latest across empty polls)
 # closed — shard fully drained after a reshard
+#
+# CONCURRENT-ATTEMPT SAFETY (speculative execution / zombie tasks): the
+# file for epoch N is named `{shard}.e{N}.json` and created with
+# os.link (fails if it exists), so the FIRST attempt to finish reading
+# a given (epoch, start) pins its reach atomically-with-content; a
+# concurrent or later attempt of the same epoch — or a zombie from an
+# older epoch — can never overwrite it. Readers take the max-epoch
+# entry per shard; commit() reaps older epochs. This closes the
+# last-writer-wins loss window (a non-committed attempt that read
+# further no longer advances the next batch's start past records the
+# committed batch never emitted). A legacy un-suffixed `{shard}.json`
+# from an older state dir is still read (its content carries epoch).
 
 
 def _attained_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "attained")
 
 
+def _split_attained_name(name: str) -> tuple[str, int | None]:
+    """`{shard}.e{N}.json` → (shard, N); legacy `{shard}.json` →
+    (shard, None)."""
+    stem = name[:-5]  # drop .json
+    base, dot, suffix = stem.rpartition(".")
+    if dot and suffix[:1] == "e" and suffix[1:].isdigit():
+        return base, int(suffix[1:])
+    return stem, None
+
+
 def _read_attained(state_dir: str) -> dict[str, dict]:
     d = _attained_dir(state_dir)
     out: dict[str, dict] = {}
+    best: dict[str, int] = {}
     try:
         names = os.listdir(d)
     except OSError:
@@ -201,22 +224,82 @@ def _read_attained(state_dir: str) -> dict[str, dict]:
     for name in names:
         if not name.endswith(".json"):
             continue
+        shard, epoch = _split_attained_name(name)
         try:
             with open(os.path.join(d, name)) as f:
-                out[name[:-5]] = json.load(f)
+                st = json.load(f)
         except (OSError, ValueError):
-            continue  # torn concurrent write: the next round heals
+            continue  # torn legacy write / reaped mid-read: next round heals
+        e = int(st.get("epoch") or 0)
+        # max-epoch entry wins; ties (legacy + new file for the same
+        # epoch) prefer the pinned per-epoch file
+        if shard not in best or e > best[shard] or (
+            e == best[shard] and epoch is not None
+        ):
+            best[shard] = e
+            out[shard] = st
     return out
 
 
 def _write_attained(state_dir: str, shard_id: str, state: dict) -> None:
+    """Record a shard's reach for `state['epoch']`, first-writer-wins.
+
+    The content is written to a tmp file and published via os.link to
+    `{shard}.e{epoch}.json` — link fails with FileExistsError if any
+    attempt of this epoch already pinned its reach, so the pin is
+    atomic WITH the content (no window where a crashed attempt leaves
+    a pin that blocks its own retry from recording anything)."""
     d = _attained_dir(state_dir)
     os.makedirs(d, exist_ok=True)
-    path = os.path.join(d, f"{shard_id}.json")
+    epoch = int(state.get("epoch") or 0)
+    path = os.path.join(d, f"{shard_id}.e{epoch}.json")
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(state, f)
-    os.replace(tmp, path)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        pass  # a concurrent/earlier attempt already pinned this epoch
+    except OSError:
+        # filesystem without hard links: fall back to exclusive create
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            pass
+        else:
+            with os.fdopen(fd, "w") as f:
+                json.dump(state, f)
+    finally:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def _reap_attained(state_dir: str) -> None:
+    """Driver-side (commit()) cleanup: drop per-epoch attained files
+    older than each shard's max epoch, and legacy files superseded by
+    any per-epoch file. Readers tolerate files vanishing mid-scan."""
+    d = _attained_dir(state_dir)
+    try:
+        names = [n for n in os.listdir(d) if n.endswith(".json")]
+    except OSError:
+        return
+    newest: dict[str, int] = {}
+    for name in names:
+        shard, epoch = _split_attained_name(name)
+        if epoch is None:
+            continue
+        newest[shard] = max(newest.get(shard, -1), epoch)
+    for name in names:
+        shard, epoch = _split_attained_name(name)
+        if shard not in newest:
+            continue  # legacy-only shard: keep
+        if epoch is None or epoch < newest[shard]:
+            try:
+                os.unlink(os.path.join(d, name))
+            except OSError:
+                pass
 
 
 @dataclass
@@ -320,6 +403,9 @@ class KinesisStreamReader(DataSourceStreamReader):
         with open(tmp, "w") as f:
             f.write(str(int(end.get("epoch", 0))))
         os.replace(tmp, self._epoch_path())
+        # committed → older epochs' attained pins can never bound a
+        # replay again; reap them (driver-side, single process)
+        _reap_attained(self.state_dir)
 
     # -- planning ----------------------------------------------------------
 
