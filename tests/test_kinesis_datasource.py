@@ -480,3 +480,118 @@ def test_e2e_kill_resume_no_loss_no_dup(spark, wire, tmp_path):
         assert len({r.sequence_number for r in rows}) == 5
     finally:
         q2.stop()
+
+
+# ------------------------------------------------------------------- soak
+
+
+class TestSoakAtScale:
+    """VERDICT r07 #3: the datasource contract under its worst case —
+    wide shard fan-out, split AND merge mid-stream, forced batch replay
+    with records arriving between attempts, kill/resume — no loss, no
+    duplication, byte-identical replays."""
+
+    def test_128_shards_split_merge_pinned_replay_full_drain(
+        self, tmp_path
+    ):
+        """Protocol-level 128-shard soak (fast: in-process fake). The
+        per-shard batch cap forces multi-batch drains; a forced replay
+        of one planned batch after appends must be byte-identical; at
+        the end every record — initial, post-reshard, late — is
+        consumed exactly once."""
+        n = 128
+        fake = FakeKinesisClient(
+            {
+                f"shardId-{i:03d}": [
+                    f"r{i}-{j}".encode() for j in range(20)
+                ]
+                for i in range(n)
+            }
+        )
+        r = _reader(tmp_path, fake, maxRecordsPerShardPerBatch="7")
+        seen: list = []
+        o, rows = _run_batch(r, r.initialOffset())
+        seen += rows
+        # mid-stream reshard: SPLIT shard 0, MERGE shards 1+2 — while
+        # all three still hold unconsumed records (cap was 7 of 20)
+        fake.reshard("shardId-000", ["shardId-200", "shardId-201"])
+        fake.merge(
+            ["shardId-001", "shardId-002"], "shardId-202"
+        )
+        fake.append("shardId-200", b"post-split-a")
+        fake.append("shardId-201", b"post-split-b")
+        fake.append("shardId-202", b"post-merge")
+        # forced replay: plan one batch, read it, let the stream grow,
+        # read the SAME (start, end) again — attained pins the reach
+        o2 = r.latestOffset()
+        first = [t for p in r.partitions(o, o2) for t in r.read(p)]
+        for i in range(3, n):
+            fake.append(f"shardId-{i:03d}", b"late")
+        replay = [t for p in r.partitions(o, o2) for t in r.read(p)]
+        assert replay == first  # byte-identical under growth
+        r.commit(o2)
+        seen += first
+        o = o2
+        for _ in range(20):
+            o, rows = _run_batch(r, o)
+            seen += rows
+        payloads = sorted(t[0] for t in seen)
+        expected = sorted(
+            [f"r{i}-{j}" for i in range(n) for j in range(20)]
+            + ["post-split-a", "post-split-b", "post-merge"]
+            + ["late"] * (n - 3)
+        )
+        assert payloads == expected  # nothing lost
+        seqs = [t[1] for t in seen]
+        assert len(seqs) == len(set(seqs))  # nothing duplicated
+        # reshard bookkeeping: every closed shard observed drained
+        att = _read_attained(str(tmp_path / "state"))
+        assert all(
+            att[s]["closed"]
+            for s in ("shardId-000", "shardId-001", "shardId-002")
+        )
+
+    def test_e2e_64_shards_split_merge_kill_resume(
+        self, spark, wire, tmp_path
+    ):
+        """Spark e2e at 64 shards over real SigV4 HTTP: split + merge
+        mid-stream, then kill/resume with records arriving while down
+        — exactly-once end to end."""
+        fake, _, _ = wire
+        for i in range(2, 64):
+            fake.shards[f"shardId-{i:03d}"] = [
+                f"s{i},{j}".encode() for j in range(3)
+            ]
+            fake.meta[f"shardId-{i:03d}"] = {}
+        wd = str(tmp_path / "q")
+        batches: list = []
+        total = 3 + 62 * 3  # wire fixture's 3 + the wide fan-out
+        q = _collecting_query(_stream(spark, wire, wd), wd, batches)
+        try:
+            _await_rows(q, batches, total)
+            fake.reshard("shardId-003", ["shardId-100", "shardId-101"])
+            fake.merge(
+                ["shardId-004", "shardId-005"], "shardId-102"
+            )
+            fake.append("shardId-100", b"c,1")
+            fake.append("shardId-101", b"c,2")
+            fake.append("shardId-102", b"c,3")
+            _await_rows(q, batches, total + 3)
+        finally:
+            q.stop()
+        # records arriving while the query is down
+        fake.append("shardId-100", b"d,1")
+        fake.append("shardId-102", b"d,2")
+        q2 = _collecting_query(_stream(spark, wire, wd), wd, batches)
+        try:
+            rows = _await_rows(q2, batches, total + 5)
+            seqs = [r.sequence_number for r in rows]
+            assert len(seqs) == len(set(seqs))
+            expected = sorted(
+                ["a,1", "a,2", "b,5"]
+                + [f"s{i},{j}" for i in range(2, 64) for j in range(3)]
+                + ["c,1", "c,2", "c,3", "d,1", "d,2"]
+            )
+            assert sorted(r.data for r in rows) == expected
+        finally:
+            q2.stop()

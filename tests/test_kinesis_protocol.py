@@ -53,6 +53,18 @@ class FakeKinesisClient:
             self.shards[c] = []
             self.meta[c] = {"ParentShardId": parent}
 
+    def merge(self, parents: list[str], child: str) -> None:
+        """Kinesis MergeShards: two adjacent parents close; the child
+        carries ParentShardId + AdjacentParentShardId."""
+        assert len(parents) == 2
+        for p in parents:
+            self.closed.add(p)
+        self.shards[child] = []
+        self.meta[child] = {
+            "ParentShardId": parents[0],
+            "AdjacentParentShardId": parents[1],
+        }
+
     # -- boto3-shaped API --------------------------------------------------
 
     def describe_stream(self, StreamName, ExclusiveStartShardId=None):

@@ -10,7 +10,8 @@ Usage: python tools/scaling_probe.py [query ...]   (default: probe set)
        python tools/scaling_probe.py --streaming   (osrel chain + combine
                                                     read growth probes)
        python tools/scaling_probe.py --ingest      (pump vs datasource
-                                                    A/B at 4/16/64 shards)
+                                                    A/B at 4/16/64/128
+                                                    shards)
 Prints one JSON line per query with per-SF min-of-2 timings and ratios.
 """
 
@@ -185,8 +186,11 @@ def probe_ingest_ab(spark) -> None:
 
     from pipeline_kinesis_spark.engine import Engine
 
-    per_shard = 2000
-    for n_shards in (4, 16, 64):
+    for n_shards in (4, 16, 64, 128):
+        # 128 shards probes the drain backstop (now derived from the
+        # live shard count — engine.consume_begin); fewer records per
+        # shard keep the A/B's wall clock bounded at that width
+        per_shard = 2000 if n_shards <= 64 else 1000
         for mode in ("pump", "datasource"):
             fake = FakeKinesisClient(
                 {
