@@ -39,39 +39,72 @@ __all__ = ["decode_flac", "encode_flac"]
 # MSB-first, init 0, no reflection) -----------------------------------------
 
 
+def _crc_table(poly: int, width: int) -> list[int]:
+    """256-entry table for a byte-at-a-time MSB-first CRC (same math as
+    the per-bit loop, precomputed per input byte)."""
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    tbl = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        tbl.append(crc)
+    return tbl
+
+
+_CRC8_TBL = _crc_table(0x07, 8)
+_CRC16_TBL = _crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    tbl = _CRC8_TBL
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = tbl[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    tbl = _CRC16_TBL
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF
-                if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFFFF) ^ tbl[(crc >> 8) ^ b]
     return crc
 
 
 # -- MSB-first bit I/O -------------------------------------------------------
 
 
+class _DecodeAccel:
+    """Shared per-payload acceleration structures for the decode path:
+    the payload as an unpacked bit array (numpy), the positions of its
+    1-bits (Rice unary runs end at a 1-bit, so a sorted ones index
+    turns per-bit unary scanning into pointer arithmetic), and a
+    zero-padded byte copy for branchless multi-byte windows. Built
+    once per decode_flac call and shared by every frame's reader."""
+
+    __slots__ = ("bits", "ones", "padded")
+
+    def __init__(self, buf: bytes):
+        import numpy as np
+
+        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        self.ones = np.flatnonzero(self.bits)
+        self.padded = bytes(buf) + b"\x00" * 8
+
+
 class _BitReader:
     """MSB-first bit reader over a bytes buffer (FLAC is big-endian at
-    the bit level throughout)."""
+    the bit level throughout). With an attached _DecodeAccel, the bulk
+    methods (read_rice / read_signed_block) replace per-bit Python
+    loops with ones-index walks and numpy block extraction."""
 
-    def __init__(self, buf: bytes, pos: int = 0):
+    def __init__(self, buf: bytes, pos: int = 0, accel=None):
         self.buf = buf
         self.byte = pos  # next byte index
         self.bit = 0  # bits already consumed from buf[byte]
+        self.accel = accel
 
     def tell_bytes(self) -> int:
         return self.byte + (1 if self.bit else 0)
@@ -112,6 +145,94 @@ class _BitReader:
         while self.read(1) == 0:
             n += 1
         return n
+
+    def read_rice(self, count: int, param: int) -> list[int]:
+        """`count` Rice(param) codes → residual values (unzigzagged).
+        Accelerated path: each code is a unary run ending at the next
+        1-bit — found by walking the payload's sorted ones index —
+        followed by `param` literal bits pulled from a 5-byte window
+        of the padded buffer. One small Python step per CODE instead
+        of one per BIT."""
+        if self.accel is None:
+            out = []
+            for _ in range(count):
+                q = self.read_unary()
+                u = (q << param) | self.read(param)
+                out.append(_unzigzag(u))
+            return out
+        import numpy as np
+
+        a = self.accel
+        p = (self.byte << 3) + self.bit
+        ones = a.ones
+        j = int(np.searchsorted(ones, p))
+        # codes consume <= count terminator ones + count*param payload
+        # ones; slice that window to a plain int list once
+        window = ones[j : j + count * (param + 1) + 1].tolist()
+        nw = len(window)
+        total_ones = len(ones)
+        buf = a.padded
+        out = [0] * count
+        mask = (1 << param) - 1
+        wi = 0
+        for i in range(count):
+            while True:
+                if wi >= nw:
+                    # pathological run: extend the window
+                    j += nw
+                    window = ones[j : j + count * (param + 1) + 16].tolist()
+                    nw = len(window)
+                    wi = 0
+                    if not nw:
+                        if j >= total_ones:
+                            raise ValueError("truncated FLAC bitstream")
+                        continue
+                b = window[wi]
+                if b >= p:
+                    break
+                wi += 1
+            wi += 1
+            s = b + 1
+            if param:
+                byte0 = s >> 3
+                chunk = int.from_bytes(buf[byte0 : byte0 + 5], "big")
+                u = ((b - p) << param) | (
+                    (chunk >> (40 - (s & 7) - param)) & mask
+                )
+                p = s + param
+            else:
+                u = b - p
+                p = s
+            out[i] = (u >> 1) ^ -(u & 1)  # unzigzag
+        if p > len(self.buf) * 8:
+            raise ValueError("truncated FLAC bitstream")
+        self.byte, self.bit = p >> 3, p & 7
+        return out
+
+    def read_signed_block(self, count: int, width: int) -> list[int]:
+        """`count` consecutive `width`-bit two's-complement values
+        (verbatim subframes, warmups, escaped partitions) — extracted
+        as one (count, width) bit-matrix multiply."""
+        if count == 0:
+            return []
+        if self.accel is None or width == 0 or count < 8:
+            return [self.read_signed(width) for _ in range(count)]
+        import numpy as np
+
+        a = self.accel
+        s = (self.byte << 3) + self.bit
+        e = s + count * width
+        if e > len(a.bits):
+            raise ValueError("truncated FLAC bitstream")
+        seg = a.bits[s:e].reshape(count, width).astype(np.int64)
+        weights = np.left_shift(
+            1, np.arange(width - 1, -1, -1, dtype=np.int64)
+        )
+        v = seg @ weights
+        half = 1 << (width - 1)
+        v = np.where(v >= half, v - (1 << width), v)
+        self.byte, self.bit = e >> 3, e & 7
+        return v.tolist()
 
 
 class _BitWriter:
@@ -244,12 +365,9 @@ def _read_residual(r: _BitReader, blocksize: int, order: int) -> list[int]:
             if raw == 0:
                 out.extend(0 for _ in range(count))
             else:
-                out.extend(r.read_signed(raw) for _ in range(count))
+                out.extend(r.read_signed_block(count, raw))
         else:
-            for _ in range(count):
-                q = r.read_unary()
-                u = (q << param) | r.read(param)
-                out.append(_unzigzag(u))
+            out.extend(r.read_rice(count, param))
     return out
 
 
@@ -308,6 +426,27 @@ def _best_rice_param(part: list[int]) -> int:
 # -- subframes --------------------------------------------------------------
 
 
+def _reconstruct_fixed(order: int, warm: list[int], resid: list[int]) -> list[int]:
+    """Invert the order-`order` fixed (polynomial) predictor: the
+    residual is the order-th finite difference of the signal, so the
+    signal is `order` successive prefix sums, each seeded with the
+    first element of the warmup's corresponding difference level —
+    numpy cumsums instead of a per-sample Python recurrence."""
+    if order == 0:
+        return list(resid)
+    import numpy as np
+
+    cur = list(warm)
+    seeds = []
+    for _ in range(order):
+        seeds.append(cur[0])
+        cur = [b - a for a, b in zip(cur, cur[1:])]
+    arr = np.asarray(resid, dtype=np.int64)
+    for k in range(order - 1, -1, -1):
+        arr = np.cumsum(np.concatenate(([seeds[k]], arr)))
+    return arr.tolist()
+
+
 def _read_subframe(r: _BitReader, blocksize: int, bps: int) -> list[int]:
     if r.read(1) != 0:
         raise ValueError("subframe padding bit set")
@@ -320,13 +459,12 @@ def _read_subframe(r: _BitReader, blocksize: int, bps: int) -> list[int]:
         v = r.read_signed(eff)
         out = [v] * blocksize
     elif t == 1:  # VERBATIM
-        out = [r.read_signed(eff) for _ in range(blocksize)]
+        out = r.read_signed_block(blocksize, eff)
     elif 8 <= t <= 12:  # FIXED, order t-8
         order = t - 8
         out = [r.read_signed(eff) for _ in range(order)]
         resid = _read_residual(r, blocksize, order)
-        for i in range(order, blocksize):
-            out.append(_predict_fixed(order, out, i) + resid[i - order])
+        out = _reconstruct_fixed(order, out, resid)
     elif t >= 32:  # LPC, order (t & 31) + 1
         order = (t & 31) + 1
         out = [r.read_signed(eff) for _ in range(order)]
@@ -707,8 +845,9 @@ def decode_flac(payload: bytes) -> tuple[int, "np.ndarray"]:
         )
 
     out_ch: list[list[int]] = [[] for _ in range(channels)]
+    accel = _DecodeAccel(payload)  # shared bit/ones index, built once
     while pos < len(payload):
-        pos = _decode_frame(payload, pos, info, out_ch)
+        pos = _decode_frame(payload, pos, info, out_ch, accel)
         if n_total and len(out_ch[0]) >= n_total:
             break
     samples = np.asarray(
@@ -728,9 +867,9 @@ def decode_flac(payload: bytes) -> tuple[int, "np.ndarray"]:
     return rate, arr
 
 
-def _decode_frame(payload: bytes, pos: int, info, out_ch) -> int:
+def _decode_frame(payload: bytes, pos: int, info, out_ch, accel=None) -> int:
     rate_si, channels, bps_si, _, _ = info
-    r = _BitReader(payload, pos)
+    r = _BitReader(payload, pos, accel=accel)
     if r.read(14) != 0b11111111111110:
         raise ValueError(f"lost FLAC frame sync at byte {pos}")
     r.read(1)  # reserved

@@ -619,54 +619,110 @@ _JPEG_QTABLE_CHROMA = 12
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
-    unstuffing and restart-marker awareness."""
+    unstuffing and restart-marker awareness.
+
+    Accumulator design (the table-driven fast path): whole data bytes
+    are pulled into an int accumulator a few at a time — refill stops
+    at any REAL marker (a 0xFF not followed by 0x00), so buffered bits
+    are always pure entropy data — and `receive`/`peek16` cost O(1)
+    int ops per symbol instead of one Python call per bit. `pos` is
+    always a byte boundary in the ORIGINAL payload at or before the
+    next marker; any bits still buffered when a scan ends are that
+    final byte's padding."""
+
+    __slots__ = ("data", "pos", "acc", "nbits", "marker")
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
-        self.bit = 0
+        self.acc = 0
+        self.nbits = 0
+        self.marker: int | None = None  # marker refill stopped at; -1 EOF
+
+    def _refill(self, need: int) -> None:
+        if self.marker is not None:
+            return
+        d = self.data
+        pos, acc, n = self.pos, self.acc, self.nbits
+        size = len(d)
+        while n < need:
+            if pos >= size:
+                self.marker = -1
+                break
+            b = d[pos]
+            if b == 0xFF:
+                nxt = d[pos + 1] if pos + 1 < size else -1
+                if nxt != 0x00:
+                    self.marker = nxt
+                    break
+                pos += 2  # stuffed FF: the FF byte is data
+            else:
+                pos += 1
+            acc = (acc << 8) | b
+            n += 8
+        self.pos, self.acc, self.nbits = pos, acc, n
+
+    def _starved(self):
+        """Out of bits: surface what stopped the refill, matching the
+        per-bit reader's behavior (RSTn → _RestartMarker; any other
+        marker or EOF → error)."""
+        m = self.marker
+        if m is not None and 0xD0 <= m <= 0xD7:
+            raise _RestartMarker(m)
+        if m is None or m == -1:
+            raise ValueError("truncated JPEG entropy data")
+        raise ValueError(f"unexpected marker 0xFF{m:02x} in entropy data")
 
     def read_bit(self) -> int:
-        d = self.data
-        if d[self.pos] == 0xFF:
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:
-                pass  # stuffed FF: the FF byte is data
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
-            else:
-                raise ValueError(
-                    f"unexpected marker 0xFF{nxt:02x} in entropy data"
-                )
-        b = (d[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-            if self.pos < len(d) and d[self.pos - 1] == 0xFF and d[
-                self.pos
-            ] == 0x00:
-                self.pos += 1  # skip the stuffing zero
+        n = self.nbits
+        if n == 0:
+            self._refill(8)
+            n = self.nbits
+            if n == 0:
+                self._starved()
+        n -= 1
+        self.nbits = n
+        b = (self.acc >> n) & 1
+        self.acc &= (1 << n) - 1
         return b
 
-    def align_past_restart(self) -> None:
-        """Skip to just past the RSTn marker (reader is mid-byte or at
-        the 0xFF)."""
-        d = self.data
-        if self.bit:
-            self.bit = 0
-            self.pos += 1
-        while not (
-            d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7
-        ):
-            self.pos += 1
-        self.pos += 2
-
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._refill(n)
+            if self.nbits < n:
+                self._starved()
+        rem = self.nbits - n
+        v = self.acc >> rem
+        self.nbits = rem
+        self.acc &= (1 << rem) - 1
         return v
+
+    def peek16(self) -> int:
+        """Next 16 bits zero-padded past a marker/EOF (prefix-free
+        codes of length <= the real bit count decode identically)."""
+        if self.nbits < 16:
+            self._refill(16)
+        n = self.nbits
+        if n >= 16:
+            return self.acc >> (n - 16)
+        return (self.acc << (16 - n)) & 0xFFFF
+
+    def align_past_restart(self) -> None:
+        """Skip to just past the RSTn marker (drops any buffered
+        padding bits; `pos` never passes a real marker, so the scan
+        below cannot miss it)."""
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+        d = self.data
+        pos = self.pos
+        while not (
+            d[pos] == 0xFF and 0xD0 <= d[pos + 1] <= 0xD7
+        ):
+            pos += 1
+        self.pos = pos + 2
 
 
 class _RestartMarker(Exception):
@@ -682,28 +738,42 @@ def _extend(v: int, size: int) -> int:
 
 
 def _build_huff_decoder(bits: list[int], vals: list[int]):
-    """(code, length) → symbol map from a DHT's BITS/HUFFVAL lists
-    (canonical code assignment, T.81 C.2)."""
-    table = {}
+    """16-bit lookup tables from a DHT's BITS/HUFFVAL lists (canonical
+    code assignment, T.81 C.2): a code of length L at canonical value
+    c owns every 16-bit word whose top L bits equal c, so one
+    `peek16` + two byte-table reads decode any symbol. (sym, len) as
+    Python bytes — the fastest random-access container here; length 0
+    marks a hole in the canonical code space (invalid code)."""
+    sym = bytearray(1 << 16)
+    ln = bytearray(1 << 16)
     code = 0
     i = 0
     for length in range(1, 17):
+        span = 1 << (16 - length)
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[i]
+            lo = code << (16 - length)
+            sym[lo : lo + span] = vals[i].to_bytes(1, "big") * span
+            ln[lo : lo + span] = length.to_bytes(1, "big") * span
             code += 1
             i += 1
         code <<= 1
-    return table
+    return bytes(sym), bytes(ln)
 
 
 def _huff_decode(reader: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG stream")
+    sym_t, len_t = table
+    idx = reader.peek16()
+    length = len_t[idx]
+    if length == 0 or length > reader.nbits:
+        if reader.nbits < 16:
+            # the peek was zero-padded: a marker/EOF cut the stream
+            # mid-code — surface it like the per-bit reader did
+            reader._starved()
+        raise ValueError("invalid Huffman code in JPEG stream")
+    rem = reader.nbits - length
+    reader.nbits = rem
+    reader.acc &= (1 << rem) - 1
+    return sym_t[idx]
 
 
 def _decode_jpeg(payload: bytes) -> "np.ndarray":
@@ -878,7 +948,9 @@ def _decode_scan(
         bw, bh = mcux * comp["h"], mcuy * comp["v"]
         planes[comp["id"]] = np.zeros((bh, bw, 8, 8), dtype=np.int32)
     reader = _BitReader(payload, data_start)
-    zz = _zigzag_order()
+    # flat raster position of each zigzag index: one fancy-indexed
+    # store un-zigzags a whole block
+    zzpos = np.array([8 * i + j for i, j in _zigzag_order()])
     pred = {comp["id"]: 0 for comp, _, _ in scan}
     n_mcu = mcux * mcuy
     mcu = 0
@@ -888,7 +960,7 @@ def _decode_scan(
             for comp, tdc, tac in scan:
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        blk = np.zeros(64, dtype=np.int32)
+                        blk = [0] * 64  # zigzag order; permuted below
                         s = _huff_decode(reader, huff_dc[tdc])
                         diff = _extend(reader.receive(s), s)
                         pred[comp["id"]] += diff
@@ -905,12 +977,10 @@ def _decode_scan(
                             k += r
                             blk[k] = _extend(reader.receive(s), s)
                             k += 1
-                        q = np.zeros((8, 8), dtype=np.int32)
-                        for kk, (i, j) in enumerate(zz):
-                            q[i, j] = blk[kk]
-                        planes[comp["id"]][
+                        q = planes[comp["id"]][
                             my * comp["v"] + by, mx * comp["h"] + bx
-                        ] = q
+                        ]
+                        q.reshape(64)[zzpos] = blk
             mcu += 1
             if (
                 restart_interval
@@ -955,7 +1025,7 @@ def _decode_progressive_scan(
     import numpy as np  # noqa: F401 — planes are numpy arrays
 
     reader = _BitReader(payload, data_start)
-    zz = _zigzag_order()
+    zzpos = np.array([8 * i + j for i, j in _zigzag_order()])
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -963,25 +1033,32 @@ def _decode_progressive_scan(
     eobrun = 0  # per-scan EOB-run state (never crosses scans)
     p1 = 1 << al
 
-    def correct(blk, i, j):
-        """Refinement correction bit for an already-nonzero coefficient
-        (G.1.2.3): if the bit arrives set and this magnitude bit is not
-        yet present, grow the magnitude away from zero. The & works on
-        two's complement because at stage Al every stored coefficient
-        is a multiple of 2^Al."""
-        if reader.read_bit() and not (int(blk[i, j]) & p1):
-            blk[i, j] += p1 if blk[i, j] > 0 else -p1
+    # Blocks are worked on as ZIGZAG-ordered Python lists of ints —
+    # gathered from / scattered back to the numpy coefficient planes
+    # in two vector ops per scan. The coefficient loops below touch
+    # every band position of every block (the AC-refinement sweep in
+    # particular), and plain-int list ops are ~10x cheaper than numpy
+    # scalar indexing there. Zigzag index k IS the list index, so the
+    # spec's zigzag table disappears from the inner loops entirely.
+    def gather(plane):
+        bh, bw = plane.shape[:2]
+        return plane.reshape(bh, bw, 64)[:, :, zzpos].tolist()
 
-    def dc_block(blk, comp, tdc):
+    def scatter(plane, rows):
+        bh, bw = plane.shape[:2]
+        plane.reshape(bh, bw, 64)[:, :, zzpos] = np.asarray(rows)
+
+    def dc_vals(vals, comp, tdc):
         if ah == 0:
             s = _huff_decode(reader, huff_dc[tdc])
             pred[comp["id"]] += _extend(reader.receive(s), s)
-            blk[0, 0] = pred[comp["id"]] << al
+            vals[0] = pred[comp["id"]] << al
         elif reader.read_bit():
             # DC refinement appends one magnitude bit (G.1.2.1); OR is
             # the spec's arithmetic on the two's-complement value
-            blk[0, 0] = int(blk[0, 0]) | p1
-    def ac_first_block(blk, tac):
+            vals[0] |= p1
+
+    def ac_first_vals(vals, tac):
         nonlocal eobrun
         if eobrun > 0:
             eobrun -= 1
@@ -999,11 +1076,10 @@ def _decode_progressive_scan(
                     eobrun += reader.receive(r)
                 break  # EOBn: this block (and eobrun more) done
             k += r
-            i, j = zz[k]
-            blk[i, j] = _extend(reader.receive(s), s) << al
+            vals[k] = _extend(reader.receive(s), s) << al
             k += 1
 
-    def ac_refine_block(blk, tac):
+    def ac_refine_vals(vals, tac):
         nonlocal eobrun
         k = ss
         if eobrun == 0:
@@ -1027,14 +1103,20 @@ def _decode_progressive_scan(
                     val = p1 if reader.read_bit() else -p1
                 # advance past `r` zero-history coefficients, emitting
                 # correction bits for nonzero ones along the way
+                # (G.1.2.3: grow an already-nonzero magnitude away
+                # from zero when the bit arrives set and this 2^Al bit
+                # is not yet present — the & works on two's complement
+                # because every stored coefficient is a multiple of
+                # 2^Al at this stage)
                 while k <= se:
-                    i, j = zz[k]
-                    if blk[i, j] != 0:
-                        correct(blk, i, j)
+                    v = vals[k]
+                    if v != 0:
+                        if reader.read_bit() and not (v & p1):
+                            vals[k] = v + (p1 if v > 0 else -p1)
                     else:
                         if r == 0:
                             if val:
-                                blk[i, j] = val
+                                vals[k] = val
                             k += 1
                             break
                         r -= 1
@@ -1043,9 +1125,9 @@ def _decode_progressive_scan(
             # inside an EOB run: correction bits still arrive for the
             # nonzero coefficients of the remaining band
             while k <= se:
-                i, j = zz[k]
-                if blk[i, j] != 0:
-                    correct(blk, i, j)
+                v = vals[k]
+                if v != 0 and reader.read_bit() and not (v & p1):
+                    vals[k] = v + (p1 if v > 0 else -p1)
                 k += 1
             eobrun -= 1
 
@@ -1058,18 +1140,22 @@ def _decode_progressive_scan(
     if len(scan) > 1:
         # interleaved scan (DC only in progressive mode): MCU order,
         # each MCU carrying h×v blocks per component
+        rows = {comp["id"]: gather(planes[comp["id"]]) for comp, _, _ in scan}
+        width = {
+            comp["id"]: planes[comp["id"]].shape[1] for comp, _, _ in scan
+        }
         n_mcu = mcux * mcuy
         mcu = 0
         while mcu < n_mcu:
             try:
                 my, mx = divmod(mcu, mcux)
                 for comp, tdc, _ in scan:
+                    cid = comp["id"]
                     for by in range(comp["v"]):
                         for bx in range(comp["h"]):
-                            dc_block(
-                                planes[comp["id"]][
-                                    my * comp["v"] + by,
-                                    mx * comp["h"] + bx,
+                            dc_vals(
+                                rows[cid][my * comp["v"] + by][
+                                    mx * comp["h"] + bx
                                 ],
                                 comp,
                                 tdc,
@@ -1085,6 +1171,8 @@ def _decode_progressive_scan(
             except _RestartMarker:
                 reader.align_past_restart()
                 reset_state()
+        for comp, _, _ in scan:
+            scatter(planes[comp["id"]], rows[comp["id"]])
     else:
         # single-component scan (AC always; DC when ns == 1): raster
         # over the COMPONENT's own block grid, which can be smaller
@@ -1095,17 +1183,18 @@ def _decode_progressive_scan(
         cw = -(-comp_w // 8)
         ch = -(-comp_h // 8)
         plane = planes[comp["id"]]
+        rows = gather(plane)
         n_blk = cw * ch
         blk_i = 0
         while blk_i < n_blk:
             try:
                 byi, bxi = divmod(blk_i, cw)
                 if ss == 0:
-                    dc_block(plane[byi, bxi], comp, tdc)
+                    dc_vals(rows[byi][bxi], comp, tdc)
                 elif ah == 0:
-                    ac_first_block(plane[byi, bxi], tac)
+                    ac_first_vals(rows[byi][bxi], tac)
                 else:
-                    ac_refine_block(plane[byi, bxi], tac)
+                    ac_refine_vals(rows[byi][bxi], tac)
                 blk_i += 1
                 if (
                     restart_interval
@@ -1117,7 +1206,12 @@ def _decode_progressive_scan(
             except _RestartMarker:
                 reader.align_past_restart()
                 reset_state()
-    return reader.pos + (1 if reader.bit else 0)
+        scatter(plane, rows)
+    # reader.pos is byte-aligned, past all consumed bytes, and never
+    # beyond the next real marker (refill stops at 0xFF); anything
+    # between it and the marker is final-byte padding the outer marker
+    # scan skips safely
+    return reader.pos
 
 
 def _finalize_jpeg(planes, comps, qtables, h, w):

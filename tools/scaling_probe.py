@@ -12,6 +12,9 @@ Usage: python tools/scaling_probe.py [query ...]   (default: probe set)
        python tools/scaling_probe.py --ingest      (pump vs datasource
                                                     A/B at 4/16/64/128
                                                     shards)
+       python tools/scaling_probe.py --codec-bench (MB/s/core decode
+                                                    rate per from-spec
+                                                    codec kernel)
 Prints one JSON line per query with per-SF min-of-2 timings and ratios.
 """
 
@@ -271,7 +274,106 @@ def probe_ingest_ab(spark) -> None:
                 shutil.rmtree(wd, ignore_errors=True)
 
 
+def probe_codec_bench() -> None:
+    """Decode throughput (MB/s/core, single-threaded) per from-spec
+    codec over deterministic synthetic payloads — the absolute cost of
+    the pure-Python kernels on the 100 TB multimodal path (VERDICT r07
+    #1: measure, then vectorize). No Spark: the kernels run inside
+    Arrow batches on executors, so single-core decode rate is the
+    scale-relevant number."""
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from pipeline_kinesis_spark.operators import multimodal as mm
+    from pipeline_kinesis_spark.operators.avi import (
+        decode_avi,
+        encode_avi_mjpeg,
+    )
+    from pipeline_kinesis_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+    )
+    from pipeline_kinesis_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(8)
+    # smooth gradient + mild noise: compresses like a photo, not like
+    # white noise (which would overweight the entropy coder)
+    yy, xx = np.mgrid[0:192, 0:256]
+    base = (
+        96
+        + 64 * np.sin(xx / 23.0)
+        + 48 * np.cos(yy / 17.0)
+    )
+    img = np.clip(
+        base[:, :, None]
+        + rng.normal(0, 12, (192, 256, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    t = np.arange(48000)
+    audio = np.clip(
+        (
+            9000 * np.sin(2 * np.pi * 440 * t / 8000)
+            + 3000 * np.sin(2 * np.pi * 97 * t / 8000)
+            + rng.normal(0, 400, t.shape)
+        ),
+        -32768,
+        32767,
+    ).astype(np.int16)
+    stereo = np.stack([audio, (audio // 2).astype(np.int16)], axis=1)
+    frames = [
+        np.roll(img, 8 * i, axis=1) for i in range(4)
+    ]
+
+    cases = {
+        "png": (mm.encode_png(img, filter_type=4), mm._decode_png),
+        "jpeg_baseline": (mm.encode_jpeg(img), mm._decode_jpeg),
+        "jpeg_progressive": (
+            mm.encode_jpeg_progressive(img),
+            mm._decode_jpeg,
+        ),
+        "gif": (
+            mm.encode_gif(
+                rng.integers(0, 256, (256, 3)).astype(np.uint8),
+                (img[:, :, 0] // 1).astype(np.uint8),
+            ),
+            mm._decode_gif,
+        ),
+        "tiff": (encode_tiff(img), decode_tiff),
+        "flac": (encode_flac(8000, stereo), decode_flac),
+        "adpcm": (mm.encode_wav_ima(8000, stereo), mm._decode_wav),
+        "avi_mjpeg": (encode_avi_mjpeg(10.0, frames), decode_avi),
+    }
+    for name, (payload, decode) in cases.items():
+        decode(payload)  # warm imports/JITless caches
+        reps = 0
+        t0 = time.perf_counter()
+        while True:
+            decode(payload)
+            reps += 1
+            dt = time.perf_counter() - t0
+            if dt >= 1.0 or reps >= 50:
+                break
+        mb = len(payload) / 1e6
+        print(
+            json.dumps(
+                {
+                    "probe": "codec_bench",
+                    "codec": name,
+                    "payload_mb": round(mb, 4),
+                    "reps": reps,
+                    "mb_per_s_core": round(mb * reps / dt, 3),
+                    "s_per_payload": round(dt / reps, 4),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
+    if "--codec-bench" in sys.argv[1:]:
+        probe_codec_bench()
+        return
     if "--streaming" in sys.argv[1:]:
         spark = get_spark("scaling-probe-streaming", shuffle_partitions=8)
         probe_osrel_chain(spark)
