@@ -31,6 +31,51 @@ from pipeline_kinesis_spark import get_spark
 from pipeline_kinesis_spark.registry import bench_queries
 
 
+def gates_main() -> None:
+    """`python bench.py --gates` (VERDICT r07 #7): one-shot absolute
+    cost of every CURRENT gate-window row at sf0.1 — the driver-window
+    rows mostly default bench=False, so without this their costs live
+    only in the scale probe's ratios. One JSON line, per-row seconds
+    (min of 2 on a warm session). Not the headline set; quote into
+    BENCH_NOTES."""
+    from pipeline_kinesis_spark import registry
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    spark = get_spark("bench-gates")
+    fns = registry.query_fns()
+    warm_dir = "/root/testdata/sf0.001"
+    timings: dict[str, float] = {}
+    for name in registry._PRIORITY:
+        try:
+            fns[name](spark, warm_dir).collect()
+        except Exception:  # noqa: BLE001 — warmup only
+            pass
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            fns[name](spark, sf_dir).collect()
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg = None
+    print(
+        json.dumps(
+            {
+                "metric": "gate_window_rows_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "sf": float(m.group(1)) if m else -1.0,
+                "n_queries": len(timings),
+                "queries": timings,
+                "loadavg": loadavg,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -157,4 +202,7 @@ def _ingest_throughput(spark, n_records: int = 100_000) -> float:
 
 
 if __name__ == "__main__":
-    main()
+    if "--gates" in sys.argv[1:]:
+        gates_main()
+    else:
+        main()

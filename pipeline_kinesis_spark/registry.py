@@ -50,107 +50,92 @@ _MODULES = (
 # already verified green follow after.
 _WINDOW = 50
 
-# Round-7 rotation (VERDICT r06 "Next round" #4): the stalest oracled
-# greens — r01-only relational rows and r01 TPC-H — rotate back into
-# the window for driver re-verification. Twelve return:
-#   filter_predicates (B6), join_left_outer (B8), join_semi/join_anti
-#   (B9), join_range (B10), agg_distinct (B13), order_limit (B18),
-#   set_union_distinct (B20), scalar_string_funcs (B21), json_extract
-#   (B22), q2_min_cost_supplier, q4_order_priority (r01 TPC-H).
-# Twelve multi-round greens retire, each with its family still
+# Round-8 rotation (VERDICT r07 "Next round" #4): the stalest oracled
+# greens — r02-only TPC-H/relational rows and r02-r0x streaming/
+# window/sketch rows — rotate back into the window for driver
+# re-verification. Twelve return:
+#   q3_shipping_priority, q5_local_supplier_volume, q8_market_share
+#     (r02 TPC-H), case_coalesce (B21, r02), cube_orders /
+#     rollup_revenue (B15, r02), sliding_window_agg (B23, r03),
+#     cms_event_counts (B14, r03), session_window_agg (B24, r04),
+#     window_range_frame (B17, r05), corpus_clean (C6, r04),
+#     cohort_retention (events, r06).
+# Twelve r07 multi-round greens retire, each with its family still
 # represented inside the window:
-#   decontaminate_overlap/gopher_repetition/pii_redact/dataset_split
-#     (4x each) → C6 stays via stratified_sample_hash, domain_balance,
-#     doc_chunk_overlap, oov_rate_filter (curation_report also covered
-#     until it retired late-r07, see below)
-#   agg_approx_distinct (4x) → B14 stays via hll_mergeable_distinct
-#   cosine_topk_pq_recall (4x) → C7 stays via cosine_topk_ivfpq_recall
-#   cosine_topk_ivf_recall (4x) → C3 stays via cosine_topk_lsh_recall +
-#     embedding_neardup_clusters
-#   scaled_value_pandas (4x) → B27 stays via zscore_per_user
-#   join_salted_skew (4x) → B12 stays via q1/agg_exact_percentiles/
-#     value_histogram (agg_corr_regression also covered until it
-#     retired late-r07, see below)
-#   ngram_jaccard_prefix (5x) → C2 stays via crossdoc_span_dup,
-#     minhash_lsh_recall, dedup_spans_rewrite
-#   multimodal_meta_stats (5x) + multimodal_features (4x) → C5 stays
-#     via multimodal_resize + multimodal_decode_stats
-# Sole-family reps (asof_join B11, tumbling B23, unpivot B15,
-# exact_dedup C1, bpe_train_verify C9, neardup_components C8) stay put
-# regardless of streak. Rotated-out rows remain covered by the local
-# sf0.01 full differential (tools/compare_oracle.py) and pytest;
-# tools/gate_history.py asserts every oracled registry query has held
-# a driver-green row in some round.
+#   q1_pricing_summary / q7_volume_shipping (6x) → TPC-H agg/join
+#     stays via q2/q4 + returning q3/q5/q8 (q1 remains the entry()
+#     flagship and a bench headline — exercised every round anyway)
+#   hll_mergeable_distinct (4x) → B14 stays via theta_set_overlap +
+#     returning cms_event_counts
+#   funnel_conversion (4x) → events stays via returning
+#     cohort_retention
+#   unpivot_lineitem_measures (5x) → B15 stays via returning
+#     cube_orders + rollup_revenue
+#   window_rank (3x) → B17 stays via returning window_range_frame
+#   tumbling_window_agg (5x) → B23 stays via returning
+#     sliding_window_agg
+#   crossdoc_span_dup (4x) → C2 stays via dedup_spans_rewrite +
+#     image_dhash_dedup + audio_fingerprint_dedup
+#   agg_exact_percentiles (4x) → B12 stays via value_histogram +
+#     returning TPC-H aggs; percentile math also via
+#     combine_percentile_regroup
+#   domain_balance / doc_chunk_overlap (3x) → C6 stays via
+#     stratified_sample_hash + oov_rate_filter + returning
+#     corpus_clean
+#   embedding_neardup_clusters (4x) → C3 stays via
+#     cosine_topk_lsh_recall
+# Sole-family reps (asof_join B11, exact_dedup C1, bpe_train_verify
+# C9, neardup_components C8, cosine_topk_ivfpq_recall C7,
+# zscore_per_user B27) stay put regardless of streak. Rotated-out rows
+# remain covered by the local sf0.01 full differential
+# (tools/compare_oracle.py) and pytest; tools/gate_history.py asserts
+# every oracled registry query has held a driver-green row in some
+# round.
 _PRIORITY = (
-    # TPC-H aggregate/join shapes (q2/q4: r01-stale, returning)
-    "q1_pricing_summary", "q7_volume_shipping",
+    # TPC-H aggregate/join shapes (q3/q5/q8: r02-stale, returning)
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q8_market_share",
     "q2_min_cost_supplier", "q4_order_priority",
     # PipelineDB combine() merge math, batch-expressible twins (B2):
-    # exact transition states + the new KLL percentile sketch merge
-    # (r07; takes text_normalize's row — 3x green, C4 stays via
-    # text_quality/token_count_bpe + the new html_extract_main and
-    # srt_caption_stats; winnow and lm_perplexity retired later in r07)
+    # exact transition states + the KLL percentile sketch merge
     "combine_regroup", "combine_percentile_regroup",
-    # relational §2B rows returning from r01 (B6/B8/B9/B10/B13/B18/
-    # B20/B21/B22)
+    # relational §2B rows (B6/B8/B9/B10/B13/B18/B20/B21/B22;
+    # case_coalesce returns from r02)
     "filter_predicates", "join_left_outer", "join_semi", "join_anti",
     "join_range", "agg_distinct", "order_limit", "set_union_distinct",
-    "scalar_string_funcs", "json_extract",
+    "scalar_string_funcs", "case_coalesce", "json_extract",
+    # grouping sets family (B15): returning from r02
+    "cube_orders", "rollup_revenue",
     # dedup clustering + tokenizer training + ANN compression
     "neardup_components", "bpe_train_verify", "cosine_topk_ivfpq_recall",
-    # approx aggregates (B14) — theta_set_overlap is new r07 (sketch
-    # SET ALGEBRA: union/intersection/difference across segments) and
-    # takes agg_keyed_minmax's row (4x green; B12 stays via q1 /
-    # agg_exact_percentiles / value_histogram)
-    "hll_mergeable_distinct", "theta_set_overlap",
-    # remaining §2B families
-    "funnel_conversion",
-    # late-r07: the audio twin of the cross-codec perceptual-dedup
-    # gate (agg_corr_regression retires — multi-round green, B12 stays
-    # via q1/agg_exact_percentiles/value_histogram)
-    "audio_fingerprint_dedup",
-    "unpivot_lineitem_measures",
-    # window functions / top-k (B17/B19)
-    "window_rank", "topk_per_group",
-    # mid-r07 additions (C5: real video + audio-feature decode gates;
-    # window_lag_lead retires — B17 stays via window_rank — and
-    # winnow_fingerprint_stats retires (3x green) — C4 stays via
-    # text_quality/token_count_bpe)
+    # approx aggregates / sketches (B14): theta set algebra + the
+    # returning count-min row
+    "theta_set_overlap", "cms_event_counts",
+    # events: returning cohort analysis row
+    "cohort_retention",
+    # perceptual media dedup twins (C2-for-media)
+    "audio_fingerprint_dedup", "image_dhash_dedup",
+    # window functions / top-k (B17/B19): range-frame row returns
+    "window_range_frame", "topk_per_group",
+    # C5: real video + audio-feature decode gates
     "multimodal_video_stats", "audio_signal_features",
-    # timeseries (B11/B23) + pandas-UDF surface (B27)
-    # late-r07: caption-alignment parsing gate (curation_report
-    # retires — multi-round green, C6 stays via stratified_sample_hash
-    # + domain_balance + doc_chunk_overlap + oov_rate_filter)
-    "srt_caption_stats", "tumbling_window_agg",
+    # timeseries (B11/B23/B24) + pandas-UDF surface (B27):
+    # sliding/session window rows return
+    "srt_caption_stats", "sliding_window_agg", "session_window_agg",
     "asof_join", "zscore_per_user",
-    # dedup (C1/C2: exact, crossdoc spans, span rewrite;
-    # minhash_lsh_recall retires mid-r07 — multi-round green, C2 stays
-    # via crossdoc_span_dup + dedup_spans_rewrite — for the new C4
-    # boilerplate-stripping gate row)
-    "exact_dedup", "crossdoc_span_dup", "html_extract_main",
-    # text analysis / corpus ops
+    # dedup (C1/C2: exact + span rewrite) and C4 text analysis
+    "exact_dedup", "dedup_spans_rewrite", "html_extract_main",
     "text_quality", "token_count_bpe",
-    "agg_exact_percentiles", "value_histogram",
-    "dedup_spans_rewrite",
-    # late-r07: the real nearest-neighbor resize kernel under the gate
-    # (lm_perplexity retires — 4x green, C6 stays via
-    # stratified_sample_hash/domain_balance/doc_chunk_overlap/
-    # oov_rate_filter)
+    "value_histogram",
+    # the real nearest-neighbor resize kernel under the gate
     "image_resize_stats",
-    # corpus curation (C6: hash-threshold scale-path sampler et al.)
-    "stratified_sample_hash",
-    # similarity search
-    "cosine_topk_lsh_recall", "embedding_neardup_clusters",
-    # sketches / events / perceptual media dedup (cohort_retention
-    # retires late-r07 — events stays via funnel_conversion — for the
-    # new C2-for-media cross-codec dHash gate row)
-    "image_dhash_dedup",
-    # late-round-5 curation additions (C4/C6)
-    "domain_balance", "doc_chunk_overlap", "oov_rate_filter",
-    # multimodal (C5): the strongest checks — real image AND audio
-    # codecs under full DuckDB oracles (multimodal_resize, 3x green,
-    # rotates out mid-r07 for the new FLAC/WAV audio gate row; the
-    # resize pipeline stays in the full differential)
+    # corpus curation (C6): hash-threshold scale-path sampler + the
+    # returning cleaning pipeline row
+    "stratified_sample_hash", "corpus_clean", "oov_rate_filter",
+    # similarity search (C3)
+    "cosine_topk_lsh_recall",
+    # multimodal (C5): real image AND audio codecs under full DuckDB
+    # oracles
     "multimodal_audio_stats", "multimodal_decode_stats",
 )
 

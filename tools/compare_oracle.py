@@ -50,8 +50,17 @@ def main() -> int:
             f"{status}  {name} [{time.time() - t0:.1f}s]"
             + ("".join("\n      " + p for p in problems))
         )
+    qs = all_queries()
+    oracled = sum(1 for s in qs.values() if s.oracle is not None)
+    # registry-derived battery counts (VERDICT r07 #5): quote THIS
+    # line in BENCH_NOTES instead of hand-written totals, so prose
+    # can't drift from the registry
     print(
-        f"\n{len(failures)} failures"
+        f"\nregistry: {len(qs)} queries ({oracled} oracled, "
+        f"{len(qs) - oracled} rows-only)"
+    )
+    print(
+        f"{len(failures)} failures"
         + (f": {sorted(failures)}" if failures else "")
     )
     return 1 if failures else 0
