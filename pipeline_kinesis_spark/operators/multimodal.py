@@ -2133,19 +2133,37 @@ def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
                         "IMA ADPCM WAV missing its fact chunk "
                         "(total sample count)"
                     )
-                out_ch: list[list[int]] = [[] for _ in range(channels)]
-                for bstart in range(pos, pos + size, block_align):
-                    block = payload[
-                        bstart : min(bstart + block_align, pos + size)
-                    ]
-                    if len(block) < 4 * channels:
-                        break
+                # blocks are INDEPENDENT (each header carries its own
+                # predictor + step index), so the sequential nibble
+                # recurrence runs once per sample POSITION, vectorized
+                # across every full block at once; only a ragged tail
+                # block falls back to the scalar walker
+                n_full = size // block_align
+                parts: list[list] = [[] for _ in range(channels)]
+                if n_full:
+                    full = np.frombuffer(
+                        payload,
+                        dtype=np.uint8,
+                        count=n_full * block_align,
+                        offset=pos,
+                    ).reshape(n_full, block_align)
+                    dec = _ima_decode_blocks_vec(full, spb, channels)
+                    for c in range(channels):
+                        parts[c].append(dec[c])
+                tail = payload[pos + n_full * block_align : pos + size]
+                if len(tail) >= 4 * channels:
                     for c, vals in enumerate(
-                        _ima_decode_block(block, spb, channels)
+                        _ima_decode_block(tail, spb, channels)
                     ):
-                        out_ch[c].extend(vals)
+                        parts[c].append(np.asarray(vals, dtype=np.int64))
+                chans_arr = [
+                    np.concatenate(p)
+                    if p
+                    else np.empty(0, dtype=np.int64)
+                    for p in parts
+                ]
                 samples = np.asarray(
-                    [v[:n_total] for v in out_ch], dtype=np.int16
+                    [a[:n_total] for a in chans_arr], dtype=np.int16
                 ).T.reshape(-1)
             else:
                 codes = np.frombuffer(
@@ -2294,6 +2312,62 @@ def _ima_decode_block(
                     chans[c].append(preds[c])
             pos += 4
     return chans
+
+
+def _ima_decode_blocks_vec(
+    blocks: "np.ndarray", n_samples: int, channels: int
+) -> list["np.ndarray"]:
+    """All full IMA blocks at once: (B, block_align) uint8 → per-channel
+    (B * n_samples,) int64 sample arrays. The per-sample recurrence is
+    inherently sequential WITHIN a block, but every block starts from
+    its own header state, so the state machine steps once per sample
+    position with (B, channels)-vectorized arithmetic — the same
+    transition as _ima_step_nibble, verified by the scalar/vector
+    equivalence test."""
+    import numpy as np
+
+    b = blocks.shape[0]
+    # headers: per channel 4 bytes — predictor int16 LE, step index
+    hdr = blocks[:, : 4 * channels].reshape(b, channels, 4)
+    pred = (
+        hdr[:, :, 0].astype(np.int64)
+        | (hdr[:, :, 1].astype(np.int64) << 8)
+    )
+    pred = np.where(pred >= 0x8000, pred - 0x10000, pred)
+    idx = np.clip(hdr[:, :, 2].astype(np.int64), 0, 88)
+    # nibble matrix: 4-byte groups alternate across channels; within a
+    # byte the LOW nibble is the earlier sample
+    body = blocks[:, 4 * channels :]
+    groups = body.reshape(b, -1, channels, 4)
+    nib = np.empty((*groups.shape, 2), dtype=np.uint8)
+    nib[..., 0] = groups & 0x0F
+    nib[..., 1] = groups >> 4
+    # (B, G, ch, 4, 2) → (B, ch, G*8) in sample order
+    nib = nib.reshape(b, -1, channels, 8).transpose(0, 2, 1, 3)
+    nib = nib.reshape(b, channels, -1).astype(np.int64)
+    steps_tbl = np.asarray(_IMA_STEP, dtype=np.int64)
+    adj_tbl = np.asarray(_IMA_ADJ, dtype=np.int64)
+    out = np.empty((b, channels, n_samples), dtype=np.int64)
+    out[:, :, 0] = pred
+    nsteps = min(n_samples - 1, nib.shape[2])
+    for i in range(nsteps):
+        n = nib[:, :, i]
+        step = steps_tbl[idx]
+        diff = (
+            (step >> 3)
+            + np.where(n & 1, step >> 2, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 4, step, 0)
+        )
+        pred = np.clip(
+            np.where(n & 8, pred - diff, pred + diff), -32768, 32767
+        )
+        idx = np.clip(idx + adj_tbl[n & 7], 0, 88)
+        out[:, :, i + 1] = pred
+    if nsteps < n_samples - 1:
+        # foreign file whose body holds fewer nibbles than spb-1
+        out = out[:, :, : nsteps + 1]
+    return [out[:, c, :].reshape(-1) for c in range(channels)]
 
 
 def _ima_quantize(s: int, pred: int, idx: int) -> int:

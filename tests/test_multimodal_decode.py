@@ -816,3 +816,45 @@ def test_resize_nearest_kernel():
     assert np.array_equal(up[::2, ::2], src)  # every source pixel kept
     one = resize_nearest(src, 1, 1)
     assert np.array_equal(one[0, 0], src[0, 0])
+
+
+def test_ima_vectorized_decoder_matches_scalar_walker():
+    """_ima_decode_blocks_vec steps the same state machine as
+    _ima_step_nibble, vectorized across blocks — byte-identical output
+    on random nibble bodies and extreme header states (predictor at
+    the int16 rails, step index clamped from out-of-range)."""
+    import struct
+
+    import numpy as np
+
+    from pipeline_kinesis_spark.operators.multimodal import (
+        _ima_decode_block,
+        _ima_decode_blocks_vec,
+    )
+
+    rng = np.random.default_rng(42)
+    for channels in (1, 2):
+        block_align = 64 * channels
+        spb = (block_align - 4 * channels) * 2 // channels + 1
+        blocks = []
+        for bi in range(7):
+            hdr = b""
+            for c in range(channels):
+                pred = int(
+                    rng.choice([-32768, 32767, 0, 1234, -4321])
+                )
+                idx = int(rng.integers(0, 100))  # >88 exercises clamp
+                hdr += struct.pack("<hBB", pred, idx, 0)
+            body = rng.integers(
+                0, 256, block_align - 4 * channels
+            ).astype(np.uint8)
+            blocks.append(hdr + body.tobytes())
+        arr = np.frombuffer(b"".join(blocks), dtype=np.uint8).reshape(
+            len(blocks), block_align
+        )
+        vec = _ima_decode_blocks_vec(arr, spb, channels)
+        for c in range(channels):
+            scalar = []
+            for blk in blocks:
+                scalar.extend(_ima_decode_block(blk, spb, channels)[c])
+            assert vec[c].tolist() == scalar
