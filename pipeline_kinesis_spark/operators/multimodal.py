@@ -374,25 +374,44 @@ def _png_unfilter(raw, stride, bpp):
             )
         elif f == 2:  # Up
             cur = (row + prev) % 256
-        elif f in (1, 3, 4):  # sequential left dependency
-            cur = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                a = cur[i - bpp] if i >= bpp else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:  # Average
-                    pred = (a + prev[i]) // 2
-                else:  # Paeth
-                    b = prev[i]
-                    c = prev[i - bpp] if i >= bpp else 0
+        elif f in (1, 3, 4):  # sequential left dependency — the scan
+            # runs on plain-int lists (numpy scalar indexing costs
+            # ~10x more per element than list access in this loop)
+            rl = row.tolist()
+            pl = prev.tolist()
+            out = [0] * stride
+            if f == 1:  # Sub (stride not a multiple of bpp)
+                for i in range(stride):
+                    a = out[i - bpp] if i >= bpp else 0
+                    out[i] = (rl[i] + a) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = out[i - bpp] if i >= bpp else 0
+                    out[i] = (rl[i] + ((a + pl[i]) >> 1)) & 0xFF
+            else:  # Paeth
+                for i in range(stride):
+                    a = out[i - bpp] if i >= bpp else 0
+                    b = pl[i]
+                    c = pl[i - bpp] if i >= bpp else 0
                     p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = (
-                        a
-                        if pa <= pb and pa <= pc
-                        else (b if pb <= pc else c)
-                    )
-                cur[i] = (row[i] + pred) % 256
+                    pa = p - a
+                    if pa < 0:
+                        pa = -pa
+                    pb = p - b
+                    if pb < 0:
+                        pb = -pb
+                    pc = p - c
+                    if pc < 0:
+                        pc = -pc
+                    out[i] = (
+                        rl[i]
+                        + (
+                            a
+                            if pa <= pb and pa <= pc
+                            else (b if pb <= pc else c)
+                        )
+                    ) & 0xFF
+            cur = np.asarray(out, dtype=np.int64)
         else:
             raise ValueError(f"bad PNG filter type {f}")
         recon[y] = cur
