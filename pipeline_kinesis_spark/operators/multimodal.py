@@ -1898,42 +1898,55 @@ def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> list[int]:
     """Variable-width LZW per the GIF spec: codes start at
     min_code+1 bits, the width bumps when the NEXT code would not fit
     (post-insert, cap 12 bits), CLEAR resets the table, and the KwKwK
-    case (code == next unassigned entry) resolves to prev + prev[0]."""
+    case (code == next unassigned entry) resolves to prev + prev[0].
+
+    Throughput: codes are pulled from an LSB-first accumulator (one
+    byte append per refill instead of 9-12 single-bit reads per code)
+    and the string table is a plain list indexed by code — the same
+    shape as the TIFF LZW decoder (tiff.py), which profiled ~5x faster
+    than the original per-bit/dict form of this function."""
     clear, end = 1 << min_code, (1 << min_code) + 1
     code_size = min_code + 1
-    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
-    next_code = end + 1
+    base: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    table = base.copy()
     out: list[int] = []
     prev: tuple[int, ...] | None = None
-    bitpos, total_bits = 0, len(data) * 8
-    while bitpos + code_size <= total_bits and len(out) < npix:
-        c = 0
-        for i in range(code_size):
-            c |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
-        bitpos += code_size
+    acc = nacc = 0
+    pos, nbytes = 0, len(data)
+    while len(out) < npix:
+        while nacc < code_size:
+            if pos >= nbytes:
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        c = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nacc -= code_size
         if c == clear:
-            table = {i: (i,) for i in range(clear)}
-            next_code, code_size, prev = end + 1, min_code + 1, None
+            del table[end + 1 :]
+            code_size, prev = min_code + 1, None
             continue
         if c == end:
             break
+        ncodes = len(table)
         if prev is None:
             entry = table[c]
-        elif c in table:
+        elif c < ncodes:
             entry = table[c]
-            if next_code < 4096:
-                table[next_code] = prev + (entry[0],)
-                next_code += 1
-        elif c == next_code:
-            entry = prev + (prev[0],)
-            if next_code < 4096:
-                table[next_code] = entry
-                next_code += 1
+            if ncodes < 4096:
+                table.append(prev + entry[:1])
+                ncodes += 1
+        elif c == ncodes:
+            entry = prev + prev[:1]
+            if ncodes < 4096:
+                table.append(entry)
+                ncodes += 1
         else:
             raise ValueError(f"corrupt GIF LZW stream (code {c})")
-        out.extend(entry)
+        out += entry
         prev = entry
-        if next_code == (1 << code_size) and code_size < 12:
+        if ncodes == (1 << code_size) and code_size < 12:
             code_size += 1
     if len(out) < npix:
         raise ValueError("truncated GIF LZW stream")

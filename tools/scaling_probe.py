@@ -339,7 +339,17 @@ def probe_codec_bench() -> None:
             ),
             mm._decode_gif,
         ),
-        "tiff": (encode_tiff(img), decode_tiff),
+        # uncompressed TIFF decode is strip reassembly (memory moves,
+        # GB/s — not interesting); the priced paths are the pure-Python
+        # LZW and PackBits strip decoders
+        "tiff_lzw": (
+            encode_tiff(img, compression="lzw", predictor=2),
+            decode_tiff,
+        ),
+        "tiff_packbits": (
+            encode_tiff(img, compression="packbits"),
+            decode_tiff,
+        ),
         "flac": (encode_flac(8000, stereo), decode_flac),
         "adpcm": (mm.encode_wav_ima(8000, stereo), mm._decode_wav),
         "avi_mjpeg": (encode_avi_mjpeg(10.0, frames), decode_avi),
