@@ -973,45 +973,182 @@ def _decode_scan(
     pred = {comp["id"]: 0 for comp, _, _ in scan}
     n_mcu = mcux * mcuy
     mcu = 0
+    # Hot-loop form: the bit-reader state (acc/nbits/pos/marker) lives
+    # in plain locals and the refill / peek16 / Huffman-LUT / EXTEND
+    # steps are inlined — the method-call form spent more time on
+    # ~5 Python calls per symbol than on the decode itself (profiled
+    # 0.58 MB/s/core; _huff_decode+peek16+receive+_extend+_refill were
+    # 60% of walltime as call overhead). Semantics are identical to
+    # _BitReader + _huff_decode: refill never crosses a real marker,
+    # peeks past end-of-bits are zero-padded, starvation raises
+    # _RestartMarker on RSTn / ValueError otherwise. The reader object
+    # is kept for the (rare) restart resync path only.
+    d = payload
+    size = len(d)
+    acc = nbits = 0
+    pos = data_start
+    marker = None  # None = more data; -1 = EOF; else the marker byte
+
+    def _starved_inline(m):
+        if m is not None and 0xD0 <= m <= 0xD7:
+            raise _RestartMarker(m)
+        if m is None or m == -1:
+            raise ValueError("truncated JPEG entropy data")
+        raise ValueError(f"unexpected marker 0xFF{m:02x} in entropy data")
+
+    scan_tabs = [
+        (
+            comp,
+            huff_dc[tdc][0],
+            huff_dc[tdc][1],
+            huff_ac[tac][0],
+            huff_ac[tac][1],
+        )
+        for comp, tdc, tac in scan
+    ]
+    # Decoded blocks are collected per component (zigzag-order int
+    # lists + flat block positions) and scattered into the coefficient
+    # planes in ONE fancy-indexed store per component at scan end —
+    # the per-block reshape+scatter was ~2 numpy calls per block.
+    # acc is only truncated at refill entry (extractions mask anyway);
+    # between refills it stays < 64 bits, machine-word arithmetic.
+    blk_acc: dict = {comp["id"]: [] for comp, _, _ in scan}
+    blk_pos: dict = {comp["id"]: [] for comp, _, _ in scan}
+    bwidths = {
+        comp["id"]: planes[comp["id"]].shape[1] for comp, _, _ in scan
+    }
     while mcu < n_mcu:
         try:
             my, mx = divmod(mcu, mcux)
-            for comp, tdc, tac in scan:
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
+            for comp, dc_sym, dc_len, ac_sym, ac_len in scan_tabs:
+                cid = comp["id"]
+                cv, ch = comp["v"], comp["h"]
+                ba, bp, bwc = blk_acc[cid], blk_pos[cid], bwidths[cid]
+                for by in range(cv):
+                    for bx in range(ch):
                         blk = [0] * 64  # zigzag order; permuted below
-                        s = _huff_decode(reader, huff_dc[tdc])
-                        diff = _extend(reader.receive(s), s)
-                        pred[comp["id"]] += diff
-                        blk[0] = pred[comp["id"]]
-                        k = 1
+                        p = pred[cid]
+                        k = 0  # 0 = DC step, then AC from 1
                         while k < 64:
-                            rs = _huff_decode(reader, huff_ac[tac])
-                            r, s = rs >> 4, rs & 0x0F
+                            # refill to >=32 bits (16-bit code +
+                            # 16-bit amplitude covers any symbol pair)
+                            if nbits < 32 and marker is None:
+                                acc &= (1 << nbits) - 1
+                                while nbits < 32:
+                                    if pos >= size:
+                                        marker = -1
+                                        break
+                                    b = d[pos]
+                                    if b == 0xFF:
+                                        nxt = (
+                                            d[pos + 1]
+                                            if pos + 1 < size
+                                            else -1
+                                        )
+                                        if nxt != 0x00:
+                                            marker = nxt
+                                            break
+                                        pos += 2
+                                    else:
+                                        pos += 1
+                                    acc = (acc << 8) | b
+                                    nbits += 8
+                            idx = (
+                                (acc >> (nbits - 16)) & 0xFFFF
+                                if nbits >= 16
+                                else ((acc & ((1 << nbits) - 1)) << (16 - nbits))
+                                & 0xFFFF
+                            )
+                            if k == 0:
+                                length = dc_len[idx]
+                                if length == 0 or length > nbits:
+                                    if nbits < 16:
+                                        _starved_inline(marker)
+                                    raise ValueError(
+                                        "invalid Huffman code in JPEG"
+                                        " stream"
+                                    )
+                                nbits -= length
+                                s = dc_sym[idx]
+                                if s:
+                                    if nbits < s:
+                                        _starved_inline(marker)
+                                    nbits -= s
+                                    v = (acc >> nbits) & ((1 << s) - 1)
+                                    p += (
+                                        v
+                                        if v >= 1 << (s - 1)
+                                        else v - (1 << s) + 1
+                                    )
+                                blk[0] = p
+                                pred[cid] = p
+                                k = 1
+                                continue
+                            length = ac_len[idx]
+                            if length == 0 or length > nbits:
+                                if nbits < 16:
+                                    _starved_inline(marker)
+                                raise ValueError(
+                                    "invalid Huffman code in JPEG stream"
+                                )
+                            nbits -= length
+                            rs = ac_sym[idx]
+                            s = rs & 0x0F
                             if s == 0:
-                                if r == 15:
+                                if rs == 0xF0:
                                     k += 16  # ZRL
                                     continue
                                 break  # EOB
-                            k += r
-                            blk[k] = _extend(reader.receive(s), s)
+                            k += rs >> 4
+                            if nbits < s:
+                                _starved_inline(marker)
+                            nbits -= s
+                            v = (acc >> nbits) & ((1 << s) - 1)
+                            blk[k] = (
+                                v
+                                if v >= 1 << (s - 1)
+                                else v - (1 << s) + 1
+                            )
                             k += 1
-                        q = planes[comp["id"]][
-                            my * comp["v"] + by, mx * comp["h"] + bx
-                        ]
-                        q.reshape(64)[zzpos] = blk
+                        ba.append(blk)
+                        bp.append(
+                            (my * cv + by) * bwc + mx * ch + bx
+                        )
             mcu += 1
             if (
                 restart_interval
                 and mcu % restart_interval == 0
                 and mcu < n_mcu
             ):
+                reader.pos = pos
                 reader.align_past_restart()
+                pos = reader.pos
+                acc = nbits = 0
+                marker = None
                 pred = {cid: 0 for cid in pred}
         except _RestartMarker:
             # premature restart: resync (decoder robustness)
+            reader.pos = pos
             reader.align_past_restart()
+            pos = reader.pos
+            acc = nbits = 0
+            marker = None
             pred = {cid: 0 for cid in pred}
+    inv_zz = np.argsort(zzpos)
+    for cid, blks in blk_acc.items():
+        if not blks:
+            continue
+        bpos = blk_pos[cid]
+        if len(set(bpos)) != len(bpos):
+            # restart-resync retries re-emit a block: keep the LAST
+            # decode of each position (the original loop's overwrite
+            # semantics)
+            keep = {q: i for i, q in enumerate(bpos)}
+            idxs = sorted(keep.values())
+            blks = [blks[i] for i in idxs]
+            bpos = [bpos[i] for i in idxs]
+        arr = np.asarray(blks, dtype=np.int32)[:, inv_zz]
+        planes[cid].reshape(-1, 64)[bpos] = arr
     return _finalize_jpeg(
         planes, [comp for comp, _, _ in scan], qtables, h, w
     )
