@@ -908,15 +908,22 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
             ahal = seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
             if prog_planes is None:
+                # coefficient planes live as ZIGZAG-ordered Python int
+                # lists (bh × bw × 64) for the whole frame — the
+                # successive-approximation scans hit every band
+                # position of every block many times, and plain-int
+                # list ops are ~10x cheaper than numpy scalar
+                # indexing; converted to numpy ONCE at frame end
+                # (was: a tolist/asarray round-trip per scan)
                 hmax = max(c["h"] for c in comps)
                 vmax = max(c["v"] for c in comps)
                 mcux = -(-w // (8 * hmax))
                 mcuy = -(-h // (8 * vmax))
                 prog_planes = {
-                    c["id"]: np.zeros(
-                        (mcuy * c["v"], mcux * c["h"], 8, 8),
-                        dtype=np.int32,
-                    )
+                    c["id"]: [
+                        [[0] * 64 for _ in range(mcux * c["h"])]
+                        for _ in range(mcuy * c["v"])
+                    ]
                     for c in comps
                 }
                 prog_pred = {c["id"]: 0 for c in comps}
@@ -940,7 +947,16 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
             continue
         pos += seg_len
     if progressive and prog_planes is not None:
-        return _finalize_jpeg(prog_planes, comps, qtables, h, w)
+        zzpos = np.array([8 * i + j for i, j in zz])
+        np_planes = {}
+        for cid, rows in prog_planes.items():
+            bh, bw = len(rows), len(rows[0])
+            plane = np.zeros((bh, bw, 8, 8), dtype=np.int32)
+            plane.reshape(bh, bw, 64)[:, :, zzpos] = np.asarray(
+                rows, dtype=np.int32
+            )
+            np_planes[cid] = plane
+        return _finalize_jpeg(np_planes, comps, qtables, h, w)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -1177,32 +1193,22 @@ def _decode_progressive_scan(
     refinement (interleaved over MCUs when the scan lists several
     components), AC first / AC refinement (single-component, block
     raster over that component's own grid). Returns the position just
-    past the scan's entropy-coded data."""
-    import numpy as np  # noqa: F401 — planes are numpy arrays
+    past the scan's entropy-coded data.
 
+    `planes` holds each component's blocks as ZIGZAG-ordered Python
+    int lists (bh × bw × 64, built by the caller, converted to numpy
+    once at frame end). The coefficient loops below touch every band
+    position of every block (the AC-refinement sweep in particular),
+    and plain-int list ops are ~10x cheaper than numpy scalar
+    indexing. Zigzag index k IS the list index, so the spec's zigzag
+    table disappears from the inner loops entirely."""
     reader = _BitReader(payload, data_start)
-    zzpos = np.array([8 * i + j for i, j in _zigzag_order()])
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     eobrun = 0  # per-scan EOB-run state (never crosses scans)
     p1 = 1 << al
-
-    # Blocks are worked on as ZIGZAG-ordered Python lists of ints —
-    # gathered from / scattered back to the numpy coefficient planes
-    # in two vector ops per scan. The coefficient loops below touch
-    # every band position of every block (the AC-refinement sweep in
-    # particular), and plain-int list ops are ~10x cheaper than numpy
-    # scalar indexing there. Zigzag index k IS the list index, so the
-    # spec's zigzag table disappears from the inner loops entirely.
-    def gather(plane):
-        bh, bw = plane.shape[:2]
-        return plane.reshape(bh, bw, 64)[:, :, zzpos].tolist()
-
-    def scatter(plane, rows):
-        bh, bw = plane.shape[:2]
-        plane.reshape(bh, bw, 64)[:, :, zzpos] = np.asarray(rows)
 
     def dc_vals(vals, comp, tdc):
         if ah == 0:
@@ -1214,78 +1220,238 @@ def _decode_progressive_scan(
             # the spec's arithmetic on the two's-complement value
             vals[0] |= p1
 
-    def ac_first_vals(vals, tac):
+    # The two AC loops below are the progressive hot path (an AC
+    # refinement scan touches every band position of every block, one
+    # bit per nonzero coefficient). Like the baseline scan decoder,
+    # they hold the bit-reader state in plain locals with the refill /
+    # peek16 / Huffman-LUT / read-bit steps inlined — the method-call
+    # form spent over half its walltime on per-symbol Python calls —
+    # syncing state back to `reader` once per BLOCK (try/finally, so
+    # the restart-resync path always sees a consistent reader).
+    # Starvation/zero-pad/marker semantics match _BitReader exactly.
+    d = payload
+    dsize = len(d)
+
+    def _starved_inline(m):
+        if m is not None and 0xD0 <= m <= 0xD7:
+            raise _RestartMarker(m)
+        if m is None or m == -1:
+            raise ValueError("truncated JPEG entropy data")
+        raise ValueError(f"unexpected marker 0xFF{m:02x} in entropy data")
+
+    def ac_first_vals(vals, ac_sym, ac_len):
         nonlocal eobrun
         if eobrun > 0:
             eobrun -= 1
             return
-        k = ss
-        while k <= se:
-            rs = _huff_decode(reader, huff_ac[tac])
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:
-                    k += 16  # ZRL
-                    continue
-                eobrun = (1 << r) - 1
-                if r:
-                    eobrun += reader.receive(r)
-                break  # EOBn: this block (and eobrun more) done
-            k += r
-            vals[k] = _extend(reader.receive(s), s) << al
-            k += 1
-
-    def ac_refine_vals(vals, tac):
-        nonlocal eobrun
-        k = ss
-        if eobrun == 0:
+        acc, nbits = reader.acc, reader.nbits
+        pos, marker = reader.pos, reader.marker
+        try:
+            k = ss
             while k <= se:
-                rs = _huff_decode(reader, huff_ac[tac])
+                if nbits < 32 and marker is None:
+                    acc &= (1 << nbits) - 1
+                    while nbits < 32:
+                        if pos >= dsize:
+                            marker = -1
+                            break
+                        b = d[pos]
+                        if b == 0xFF:
+                            nxt = d[pos + 1] if pos + 1 < dsize else -1
+                            if nxt != 0x00:
+                                marker = nxt
+                                break
+                            pos += 2
+                        else:
+                            pos += 1
+                        acc = (acc << 8) | b
+                        nbits += 8
+                idx = (
+                    (acc >> (nbits - 16)) & 0xFFFF
+                    if nbits >= 16
+                    else ((acc & ((1 << nbits) - 1)) << (16 - nbits))
+                    & 0xFFFF
+                )
+                length = ac_len[idx]
+                if length == 0 or length > nbits:
+                    if nbits < 16:
+                        _starved_inline(marker)
+                    raise ValueError("invalid Huffman code in JPEG stream")
+                nbits -= length
+                rs = ac_sym[idx]
                 r, s = rs >> 4, rs & 0x0F
                 if s == 0:
-                    if r != 15:
-                        # NOT the AC-first (1<<r)-1: the block reading
-                        # the EOB symbol still owes its correction-bit
-                        # sweep, so the run counts it and decrements
-                        # AFTER the sweep below (G.1.2.3)
-                        eobrun = 1 << r
-                        if r:
-                            eobrun += reader.receive(r)
-                        break  # remaining coeffs handled by EOB sweep
-                    val = 0  # ZRL: skip 16 zero-history coefficients
-                else:
-                    # s must be 1 in a refinement scan: a coefficient
-                    # becoming visible at this precision, value ±2^Al
-                    val = p1 if reader.read_bit() else -p1
-                # advance past `r` zero-history coefficients, emitting
-                # correction bits for nonzero ones along the way
-                # (G.1.2.3: grow an already-nonzero magnitude away
-                # from zero when the bit arrives set and this 2^Al bit
-                # is not yet present — the & works on two's complement
-                # because every stored coefficient is a multiple of
-                # 2^Al at this stage)
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        if nbits < r:
+                            _starved_inline(marker)
+                        nbits -= r
+                        eobrun += (acc >> nbits) & ((1 << r) - 1)
+                    break  # EOBn: this block (and eobrun more) done
+                k += r
+                if nbits < s:
+                    _starved_inline(marker)
+                nbits -= s
+                v = (acc >> nbits) & ((1 << s) - 1)
+                vals[k] = (
+                    v if v >= 1 << (s - 1) else v - (1 << s) + 1
+                ) << al
+                k += 1
+        finally:
+            reader.acc, reader.nbits = acc, nbits
+            reader.pos, reader.marker = pos, marker
+
+    def ac_refine_vals(vals, ac_sym, ac_len):
+        nonlocal eobrun
+        k = ss
+        acc, nbits = reader.acc, reader.nbits
+        pos, marker = reader.pos, reader.marker
+        try:
+            if eobrun == 0:
+                while k <= se:
+                    if nbits < 32 and marker is None:
+                        acc &= (1 << nbits) - 1
+                        while nbits < 32:
+                            if pos >= dsize:
+                                marker = -1
+                                break
+                            b = d[pos]
+                            if b == 0xFF:
+                                nxt = (
+                                    d[pos + 1] if pos + 1 < dsize else -1
+                                )
+                                if nxt != 0x00:
+                                    marker = nxt
+                                    break
+                                pos += 2
+                            else:
+                                pos += 1
+                            acc = (acc << 8) | b
+                            nbits += 8
+                    idx = (
+                        (acc >> (nbits - 16)) & 0xFFFF
+                        if nbits >= 16
+                        else ((acc & ((1 << nbits) - 1)) << (16 - nbits))
+                        & 0xFFFF
+                    )
+                    length = ac_len[idx]
+                    if length == 0 or length > nbits:
+                        if nbits < 16:
+                            _starved_inline(marker)
+                        raise ValueError(
+                            "invalid Huffman code in JPEG stream"
+                        )
+                    nbits -= length
+                    rs = ac_sym[idx]
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            # NOT the AC-first (1<<r)-1: the block
+                            # reading the EOB symbol still owes its
+                            # correction-bit sweep, so the run counts
+                            # it and decrements AFTER the sweep below
+                            # (G.1.2.3)
+                            eobrun = 1 << r
+                            if r:
+                                if nbits < r:
+                                    _starved_inline(marker)
+                                nbits -= r
+                                eobrun += (acc >> nbits) & ((1 << r) - 1)
+                            break  # remaining coeffs → EOB sweep
+                        val = 0  # ZRL: skip 16 zero-history coeffs
+                    else:
+                        # s must be 1 in a refinement scan: a coeff
+                        # becoming visible at this precision, ±2^Al
+                        if nbits == 0:
+                            _starved_inline(marker)
+                        nbits -= 1
+                        val = p1 if (acc >> nbits) & 1 else -p1
+                    # advance past `r` zero-history coefficients,
+                    # emitting correction bits for nonzero ones along
+                    # the way (G.1.2.3: grow an already-nonzero
+                    # magnitude away from zero when the bit arrives
+                    # set and this 2^Al bit is not yet present — the &
+                    # works on two's complement because every stored
+                    # coefficient is a multiple of 2^Al at this stage)
+                    while k <= se:
+                        v = vals[k]
+                        if v != 0:
+                            if nbits == 0:
+                                if marker is None:
+                                    acc = 0  # all bits stale
+                                    while nbits < 32:
+                                        if pos >= dsize:
+                                            marker = -1
+                                            break
+                                        b = d[pos]
+                                        if b == 0xFF:
+                                            nxt = (
+                                                d[pos + 1]
+                                                if pos + 1 < dsize
+                                                else -1
+                                            )
+                                            if nxt != 0x00:
+                                                marker = nxt
+                                                break
+                                            pos += 2
+                                        else:
+                                            pos += 1
+                                        acc = (acc << 8) | b
+                                        nbits += 8
+                                if nbits == 0:
+                                    _starved_inline(marker)
+                            nbits -= 1
+                            if (acc >> nbits) & 1 and not (v & p1):
+                                vals[k] = v + (p1 if v > 0 else -p1)
+                        else:
+                            if r == 0:
+                                if val:
+                                    vals[k] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                # inside an EOB run: correction bits still arrive for
+                # the nonzero coefficients of the remaining band
                 while k <= se:
                     v = vals[k]
                     if v != 0:
-                        if reader.read_bit() and not (v & p1):
+                        if nbits == 0:
+                            if marker is None:
+                                acc = 0  # all bits stale
+                                while nbits < 32:
+                                    if pos >= dsize:
+                                        marker = -1
+                                        break
+                                    b = d[pos]
+                                    if b == 0xFF:
+                                        nxt = (
+                                            d[pos + 1]
+                                            if pos + 1 < dsize
+                                            else -1
+                                        )
+                                        if nxt != 0x00:
+                                            marker = nxt
+                                            break
+                                        pos += 2
+                                    else:
+                                        pos += 1
+                                    acc = (acc << 8) | b
+                                    nbits += 8
+                            if nbits == 0:
+                                _starved_inline(marker)
+                        nbits -= 1
+                        if (acc >> nbits) & 1 and not (v & p1):
                             vals[k] = v + (p1 if v > 0 else -p1)
-                    else:
-                        if r == 0:
-                            if val:
-                                vals[k] = val
-                            k += 1
-                            break
-                        r -= 1
                     k += 1
-        if eobrun > 0:
-            # inside an EOB run: correction bits still arrive for the
-            # nonzero coefficients of the remaining band
-            while k <= se:
-                v = vals[k]
-                if v != 0 and reader.read_bit() and not (v & p1):
-                    vals[k] = v + (p1 if v > 0 else -p1)
-                k += 1
-            eobrun -= 1
+                eobrun -= 1
+        finally:
+            reader.acc, reader.nbits = acc, nbits
+            reader.pos, reader.marker = pos, marker
 
     def reset_state():
         nonlocal eobrun
@@ -1296,10 +1462,7 @@ def _decode_progressive_scan(
     if len(scan) > 1:
         # interleaved scan (DC only in progressive mode): MCU order,
         # each MCU carrying h×v blocks per component
-        rows = {comp["id"]: gather(planes[comp["id"]]) for comp, _, _ in scan}
-        width = {
-            comp["id"]: planes[comp["id"]].shape[1] for comp, _, _ in scan
-        }
+        rows = {comp["id"]: planes[comp["id"]] for comp, _, _ in scan}
         n_mcu = mcux * mcuy
         mcu = 0
         while mcu < n_mcu:
@@ -1327,8 +1490,6 @@ def _decode_progressive_scan(
             except _RestartMarker:
                 reader.align_past_restart()
                 reset_state()
-        for comp, _, _ in scan:
-            scatter(planes[comp["id"]], rows[comp["id"]])
     else:
         # single-component scan (AC always; DC when ns == 1): raster
         # over the COMPONENT's own block grid, which can be smaller
@@ -1338,19 +1499,20 @@ def _decode_progressive_scan(
         comp_h = -(-h * comp["v"] // vmax)
         cw = -(-comp_w // 8)
         ch = -(-comp_h // 8)
-        plane = planes[comp["id"]]
-        rows = gather(plane)
+        rows = planes[comp["id"]]
         n_blk = cw * ch
         blk_i = 0
+        if ss != 0:
+            ac_sym, ac_len = huff_ac[tac]
         while blk_i < n_blk:
             try:
                 byi, bxi = divmod(blk_i, cw)
                 if ss == 0:
                     dc_vals(rows[byi][bxi], comp, tdc)
                 elif ah == 0:
-                    ac_first_vals(rows[byi][bxi], tac)
+                    ac_first_vals(rows[byi][bxi], ac_sym, ac_len)
                 else:
-                    ac_refine_vals(rows[byi][bxi], tac)
+                    ac_refine_vals(rows[byi][bxi], ac_sym, ac_len)
                 blk_i += 1
                 if (
                     restart_interval
@@ -1362,7 +1524,6 @@ def _decode_progressive_scan(
             except _RestartMarker:
                 reader.align_past_restart()
                 reset_state()
-        scatter(plane, rows)
     # reader.pos is byte-aligned, past all consumed bytes, and never
     # beyond the next real marker (refill stops at 0xFF); anything
     # between it and the marker is final-byte padding the outer marker
