@@ -84,7 +84,7 @@ class _DecodeAccel:
     zero-padded byte copy for branchless multi-byte windows. Built
     once per decode_flac call and shared by every frame's reader."""
 
-    __slots__ = ("bits", "ones", "padded")
+    __slots__ = ("bits", "ones", "padded", "padded_u8")
 
     def __init__(self, buf: bytes):
         import numpy as np
@@ -92,6 +92,7 @@ class _DecodeAccel:
         self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
         self.ones = np.flatnonzero(self.bits)
         self.padded = bytes(buf) + b"\x00" * 8
+        self.padded_u8 = np.frombuffer(self.padded, dtype=np.uint8)
 
 
 class _BitReader:
@@ -163,7 +164,7 @@ class _BitReader:
         import numpy as np
 
         a = self.accel
-        p = (self.byte << 3) + self.bit
+        p = p0 = (self.byte << 3) + self.bit
         ones = a.ones
         j = int(np.searchsorted(ones, p))
         # codes consume <= count terminator ones + count*param payload
@@ -171,16 +172,20 @@ class _BitReader:
         window = ones[j : j + count * (param + 1) + 1].tolist()
         nw = len(window)
         total_ones = len(ones)
-        buf = a.padded
-        out = [0] * count
-        mask = (1 << param) - 1
+        step = param + 1
+        # pass 1 — terminator positions (the only sequential part:
+        # each code's unary run starts where the previous code's
+        # payload ended, so the walk skips the payload's 1-bits).
+        # Kept to ~4 int ops per code; the payload/unzigzag math is
+        # batched in numpy below (was int.from_bytes + shifts per code)
+        bs = [0] * count
         wi = 0
         for i in range(count):
             while True:
                 if wi >= nw:
                     # pathological run: extend the window
                     j += nw
-                    window = ones[j : j + count * (param + 1) + 16].tolist()
+                    window = ones[j : j + count * step + 16].tolist()
                     nw = len(window)
                     wi = 0
                     if not nw:
@@ -192,22 +197,35 @@ class _BitReader:
                     break
                 wi += 1
             wi += 1
-            s = b + 1
-            if param:
-                byte0 = s >> 3
-                chunk = int.from_bytes(buf[byte0 : byte0 + 5], "big")
-                u = ((b - p) << param) | (
-                    (chunk >> (40 - (s & 7) - param)) & mask
-                )
-                p = s + param
-            else:
-                u = b - p
-                p = s
-            out[i] = (u >> 1) ^ -(u & 1)  # unzigzag
+            bs[i] = b
+            p = b + step
         if p > len(self.buf) * 8:
             raise ValueError("truncated FLAC bitstream")
         self.byte, self.bit = p >> 3, p & 7
-        return out
+        # pass 2 — quotients, payload bits, unzigzag: all vectorized.
+        # Code i's unary run starts at the original position for i=0,
+        # else one-past the previous terminator plus its payload.
+        b_arr = np.asarray(bs, dtype=np.int64)
+        starts = np.empty(count, dtype=np.int64)
+        starts[0] = p0
+        starts[1:] = b_arr[:-1] + step
+        u = b_arr - starts
+        if param:
+            s_arr = b_arr + 1
+            byte0 = s_arr >> 3
+            pb = a.padded_u8
+            chunk = (
+                (pb[byte0].astype(np.int64) << 32)
+                | (pb[byte0 + 1].astype(np.int64) << 24)
+                | (pb[byte0 + 2].astype(np.int64) << 16)
+                | (pb[byte0 + 3].astype(np.int64) << 8)
+                | pb[byte0 + 4]
+            )
+            payload = (chunk >> (40 - (s_arr & 7) - param)) & (
+                (1 << param) - 1
+            )
+            u = (u << param) | payload
+        return ((u >> 1) ^ -(u & 1)).tolist()  # unzigzag
 
     def read_signed_block(self, count: int, width: int) -> list[int]:
         """`count` consecutive `width`-bit two's-complement values
