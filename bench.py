@@ -80,6 +80,24 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # Sample host load BEFORE Spark starts: a 1-min load > ~3 at start
+    # means something else (a test battery, a prior bench) is still
+    # draining and every number below will inflate uniformly — stamp
+    # the artifact as contended so a reader never has to do prose
+    # forensics (BENCH_r06 26.96 s and BENCH_r08 18.30 s were exactly
+    # such samples).
+    try:
+        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg_start = None
+    contended = bool(loadavg_start) and loadavg_start[0] > 3.0
+    if contended:
+        print(
+            f"WARNING: 1-min load {loadavg_start[0]} > 3 at bench start —"
+            " sample will be stamped contended_start; rerun on a quiet"
+            " host for a comparable artifact",
+            file=sys.stderr,
+        )
     spark = get_spark("bench")
 
     # Warm the JVM (JIT, codegen caches, parquet reader init) by running
@@ -149,6 +167,11 @@ def main() -> None:
                 # a contended host inflated the samples
                 "boot_id": boot_id,
                 "loadavg": loadavg,
+                # load BEFORE Spark started; contended_start means the
+                # host was already busy (1-min > 3) and this sample is
+                # not comparable across rounds
+                "loadavg_start": loadavg_start,
+                "contended_start": contended,
             }
         )
     )

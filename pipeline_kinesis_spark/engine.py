@@ -681,6 +681,30 @@ class Engine:
                     "directory directly; nothing is spooled)"
                 )
             parallelism = min(max(parallelism, 1), MAX_PROCS)
+            prev = self.catalog.find_consumer(endpoint, stream, relation)
+            if (
+                prev is not None
+                and source in ("pump", "datasource")
+                and prev.source in ("pump", "datasource")
+                and source != prev.source
+            ):
+                # an EXPLICIT source that conflicts with the persisted
+                # resolution would restart on the other path and
+                # resume from checkpoints that path never wrote,
+                # re-ingesting from start_position — the exact
+                # duplicate window the persisted resolution closes.
+                # Refuse before the upsert overwrites the resolution;
+                # consume_end drops the consumer (and its checkpoint
+                # domain) for a deliberate mode switch.
+                raise ValueError(
+                    f"consumer for {stream!r} previously ingested via "
+                    f"source={prev.source!r}; restarting with "
+                    f"source={source!r} would resume from checkpoints "
+                    f"the {source!r} path never wrote (duplicate "
+                    f"ingest). consume_end first to switch ingest "
+                    f"modes, or pass source='auto' / "
+                    f"source={prev.source!r}."
+                )
             consumer = self.catalog.upsert_consumer(
                 Consumer(
                     id=0,

@@ -154,6 +154,13 @@ class _BitReader:
         followed by `param` literal bits pulled from a 5-byte window
         of the padded buffer. One small Python step per CODE instead
         of one per BIT."""
+        if count == 0:
+            # Legal per RFC 9639: the first partition of a subframe
+            # holds blocksize>>porder - predictor_order samples, which
+            # is zero when they're equal. No bits are consumed, so the
+            # position needs no update (the accelerated path would
+            # index starts[0] on an empty array otherwise).
+            return []
         if self.accel is None:
             out = []
             for _ in range(count):

@@ -2470,13 +2470,34 @@ def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
                 # block falls back to the scalar walker
                 n_full = size // block_align
                 parts: list[list] = [[] for _ in range(channels)]
-                if n_full:
+                if (block_align - 4 * channels) % (4 * channels) != 0:
+                    # nonconforming foreign block_align whose body is
+                    # not whole 4-byte-per-channel nibble groups: the
+                    # (b, -1, channels, 4) reshape below would raise,
+                    # so decode every block with the tolerant scalar
+                    # walker (partial trailing group allowed), same as
+                    # the ragged-tail path
+                    for bi in range(n_full):
+                        blk = payload[
+                            pos + bi * block_align :
+                            pos + (bi + 1) * block_align
+                        ]
+                        for c, vals in enumerate(
+                            _ima_decode_block(blk, spb, channels)
+                        ):
+                            parts[c].append(
+                                np.asarray(vals, dtype=np.int64)
+                            )
+                    n_full_vec = 0
+                else:
+                    n_full_vec = n_full
+                if n_full_vec:
                     full = np.frombuffer(
                         payload,
                         dtype=np.uint8,
-                        count=n_full * block_align,
+                        count=n_full_vec * block_align,
                         offset=pos,
-                    ).reshape(n_full, block_align)
+                    ).reshape(n_full_vec, block_align)
                     dec = _ima_decode_blocks_vec(full, spb, channels)
                     for c in range(channels):
                         parts[c].append(dec[c])
