@@ -1,0 +1,108 @@
+"""End-to-end continuous-view gate query (VERDICT r08 "Next round" #6).
+
+The standing-query engine (streams, continuous views, exactly-once
+ingest — the reference's core loop, README.md:34-129 and
+pipeline_kinesis--0.9.0.sql:54-60) is otherwise pytest-only: the DuckDB
+oracle can't run a streaming engine. This row closes that gap with a
+DETERMINISTIC replay — a fixed subset of the events table is written as
+kinesis-style record files, consumed through a real Engine into a real
+continuous view, and the view's final counts are returned. Exactly-once
+ingest makes the matrel contents a pure function of the input subset,
+so a plain GROUP BY over the same subset oracles it.
+
+Kept deliberately small (a hash-style modulus picks ~2.4% of events):
+this is a correctness gate on the engine loop, not an ingest benchmark
+(bench.py's _ingest_throughput prices that path).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pipeline_kinesis_spark.io import load
+from pipeline_kinesis_spark.operators import QuerySpec
+
+
+def streaming_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events subset → record files → Engine consume → continuous view
+    `SELECT event_type, count(*), sum(event_id) GROUP BY event_type` →
+    final matrel contents.
+
+    Every engine object gets a fresh unique name and metadata dir: the
+    driver may invoke this twice in one Spark session, and spool/
+    checkpoint names must never be reused across engine instances."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") % 41 == 7)
+        .select("event_id", "event_type", "user_id")
+        .collect()
+    )
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"svc_{tag}_")
+    stream_dir = f"{root}/events_replay"
+    write_record_file(
+        stream_dir,
+        [
+            {
+                "data": f"{r.event_id},{r.event_type}",
+                "partition_key": str(r.user_id),
+                "shard_id": f"shardId-{r.user_id % 4:012d}",
+                "sequence_number": f"{r.event_id:056d}",
+            }
+            for r in ev
+        ],
+    )
+    eng = Engine(spark, metadata_dir=f"{root}/meta")
+    stream, view = f"svc_stream_{tag}", f"svc_view_{tag}"
+    try:
+        eng.add_endpoint(f"svc_ep_{tag}", url=root)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n_events, "
+            f"sum(event_id) AS sum_event_id FROM {stream} "
+            f"GROUP BY event_type",
+            stream=stream,
+        )
+        eng.consume_begin(
+            f"svc_ep_{tag}", "events_replay", stream,
+            fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(view).collect()
+        ]
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type STRING, n_events BIGINT, sum_event_id BIGINT"
+    )
+
+
+STREAMING_VIEW_COUNTS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 41 = 7
+GROUP BY event_type
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "streaming_view_counts": QuerySpec(
+        streaming_view_counts, STREAMING_VIEW_COUNTS_SQL
+    ),
+}

@@ -22,6 +22,7 @@ from pipeline_kinesis_spark.operators import (
     relational,
     similarity,
     sketches,
+    streaming_gate,
     textops,
     timeseries,
     tpch,
@@ -40,6 +41,7 @@ _MODULES = (
     multimodal,
     pandas_udfs,
     events,
+    streaming_gate,
 )
 
 # The external correctness gate checks the FIRST 50 entries of queries()
@@ -50,87 +52,91 @@ _MODULES = (
 # already verified green follow after.
 _WINDOW = 50
 
-# Round-8 rotation (VERDICT r07 "Next round" #4): the stalest oracled
-# greens — r02-only TPC-H/relational rows and r02-r0x streaming/
-# window/sketch rows — rotate back into the window for driver
-# re-verification. Twelve return:
-#   q3_shipping_priority, q5_local_supplier_volume, q8_market_share
-#     (r02 TPC-H), case_coalesce (B21, r02), cube_orders /
-#     rollup_revenue (B15, r02), sliding_window_agg (B23, r03),
-#     cms_event_counts (B14, r03), session_window_agg (B24, r04),
-#     window_range_frame (B17, r05), corpus_clean (C6, r04),
-#     cohort_retention (events, r06).
-# Twelve r07 multi-round greens retire, each with its family still
-# represented inside the window:
-#   q1_pricing_summary / q7_volume_shipping (6x) → TPC-H agg/join
-#     stays via q2/q4 + returning q3/q5/q8 (q1 remains the entry()
-#     flagship and a bench headline — exercised every round anyway)
-#   hll_mergeable_distinct (4x) → B14 stays via theta_set_overlap +
-#     returning cms_event_counts
-#   funnel_conversion (4x) → events stays via returning
-#     cohort_retention
-#   unpivot_lineitem_measures (5x) → B15 stays via returning
-#     cube_orders + rollup_revenue
-#   window_rank (3x) → B17 stays via returning window_range_frame
-#   tumbling_window_agg (5x) → B23 stays via returning
-#     sliding_window_agg
-#   crossdoc_span_dup (4x) → C2 stays via dedup_spans_rewrite +
-#     image_dhash_dedup + audio_fingerprint_dedup
-#   agg_exact_percentiles (4x) → B12 stays via value_histogram +
-#     returning TPC-H aggs; percentile math also via
-#     combine_percentile_regroup
-#   domain_balance / doc_chunk_overlap (3x) → C6 stays via
-#     stratified_sample_hash + oov_rate_filter + returning
-#     corpus_clean
-#   embedding_neardup_clusters (4x) → C3 stays via
-#     cosine_topk_lsh_recall
+# Round-9 rotation (VERDICT r08 "Next round" #2 + #6): retire the
+# r01/r02-only staleness tail. Sixteen rows whose last driver-green
+# round is r01-r03 return to the window:
+#   q13_customer_distribution / q16_supplier_cnt /
+#     q21_waiting_suppliers (r01 TPC-H: left-outer-join agg,
+#     NOT-IN + count(DISTINCT), exists/not-exists multi-join)
+#   join_right_outer / join_full_outer / join_theta_pairs (B8/B10, r01)
+#   set_intersect / set_except (B20, r01)
+#   scalar_datetime_funcs / scalar_math_funcs (B21, r01)
+#   agg_percentile / agg_stats (B12, r01)
+#   window_distribution (B17, r03)
+#   doc_fingerprint / ngram_top_bigrams (C4, r03)
+#   streaming_view_counts (NEW, verdict #6: the standing-query engine
+#     end-to-end — deterministic events replay through a real
+#     continuous view, oracled as a plain GROUP BY; the one engine
+#     path the oracle could never see before)
+# Sixteen r07/r08 multi-round greens retire, each with its family
+# still represented inside the window:
+#   q2_min_cost_supplier / q4_order_priority -> TPC-H stays via
+#     q3/q5/q8 + returning q13/q16/q21 (q4's exists-semi-join shape
+#     returns via q21's exists/not-exists)
+#   filter_predicates (B6) -> every TPC-H row is filter-heavy; q16's
+#     like + NOT IN predicates
+#   join_left_outer (B8) -> returning join_right/full_outer + q13's
+#     left outer join
+#   join_semi / join_anti (B9) -> q21 exists + not exists, q16 NOT IN
+#   join_range (B10) -> returning join_theta_pairs
+#   agg_distinct (B13) -> q16 count(DISTINCT)
+#   order_limit / topk_per_group (B18/B19) -> TPC-H order+limit rows
+#     + returning window_distribution (rank family)
+#   set_union_distinct (B20) -> returning set_intersect/set_except
+#   scalar_string_funcs (B21) -> returning datetime/math rows; string
+#     exprs also via doc_fingerprint + html_extract_main
+#   window_range_frame (B17) -> returning window_distribution
+#   text_quality / token_count_bpe (C4) -> returning doc_fingerprint +
+#     ngram_top_bigrams; html/srt/oov rows stay
+#   value_histogram (B12) -> returning agg_percentile + agg_stats
 # Sole-family reps (asof_join B11, exact_dedup C1, bpe_train_verify
 # C9, neardup_components C8, cosine_topk_ivfpq_recall C7,
-# zscore_per_user B27) stay put regardless of streak. Rotated-out rows
-# remain covered by the local sf0.01 full differential
-# (tools/compare_oracle.py) and pytest; tools/gate_history.py asserts
-# every oracled registry query has held a driver-green row in some
-# round.
+# zscore_per_user B27, json_extract B22) stay put regardless of
+# streak. Rotated-out rows remain covered by the local sf0.01 full
+# differential (tools/compare_oracle.py) and pytest;
+# tools/gate_history.py asserts every oracled registry query has held
+# a driver-green row in some round.
 _PRIORITY = (
-    # TPC-H aggregate/join shapes (q3/q5/q8: r02-stale, returning)
+    # TPC-H shapes: r02-returning aggs/joins + the r01 staleness tail
     "q3_shipping_priority", "q5_local_supplier_volume",
     "q8_market_share",
-    "q2_min_cost_supplier", "q4_order_priority",
-    # PipelineDB combine() merge math, batch-expressible twins (B2):
-    # exact transition states + the KLL percentile sketch merge
+    "q13_customer_distribution", "q16_supplier_cnt",
+    "q21_waiting_suppliers",
+    # PipelineDB combine() merge math, batch-expressible twins (B2)
     "combine_regroup", "combine_percentile_regroup",
-    # relational §2B rows (B6/B8/B9/B10/B13/B18/B20/B21/B22;
-    # case_coalesce returns from r02)
-    "filter_predicates", "join_left_outer", "join_semi", "join_anti",
-    "join_range", "agg_distinct", "order_limit", "set_union_distinct",
-    "scalar_string_funcs", "case_coalesce", "json_extract",
-    # grouping sets family (B15): returning from r02
+    # the standing-query engine end-to-end (NEW r09, verdict #6)
+    "streaming_view_counts",
+    # relational SS2B rows: returning r01 joins/sets/scalars
+    "join_right_outer", "join_full_outer", "join_theta_pairs",
+    "set_intersect", "set_except",
+    "scalar_datetime_funcs", "scalar_math_funcs",
+    "case_coalesce", "json_extract",
+    # aggregate stats family (B12): returning r01 rows
+    "agg_percentile", "agg_stats",
+    # grouping sets family (B15)
     "cube_orders", "rollup_revenue",
     # dedup clustering + tokenizer training + ANN compression
     "neardup_components", "bpe_train_verify", "cosine_topk_ivfpq_recall",
-    # approx aggregates / sketches (B14): theta set algebra + the
-    # returning count-min row
+    # approx aggregates / sketches (B14)
     "theta_set_overlap", "cms_event_counts",
-    # events: returning cohort analysis row
+    # events: cohort analysis
     "cohort_retention",
     # perceptual media dedup twins (C2-for-media)
     "audio_fingerprint_dedup", "image_dhash_dedup",
-    # window functions / top-k (B17/B19): range-frame row returns
-    "window_range_frame", "topk_per_group",
+    # window functions (B17): returning distribution-rank row
+    "window_distribution",
     # C5: real video + audio-feature decode gates
     "multimodal_video_stats", "audio_signal_features",
-    # timeseries (B11/B23/B24) + pandas-UDF surface (B27):
-    # sliding/session window rows return
+    # timeseries (B11/B23/B24) + pandas-UDF surface (B27)
     "srt_caption_stats", "sliding_window_agg", "session_window_agg",
     "asof_join", "zscore_per_user",
     # dedup (C1/C2: exact + span rewrite) and C4 text analysis
+    # (returning fingerprint/bigram rows)
     "exact_dedup", "dedup_spans_rewrite", "html_extract_main",
-    "text_quality", "token_count_bpe",
-    "value_histogram",
+    "doc_fingerprint", "ngram_top_bigrams",
     # the real nearest-neighbor resize kernel under the gate
     "image_resize_stats",
-    # corpus curation (C6): hash-threshold scale-path sampler + the
-    # returning cleaning pipeline row
+    # corpus curation (C6)
     "stratified_sample_hash", "corpus_clean", "oov_rate_filter",
     # similarity search (C3)
     "cosine_topk_lsh_recall",

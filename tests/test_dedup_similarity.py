@@ -250,12 +250,16 @@ def test_lsh_topk_sims_match_exact(spark, sf_dir):
 
 def test_connected_components_long_chain_converges_bounded_plan(spark):
     """A planted 20-node chain (diameter 19 — the label-propagation
-    worst case) must converge to one component AND keep the final plan
-    depth bounded: periodic localCheckpoint truncates lineage, so the
-    surviving plan holds at most _CC_CHECKPOINT_EVERY rounds of joins
-    no matter how many rounds ran."""
+    worst case) must converge to one component in O(log diameter)
+    rounds (r09 path halving: each round propagates one hop AND
+    replaces every label with its label's label) AND keep the final
+    plan depth bounded: per-round localCheckpoint truncates lineage,
+    so the surviving plan holds at most one round of joins no matter
+    how many rounds ran."""
+    import math
+
+    from pipeline_kinesis_spark.operators import dedup
     from pipeline_kinesis_spark.operators.dedup import (
-        _CC_CHECKPOINT_EVERY,
         _connected_components,
     )
 
@@ -268,15 +272,21 @@ def test_connected_components_long_chain_converges_bounded_plan(spark):
     got = {r.n: r.lbl for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
 
-    # label 0 walks one hop per round: ~n rounds ran, so checkpoints
-    # fired and the final LOGICAL lineage carries only the rounds since
-    # the last one — ≤ _CC_CHECKPOINT_EVERY rounds × 2 joins each, not
-    # ~2 joins per round × 19 rounds. (The analyzed plan is the lineage;
-    # the optimized/physical rendering also prints cached-plan internals
-    # and would overcount.)
+    # plain hash-to-min walks one hop per round — a diameter-19 chain
+    # would take ~19 rounds; halving must land well under half that
+    # (2*log2(19)+2 ≈ 10 leaves slack for the off-by-one tail plus the
+    # final confirming round)
+    rounds = dedup._LAST_CC_ROUNDS
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2, rounds
+    assert rounds < (n - 1) // 2, rounds
+
+    # lineage: every round ends in an eager localCheckpoint, so the
+    # final LOGICAL plan carries zero join nodes regardless of round
+    # count. (The analyzed plan is the lineage; the optimized/physical
+    # rendering also prints cached-plan internals and would overcount.)
     plan = labels._jdf.queryExecution().analyzed().toString()
     n_joins = plan.count("Join")
-    assert n_joins <= 2 * _CC_CHECKPOINT_EVERY, plan
+    assert n_joins == 0, plan
 
 
 def test_ivfpq_codes_partitioned_by_cell_prune_scan(spark, sf_dir, tmp_path):
