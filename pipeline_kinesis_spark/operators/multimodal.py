@@ -749,6 +749,29 @@ class _RestartMarker(Exception):
         self.code = code
 
 
+def _entropy_segment(d: bytes, pos: int):
+    """One marker-free entropy-coded segment starting at `pos`,
+    byte-unstuffed (F.1.2.3: 0xFF in entropy data is always followed
+    by a stuffed 0x00). Returns (unstuffed bytes, terminator marker
+    byte or -1 at EOF, index of the terminator's 0xFF). Splitting
+    once up front lets the scan hot loop refill its accumulator four
+    bytes at a time with `int.from_bytes` instead of a per-byte
+    0xFF-test walk."""
+    size = len(d)
+    p = pos
+    while True:
+        q = d.find(b"\xff", p)
+        if q == -1 or q + 1 >= size:
+            # trailing lone 0xFF (if any) is never entropy data: the
+            # old reader stopped before consuming it, so exclude it
+            end = size if q == -1 else q
+            return d[pos:end].replace(b"\xff\x00", b"\xff"), -1, size
+        if d[q + 1] == 0x00:
+            p = q + 2
+            continue
+        return d[pos:q].replace(b"\xff\x00", b"\xff"), d[q + 1], q
+
+
 def _extend(v: int, size: int) -> int:
     """T.81 EXTEND: map a `size`-bit amplitude to its signed value."""
     if size == 0:
@@ -756,13 +779,33 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _build_huff_decoder(bits: list[int], vals: list[int]):
+_HUFF_LUT_CACHE: dict = {}
+
+
+def _build_huff_decoder(bits: list[int], vals: list[int], is_dc: bool = False):
     """16-bit lookup tables from a DHT's BITS/HUFFVAL lists (canonical
     code assignment, T.81 C.2): a code of length L at canonical value
     c owns every 16-bit word whose top L bits equal c, so one
     `peek16` + two byte-table reads decode any symbol. (sym, len) as
     Python bytes — the fastest random-access container here; length 0
-    marks a hole in the canonical code space (invalid code)."""
+    marks a hole in the canonical code space (invalid code).
+
+    Two extra COMBINED tables fold the amplitude that follows the
+    code into the same 16-bit window (F.2.2.1: a code is followed by
+    `size` raw magnitude bits): `tot[idx]` = code length + size when
+    the whole pair fits in 16 bits (0 = take the two-step slow path),
+    `val[idx]` = the fully EXTENDed signed amplitude (DC: size is the
+    symbol itself; AC: size = sym & 0xF). One lookup then replaces
+    code decode + amplitude extraction + EXTEND in the scan hot loop.
+    Tables are cached by their DHT bytes — encoders overwhelmingly
+    ship the K.3 standard tables, so a corpus decode builds them
+    once."""
+    key = (bytes(bits), bytes(vals), is_dc)
+    hit = _HUFF_LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import numpy as np
+
     sym = bytearray(1 << 16)
     ln = bytearray(1 << 16)
     code = 0
@@ -776,11 +819,33 @@ def _build_huff_decoder(bits: list[int], vals: list[int]):
             code += 1
             i += 1
         code <<= 1
-    return bytes(sym), bytes(ln)
+    sym_a = np.frombuffer(bytes(sym), dtype=np.uint8).astype(np.int64)
+    len_a = np.frombuffer(bytes(ln), dtype=np.uint8).astype(np.int64)
+    size = sym_a if is_dc else (sym_a & 0x0F)
+    tot = len_a + size
+    ok = (len_a > 0) & (tot <= 16)
+    idx = np.arange(1 << 16, dtype=np.int64)
+    shift = np.maximum(16 - tot, 0)
+    size_safe = np.maximum(size, 1)
+    full = np.left_shift(1, size_safe)
+    half = np.left_shift(1, size_safe - 1)
+    amp = (idx >> shift) & (full - 1)
+    val = np.where(amp >= half, amp, amp - full + 1)
+    val = np.where((size == 0) | ~ok, 0, val)
+    out = (
+        bytes(sym),
+        bytes(ln),
+        np.where(ok, tot, 0).astype(np.uint8).tobytes(),
+        val.astype(np.int32).tolist(),
+    )
+    if len(_HUFF_LUT_CACHE) >= 64:
+        _HUFF_LUT_CACHE.clear()
+    _HUFF_LUT_CACHE[key] = out
+    return out
 
 
 def _huff_decode(reader: _BitReader, table) -> int:
-    sym_t, len_t = table
+    sym_t, len_t = table[0], table[1]
     idx = reader.peek16()
     length = len_t[idx]
     if length == 0 or length > reader.nbits:
@@ -876,7 +941,7 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                 n = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = (
-                    _build_huff_decoder(bits, vals)
+                    _build_huff_decoder(bits, vals, is_dc=tc == 0)
                 )
                 p += 17 + n
         elif marker == 0xDD:  # DRI
@@ -982,28 +1047,32 @@ def _decode_scan(
     for comp, _, _ in scan:
         bw, bh = mcux * comp["h"], mcuy * comp["v"]
         planes[comp["id"]] = np.zeros((bh, bw, 8, 8), dtype=np.int32)
-    reader = _BitReader(payload, data_start)
     # flat raster position of each zigzag index: one fancy-indexed
     # store un-zigzags a whole block
     zzpos = np.array([8 * i + j for i, j in _zigzag_order()])
     pred = {comp["id"]: 0 for comp, _, _ in scan}
     n_mcu = mcux * mcuy
     mcu = 0
-    # Hot-loop form: the bit-reader state (acc/nbits/pos/marker) lives
-    # in plain locals and the refill / peek16 / Huffman-LUT / EXTEND
-    # steps are inlined — the method-call form spent more time on
-    # ~5 Python calls per symbol than on the decode itself (profiled
-    # 0.58 MB/s/core; _huff_decode+peek16+receive+_extend+_refill were
-    # 60% of walltime as call overhead). Semantics are identical to
-    # _BitReader + _huff_decode: refill never crosses a real marker,
-    # peeks past end-of-bits are zero-padded, starvation raises
-    # _RestartMarker on RSTn / ValueError otherwise. The reader object
-    # is kept for the (rare) restart resync path only.
+    # Hot-loop form (r08): the bit-reader state lives in plain locals
+    # and the refill / peek16 / Huffman-LUT / EXTEND steps are inlined
+    # — the method-call form spent more time on ~5 Python calls per
+    # symbol than on the decode itself. r09 on top of that:
+    # (1) the entropy stream is split ONCE into marker-free segments
+    #     and byte-unstuffed (_entropy_segment), so refill becomes a
+    #     multi-byte int.from_bytes with no per-byte 0xFF test;
+    # (2) the combined (code+amplitude) LUTs from _build_huff_decoder
+    #     resolve code length, run/size AND the EXTENDed amplitude in
+    #     one 16-bit lookup when the pair fits 16 bits (the common
+    #     case). The two-step path below remains for longer pairs and
+    #     for the zero-padded stream tail, preserving _BitReader's
+    #     exact starvation/marker semantics: refill never crosses a
+    #     real marker (segments end at markers), peeks past
+    #     end-of-bits are zero-padded, starvation raises
+    #     _RestartMarker on RSTn / ValueError otherwise.
     d = payload
-    size = len(d)
     acc = nbits = 0
-    pos = data_start
-    marker = None  # None = more data; -1 = EOF; else the marker byte
+    u, term, term_pos = _entropy_segment(d, data_start)
+    upos, ulen = 0, len(u)
 
     def _starved_inline(m):
         if m is not None and 0xD0 <= m <= 0xD7:
@@ -1012,15 +1081,18 @@ def _decode_scan(
             raise ValueError("truncated JPEG entropy data")
         raise ValueError(f"unexpected marker 0xFF{m:02x} in entropy data")
 
+    def _next_restart_segment(start_pos):
+        # align_past_restart semantics: scan forward from the current
+        # terminator for the next RSTn, resume just past it (drops
+        # buffered padding bits; IndexError past EOF matches the old
+        # reader's behavior on a truncated tail)
+        p = start_pos
+        while not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        return _entropy_segment(d, p + 2)
+
     scan_tabs = [
-        (
-            comp,
-            huff_dc[tdc][0],
-            huff_dc[tdc][1],
-            huff_ac[tac][0],
-            huff_ac[tac][1],
-        )
-        for comp, tdc, tac in scan
+        (comp, huff_dc[tdc], huff_ac[tac]) for comp, tdc, tac in scan
     ]
     # Decoded blocks are collected per component (zigzag-order int
     # lists + flat block positions) and scattered into the coefficient
@@ -1036,7 +1108,9 @@ def _decode_scan(
     while mcu < n_mcu:
         try:
             my, mx = divmod(mcu, mcux)
-            for comp, dc_sym, dc_len, ac_sym, ac_len in scan_tabs:
+            for comp, dc_t, ac_t in scan_tabs:
+                dc_sym, dc_len, dc_tot, dc_val = dc_t
+                ac_sym, ac_len, ac_tot, ac_val = ac_t
                 cid = comp["id"]
                 cv, ch = comp["v"], comp["h"]
                 ba, bp, bwc = blk_acc[cid], blk_pos[cid], bwidths[cid]
@@ -1047,28 +1121,28 @@ def _decode_scan(
                         k = 0  # 0 = DC step, then AC from 1
                         while k < 64:
                             # refill to >=32 bits (16-bit code +
-                            # 16-bit amplitude covers any symbol pair)
-                            if nbits < 32 and marker is None:
+                            # 16-bit amplitude covers any symbol
+                            # pair), topping the accumulator up to
+                            # ~256 bits: Python ints are arbitrary
+                            # precision, and one 32-byte from_bytes
+                            # amortized over ~20 symbols beats the
+                            # extra cost of 4-limb shifts (measured:
+                            # 39-bit ceiling 0.80 MB/s/core, 263-bit
+                            # 1.23, 519-bit 1.16 — the optimum sits
+                            # near 256 bits)
+                            if nbits < 32 and upos < ulen:
                                 acc &= (1 << nbits) - 1
-                                while nbits < 32:
-                                    if pos >= size:
-                                        marker = -1
-                                        break
-                                    b = d[pos]
-                                    if b == 0xFF:
-                                        nxt = (
-                                            d[pos + 1]
-                                            if pos + 1 < size
-                                            else -1
-                                        )
-                                        if nxt != 0x00:
-                                            marker = nxt
-                                            break
-                                        pos += 2
-                                    else:
-                                        pos += 1
-                                    acc = (acc << 8) | b
-                                    nbits += 8
+                                while nbits < 32 and upos < ulen:
+                                    take = (263 - nbits) >> 3
+                                    if take > ulen - upos:
+                                        take = ulen - upos
+                                    acc = (
+                                        acc << (take << 3)
+                                    ) | int.from_bytes(
+                                        u[upos : upos + take], "big"
+                                    )
+                                    upos += take
+                                    nbits += take << 3
                             idx = (
                                 (acc >> (nbits - 16)) & 0xFFFF
                                 if nbits >= 16
@@ -1076,34 +1150,66 @@ def _decode_scan(
                                 & 0xFFFF
                             )
                             if k == 0:
-                                length = dc_len[idx]
-                                if length == 0 or length > nbits:
-                                    if nbits < 16:
-                                        _starved_inline(marker)
-                                    raise ValueError(
-                                        "invalid Huffman code in JPEG"
-                                        " stream"
-                                    )
-                                nbits -= length
-                                s = dc_sym[idx]
-                                if s:
-                                    if nbits < s:
-                                        _starved_inline(marker)
-                                    nbits -= s
-                                    v = (acc >> nbits) & ((1 << s) - 1)
-                                    p += (
-                                        v
-                                        if v >= 1 << (s - 1)
-                                        else v - (1 << s) + 1
-                                    )
+                                tb = dc_tot[idx]
+                                if tb and tb <= nbits:
+                                    nbits -= tb
+                                    p += dc_val[idx]
+                                else:
+                                    # two-step path: long code+amp
+                                    # pair, invalid code, or the
+                                    # zero-padded stream tail
+                                    length = dc_len[idx]
+                                    if length == 0 or length > nbits:
+                                        if nbits < 16:
+                                            _starved_inline(
+                                                term
+                                                if upos >= ulen
+                                                else None
+                                            )
+                                        raise ValueError(
+                                            "invalid Huffman code in JPEG"
+                                            " stream"
+                                        )
+                                    nbits -= length
+                                    s = dc_sym[idx]
+                                    if s:
+                                        if nbits < s:
+                                            _starved_inline(
+                                                term
+                                                if upos >= ulen
+                                                else None
+                                            )
+                                        nbits -= s
+                                        v = (acc >> nbits) & ((1 << s) - 1)
+                                        p += (
+                                            v
+                                            if v >= 1 << (s - 1)
+                                            else v - (1 << s) + 1
+                                        )
                                 blk[0] = p
                                 pred[cid] = p
                                 k = 1
                                 continue
+                            tb = ac_tot[idx]
+                            if tb and tb <= nbits:
+                                nbits -= tb
+                                rs = ac_sym[idx]
+                                s = rs & 0x0F
+                                if s:
+                                    k += rs >> 4
+                                    blk[k] = ac_val[idx]
+                                    k += 1
+                                    continue
+                                if rs == 0xF0:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
                             length = ac_len[idx]
                             if length == 0 or length > nbits:
                                 if nbits < 16:
-                                    _starved_inline(marker)
+                                    _starved_inline(
+                                        term if upos >= ulen else None
+                                    )
                                 raise ValueError(
                                     "invalid Huffman code in JPEG stream"
                                 )
@@ -1117,7 +1223,9 @@ def _decode_scan(
                                 break  # EOB
                             k += rs >> 4
                             if nbits < s:
-                                _starved_inline(marker)
+                                _starved_inline(
+                                    term if upos >= ulen else None
+                                )
                             nbits -= s
                             v = (acc >> nbits) & ((1 << s) - 1)
                             blk[k] = (
@@ -1136,19 +1244,15 @@ def _decode_scan(
                 and mcu % restart_interval == 0
                 and mcu < n_mcu
             ):
-                reader.pos = pos
-                reader.align_past_restart()
-                pos = reader.pos
+                u, term, term_pos = _next_restart_segment(term_pos)
+                upos, ulen = 0, len(u)
                 acc = nbits = 0
-                marker = None
                 pred = {cid: 0 for cid in pred}
         except _RestartMarker:
             # premature restart: resync (decoder robustness)
-            reader.pos = pos
-            reader.align_past_restart()
-            pos = reader.pos
+            u, term, term_pos = _next_restart_segment(term_pos)
+            upos, ulen = 0, len(u)
             acc = nbits = 0
-            marker = None
             pred = {cid: 0 for cid in pred}
     inv_zz = np.argsort(zzpos)
     for cid, blks in blk_acc.items():
@@ -1202,7 +1306,6 @@ def _decode_progressive_scan(
     and plain-int list ops are ~10x cheaper than numpy scalar
     indexing. Zigzag index k IS the list index, so the spec's zigzag
     table disappears from the inner loops entirely."""
-    reader = _BitReader(payload, data_start)
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -1210,27 +1313,23 @@ def _decode_progressive_scan(
     eobrun = 0  # per-scan EOB-run state (never crosses scans)
     p1 = 1 << al
 
-    def dc_vals(vals, comp, tdc):
-        if ah == 0:
-            s = _huff_decode(reader, huff_dc[tdc])
-            pred[comp["id"]] += _extend(reader.receive(s), s)
-            vals[0] = pred[comp["id"]] << al
-        elif reader.read_bit():
-            # DC refinement appends one magnitude bit (G.1.2.1); OR is
-            # the spec's arithmetic on the two's-complement value
-            vals[0] |= p1
-
-    # The two AC loops below are the progressive hot path (an AC
-    # refinement scan touches every band position of every block, one
-    # bit per nonzero coefficient). Like the baseline scan decoder,
-    # they hold the bit-reader state in plain locals with the refill /
-    # peek16 / Huffman-LUT / read-bit steps inlined — the method-call
-    # form spent over half its walltime on per-symbol Python calls —
-    # syncing state back to `reader` once per BLOCK (try/finally, so
-    # the restart-resync path always sees a consistent reader).
-    # Starvation/zero-pad/marker semantics match _BitReader exactly.
+    # Segment-based bit state (same scheme as the baseline scan, r09):
+    # the entropy stream is split once into marker-free byte-unstuffed
+    # segments (_entropy_segment), the accumulator is topped up to
+    # ~256 bits in one from_bytes gulp, and the combined
+    # (code+amplitude) LUTs resolve most symbols in a single 16-bit
+    # lookup. The two AC loops below are the progressive hot path (an
+    # AC refinement scan touches every band position of every block);
+    # they copy the shared state `st` = [acc, nbits, upos] into plain
+    # locals and sync back in try/finally, so the restart-resync path
+    # always sees consistent state. Starvation/zero-pad/marker
+    # semantics match _BitReader exactly: starvation can only occur
+    # once the segment is exhausted, so the terminator marker decides
+    # _RestartMarker vs ValueError.
     d = payload
-    dsize = len(d)
+    u, term, term_pos = _entropy_segment(d, data_start)
+    ulen = len(u)
+    st = [0, 0, 0]  # acc, nbits, upos
 
     def _starved_inline(m):
         if m is not None and 0xD0 <= m <= 0xD7:
@@ -1239,43 +1338,114 @@ def _decode_progressive_scan(
             raise ValueError("truncated JPEG entropy data")
         raise ValueError(f"unexpected marker 0xFF{m:02x} in entropy data")
 
-    def ac_first_vals(vals, ac_sym, ac_len):
-        nonlocal eobrun
-        if eobrun > 0:
-            eobrun -= 1
-            return
-        acc, nbits = reader.acc, reader.nbits
-        pos, marker = reader.pos, reader.marker
+    def dc_vals(vals, comp, tdc):
+        acc, nbits, upos = st
         try:
-            k = ss
-            while k <= se:
-                if nbits < 32 and marker is None:
-                    acc &= (1 << nbits) - 1
-                    while nbits < 32:
-                        if pos >= dsize:
-                            marker = -1
-                            break
-                        b = d[pos]
-                        if b == 0xFF:
-                            nxt = d[pos + 1] if pos + 1 < dsize else -1
-                            if nxt != 0x00:
-                                marker = nxt
-                                break
-                            pos += 2
-                        else:
-                            pos += 1
-                        acc = (acc << 8) | b
-                        nbits += 8
+            if nbits < 32 and upos < ulen:
+                acc &= (1 << nbits) - 1
+                while nbits < 32 and upos < ulen:
+                    take = (263 - nbits) >> 3
+                    if take > ulen - upos:
+                        take = ulen - upos
+                    acc = (acc << (take << 3)) | int.from_bytes(
+                        u[upos : upos + take], "big"
+                    )
+                    upos += take
+                    nbits += take << 3
+            if ah == 0:
                 idx = (
                     (acc >> (nbits - 16)) & 0xFFFF
                     if nbits >= 16
                     else ((acc & ((1 << nbits) - 1)) << (16 - nbits))
                     & 0xFFFF
                 )
+                dc_sym, dc_len, dc_tot, dc_val = huff_dc[tdc]
+                tb = dc_tot[idx]
+                if tb and tb <= nbits:
+                    nbits -= tb
+                    pred[comp["id"]] += dc_val[idx]
+                else:
+                    length = dc_len[idx]
+                    if length == 0 or length > nbits:
+                        if nbits < 16:
+                            _starved_inline(term if upos >= ulen else None)
+                        raise ValueError(
+                            "invalid Huffman code in JPEG stream"
+                        )
+                    nbits -= length
+                    s = dc_sym[idx]
+                    if s:
+                        if nbits < s:
+                            _starved_inline(term if upos >= ulen else None)
+                        nbits -= s
+                        v = (acc >> nbits) & ((1 << s) - 1)
+                        pred[comp["id"]] += (
+                            v if v >= 1 << (s - 1) else v - (1 << s) + 1
+                        )
+                vals[0] = pred[comp["id"]] << al
+            else:
+                if nbits == 0:
+                    _starved_inline(term if upos >= ulen else None)
+                nbits -= 1
+                if (acc >> nbits) & 1:
+                    # DC refinement appends one magnitude bit
+                    # (G.1.2.1); OR is the spec's arithmetic on the
+                    # two's-complement value
+                    vals[0] |= p1
+        finally:
+            st[0], st[1], st[2] = acc, nbits, upos
+
+    def ac_first_vals(vals, ac_sym, ac_len, ac_tot, ac_val):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        acc, nbits, upos = st
+        try:
+            k = ss
+            while k <= se:
+                if nbits < 32 and upos < ulen:
+                    acc &= (1 << nbits) - 1
+                    while nbits < 32 and upos < ulen:
+                        take = (263 - nbits) >> 3
+                        if take > ulen - upos:
+                            take = ulen - upos
+                        acc = (acc << (take << 3)) | int.from_bytes(
+                            u[upos : upos + take], "big"
+                        )
+                        upos += take
+                        nbits += take << 3
+                idx = (
+                    (acc >> (nbits - 16)) & 0xFFFF
+                    if nbits >= 16
+                    else ((acc & ((1 << nbits) - 1)) << (16 - nbits))
+                    & 0xFFFF
+                )
+                tb = ac_tot[idx]
+                if tb and tb <= nbits:
+                    nbits -= tb
+                    rs = ac_sym[idx]
+                    s = rs & 0x0F
+                    if s:
+                        k += rs >> 4
+                        vals[k] = ac_val[idx] << al
+                        k += 1
+                        continue
+                    r = rs >> 4
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        if nbits < r:
+                            _starved_inline(term if upos >= ulen else None)
+                        nbits -= r
+                        eobrun += (acc >> nbits) & ((1 << r) - 1)
+                    break  # EOBn: this block (and eobrun more) done
                 length = ac_len[idx]
                 if length == 0 or length > nbits:
                     if nbits < 16:
-                        _starved_inline(marker)
+                        _starved_inline(term if upos >= ulen else None)
                     raise ValueError("invalid Huffman code in JPEG stream")
                 nbits -= length
                 rs = ac_sym[idx]
@@ -1287,13 +1457,13 @@ def _decode_progressive_scan(
                     eobrun = (1 << r) - 1
                     if r:
                         if nbits < r:
-                            _starved_inline(marker)
+                            _starved_inline(term if upos >= ulen else None)
                         nbits -= r
                         eobrun += (acc >> nbits) & ((1 << r) - 1)
                     break  # EOBn: this block (and eobrun more) done
                 k += r
                 if nbits < s:
-                    _starved_inline(marker)
+                    _starved_inline(term if upos >= ulen else None)
                 nbits -= s
                 v = (acc >> nbits) & ((1 << s) - 1)
                 vals[k] = (
@@ -1301,54 +1471,46 @@ def _decode_progressive_scan(
                 ) << al
                 k += 1
         finally:
-            reader.acc, reader.nbits = acc, nbits
-            reader.pos, reader.marker = pos, marker
+            st[0], st[1], st[2] = acc, nbits, upos
 
-    def ac_refine_vals(vals, ac_sym, ac_len):
+    def ac_refine_vals(vals, ac_sym, ac_len, ac_tot, ac_val):
         nonlocal eobrun
         k = ss
-        acc, nbits = reader.acc, reader.nbits
-        pos, marker = reader.pos, reader.marker
+        acc, nbits, upos = st
         try:
             if eobrun == 0:
                 while k <= se:
-                    if nbits < 32 and marker is None:
+                    if nbits < 32 and upos < ulen:
                         acc &= (1 << nbits) - 1
-                        while nbits < 32:
-                            if pos >= dsize:
-                                marker = -1
-                                break
-                            b = d[pos]
-                            if b == 0xFF:
-                                nxt = (
-                                    d[pos + 1] if pos + 1 < dsize else -1
-                                )
-                                if nxt != 0x00:
-                                    marker = nxt
-                                    break
-                                pos += 2
-                            else:
-                                pos += 1
-                            acc = (acc << 8) | b
-                            nbits += 8
+                        while nbits < 32 and upos < ulen:
+                            take = (263 - nbits) >> 3
+                            if take > ulen - upos:
+                                take = ulen - upos
+                            acc = (acc << (take << 3)) | int.from_bytes(
+                                u[upos : upos + take], "big"
+                            )
+                            upos += take
+                            nbits += take << 3
                     idx = (
                         (acc >> (nbits - 16)) & 0xFFFF
                         if nbits >= 16
                         else ((acc & ((1 << nbits) - 1)) << (16 - nbits))
                         & 0xFFFF
                     )
-                    length = ac_len[idx]
-                    if length == 0 or length > nbits:
-                        if nbits < 16:
-                            _starved_inline(marker)
-                        raise ValueError(
-                            "invalid Huffman code in JPEG stream"
-                        )
-                    nbits -= length
                     rs = ac_sym[idx]
                     r, s = rs >> 4, rs & 0x0F
-                    if s == 0:
-                        if r != 15:
+                    tb = ac_tot[idx]
+                    # fast path only for s < 2: a refinement scan
+                    # reads exactly ONE sign bit after the code (the
+                    # combined LUT's EXTEND of that bit is exactly
+                    # ±1), and the two-step path below preserves the
+                    # old tolerance of corrupt s >= 2 symbols (one
+                    # bit read regardless of s)
+                    if tb and tb <= nbits and s < 2:
+                        nbits -= tb
+                        if s:
+                            val = ac_val[idx] << al  # ±2^Al
+                        elif r != 15:
                             # NOT the AC-first (1<<r)-1: the block
                             # reading the EOB symbol still owes its
                             # correction-bit sweep, so the run counts
@@ -1357,18 +1519,49 @@ def _decode_progressive_scan(
                             eobrun = 1 << r
                             if r:
                                 if nbits < r:
-                                    _starved_inline(marker)
+                                    _starved_inline(
+                                        term if upos >= ulen else None
+                                    )
                                 nbits -= r
                                 eobrun += (acc >> nbits) & ((1 << r) - 1)
                             break  # remaining coeffs → EOB sweep
-                        val = 0  # ZRL: skip 16 zero-history coeffs
+                        else:
+                            val = 0  # ZRL: skip 16 zero-history coeffs
                     else:
-                        # s must be 1 in a refinement scan: a coeff
-                        # becoming visible at this precision, ±2^Al
-                        if nbits == 0:
-                            _starved_inline(marker)
-                        nbits -= 1
-                        val = p1 if (acc >> nbits) & 1 else -p1
+                        length = ac_len[idx]
+                        if length == 0 or length > nbits:
+                            if nbits < 16:
+                                _starved_inline(
+                                    term if upos >= ulen else None
+                                )
+                            raise ValueError(
+                                "invalid Huffman code in JPEG stream"
+                            )
+                        nbits -= length
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    if nbits < r:
+                                        _starved_inline(
+                                            term if upos >= ulen else None
+                                        )
+                                    nbits -= r
+                                    eobrun += (acc >> nbits) & (
+                                        (1 << r) - 1
+                                    )
+                                break  # remaining coeffs → EOB sweep
+                            val = 0  # ZRL
+                        else:
+                            # s must be 1 in a refinement scan: a
+                            # coeff becoming visible at this
+                            # precision, ±2^Al
+                            if nbits == 0:
+                                _starved_inline(
+                                    term if upos >= ulen else None
+                                )
+                            nbits -= 1
+                            val = p1 if (acc >> nbits) & 1 else -p1
                     # advance past `r` zero-history coefficients,
                     # emitting correction bits for nonzero ones along
                     # the way (G.1.2.3: grow an already-nonzero
@@ -1380,29 +1573,22 @@ def _decode_progressive_scan(
                         v = vals[k]
                         if v != 0:
                             if nbits == 0:
-                                if marker is None:
-                                    acc = 0  # all bits stale
-                                    while nbits < 32:
-                                        if pos >= dsize:
-                                            marker = -1
-                                            break
-                                        b = d[pos]
-                                        if b == 0xFF:
-                                            nxt = (
-                                                d[pos + 1]
-                                                if pos + 1 < dsize
-                                                else -1
-                                            )
-                                            if nxt != 0x00:
-                                                marker = nxt
-                                                break
-                                            pos += 2
-                                        else:
-                                            pos += 1
-                                        acc = (acc << 8) | b
-                                        nbits += 8
+                                while nbits < 32 and upos < ulen:
+                                    take = (263 - nbits) >> 3
+                                    if take > ulen - upos:
+                                        take = ulen - upos
+                                    acc = (
+                                        acc << (take << 3)
+                                    ) | int.from_bytes(
+                                        u[upos : upos + take], "big"
+                                    )
+                                    upos += take
+                                    nbits += take << 3
                                 if nbits == 0:
-                                    _starved_inline(marker)
+                                    _starved_inline(
+                                        term if upos >= ulen else None
+                                    )
+                                acc &= (1 << nbits) - 1  # stale high bits
                             nbits -= 1
                             if (acc >> nbits) & 1 and not (v & p1):
                                 vals[k] = v + (p1 if v > 0 else -p1)
@@ -1421,40 +1607,41 @@ def _decode_progressive_scan(
                     v = vals[k]
                     if v != 0:
                         if nbits == 0:
-                            if marker is None:
-                                acc = 0  # all bits stale
-                                while nbits < 32:
-                                    if pos >= dsize:
-                                        marker = -1
-                                        break
-                                    b = d[pos]
-                                    if b == 0xFF:
-                                        nxt = (
-                                            d[pos + 1]
-                                            if pos + 1 < dsize
-                                            else -1
-                                        )
-                                        if nxt != 0x00:
-                                            marker = nxt
-                                            break
-                                        pos += 2
-                                    else:
-                                        pos += 1
-                                    acc = (acc << 8) | b
-                                    nbits += 8
+                            while nbits < 32 and upos < ulen:
+                                take = (263 - nbits) >> 3
+                                if take > ulen - upos:
+                                    take = ulen - upos
+                                acc = (
+                                    acc << (take << 3)
+                                ) | int.from_bytes(
+                                    u[upos : upos + take], "big"
+                                )
+                                upos += take
+                                nbits += take << 3
                             if nbits == 0:
-                                _starved_inline(marker)
+                                _starved_inline(
+                                    term if upos >= ulen else None
+                                )
+                            acc &= (1 << nbits) - 1  # stale high bits
                         nbits -= 1
                         if (acc >> nbits) & 1 and not (v & p1):
                             vals[k] = v + (p1 if v > 0 else -p1)
                     k += 1
                 eobrun -= 1
         finally:
-            reader.acc, reader.nbits = acc, nbits
-            reader.pos, reader.marker = pos, marker
+            st[0], st[1], st[2] = acc, nbits, upos
 
-    def reset_state():
-        nonlocal eobrun
+    def advance_restart():
+        # align_past_restart semantics: scan forward from the current
+        # segment terminator for the next RSTn, resume just past it,
+        # drop buffered bits, reset DC predictors + EOB run
+        nonlocal u, term, term_pos, ulen, eobrun
+        p = term_pos
+        while not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+            p += 1
+        u, term, term_pos = _entropy_segment(d, p + 2)
+        ulen = len(u)
+        st[0] = st[1] = st[2] = 0
         eobrun = 0
         for cid in pred:
             pred[cid] = 0
@@ -1485,11 +1672,9 @@ def _decode_progressive_scan(
                     and mcu % restart_interval == 0
                     and mcu < n_mcu
                 ):
-                    reader.align_past_restart()
-                    reset_state()
+                    advance_restart()
             except _RestartMarker:
-                reader.align_past_restart()
-                reset_state()
+                advance_restart()
     else:
         # single-component scan (AC always; DC when ns == 1): raster
         # over the COMPONENT's own block grid, which can be smaller
@@ -1503,32 +1688,33 @@ def _decode_progressive_scan(
         n_blk = cw * ch
         blk_i = 0
         if ss != 0:
-            ac_sym, ac_len = huff_ac[tac]
+            ac_sym, ac_len, ac_tot, ac_val = huff_ac[tac]
         while blk_i < n_blk:
             try:
                 byi, bxi = divmod(blk_i, cw)
                 if ss == 0:
                     dc_vals(rows[byi][bxi], comp, tdc)
                 elif ah == 0:
-                    ac_first_vals(rows[byi][bxi], ac_sym, ac_len)
+                    ac_first_vals(
+                        rows[byi][bxi], ac_sym, ac_len, ac_tot, ac_val
+                    )
                 else:
-                    ac_refine_vals(rows[byi][bxi], ac_sym, ac_len)
+                    ac_refine_vals(
+                        rows[byi][bxi], ac_sym, ac_len, ac_tot, ac_val
+                    )
                 blk_i += 1
                 if (
                     restart_interval
                     and blk_i % restart_interval == 0
                     and blk_i < n_blk
                 ):
-                    reader.align_past_restart()
-                    reset_state()
+                    advance_restart()
             except _RestartMarker:
-                reader.align_past_restart()
-                reset_state()
-    # reader.pos is byte-aligned, past all consumed bytes, and never
-    # beyond the next real marker (refill stops at 0xFF); anything
-    # between it and the marker is final-byte padding the outer marker
-    # scan skips safely
-    return reader.pos
+                advance_restart()
+    # term_pos indexes the 0xFF of the next real marker (or EOF):
+    # byte-aligned, past all consumed bytes — the outer marker scan
+    # picks the marker up directly
+    return term_pos
 
 
 def _finalize_jpeg(planes, comps, qtables, h, w):
@@ -1567,12 +1753,17 @@ def _finalize_jpeg(planes, comps, qtables, h, w):
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(pixels, subsampling: str = "4:4:4") -> bytes:
+def encode_jpeg(
+    pixels, subsampling: str = "4:4:4", restart_interval: int = 0
+) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF-style JPEG (SOF0). Huffman
     tables are BUILT per image (fixed-length canonical codes emitted in
     DHT) — legal per T.81, which is why the decoder reads DHT
-    generically instead of assuming Annex K. Lossy: round-trips within
-    quantization error. Fixture/export helper."""
+    generically instead of assuming Annex K. `restart_interval` > 0
+    emits DRI + RSTn markers every that many MCUs (byte-aligned, DC
+    predictors reset — T.81 F.1.2.2.3), exercising the decoder's
+    restart resync. Lossy: round-trips within quantization error.
+    Fixture/export helper."""
     import struct
 
     import numpy as np
@@ -1638,8 +1829,15 @@ def encode_jpeg(pixels, subsampling: str = "4:4:4") -> bytes:
 
     sym_stream = []  # (kind 'dc'/'ac', table_id, symbol, bits, nbits)
     pred = {1: 0, 2: 0, 3: 0}
+    rst_cnt = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            mcu_i = my * mcux + mx
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                # sentinel: flush to a byte boundary and emit RSTn
+                sym_stream.append(("rst", rst_cnt & 7, 0, 0, 0))
+                rst_cnt += 1
+                pred = {1: 0, 2: 0, 3: 0}
             for cid, q, tq, fac in comp_blocks:
                 for by in range(fac if cid == 1 else 1):
                     for bx in range(fac if cid == 1 else 1):
@@ -1716,6 +1914,9 @@ def encode_jpeg(pixels, subsampling: str = "4:4:4") -> bytes:
 
     out_bits = []
     for kind, tid, sym, amp, nbits in sym_stream:
+        if kind == "rst":
+            out_bits.append((tid, -1))  # n = -1: restart sentinel
+            continue
         code, length = tables[(kind, tid)][0][sym]
         out_bits.append((code, length))
         if nbits:
@@ -1723,6 +1924,19 @@ def encode_jpeg(pixels, subsampling: str = "4:4:4") -> bytes:
     body = bytearray()
     acc = accn = 0
     for v, n in out_bits:
+        if n < 0:
+            # restart: 1-pad to byte boundary, emit unstuffed RSTn
+            if accn:
+                byte = (
+                    (acc << (8 - accn)) | ((1 << (8 - accn)) - 1)
+                ) & 0xFF
+                body.append(byte)
+                if byte == 0xFF:
+                    body.append(0x00)
+                acc = accn = 0
+            body.append(0xFF)
+            body.append(0xD0 + v)
+            continue
         acc = (acc << n) | (v & ((1 << n) - 1))
         accn += n
         while accn >= 8:
@@ -1759,6 +1973,8 @@ def encode_jpeg(pixels, subsampling: str = "4:4:4") -> bytes:
     for (kind, tid), (codes, bits, syms) in tables.items():
         tc = 0 if kind == "dc" else 1
         seg(0xC4, bytes([(tc << 4) | tid]) + bytes(bits) + bytes(syms))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
     seg(0xDA, sos)
     out.extend(body)

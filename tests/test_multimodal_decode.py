@@ -858,3 +858,66 @@ def test_ima_vectorized_decoder_matches_scalar_walker():
             for blk in blocks:
                 scalar.extend(_ima_decode_block(blk, spb, channels)[c])
             assert vec[c].tolist() == scalar
+
+
+def test_baseline_jpeg_with_restart_markers():
+    """DRI + RSTn in a BASELINE scan (T.81 F.1.2.2.3): the encoder
+    1-pads to a byte boundary, emits unstuffed RSTn every interval and
+    resets DC predictors; the decoder's segment-based resync
+    (_next_restart_segment) must land on each marker and produce the
+    exact same pixels as the marker-free encoding of the same image."""
+    from pipeline_kinesis_spark.operators.multimodal import encode_jpeg
+
+    rng = np.random.default_rng(41)
+    px = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        db = decode_media(encode_jpeg(px, sub))
+        for ri in (1, 3, 7):
+            enc = encode_jpeg(px, sub, restart_interval=ri)
+            assert b"\xff\xdd" in enc  # DRI
+            assert any(
+                bytes([0xFF, 0xD0 + m]) in enc for m in range(8)
+            )
+            assert np.array_equal(decode_media(enc), db)
+
+
+def test_jpeg_truncated_entropy_stream_raises():
+    """Cutting the entropy-coded body mid-stream must surface a
+    decode error (zero-padded peeks at the tail may complete a
+    partial symbol, but the missing blocks starve the scan), never
+    return garbage pixels silently or crash with an internal
+    IndexError."""
+    from pipeline_kinesis_spark.operators.multimodal import (
+        _decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(43)
+    px = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)
+    enc = encode_jpeg(px)
+    sos = enc.find(b"\xff\xda")
+    cut = enc[: sos + (len(enc) - sos) // 3]
+    with pytest.raises(ValueError):
+        _decode_jpeg(cut)
+
+
+def test_jpeg_huffman_lut_cache_shared_tables():
+    """The combined Huffman LUTs are cached by their DHT bytes:
+    decoding two different images that ship identical tables must
+    return the same object from _build_huff_decoder (one build per
+    corpus, not per image) while still decoding each image
+    correctly."""
+    from pipeline_kinesis_spark.operators.multimodal import (
+        _HUFF_LUT_CACHE,
+        _build_huff_decoder,
+    )
+
+    bits = [0] * 16
+    bits[2] = 4  # four 3-bit codes
+    vals = [0, 1, 2, 3]
+    a = _build_huff_decoder(list(bits), list(vals), is_dc=True)
+    b = _build_huff_decoder(list(bits), list(vals), is_dc=True)
+    assert a is b
+    c = _build_huff_decoder(list(bits), list(vals), is_dc=False)
+    assert c is not a  # DC and AC variants cache separately
+    assert (bytes(bits), bytes(vals), True) in _HUFF_LUT_CACHE
