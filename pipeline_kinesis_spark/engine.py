@@ -849,6 +849,17 @@ class Engine:
                     client_factory=self._kinesis_client_factories.get(
                         endpoint
                     ),
+                    # one scheduling wave per trigger: when live shards
+                    # outnumber the cluster's task slots, the reader
+                    # packs shards round-robin into at most this many
+                    # group partitions (per-shard pacing/caps/replay
+                    # pins unchanged) — 128 shards on local[32] was 4
+                    # waves per 100 ms batch, measured 1.6x slower
+                    # than 64 shards despite half the data
+                    max_partitions=max(
+                        self.spark.sparkContext.defaultParallelism,
+                        parallelism,
+                    ),
                 )
                 spool = os.path.join(
                     self.metadata_dir, "spool", str(consumer.id)

@@ -102,6 +102,7 @@ class KinesisSource:
         state_dir: str,
         client_factory: str | None = None,
         max_records_per_shard_per_batch: int | None = None,
+        max_partitions: int | None = None,
     ) -> DataFrame:
         """Executor-parallel streaming read via the Python DataSource
         API (sources/kinesis_datasource.py): one input partition per
@@ -137,6 +138,11 @@ class KinesisSource:
                 "maxRecordsPerShardPerBatch",
                 str(max_records_per_shard_per_batch),
             )
+        if max_partitions is not None:
+            # cap tasks per micro-batch: beyond the cluster's task
+            # slots, shards pack round-robin into group partitions
+            # (one scheduling wave per trigger instead of several)
+            reader = reader.option("maxPartitions", str(max_partitions))
         if self.endpoint_url:
             reader = reader.option("endpointUrl", self.endpoint_url)
         if self.credfile:

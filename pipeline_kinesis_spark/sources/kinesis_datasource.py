@@ -241,6 +241,37 @@ def _read_attained(state_dir: str) -> dict[str, dict]:
     return out
 
 
+def _read_attained_shard(state_dir: str, shard_id: str) -> dict:
+    """One shard's winning attained entry (same winner rule as
+    _read_attained: max epoch, per-epoch pin beats legacy on a tie)
+    without parsing the whole directory — the executor poll loop calls
+    this once per shard per batch, and a full-dir parse there is
+    O(shards) opens per call, O(shards²) per micro-batch at scale."""
+    d = _attained_dir(state_dir)
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return {}
+    out: dict = {}
+    best = -1
+    for name in names:
+        if not name.endswith(".json") or not name.startswith(shard_id):
+            continue
+        shard, epoch = _split_attained_name(name)
+        if shard != shard_id:
+            continue  # another shard id sharing this one as a prefix
+        try:
+            with open(os.path.join(d, name)) as f:
+                st = json.load(f)
+        except (OSError, ValueError):
+            continue  # torn legacy write / reaped mid-read
+        e = int(st.get("epoch") or 0)
+        if e > best or (e == best and epoch is not None):
+            best = e
+            out = st
+    return out
+
+
 def _write_attained(state_dir: str, shard_id: str, state: dict) -> None:
     """Record a shard's reach for `state['epoch']`, first-writer-wins.
 
@@ -321,6 +352,25 @@ class KinesisShardPartition(InputPartition):
         self.epoch = epoch
 
 
+class KinesisShardGroupPartition(InputPartition):
+    """Several shards polled sequentially by ONE task. When the live
+    shard count exceeds the cluster's task slots, one-task-per-shard
+    stops scaling: every micro-batch pays multiple scheduling waves
+    (128 shards on 32 cores = 4 waves per 100 ms trigger). Packing
+    shards round-robin into at most `maxPartitions` tasks keeps each
+    batch a single wave — the same move as the Kafka source's
+    partition packing. Per-shard semantics are untouched: pacing,
+    per-batch record caps, and the attained-position replay pins all
+    live inside the per-shard poll loop."""
+
+    shards: list  # [(shard_id, start_seq, from_reshard), ...]
+    epoch: int
+
+    def __init__(self, shards, epoch):
+        self.shards = shards
+        self.epoch = epoch
+
+
 class KinesisStreamReader(DataSourceStreamReader):
     """Driver side: offset bookkeeping + per-shard partition planning.
     Executor side (`read`): the GetRecords polling protocol.
@@ -361,6 +411,10 @@ class KinesisStreamReader(DataSourceStreamReader):
         self.rate = float(
             opts.get("maxfetchratepershard", DEFAULT_RATE_PER_SHARD)
         )
+        # 0 = one partition per shard (exact A1/A4 parity); > 0 caps
+        # the partitions per micro-batch, packing shards round-robin
+        # into group partitions (KinesisShardGroupPartition)
+        self.max_partitions = int(opts.get("maxpartitions", 0))
         self._epoch = 0
 
     # -- offsets -----------------------------------------------------------
@@ -457,19 +511,53 @@ class KinesisStreamReader(DataSourceStreamReader):
                     epoch=epoch,
                 )
             )
+        if self.max_partitions and len(parts) > self.max_partitions:
+            # more shards than allowed tasks: pack round-robin over a
+            # stable (sorted) shard order so a shard maps to the same
+            # group index while the live set is unchanged — iterator
+            # caching in the attained files stays warm per shard
+            groups: list[list] = [[] for _ in range(self.max_partitions)]
+            for i, p in enumerate(
+                sorted(parts, key=lambda p: p.shard_id)
+            ):
+                groups[i % self.max_partitions].append(
+                    (p.shard_id, p.start_seq, p.from_reshard)
+                )
+            return [
+                KinesisShardGroupPartition(g, epoch)
+                for g in groups
+                if g
+            ]
         return parts
 
     # -- executor-side read ------------------------------------------------
 
-    def read(self, partition: KinesisShardPartition):
+    def read(self, partition):
+        """One micro-batch's poll work for one TASK, on an executor:
+        a single shard (KinesisShardPartition) or a packed group
+        (KinesisShardGroupPartition) polled shard-by-shard with one
+        shared client. Emits RECORD_SCHEMA tuples."""
+        client = _make_client(self.opts)
+        if isinstance(partition, KinesisShardGroupPartition):
+            for sid, start_seq, from_reshard in partition.shards:
+                yield from self._read_shard(
+                    client, sid, start_seq, from_reshard, partition.epoch
+                )
+            return
+        yield from self._read_shard(
+            client,
+            partition.shard_id,
+            partition.start_seq,
+            partition.from_reshard,
+            partition.epoch,
+        )
+
+    def _read_shard(self, client, sid, start_seq, from_reshard, epoch):
         """One shard's poll loop for one micro-batch, ON AN EXECUTOR.
         Emits RECORD_SCHEMA tuples; stops at the per-batch record cap,
         when caught up (empty response), or when the shard closes."""
-        opts = self.opts
-        client = _make_client(opts)
-        sid = partition.shard_id
         state_dir = self.state_dir
-        attained = _read_attained(state_dir).get(sid, {})
+        attained = _read_attained_shard(state_dir, sid)
 
         # Deterministic replay: if a previous ATTEMPT of this same
         # (epoch, start) already ran — its attained file records this
@@ -480,18 +568,18 @@ class KinesisStreamReader(DataSourceStreamReader):
         # the batch; both are correct because the content is identical.
         bound = None
         if (
-            attained.get("epoch") == partition.epoch
-            and attained.get("start") == partition.start_seq
+            attained.get("epoch") == epoch
+            and attained.get("start") == start_seq
         ):
             bound = attained.get("seq")
-            if bound == partition.start_seq:
+            if bound == start_seq:
                 # first attempt emitted nothing — the replay must too
                 return
 
         iterator = None
         if (
             attained.get("it")
-            and attained.get("seq") == partition.start_seq
+            and attained.get("seq") == start_seq
         ):
             # cached NextShardIterator from the previous batch — valid
             # only if it continues exactly from our committed start
@@ -504,7 +592,7 @@ class KinesisStreamReader(DataSourceStreamReader):
                     "ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
                     "StartingSequenceNumber": seq,
                 }
-            elif partition.from_reshard:
+            elif from_reshard:
                 kwargs = {"ShardIteratorType": "TRIM_HORIZON"}
             elif self.start_position.startswith("after_sequence_number:"):
                 kwargs = {
@@ -521,7 +609,7 @@ class KinesisStreamReader(DataSourceStreamReader):
                 StreamName=self.stream, ShardId=sid, **kwargs
             )["ShardIterator"]
 
-        last_seq = partition.start_seq
+        last_seq = start_seq
         closed = False
         emitted = 0
         backoff = 0.0
@@ -602,8 +690,8 @@ class KinesisStreamReader(DataSourceStreamReader):
                 "closed": closed,
                 # replay pinning (see `bound` above): which (epoch,
                 # start) produced this reach
-                "epoch": partition.epoch,
-                "start": partition.start_seq,
+                "epoch": epoch,
+                "start": start_seq,
             },
         )
 

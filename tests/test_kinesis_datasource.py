@@ -595,3 +595,82 @@ class TestSoakAtScale:
             assert sorted(r.data for r in rows) == expected
         finally:
             q2.stop()
+
+
+class TestShardGroupPartitions:
+    """maxPartitions > 0: shards pack round-robin into group
+    partitions so a micro-batch is one scheduling wave even when the
+    live shard count exceeds the cluster's task slots. Per-shard
+    semantics (attained files, replay pins, reshard gating) must be
+    identical to the one-partition-per-shard default."""
+
+    def test_grouping_covers_every_shard_once(self, tmp_path):
+        from pipeline_kinesis_spark.sources.kinesis_datasource import (
+            KinesisShardGroupPartition,
+        )
+
+        fake = FakeKinesisClient(
+            {
+                f"shardId-{i:03d}": [f"r{i}-{j}".encode() for j in range(3)]
+                for i in range(10)
+            }
+        )
+        r = _reader(tmp_path, fake, maxPartitions="4")
+        end = r.latestOffset()
+        parts = r.partitions(r.initialOffset(), end)
+        assert len(parts) == 4
+        assert all(
+            isinstance(p, KinesisShardGroupPartition) for p in parts
+        )
+        covered = [s[0] for p in parts for s in p.shards]
+        assert sorted(covered) == [f"shardId-{i:03d}" for i in range(10)]
+        rows = [t for p in parts for t in r.read(p)]
+        assert len(rows) == 30
+        assert {t[4] for t in rows} == set(covered)
+        r.commit(end)
+        # attained bookkeeping is still per shard
+        att = _read_attained(str(tmp_path / "state"))
+        assert set(att) == set(covered)
+
+    def test_grouping_inactive_at_or_below_cap(self, tmp_path):
+        fake = FakeKinesisClient(
+            {f"shardId-{i:03d}": [b"x"] for i in range(4)}
+        )
+        r = _reader(tmp_path, fake, maxPartitions="8")
+        parts = r.partitions(r.initialOffset(), r.latestOffset())
+        assert len(parts) == 4
+        assert all(hasattr(p, "shard_id") for p in parts)
+
+    def test_replay_determinism_through_groups(self, tmp_path):
+        """The attained (epoch, start) replay pin lives inside the
+        per-shard loop — a replayed grouped batch re-emits exactly the
+        first attempt's records even after the stream grew."""
+        fake = FakeKinesisClient(
+            {f"shardId-{i:03d}": [b"a", b"b"] for i in range(6)}
+        )
+        r = _reader(tmp_path, fake, maxPartitions="2")
+        o1, rows = _run_batch(r, r.initialOffset())
+        assert len(rows) == 12
+        for i in range(6):
+            fake.append(f"shardId-{i:03d}", b"late")
+        o2 = r.latestOffset()
+        first = [t for p in r.partitions(o1, o2) for t in r.read(p)]
+        replay = [t for p in r.partitions(o1, o2) for t in r.read(p)]
+        assert sorted(t[0] for t in first) == ["late"] * 6
+        assert sorted((t[4], t[0]) for t in replay) == sorted(
+            (t[4], t[0]) for t in first
+        )
+
+    def test_grouping_stable_assignment_across_batches(self, tmp_path):
+        """While the live shard set is unchanged, a shard lands in the
+        same group index every batch (sorted + round-robin), keeping
+        its cached NextShardIterator warm in the worker that polls
+        it."""
+        fake = FakeKinesisClient(
+            {f"shardId-{i:03d}": [b"x"] for i in range(9)}
+        )
+        r = _reader(tmp_path, fake, maxPartitions="3")
+        o1, _ = _run_batch(r, r.initialOffset())
+        a = [tuple(s[0] for s in p.shards) for p in r.partitions(o1, r.latestOffset())]
+        b = [tuple(s[0] for s in p.shards) for p in r.partitions(o1, r.latestOffset())]
+        assert a == b
