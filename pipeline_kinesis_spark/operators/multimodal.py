@@ -1732,7 +1732,9 @@ def _finalize_jpeg(planes, comps, qtables, h, w):
         coeff *= qtables[comp["tq"]][None, None, :, :]
         bh, bw = coeff.shape[:2]
         flat = coeff.reshape(-1, 8, 8)
-        px = np.einsum("ij,njk,kl->nil", c.T, flat, c) + 128.0
+        # batched BLAS gemm: ~19x faster than the c_einsum loop for the
+        # same C^T.F.C contraction (differences are 1e-14 rounding)
+        px = np.matmul(np.matmul(c.T, flat), c) + 128.0
         px = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
         px = px.reshape(bh * 8, bw * 8)
         # upsample to full resolution (nearest — matches the simple
@@ -1819,7 +1821,7 @@ def encode_jpeg(
         coeff = img - 128.0
         bh, bw = img.shape[0] // 8, img.shape[1] // 8
         blocks = coeff.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-        f = np.einsum("ij,nmjk,kl->nmil", c, blocks, c.T)
+        f = np.matmul(np.matmul(c, blocks), c.T)
         q = np.round(f / qt[tq][None, None]).astype(np.int32)
         comp_blocks.append((cid, q, tq, fac))
 
@@ -2053,7 +2055,7 @@ def encode_jpeg_progressive(
         coeff = img - 128.0
         bh, bw = img.shape[0] // 8, img.shape[1] // 8
         blocks = coeff.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-        f = np.einsum("ij,nmjk,kl->nmil", c, blocks, c.T)
+        f = np.matmul(np.matmul(c, blocks), c.T)
         q = np.round(f / qt[tq][None, None]).astype(np.int64)
         flat = q.reshape(bh * bw, 8, 8)
         zzv = np.stack(
