@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import struct
 
+from pipeline_kinesis_spark.operators.decode_guard import foreign_file_guard
+
 __all__ = ["decode_avi", "encode_avi_mjpeg"]
 
 
@@ -49,7 +51,7 @@ def _chunks(buf: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)
 
 
-def decode_avi(payload: bytes) -> tuple[float, "np.ndarray"]:
+def _decode_avi_impl(payload: bytes) -> tuple[float, "np.ndarray"]:
     """MJPEG AVI → (fps, (n_frames, h, w, 3) uint8). Frame JPEGs are
     decoded by the in-repo baseline/progressive JPEG decoder through
     the same dispatch production payloads take."""
@@ -218,3 +220,11 @@ def encode_avi_mjpeg(fps: float, frames, quality_subsampling="4:4:4") -> bytes:
 
     riff_body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload):
+    """Guarded entry: see _decode_avi_impl for the format walk; mechanical
+    parse crashes from foreign bytes surface as ValueError
+    (operators/decode_guard.py)."""
+    with foreign_file_guard("AVI"):
+        return _decode_avi_impl(payload)

@@ -32,6 +32,8 @@ from __future__ import annotations
 import hashlib
 import struct
 
+from pipeline_kinesis_spark.operators.decode_guard import foreign_file_guard
+
 __all__ = ["decode_flac", "encode_flac"]
 
 
@@ -826,7 +828,7 @@ _RATE_CODES = {
 _SIZE_CODES = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24, 0b111: 32}
 
 
-def decode_flac(payload: bytes) -> tuple[int, "np.ndarray"]:
+def _decode_flac_impl(payload: bytes) -> tuple[int, "np.ndarray"]:
     """FLAC stream → (sample_rate, (n, channels) int16 array), verifying
     CRC-8 per frame header, CRC-16 per frame, and the STREAMINFO MD5 of
     the decoded samples (when present)."""
@@ -981,3 +983,11 @@ def _decode_frame(payload: bytes, pos: int, info, out_ch, accel=None) -> int:
     for c in range(nch):
         out_ch[c].extend(chans[c])
     return r.tell_bytes()
+
+
+def decode_flac(payload):
+    """Guarded entry: see _decode_flac_impl for the format walk; mechanical
+    parse crashes from foreign bytes surface as ValueError
+    (operators/decode_guard.py)."""
+    with foreign_file_guard("FLAC"):
+        return _decode_flac_impl(payload)

@@ -49,6 +49,10 @@ from pyspark.sql.types import (
 
 from pipeline_kinesis_spark.io import load
 from pipeline_kinesis_spark.operators import QuerySpec
+from pipeline_kinesis_spark.operators.decode_guard import (
+    check_dims,
+    foreign_file_guard,
+)
 
 # Canonical media-row schema: opaque payload + typed metadata.
 MEDIA_SCHEMA = StructType(
@@ -102,17 +106,23 @@ def decode_media(payload: bytes, mime: str = "") -> object:
     if payload is None:
         raise ValueError("empty payload")
     if payload[:2] == b"P6":
-        return _decode_ppm(payload)
+        with foreign_file_guard("PPM"):
+            return _decode_ppm(payload)
     if payload[:2] == b"BM":
-        return _decode_bmp(payload)
+        with foreign_file_guard("BMP"):
+            return _decode_bmp(payload)
     if payload[:8] == _PNG_MAGIC:
-        return _decode_png(payload)
+        with foreign_file_guard("PNG"):
+            return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        return _decode_gif(payload)
+        with foreign_file_guard("GIF"):
+            return _decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
-        return _decode_jpeg(payload)
+        with foreign_file_guard("JPEG"):
+            return _decode_jpeg(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return _decode_wav(payload)
+        with foreign_file_guard("WAV"):
+            return _decode_wav(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         from pipeline_kinesis_spark.operators.avi import decode_avi
 
@@ -198,6 +208,7 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
         )
     top_down = h < 0
     h = abs(h)
+    check_dims("BMP", w, h, 3)
     stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
     rows = np.frombuffer(
         payload, dtype=np.uint8, count=stride * h, offset=data_off
@@ -270,6 +281,7 @@ def _decode_png(payload: bytes) -> "np.ndarray":
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
+            check_dims("PNG", w, h, 4)
             valid = {
                 0: (1, 2, 4, 8, 16),  # grayscale
                 2: (8, 16),  # RGB
@@ -916,6 +928,7 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
         elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             progressive = marker == 0xC2
             _, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            check_dims("JPEG", w, h, 3)
             p = 6
             for _ in range(nc):
                 cid, hv, tq = seg[p], seg[p + 1], seg[p + 2]
@@ -2499,6 +2512,7 @@ def _decode_gif(payload: bytes) -> "np.ndarray":
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
         _, _, iw, ih = struct.unpack_from("<HHHH", payload, pos)
+        check_dims("GIF", iw, ih, 3)
         pos += 8
         iflags = payload[pos]
         pos += 1

@@ -26,6 +26,11 @@ and the image decode gate row. Scale shape: runs inside Arrow-batched
 from __future__ import annotations
 
 import struct
+
+from pipeline_kinesis_spark.operators.decode_guard import (
+    check_dims,
+    foreign_file_guard,
+)
 import zlib
 
 __all__ = ["decode_tiff", "encode_tiff"]
@@ -206,7 +211,7 @@ def _lzw_encode(data: bytes) -> bytes:
 # -- decode ------------------------------------------------------------------
 
 
-def decode_tiff(payload: bytes) -> "np.ndarray":
+def _decode_tiff_impl(payload: bytes) -> "np.ndarray":
     import numpy as np
 
     if payload[:4] == b"II*\x00":
@@ -253,6 +258,7 @@ def decode_tiff(payload: bytes) -> "np.ndarray":
 
     w = one(256)
     h = one(257)
+    check_dims("TIFF", w, h, 3)
     compression = one(259, 1)
     photometric = one(262)
     spp = one(277, 1)
@@ -445,3 +451,11 @@ def encode_tiff(
     out += struct.pack(e + "I", 0)  # no next IFD
     struct.pack_into(e + "I", out, 4, ifd_off)
     return bytes(out)
+
+
+def decode_tiff(payload):
+    """Guarded entry: see _decode_tiff_impl for the format walk; mechanical
+    parse crashes from foreign bytes surface as ValueError
+    (operators/decode_guard.py)."""
+    with foreign_file_guard("TIFF"):
+        return _decode_tiff_impl(payload)

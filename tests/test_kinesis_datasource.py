@@ -295,21 +295,36 @@ def _collecting_query(df, wd, batches):
     )
 
 
+def _flatten(batches):
+    # foreachBatch is at-least-once across restart: a batch planned but
+    # not yet written to the commit log is RE-DELIVERED under the same
+    # batchId after kill/resume (the engine's real sink is idempotent
+    # per batch via rename-publish). Dedup by batchId — and assert the
+    # replay carried identical rows, which is exactly the attained-pin
+    # guarantee the source makes.
+    by_id: dict = {}
+    for i, bs in list(batches):
+        if i in by_id:
+            assert sorted(map(tuple, by_id[i])) == sorted(
+                map(tuple, bs)
+            ), f"replayed batch {i} differs from first delivery"
+        by_id[i] = bs
+    return [r for _, bs in sorted(by_id.items()) for r in bs]
+
+
 def _await_rows(q, batches, n, timeout=240):
     # generous margin: under a full-suite battery the host is saturated
     # and a streaming-query (re)start — planner worker spawn, offset
     # replay — can take minutes; short margins turn load into flakes
     deadline = time.monotonic() + timeout
     while time.monotonic() < deadline:
-        rows = [r for _, bs in batches for r in bs]
+        rows = _flatten(batches)
         if len(rows) >= n:
             return rows
         if not q.isActive:
             raise AssertionError(f"query died: {q.exception()}")
         time.sleep(0.2)
-    raise AssertionError(
-        f"timed out at {len([r for _, bs in batches for r in bs])}/{n} rows"
-    )
+    raise AssertionError(f"timed out at {len(_flatten(batches))}/{n} rows")
 
 
 def test_e2e_shard_per_partition_and_append(spark, wire, tmp_path):
