@@ -20,6 +20,7 @@ into Spark's task scheduler; shard→task assignment is automatic.
 
 from __future__ import annotations
 
+import functools
 import os
 import re
 import shutil
@@ -101,6 +102,59 @@ _OSREL_RE = re.compile(r"^(\w+)_osrel$")
 # sentinel distinguishing "caller said nothing" (finite default) from an
 # explicit None (unbounded opt-in)
 _OSREL_KEEP_UNSET = object()
+
+# cap on the error text a foreachBatch function re-raises to the JVM
+_STREAM_ERR_HEAD = 2000
+
+
+def _raise_compact_batch_error(e: BaseException) -> None:
+    """Re-raise a foreachBatch failure with a bounded message.
+
+    When a foreachBatch body fails (most commonly: the stop() interrupt
+    landing mid-write), the exception crossing py4j embeds the full
+    Java stack as TEXT — tens of kB. Spark's stop classifier
+    (StreamExecution.isInterruptionException) then runs the pattern
+    ``py4j.protocol.Py4JJavaError: An error occurred while
+    calling((.|\\r\\n|\\r|\\n)*)(java.lang.InterruptedException|...)``
+    over that text; the unanchored any-char loop recurses once per
+    character and a long message overflows the JVM stack, killing the
+    stream-execution thread mid-stop instead of concluding "graceful
+    stop" (observed: ~9,300 regex frames from a ~30 kB message).
+
+    Capping the message here keeps the classifier's input small. The
+    composed head line is ``module.Type: str(e)`` — for a
+    Py4JJavaError that reads ``py4j.protocol.Py4JJavaError: An error
+    occurred while calling oNNN.json.\\n: java.lang.InterruptedException
+    ...``, so the interruption marker sits within the first ~100
+    chars and stop classification still succeeds. ``from None``
+    suppresses exception chaining so the original giant text does not
+    ride along in the formatted traceback either.
+    """
+    s = f"{type(e).__module__}.{type(e).__name__}: {e}"
+    if len(s) <= _STREAM_ERR_HEAD:
+        raise e
+    keep = s[:_STREAM_ERR_HEAD]
+    for marker in (
+        "java.lang.InterruptedException",
+        "java.io.InterruptedIOException",
+        "java.nio.channels.ClosedByInterruptException",
+    ):
+        if marker in s and marker not in keep:
+            keep += f" ... {marker}"
+    raise RuntimeError(keep + " ... [message truncated]") from None
+
+
+def _guarded_batch(fn):
+    """Wrap a foreachBatch function with the compact-error boundary."""
+
+    @functools.wraps(fn)
+    def wrapper(bdf, bid):
+        try:
+            return fn(bdf, bid)
+        except BaseException as e:
+            _raise_compact_batch_error(e)
+
+    return wrapper
 
 
 def _publish_spool_batch(spool: str, bid: int, tmp: str) -> None:
@@ -1016,7 +1070,7 @@ class Engine:
                     _publish_spool_batch(_spool, bid, tmp)
 
                 queries.append(
-                    ds_raw.writeStream.foreachBatch(_land)
+                    ds_raw.writeStream.foreachBatch(_guarded_batch(_land))
                     .queryName(
                         f"kds_landing_{relation}_c{consumer.id}"
                     )
@@ -1719,7 +1773,7 @@ class Engine:
                 _p(bdf, bid)
 
         return (
-            tdf.writeStream.foreachBatch(_transform_batch)
+            tdf.writeStream.foreachBatch(_guarded_batch(_transform_batch))
             .queryName(f"transform_{t.name}")
             .outputMode("append")
             .option(
@@ -1785,7 +1839,7 @@ class Engine:
                     )
 
             return (
-                vdf.writeStream.foreachBatch(_merge_batch)
+                vdf.writeStream.foreachBatch(_guarded_batch(_merge_batch))
                 .queryName(view.name)
                 .outputMode("update")
                 .option(
@@ -2788,7 +2842,16 @@ class Engine:
                 last_bid = bid
                 if p.get("numInputRows", 0) == 0:
                     zero_streak += 1
-                    if zero_streak >= 2:
+                    # 3, not 2: after a kill/resume, a record already on
+                    # the stream takes up to three batches to surface —
+                    # the REPLAY batch reads only to its attained pin
+                    # (no poll past it, by design), the first live batch
+                    # polls and records the new reach but its planned
+                    # range predates it, and the third delivers. The
+                    # first two legitimately carry zero input rows, so a
+                    # 2-streak can declare quiescence with data still
+                    # undelivered server-side.
+                    if zero_streak >= 3:
                         return
                 else:
                     zero_streak = 0

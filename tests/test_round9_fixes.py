@@ -272,3 +272,77 @@ class TestExplicitSourceConflict:
             assert len(seqs) == 4 and len(set(seqs)) == 4
         finally:
             eng.consume_end_all()
+
+
+class TestCompactBatchError:
+    """foreachBatch failures must re-raise with a BOUNDED message.
+
+    Spark's stop classifier (StreamExecution.isInterruptionException)
+    runs `py4j.protocol.Py4JJavaError: An error occurred while
+    calling((.|\\r\\n|\\r|\\n)*)(java.lang.InterruptedException|...)`
+    over the error text; the any-char loop recurses per character, so
+    a py4j error embedding a full Java stack (tens of kB) overflows
+    the JVM stack and kills the stream-execution thread mid-stop
+    (observed as flaky kill/resume tests: the thread died instead of
+    concluding "graceful stop")."""
+
+    def test_long_message_truncated_marker_preserved(self):
+        from pipeline_kinesis_spark.engine import (
+            _STREAM_ERR_HEAD,
+            _raise_compact_batch_error,
+        )
+
+        class Py4JJavaError(Exception):
+            pass
+
+        big = (
+            "An error occurred while calling o310.json.\n"
+            ": java.lang.InterruptedException\n"
+            + "\tat org.x.Y.z(F.java:1)\n" * 3000
+        )
+        with pytest.raises(RuntimeError) as ei:
+            _raise_compact_batch_error(Py4JJavaError(big))
+        m = str(ei.value)
+        assert len(m) < _STREAM_ERR_HEAD + 200
+        # the classifier's two anchors sit in the short head
+        assert "Py4JJavaError: An error occurred while calling" in m[:120]
+        assert "java.lang.InterruptedException" in m[:300]
+        # no chained context to reinflate the formatted traceback
+        assert ei.value.__cause__ is None
+        assert ei.value.__suppress_context__
+
+    def test_marker_outside_head_is_appended(self):
+        from pipeline_kinesis_spark.engine import _raise_compact_batch_error
+
+        big = "x" * 5000 + " java.io.InterruptedIOException tail"
+        with pytest.raises(RuntimeError) as ei:
+            _raise_compact_batch_error(ValueError(big))
+        assert "java.io.InterruptedIOException" in str(ei.value)
+
+    def test_short_message_reraised_unchanged(self):
+        from pipeline_kinesis_spark.engine import _raise_compact_batch_error
+
+        e = ValueError("small")
+        with pytest.raises(ValueError) as ei:
+            _raise_compact_batch_error(e)
+        assert ei.value is e
+
+    def test_guarded_batch_passthrough_and_guard(self):
+        from pipeline_kinesis_spark.engine import _guarded_batch
+
+        calls = []
+
+        @_guarded_batch
+        def ok(bdf, bid):
+            calls.append((bdf, bid))
+            return "r"
+
+        assert ok("df", 7) == "r" and calls == [("df", 7)]
+
+        @_guarded_batch
+        def boom(bdf, bid):
+            raise RuntimeError("y" * 10000)
+
+        with pytest.raises(RuntimeError) as ei:
+            boom("df", 8)
+        assert len(str(ei.value)) < 2300
