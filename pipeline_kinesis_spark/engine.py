@@ -2813,8 +2813,9 @@ class Engine:
         (test/demo helper). Datasource landing queries poll an
         always-advancing source (every trigger plans a batch), so
         Spark's noNewData flag — what processAllAvailable waits on —
-        never sets for them; they are instead polled until two
-        consecutive completed batches carried zero input rows."""
+        never sets for them; they are instead polled until three
+        consecutive completed batches carried zero input rows (three,
+        not two — see _await_quiescent for the pinned-replay chain)."""
         import time as _time
 
         deadline = _time.monotonic() + timeout_s

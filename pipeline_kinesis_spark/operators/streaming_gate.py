@@ -101,8 +101,185 @@ GROUP BY event_type
 """
 
 
+_RESULT_SCHEMA = "event_type STRING, n_events BIGINT, sum_event_id BIGINT"
+
+
+def _events_subset(spark: SparkSession, sf_dir: str, mod: int, rem: int):
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("user_id") % mod == rem)
+        .select("event_id", "event_type", "user_id")
+        .collect()
+    )
+
+
+def _as_records(rows, seq_base: int = 0):
+    """events rows → kinesis-style records (4 shards by user_id;
+    sequence = seq_base + event_id, so a later batch with a higher base
+    lands strictly after everything already consumed on every shard)."""
+    return [
+        {
+            "data": f"{r.event_id},{r.event_type}",
+            "partition_key": str(r.user_id),
+            "shard_id": f"shardId-{r.user_id % 4:012d}",
+            "sequence_number": f"{seq_base + r.event_id:056d}",
+        }
+        for r in rows
+    ]
+
+
+def streaming_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE CONTINUOUS TRANSFORM → output stream → chained continuous
+    view, end-to-end (PipelineDB's signature composition, README.md:90-107
+    and pipeline_kinesis--0.9.0.sql:54-60 semantics): an events subset
+    replays through a real consumer, a row-wise transform filters even
+    event_ids into its sink relation, and a SECOND standing query
+    aggregates that sink. Both filters are pure event_id/user_id
+    arithmetic, so the final matrel is a plain two-predicate GROUP BY
+    for the oracle — a drift anywhere in the chain (transform predicate,
+    sink append, chained-view wiring, exactly-once ingest) hash-fails."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 37, 5)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"stc_{tag}_")
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    write_record_file(f"{root}/events_replay", _as_records(ev))
+    eng = Engine(spark, metadata_dir=f"{root}/meta")
+    stream, sink, view = (
+        f"stc_stream_{tag}",
+        f"stc_sink_{tag}",
+        f"stc_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(f"stc_ep_{tag}", url=root)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.create_continuous_transform(
+            f"stc_even_{tag}",
+            f"SELECT event_id, event_type FROM {stream} "
+            f"WHERE event_id % 2 = 0",
+            stream=stream,
+            sink_relation=sink,
+        )
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n_events, "
+            f"sum(event_id) AS sum_event_id FROM {sink} "
+            f"GROUP BY event_type",
+            stream=sink,
+        )
+        eng.consume_begin(
+            f"stc_ep_{tag}", "events_replay", stream,
+            fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(view).collect()
+        ]
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_TRANSFORM_CHAIN_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 37 = 5 AND event_id % 2 = 0
+GROUP BY event_type
+"""
+
+
+def streaming_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a consumer stop/restart, oracled: half the
+    subset (even event_ids) ingests into a DURABLE parquet_upsert view,
+    the consumer stops (consume_end), the other half arrives at strictly
+    higher sequence numbers, and a fresh consume_begin resumes from the
+    persisted checkpoints. Exactly-once (A9/A10 — checkpoint resume +
+    attained-pin replay, kinesis_consumer.cpp:334-400 parity) makes the
+    final store a pure function of the full subset: any duplicate or
+    lost record across the restart shifts a count or a sum and
+    hash-fails against the one-shot GROUP BY oracle."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 43, 11)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"src_{tag}_")
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    first = [r for r in ev if r.event_id % 2 == 0]
+    second = [r for r in ev if r.event_id % 2 == 1]
+    write_record_file(f"{root}/events_replay", _as_records(first))
+    eng = Engine(spark, metadata_dir=f"{root}/meta")
+    ep, stream, view = (
+        f"src_ep_{tag}",
+        f"src_stream_{tag}",
+        f"src_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n_events, "
+            f"sum(event_id) AS sum_event_id FROM {stream} "
+            f"GROUP BY event_type",
+            stream=stream,
+            materialize="parquet_upsert",
+            key_cols=["event_type"],
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        eng.consume_end(ep, "events_replay", stream)
+        # the second half lands AFTER the stop, at sequence numbers
+        # above everything consumed; resume must pick up exactly these
+        write_record_file(
+            f"{root}/events_replay", _as_records(second, seq_base=10**12)
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(view).collect()
+        ]
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_RESTART_COUNTS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 43 = 11
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "streaming_view_counts": QuerySpec(
         streaming_view_counts, STREAMING_VIEW_COUNTS_SQL
+    ),
+    "streaming_transform_chain": QuerySpec(
+        streaming_transform_chain, STREAMING_TRANSFORM_CHAIN_SQL
+    ),
+    "streaming_restart_counts": QuerySpec(
+        streaming_restart_counts, STREAMING_RESTART_COUNTS_SQL
     ),
 }

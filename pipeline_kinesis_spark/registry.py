@@ -68,6 +68,16 @@ _WINDOW = 50
 #     end-to-end — deterministic events replay through a real
 #     continuous view, oracled as a plain GROUP BY; the one engine
 #     path the oracle could never see before)
+# Late-r09 deepening of the same verdict-#6 thread — two more engine
+# paths the oracle could never see, now deterministic gate rows:
+#   streaming_transform_chain (transform → sink relation → chained
+#     continuous view, the PipelineDB output-stream composition)
+#   streaming_restart_counts (consume_end + late data + consume_begin
+#     into a durable parquet_upsert view: exactly-once across restart,
+#     oracled as the one-shot GROUP BY)
+# They displace case_coalesce (B21 keeps scalar_datetime_funcs +
+# scalar_math_funcs in-window) and rollup_revenue (B15 keeps
+# cube_orders — cube subsumes the rollup grouping-set shapes).
 # Sixteen r07/r08 multi-round greens retire, each with its family
 # still represented inside the window:
 #   q2_min_cost_supplier / q4_order_priority -> TPC-H stays via
@@ -104,17 +114,19 @@ _PRIORITY = (
     "q21_waiting_suppliers",
     # PipelineDB combine() merge math, batch-expressible twins (B2)
     "combine_regroup", "combine_percentile_regroup",
-    # the standing-query engine end-to-end (NEW r09, verdict #6)
-    "streaming_view_counts",
+    # the standing-query engine end-to-end (NEW r09, verdict #6):
+    # plain view, transform→sink→chained view, exactly-once restart
+    "streaming_view_counts", "streaming_transform_chain",
+    "streaming_restart_counts",
     # relational SS2B rows: returning r01 joins/sets/scalars
     "join_right_outer", "join_full_outer", "join_theta_pairs",
     "set_intersect", "set_except",
     "scalar_datetime_funcs", "scalar_math_funcs",
-    "case_coalesce", "json_extract",
+    "json_extract",
     # aggregate stats family (B12): returning r01 rows
     "agg_percentile", "agg_stats",
     # grouping sets family (B15)
-    "cube_orders", "rollup_revenue",
+    "cube_orders",
     # dedup clustering + tokenizer training + ANN compression
     "neardup_components", "bpe_train_verify", "cosine_topk_ivfpq_recall",
     # approx aggregates / sketches (B14)
