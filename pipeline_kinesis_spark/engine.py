@@ -103,8 +103,15 @@ _OSREL_RE = re.compile(r"^(\w+)_osrel$")
 # explicit None (unbounded opt-in)
 _OSREL_KEEP_UNSET = object()
 
-# cap on the error text a foreachBatch function re-raises to the JVM
-_STREAM_ERR_HEAD = 2000
+# cap on the error text a foreachBatch function re-raises to the JVM.
+# Sizing: the stop classifier's `(.|\r\n|\r|\n)*` loop costs ~6 JVM
+# stack frames PER CHARACTER of message tail after the `An error
+# occurred while calling` prefix (greedy star + backtrack), and a
+# default 1 MB thread stack holds ~10k frames — a 2 kB tail was
+# observed to still overflow it. 300 chars ≈ 2k frames, a 5x margin,
+# and the informative part (call target + root exception type) is the
+# first two lines anyway.
+_STREAM_ERR_HEAD = 300
 
 
 def _raise_compact_batch_error(e: BaseException) -> None:
@@ -133,7 +140,9 @@ def _raise_compact_batch_error(e: BaseException) -> None:
     s = f"{type(e).__module__}.{type(e).__name__}: {e}"
     if len(s) <= _STREAM_ERR_HEAD:
         raise e
-    keep = s[:_STREAM_ERR_HEAD]
+    # first lines carry the py4j call target and the root exception
+    # type; the java stack below them is pure classifier poison
+    keep = "\n".join(s.splitlines()[:3])[:_STREAM_ERR_HEAD]
     for marker in (
         "java.lang.InterruptedException",
         "java.io.InterruptedIOException",

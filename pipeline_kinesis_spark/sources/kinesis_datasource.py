@@ -353,15 +353,21 @@ class KinesisShardPartition(InputPartition):
 
 
 class KinesisShardGroupPartition(InputPartition):
-    """Several shards polled sequentially by ONE task. When the live
+    """Several shards polled by ONE task, interleaved. When the live
     shard count exceeds the cluster's task slots, one-task-per-shard
     stops scaling: every micro-batch pays multiple scheduling waves
     (128 shards on 32 cores = 4 waves per 100 ms trigger). Packing
     shards round-robin into at most `maxPartitions` tasks keeps each
     batch a single wave — the same move as the Kafka source's
-    partition packing. Per-shard semantics are untouched: pacing,
-    per-batch record caps, and the attained-position replay pins all
-    live inside the per-shard poll loop."""
+    partition packing. The task round-robins GetRecords calls ACROSS
+    its shards (one call per ready shard per pass) because the
+    reference's 4 req/s pacing is PER SHARD (pipeline_kinesis.c
+    consumer pacing): while shard A's 250 ms window cools, shards
+    B/C/D poll — a serial shard-by-shard drain would stack the
+    pacing gaps and make a 4-shard group ~4x slower than one shard
+    in catch-up. Per-shard semantics are untouched: pacing, per-batch
+    record caps, and the attained-position replay pins all live
+    inside the per-shard cursor."""
 
     shards: list  # [(shard_id, start_seq, from_reshard), ...]
     epoch: int
@@ -535,30 +541,84 @@ class KinesisStreamReader(DataSourceStreamReader):
     def read(self, partition):
         """One micro-batch's poll work for one TASK, on an executor:
         a single shard (KinesisShardPartition) or a packed group
-        (KinesisShardGroupPartition) polled shard-by-shard with one
-        shared client. Emits RECORD_SCHEMA tuples."""
+        (KinesisShardGroupPartition) with one shared client. A group
+        round-robins ONE GetRecords call per ready shard per pass, so
+        per-shard pacing windows overlap across the group's shards
+        instead of stacking serially (see KinesisShardGroupPartition).
+        Emits RECORD_SCHEMA tuples; per-shard order is preserved
+        (cross-shard interleaving carries no ordering contract)."""
         client = _make_client(self.opts)
         if isinstance(partition, KinesisShardGroupPartition):
-            for sid, start_seq, from_reshard in partition.shards:
-                yield from self._read_shard(
-                    client, sid, start_seq, from_reshard, partition.epoch
+            shards = [
+                (sid, start_seq, fr, partition.epoch)
+                for sid, start_seq, fr in partition.shards
+            ]
+        else:
+            shards = [
+                (
+                    partition.shard_id,
+                    partition.start_seq,
+                    partition.from_reshard,
+                    partition.epoch,
                 )
-            return
-        yield from self._read_shard(
-            client,
-            partition.shard_id,
-            partition.start_seq,
-            partition.from_reshard,
-            partition.epoch,
-        )
+            ]
+        pending = [
+            c
+            for c in (_ShardCursor(self, *s) for s in shards)
+            if not c.done
+        ]
+        while pending:
+            progressed = False
+            now = time.monotonic()
+            for c in pending:
+                if c.ready_at > now:
+                    continue
+                yield from c.step(client)
+                progressed = True
+                now = time.monotonic()
+            nxt = []
+            for c in pending:
+                if c.done:
+                    # write this shard's attained reach the moment its
+                    # batch work completes (same timing as the old
+                    # serial loop): first-writer-wins pins must exist
+                    # before a speculative twin can finish
+                    c.write_attained()
+                else:
+                    nxt.append(c)
+            pending = nxt
+            if pending and not progressed:
+                wait = min(c.ready_at for c in pending) - time.monotonic()
+                if wait > 0:
+                    time.sleep(wait)
 
-    def _read_shard(self, client, sid, start_seq, from_reshard, epoch):
-        """One shard's poll loop for one micro-batch, ON AN EXECUTOR.
-        Emits RECORD_SCHEMA tuples; stops at the per-batch record cap,
-        when caught up (empty response), or when the shard closes."""
-        state_dir = self.state_dir
-        attained = _read_attained_shard(state_dir, sid)
 
+class _ShardCursor:
+    """Resumable per-shard poll state for one micro-batch, ON AN
+    EXECUTOR. ``step()`` makes at most ONE GetRecords call, so a packed
+    group can interleave calls across its shards while each shard's
+    pacing window (``ready_at``) cools. Stops (``done``) at the
+    per-batch record cap, when caught up (empty response), or when the
+    shard closes — exactly the old serial loop's exits, state-machined.
+    """
+
+    def __init__(self, reader, sid, start_seq, from_reshard, epoch):
+        self.reader = reader
+        self.sid = sid
+        self.start_seq = start_seq
+        self.from_reshard = from_reshard
+        self.epoch = epoch
+        self.last_seq = start_seq
+        self.closed = False
+        self.emitted = 0
+        self.backoff = 0.0
+        self.empty_polls = 0
+        self.done = False
+        self.skip_write = False
+        self.ready_at = 0.0  # monotonic instant the next call may fire
+        self.min_gap = 1.0 / reader.rate if reader.rate > 0 else 0.0
+
+        attained = _read_attained_shard(reader.state_dir, sid)
         # Deterministic replay: if a previous ATTEMPT of this same
         # (epoch, start) already ran — its attained file records this
         # epoch and start — its reach becomes a hard END BOUND, so the
@@ -566,132 +626,135 @@ class KinesisStreamReader(DataSourceStreamReader):
         # (never a longer tail the stream grew in between). Downstream
         # sinks that key on batch id may then either skip or rewrite
         # the batch; both are correct because the content is identical.
-        bound = None
+        self.bound = None
         if (
             attained.get("epoch") == epoch
             and attained.get("start") == start_seq
         ):
-            bound = attained.get("seq")
-            if bound == start_seq:
-                # first attempt emitted nothing — the replay must too
-                return
-
-        iterator = None
-        if (
-            attained.get("it")
-            and attained.get("seq") == start_seq
-        ):
+            self.bound = attained.get("seq")
+            if self.bound == start_seq:
+                # first attempt emitted nothing — the replay must too,
+                # and the pin must survive untouched
+                self.done = True
+                self.skip_write = True
+        self.iterator = None
+        if attained.get("it") and attained.get("seq") == start_seq:
             # cached NextShardIterator from the previous batch — valid
             # only if it continues exactly from our committed start
             # (also carries sticky-latest across empty polls)
-            iterator = attained["it"]
+            self.iterator = attained["it"]
 
-        def acquire(seq: str | None) -> str:
-            if seq is not None:
-                kwargs = {
-                    "ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
-                    "StartingSequenceNumber": seq,
-                }
-            elif from_reshard:
-                kwargs = {"ShardIteratorType": "TRIM_HORIZON"}
-            elif self.start_position.startswith("after_sequence_number:"):
-                kwargs = {
-                    "ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
-                    "StartingSequenceNumber": self.start_position.split(
-                        ":", 1
-                    )[1],
-                }
-            else:
-                kwargs = {
-                    "ShardIteratorType": self.start_position.upper()
-                }
-            return client.get_shard_iterator(
-                StreamName=self.stream, ShardId=sid, **kwargs
-            )["ShardIterator"]
+    def _acquire(self, client, seq: str | None) -> str:
+        if seq is not None:
+            kwargs = {
+                "ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
+                "StartingSequenceNumber": seq,
+            }
+        elif self.from_reshard:
+            kwargs = {"ShardIteratorType": "TRIM_HORIZON"}
+        elif self.reader.start_position.startswith(
+            "after_sequence_number:"
+        ):
+            kwargs = {
+                "ShardIteratorType": "AFTER_SEQUENCE_NUMBER",
+                "StartingSequenceNumber": self.reader.start_position.split(
+                    ":", 1
+                )[1],
+            }
+        else:
+            kwargs = {
+                "ShardIteratorType": self.reader.start_position.upper()
+            }
+        return client.get_shard_iterator(
+            StreamName=self.reader.stream, ShardId=self.sid, **kwargs
+        )["ShardIterator"]
 
-        last_seq = start_seq
-        closed = False
-        emitted = 0
-        backoff = 0.0
-        empty_polls = 0
-        done = False
-        min_gap = 1.0 / self.rate if self.rate > 0 else 0.0
-        last_call = 0.0
-        while not done and emitted < self.max_per_batch:
-            if iterator is None:
-                iterator = acquire(last_seq)
-            gap = min_gap - (time.monotonic() - last_call)
-            if gap > 0:
-                time.sleep(gap)
-            last_call = time.monotonic()
-            try:
-                resp = client.get_records(
-                    ShardIterator=iterator,
-                    Limit=min(self.limit, self.max_per_batch - emitted),
-                )
-            except Exception as exc:  # noqa: BLE001 — classify by code
-                code = _aws_error_code(exc)
-                if "ProvisionedThroughputExceeded" in code:
-                    # bounded in-batch backoff; the next batch retries
-                    backoff += 1.0
-                    if backoff > 5.0:
-                        break
-                    time.sleep(backoff)
-                    continue
-                if "ExpiredIterator" in code:
-                    iterator = None  # re-acquire from last_seq
-                    continue
-                raise
-            backoff = 0.0
-            recs = resp["Records"]
-            for rec in recs:
-                last_seq = rec["SequenceNumber"]
-                data = rec["Data"]
-                emitted += 1
-                yield (
-                    data.decode("utf-8", "replace")
-                    if isinstance(data, (bytes, bytearray))
-                    else data,
-                    rec["SequenceNumber"],
-                    rec.get("PartitionKey"),
-                    rec.get("ApproximateArrivalTimestamp"),
-                    sid,
-                )
-                if bound is not None and last_seq == bound:
-                    # replay reached the pinned end, possibly MID-
-                    # response: the response's NextShardIterator points
-                    # past records not emitted — discard it so the next
-                    # batch re-acquires AFTER the bound and reads them
-                    done = True
-                    iterator = None
-                    break
-            if done:
-                break
-            nxt = resp.get("NextShardIterator")
-            if nxt is None:
-                closed = True
-                iterator = None
-                break
-            iterator = nxt
-            if not recs:
-                if bound is not None and empty_polls < 100:
-                    # pinned replay: the bound's records were read once
-                    # already, so they exist — keep polling (bounded,
-                    # in case retention expired them meanwhile)
-                    empty_polls += 1
-                    continue
-                break  # caught up; keep the iterator for next batch
+    def step(self, client):
+        """At most one GetRecords call; yields this call's RECORD_SCHEMA
+        tuples. Start-to-start pacing: ready_at advances by min_gap per
+        call, matching the old sleep-before-call spacing."""
+        reader = self.reader
+        if self.iterator is None:
+            self.iterator = self._acquire(client, self.last_seq)
+        self.ready_at = time.monotonic() + self.min_gap
+        try:
+            resp = client.get_records(
+                ShardIterator=self.iterator,
+                Limit=min(
+                    reader.limit, reader.max_per_batch - self.emitted
+                ),
+            )
+        except Exception as exc:  # noqa: BLE001 — classify by code
+            code = _aws_error_code(exc)
+            if "ProvisionedThroughputExceeded" in code:
+                # bounded in-batch backoff; the next batch retries
+                self.backoff += 1.0
+                if self.backoff > 5.0:
+                    self.done = True
+                    return
+                self.ready_at = time.monotonic() + self.backoff
+                return
+            if "ExpiredIterator" in code:
+                self.iterator = None  # re-acquire from last_seq
+                return
+            raise
+        self.backoff = 0.0
+        recs = resp["Records"]
+        for rec in recs:
+            self.last_seq = rec["SequenceNumber"]
+            data = rec["Data"]
+            self.emitted += 1
+            yield (
+                data.decode("utf-8", "replace")
+                if isinstance(data, (bytes, bytearray))
+                else data,
+                rec["SequenceNumber"],
+                rec.get("PartitionKey"),
+                rec.get("ApproximateArrivalTimestamp"),
+                self.sid,
+            )
+            if self.bound is not None and self.last_seq == self.bound:
+                # replay reached the pinned end, possibly MID-
+                # response: the response's NextShardIterator points
+                # past records not emitted — discard it so the next
+                # batch re-acquires AFTER the bound and reads them
+                self.done = True
+                self.iterator = None
+                return
+        nxt = resp.get("NextShardIterator")
+        if nxt is None:
+            self.closed = True
+            self.iterator = None
+            self.done = True
+            return
+        self.iterator = nxt
+        if not recs:
+            if self.bound is not None and self.empty_polls < 100:
+                # pinned replay: the bound's records were read once
+                # already, so they exist — keep polling (bounded,
+                # in case retention expired them meanwhile)
+                self.empty_polls += 1
+                return
+            # caught up; keep the iterator for the next batch
+            self.done = True
+            return
+        if self.emitted >= reader.max_per_batch:
+            self.done = True
+
+    def write_attained(self) -> None:
+        if self.skip_write:
+            return
         _write_attained(
-            state_dir,
-            sid,
+            self.reader.state_dir,
+            self.sid,
             {
-                "seq": last_seq,
-                "it": iterator,
-                "closed": closed,
+                "seq": self.last_seq,
+                "it": self.iterator,
+                "closed": self.closed,
                 # replay pinning (see `bound` above): which (epoch,
                 # start) produced this reach
-                "epoch": epoch,
-                "start": start_seq,
+                "epoch": self.epoch,
+                "start": self.start_seq,
             },
         )
 

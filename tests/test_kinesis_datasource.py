@@ -689,3 +689,53 @@ class TestShardGroupPartitions:
         a = [tuple(s[0] for s in p.shards) for p in r.partitions(o1, r.latestOffset())]
         b = [tuple(s[0] for s in p.shards) for p in r.partitions(o1, r.latestOffset())]
         assert a == b
+
+    def test_group_interleaves_pacing_across_shards(self, tmp_path):
+        """A packed group's catch-up must OVERLAP its shards' pacing
+        windows, not stack them: 4 shards x 5 paced GetRecords calls
+        at 5 req/s/shard is >= 3.2 s if drained shard-by-shard (4
+        inter-call gaps x 0.2 s x 4 shards) but ~0.8 s interleaved
+        (the gaps run concurrently; the rate limit is PER SHARD).
+        Content and per-shard order must be exactly the serial
+        drain's."""
+        from pipeline_kinesis_spark.sources.kinesis_datasource import (
+            KinesisShardGroupPartition,
+        )
+
+        n_shards, per_shard = 4, 500
+        fake = FakeKinesisClient(
+            {
+                f"shardId-{i:03d}": [
+                    f"r{i}-{j:04d}".encode() for j in range(per_shard)
+                ]
+                for i in range(n_shards)
+            },
+            page_size=100,  # 5 calls per shard
+        )
+        r = _reader(
+            tmp_path,
+            fake,
+            maxPartitions=str(n_shards // 4),
+            maxFetchRatePerShard="5",  # 0.2 s start-to-start per shard
+        )
+        end = r.latestOffset()
+        parts = r.partitions(r.initialOffset(), end)
+        assert len(parts) == 1
+        assert isinstance(parts[0], KinesisShardGroupPartition)
+        t0 = time.monotonic()
+        rows = list(r.read(parts[0]))
+        wall = time.monotonic() - t0
+        # generous bound: interleaved ~0.8 s, serial floor 3.2 s
+        assert wall < 2.0, f"group drain took {wall:.2f}s — serialized?"
+        assert len(rows) == n_shards * per_shard
+        by_shard: dict[str, list[str]] = {}
+        for t in rows:
+            by_shard.setdefault(t[4], []).append(t[0])
+        assert {
+            s: v for s, v in by_shard.items()
+        } == {
+            f"shardId-{i:03d}": [
+                f"r{i}-{j:04d}" for j in range(per_shard)
+            ]
+            for i in range(n_shards)
+        }
