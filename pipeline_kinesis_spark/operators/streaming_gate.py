@@ -198,15 +198,17 @@ GROUP BY event_type
 
 
 def streaming_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-once across a consumer stop/restart, oracled: half the
+    """Exactly-once across a FULL ENGINE RESTART, oracled: half the
     subset (even event_ids) ingests into a DURABLE parquet_upsert view,
-    the consumer stops (consume_end), the other half arrives at strictly
-    higher sequence numbers, and a fresh consume_begin resumes from the
-    persisted checkpoints. Exactly-once (A9/A10 — checkpoint resume +
-    attained-pin replay, kinesis_consumer.cpp:334-400 parity) makes the
-    final store a pure function of the full subset: any duplicate or
-    lost record across the restart shifts a count or a sum and
-    hash-fails against the one-shot GROUP BY oracle."""
+    the consumer stops (consume_end), the first Engine is discarded,
+    the other half arrives at strictly higher sequence numbers while
+    the pipeline is down, and a SECOND Engine over the same metadata
+    dir — catalog reload, cold checkpoint resume (the process-restart
+    analog, kinesis_consumer.cpp:334-400 save/load parity) — picks up
+    exactly the new records. Exactly-once (A9/A10) makes the final
+    store a pure function of the full subset: any duplicate or lost
+    record across the restart shifts a count or a sum and hash-fails
+    against the one-shot GROUP BY oracle."""
     from pipeline_kinesis_spark.engine import Engine
     from pipeline_kinesis_spark.sources.file_replay import (
         write_record_file,
@@ -243,11 +245,13 @@ def streaming_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         eng.wait_for_ingest(timeout_s=180)
         eng.consume_end(ep, "events_replay", stream)
-        # the second half lands AFTER the stop, at sequence numbers
-        # above everything consumed; resume must pick up exactly these
+        # the second half lands WHILE THE PIPELINE IS DOWN, at
+        # sequence numbers above everything consumed; the restarted
+        # engine must pick up exactly these
         write_record_file(
             f"{root}/events_replay", _as_records(second, seq_base=10**12)
         )
+        eng = Engine(spark, metadata_dir=f"{root}/meta")
         eng.consume_begin(
             ep, "events_replay", stream, fmt="csv", delimiter=",",
         )
