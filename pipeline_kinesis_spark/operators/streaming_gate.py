@@ -62,7 +62,13 @@ def streaming_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in ev
         ],
     )
-    eng = Engine(spark, metadata_dir=f"{root}/meta")
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        # gate rows replay a small fixed file; poll tightly so the
+        # drain wait prices the data path, not inter-batch idle
+        trigger_interval="50 milliseconds",
+    )
     stream, view = f"svc_stream_{tag}", f"svc_view_{tag}"
     try:
         eng.add_endpoint(f"svc_ep_{tag}", url=root)
@@ -149,7 +155,13 @@ def streaming_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not ev:
         return spark.createDataFrame([], _RESULT_SCHEMA)
     write_record_file(f"{root}/events_replay", _as_records(ev))
-    eng = Engine(spark, metadata_dir=f"{root}/meta")
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        # gate rows replay a small fixed file; poll tightly so the
+        # drain wait prices the data path, not inter-batch idle
+        trigger_interval="50 milliseconds",
+    )
     stream, sink, view = (
         f"stc_stream_{tag}",
         f"stc_sink_{tag}",
@@ -222,7 +234,13 @@ def streaming_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = [r for r in ev if r.event_id % 2 == 0]
     second = [r for r in ev if r.event_id % 2 == 1]
     write_record_file(f"{root}/events_replay", _as_records(first))
-    eng = Engine(spark, metadata_dir=f"{root}/meta")
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        # gate rows replay a small fixed file; poll tightly so the
+        # drain wait prices the data path, not inter-batch idle
+        trigger_interval="50 milliseconds",
+    )
     ep, stream, view = (
         f"src_ep_{tag}",
         f"src_stream_{tag}",
@@ -251,7 +269,13 @@ def streaming_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_record_file(
             f"{root}/events_replay", _as_records(second, seq_base=10**12)
         )
-        eng = Engine(spark, metadata_dir=f"{root}/meta")
+        eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        # gate rows replay a small fixed file; poll tightly so the
+        # drain wait prices the data path, not inter-batch idle
+        trigger_interval="50 milliseconds",
+    )
         eng.consume_begin(
             ep, "events_replay", stream, fmt="csv", delimiter=",",
         )
