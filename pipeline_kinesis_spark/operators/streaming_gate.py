@@ -311,3 +311,95 @@ QUERIES: dict[str, QuerySpec] = {
         streaming_restart_counts, STREAMING_RESTART_COUNTS_SQL
     ),
 }
+
+
+def streaming_dead_letter_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Error containment + idempotent recovery (A13,
+    pipeline_kinesis.c:719-748 drop-batch parity upgraded to
+    quarantine), oracled: rows whose event_id % 5 == 0 are written
+    SEMICOLON-separated into a comma-delimited consumer, so parsing
+    quarantines exactly them; `replay_dead_letters(delimiter=';')`
+    then recovers exactly them. The result carries the per-type
+    GROUP BY over the fully recovered stream PLUS a synthetic
+    ('__quarantined__', dl_before, dl_after) row — a missed
+    quarantine, a lost or duplicated recovery, or a residue after
+    replay each shift a value and hash-fail against the oracle."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 53, 7)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"sdl_{tag}_")
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    write_record_file(
+        f"{root}/events_replay",
+        [
+            {
+                "data": (
+                    f"{r.event_id};{r.event_type}"
+                    if r.event_id % 5 == 0
+                    else f"{r.event_id},{r.event_type}"
+                ),
+                "partition_key": str(r.user_id),
+                "shard_id": f"shardId-{r.user_id % 4:012d}",
+                "sequence_number": f"{r.event_id:056d}",
+            }
+            for r in ev
+        ],
+    )
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+    )
+    ep, stream = f"sdl_ep_{tag}", f"sdl_stream_{tag}"
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        dl_before = eng.dead_letters(stream).count()
+        eng.replay_dead_letters(stream, delimiter=";")
+        dl_after = eng.dead_letters(stream).count()
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.stream_table(stream)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("event_id").alias("sum_event_id"),
+            )
+            .collect()
+        ]
+        rows.append(("__quarantined__", int(dl_before), int(dl_after)))
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_DEAD_LETTER_REPLAY_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 53 = 7
+GROUP BY event_type
+UNION ALL
+SELECT '__quarantined__',
+       CAST(count(*) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM events
+WHERE user_id % 53 = 7 AND event_id % 5 = 0
+"""
+
+QUERIES["streaming_dead_letter_replay"] = QuerySpec(
+    streaming_dead_letter_replay, STREAMING_DEAD_LETTER_REPLAY_SQL
+)

@@ -72,12 +72,19 @@ _WINDOW = 50
 # paths the oracle could never see, now deterministic gate rows:
 #   streaming_transform_chain (transform → sink relation → chained
 #     continuous view, the PipelineDB output-stream composition)
-#   streaming_restart_counts (consume_end + late data + consume_begin
-#     into a durable parquet_upsert view: exactly-once across restart,
-#     oracled as the one-shot GROUP BY)
+#   streaming_restart_counts (consume_end + late data while the
+#     pipeline is down + a SECOND Engine over the same metadata dir:
+#     exactly-once across a full engine restart, oracled as the
+#     one-shot GROUP BY)
+#   streaming_dead_letter_replay (A13 quarantine + idempotent
+#     recovery: mis-delimited rows dead-letter exactly, then
+#     replay_dead_letters recovers exactly them; the before/after
+#     quarantine counts ride in the result row)
 # They displace case_coalesce (B21 keeps scalar_datetime_funcs +
-# scalar_math_funcs in-window) and rollup_revenue (B15 keeps
-# cube_orders — cube subsumes the rollup grouping-set shapes).
+# scalar_math_funcs in-window), rollup_revenue (B15 keeps
+# cube_orders — cube subsumes the rollup grouping-set shapes), and
+# cms_event_counts (B14 keeps theta_set_overlap in-window; CMS stays
+# covered by the full differential + pytest sketch suites).
 # Sixteen r07/r08 multi-round greens retire, each with its family
 # still represented inside the window:
 #   q2_min_cost_supplier / q4_order_priority -> TPC-H stays via
@@ -115,9 +122,10 @@ _PRIORITY = (
     # PipelineDB combine() merge math, batch-expressible twins (B2)
     "combine_regroup", "combine_percentile_regroup",
     # the standing-query engine end-to-end (NEW r09, verdict #6):
-    # plain view, transform→sink→chained view, exactly-once restart
+    # plain view, transform→sink→chained view, exactly-once full
+    # engine restart, dead-letter quarantine + replay
     "streaming_view_counts", "streaming_transform_chain",
-    "streaming_restart_counts",
+    "streaming_restart_counts", "streaming_dead_letter_replay",
     # relational SS2B rows: returning r01 joins/sets/scalars
     "join_right_outer", "join_full_outer", "join_theta_pairs",
     "set_intersect", "set_except",
@@ -130,7 +138,7 @@ _PRIORITY = (
     # dedup clustering + tokenizer training + ANN compression
     "neardup_components", "bpe_train_verify", "cosine_topk_ivfpq_recall",
     # approx aggregates / sketches (B14)
-    "theta_set_overlap", "cms_event_counts",
+    "theta_set_overlap",
     # events: cohort analysis
     "cohort_retention",
     # perceptual media dedup twins (C2-for-media)
