@@ -403,3 +403,96 @@ WHERE user_id % 53 = 7 AND event_id % 5 = 0
 QUERIES["streaming_dead_letter_replay"] = QuerySpec(
     streaming_dead_letter_replay, STREAMING_DEAD_LETTER_REPLAY_SQL
 )
+
+
+def streaming_activate_resume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ACTIVATE / DEACTIVATE (B2a, PipelineDB's signature pause/resume,
+    pipeline_kinesis--0.9.0.sql activation semantics), oracled: the
+    even half of the subset ingests into a continuous view, the view
+    DEACTIVATES (consumers keep ingesting — the odd half archives into
+    the stream while maintenance is paused), and ACTIVATE resumes from
+    the view's checkpoint over the archived backlog. The result carries
+    the final per-type matrel PLUS a ('__paused_total__', rows, sum)
+    snapshot taken WHILE PAUSED: maintenance leaking through the pause
+    inflates the snapshot, and any event lost across the resume
+    deflates a final count — both hash-fail."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 29, 13)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"sar_{tag}_")
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    first = [r for r in ev if r.event_id % 2 == 0]
+    second = [r for r in ev if r.event_id % 2 == 1]
+    write_record_file(f"{root}/events_replay", _as_records(first))
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+    )
+    ep, stream, view = (
+        f"sar_ep_{tag}",
+        f"sar_stream_{tag}",
+        f"sar_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n_events, "
+            f"sum(event_id) AS sum_event_id FROM {stream} "
+            f"GROUP BY event_type",
+            stream=stream,
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        eng.deactivate(view)
+        # the odd half arrives while maintenance is PAUSED; the
+        # consumer keeps archiving it into the stream
+        write_record_file(
+            f"{root}/events_replay", _as_records(second, seq_base=10**12)
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        paused = eng.view_table(view).collect()
+        paused_n = sum(int(r.n_events) for r in paused)
+        paused_sum = sum(int(r.sum_event_id) for r in paused)
+        eng.activate(view)
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(view).collect()
+        ]
+        rows.append(("__paused_total__", paused_n, paused_sum))
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_ACTIVATE_RESUME_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 29 = 13
+GROUP BY event_type
+UNION ALL
+SELECT '__paused_total__',
+       CAST(count(*) AS BIGINT),
+       CAST(COALESCE(sum(event_id), 0) AS BIGINT)
+FROM events
+WHERE user_id % 29 = 13 AND event_id % 2 = 0
+"""
+
+QUERIES["streaming_activate_resume"] = QuerySpec(
+    streaming_activate_resume, STREAMING_ACTIVATE_RESUME_SQL
+)

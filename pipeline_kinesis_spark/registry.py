@@ -80,11 +80,19 @@ _WINDOW = 50
 #     recovery: mis-delimited rows dead-letter exactly, then
 #     replay_dead_letters recovers exactly them; the before/after
 #     quarantine counts ride in the result row)
+#   streaming_activate_resume (B2a ACTIVATE/DEACTIVATE: maintenance
+#     pauses while consumers keep archiving, resumes over the backlog
+#     from the view checkpoint; the while-paused matrel snapshot
+#     rides in the result row)
 # They displace case_coalesce (B21 keeps scalar_datetime_funcs +
 # scalar_math_funcs in-window), rollup_revenue (B15 keeps
-# cube_orders — cube subsumes the rollup grouping-set shapes), and
+# cube_orders — cube subsumes the rollup grouping-set shapes),
 # cms_event_counts (B14 keeps theta_set_overlap in-window; CMS stays
-# covered by the full differential + pytest sketch suites).
+# covered by the full differential + pytest sketch suites), and
+# image_dhash_dedup (perceptual-dedup family keeps
+# audio_fingerprint_dedup; image decode stays in-window via
+# multimodal_decode_stats / multimodal_video_stats /
+# image_resize_stats).
 # Sixteen r07/r08 multi-round greens retire, each with its family
 # still represented inside the window:
 #   q2_min_cost_supplier / q4_order_priority -> TPC-H stays via
@@ -126,6 +134,7 @@ _PRIORITY = (
     # engine restart, dead-letter quarantine + replay
     "streaming_view_counts", "streaming_transform_chain",
     "streaming_restart_counts", "streaming_dead_letter_replay",
+    "streaming_activate_resume",
     # relational SS2B rows: returning r01 joins/sets/scalars
     "join_right_outer", "join_full_outer", "join_theta_pairs",
     "set_intersect", "set_except",
@@ -141,8 +150,9 @@ _PRIORITY = (
     "theta_set_overlap",
     # events: cohort analysis
     "cohort_retention",
-    # perceptual media dedup twins (C2-for-media)
-    "audio_fingerprint_dedup", "image_dhash_dedup",
+    # perceptual media dedup (C2-for-media; the image twin rotated
+    # out late-r09, image decode still in-window via three C5 rows)
+    "audio_fingerprint_dedup",
     # window functions (B17): returning distribution-rank row
     "window_distribution",
     # C5: real video + audio-feature decode gates
