@@ -496,3 +496,109 @@ WHERE user_id % 29 = 13 AND event_id % 2 = 0
 QUERIES["streaming_activate_resume"] = QuerySpec(
     streaming_activate_resume, STREAMING_ACTIVATE_RESUME_SQL
 )
+
+
+def streaming_combine_regroup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PipelineDB ``combine()`` through the ENGINE, oracled (B2): a
+    continuous view aggregates at a FINE grouping (event_type, ub)
+    with an avg — so the standing query maintains hidden (sum, count)
+    transition-state partials via combine_rewrite_sql — and
+    ``Engine.combine`` re-aggregates the live matrel at the COARSER
+    event_type grouping by merging those partials (Σs/Σc, never
+    avg-of-avgs). The batch twin (combine_regroup) oracles the merge
+    arithmetic over parquet; this row oracles the same arithmetic over
+    partials MAINTAINED BY THE STANDING QUERY, end to end. event_ids
+    are integers, so every partial sum is exact and the final division
+    is one deterministic IEEE op — hash-comparable."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 31, 3)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"scr_{tag}_")
+    if not ev:
+        return spark.createDataFrame(
+            [],
+            "event_type STRING, n_events BIGINT, "
+            "total_id BIGINT, mean_id DOUBLE",
+        )
+    write_record_file(
+        f"{root}/events_replay",
+        [
+            {
+                "data": f"{r.event_id},{r.event_type},{r.user_id % 4}",
+                "partition_key": str(r.user_id),
+                "shard_id": f"shardId-{r.user_id % 4:012d}",
+                "sequence_number": f"{r.event_id:056d}",
+            }
+            for r in ev
+        ],
+    )
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+    )
+    ep, stream, view = (
+        f"scr_ep_{tag}",
+        f"scr_stream_{tag}",
+        f"scr_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(
+            stream, "event_id BIGINT, event_type STRING, ub BIGINT"
+        )
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, ub, count(*) AS n_events, "
+            f"sum(event_id) AS total_id, avg(event_id) AS mean_id "
+            f"FROM {stream} GROUP BY event_type, ub",
+            stream=stream,
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        out = eng.combine(view, ["event_type"]).select(
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("total_id").cast("long").alias("total_id"),
+            F.col("mean_id").cast("double").alias("mean_id"),
+        )
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type STRING, n_events BIGINT, "
+        "total_id BIGINT, mean_id DOUBLE",
+    )
+
+
+STREAMING_COMBINE_REGROUP_SQL = """
+WITH fine AS (
+  SELECT event_type, user_id % 4 AS ub,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(event_id) AS BIGINT) AS t,
+         sum(CAST(event_id AS DOUBLE)) AS s,
+         CAST(count(event_id) AS BIGINT) AS c
+  FROM events
+  WHERE user_id % 31 = 3
+  GROUP BY event_type, user_id % 4
+)
+SELECT event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(t) AS BIGINT) AS total_id,
+       (sum(s) / CAST(sum(c) AS DOUBLE)) AS mean_id
+FROM fine GROUP BY event_type
+"""
+
+QUERIES["streaming_combine_regroup"] = QuerySpec(
+    streaming_combine_regroup, STREAMING_COMBINE_REGROUP_SQL
+)

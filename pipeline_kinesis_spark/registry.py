@@ -84,6 +84,10 @@ _WINDOW = 50
 #     pauses while consumers keep archiving, resumes over the backlog
 #     from the view checkpoint; the while-paused matrel snapshot
 #     rides in the result row)
+#   streaming_combine_regroup (combine() over partials MAINTAINED BY
+#     THE STANDING QUERY — the engine path of the batch twin it
+#     displaces; combine_regroup's merge arithmetic stays covered by
+#     the full differential and the twin remains registered)
 # They displace case_coalesce (B21 keeps scalar_datetime_funcs +
 # scalar_math_funcs in-window), rollup_revenue (B15 keeps
 # cube_orders — cube subsumes the rollup grouping-set shapes),
@@ -127,8 +131,10 @@ _PRIORITY = (
     "q8_market_share",
     "q13_customer_distribution", "q16_supplier_cnt",
     "q21_waiting_suppliers",
-    # PipelineDB combine() merge math, batch-expressible twins (B2)
-    "combine_regroup", "combine_percentile_regroup",
+    # PipelineDB combine() merge math: the KLL-sketch batch twin plus
+    # the ENGINE-path simple-agg regroup (late r09; the simple-agg
+    # batch twin rotated out, still in the full differential)
+    "combine_percentile_regroup", "streaming_combine_regroup",
     # the standing-query engine end-to-end (NEW r09, verdict #6):
     # plain view, transform→sink→chained view, exactly-once full
     # engine restart, dead-letter quarantine + replay
