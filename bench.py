@@ -127,6 +127,12 @@ def main() -> None:
         spreads[name] = round(max(samples) / max(min(samples), 1e-9), 2)
 
     ingest_rps = _ingest_throughput(spark)
+    # Second measurement in the SAME session: the cold number above is
+    # kept for round-over-round comparability (r01-r09 all single-shot)
+    # but is dominated by JVM/JIT warmup and varies ~2x run-to-run
+    # (31-74k observed on one quiet boot); the warm shot isolates the
+    # steady-state data path a long-running deployment sees.
+    ingest_rps_warm = _ingest_throughput(spark)
 
     # Host-state provenance: bench numbers are only comparable within
     # one VM boot, and a sample taken on a loaded host (e.g. minutes
@@ -162,6 +168,7 @@ def main() -> None:
                 # reference envelope: ~4,000 records/s/shard
                 # (BASELINE.md: GetRecords pacing × batchsize)
                 "ingest_records_per_s": ingest_rps,
+                "ingest_records_per_s_warm": ingest_rps_warm,
                 # provenance: numbers comparable only within one boot;
                 # loadavg (1/5/15 min, sampled at END of run) >~2 means
                 # a contended host inflated the samples
