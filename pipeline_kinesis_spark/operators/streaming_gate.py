@@ -602,3 +602,108 @@ FROM fine GROUP BY event_type
 QUERIES["streaming_combine_regroup"] = QuerySpec(
     streaming_combine_regroup, STREAMING_COMBINE_REGROUP_SQL
 )
+
+
+def streaming_osrel_telescope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Output-stream delta emission (B2o, PipelineDB output_of()
+    semantics), oracled via TELESCOPING: a durable counting view emits
+    an (old, new) delta tuple for every matrel change, a chained
+    transform stands on `<view>_osrel` (emission requires a standing
+    consumer), and the subset replays in TWO phases so keys change
+    value across batches. Micro-batch boundaries are nondeterministic
+    but the telescoped sum Σ(new − coalesce(old, 0)) per key is
+    invariant to them and equals the final count — a delta emitted
+    twice, lost, or carrying a stale `old` breaks the telescope and
+    hash-fails against the plain GROUP BY oracle."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 47, 9)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"sot_{tag}_")
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    first = [r for r in ev if r.event_id % 2 == 0]
+    second = [r for r in ev if r.event_id % 2 == 1]
+    write_record_file(f"{root}/events_replay", _as_records(first))
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+    )
+    ep, stream, view = (
+        f"sot_ep_{tag}",
+        f"sot_stream_{tag}",
+        f"sot_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n_events, "
+            f"sum(event_id) AS sum_event_id FROM {stream} "
+            f"GROUP BY event_type",
+            stream=stream,
+            materialize="parquet_upsert",
+            key_cols=["event_type"],
+            # the telescope needs the FULL delta history — opt out of
+            # the bounded default retention for this audit replay
+            osrel_keep_batches=None,
+        )
+        # emission requires a standing output-stream consumer
+        eng.create_continuous_transform(
+            f"sot_audit_{tag}",
+            f"SELECT new.event_type AS event_type, "
+            f"new.n_events AS n_events FROM {view}_osrel",
+            stream=f"{view}_osrel",
+            sink_relation=f"sot_sink_{tag}",
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        # phase two: every key's matrel row changes at least once more,
+        # so the osrel history holds genuine (old != NULL) updates
+        write_record_file(
+            f"{root}/events_replay", _as_records(second, seq_base=10**12)
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        deltas = eng.output_stream(view)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in deltas.groupBy(F.col("new.event_type").alias("event_type"))
+            .agg(
+                F.sum(
+                    F.col("new.n_events")
+                    - F.coalesce(F.col("old.n_events"), F.lit(0))
+                ).alias("n_events"),
+                F.sum(
+                    F.col("new.sum_event_id")
+                    - F.coalesce(F.col("old.sum_event_id"), F.lit(0))
+                ).alias("sum_event_id"),
+            )
+            .collect()
+        ]
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_OSREL_TELESCOPE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 47 = 9
+GROUP BY event_type
+"""
+
+QUERIES["streaming_osrel_telescope"] = QuerySpec(
+    streaming_osrel_telescope, STREAMING_OSREL_TELESCOPE_SQL
+)

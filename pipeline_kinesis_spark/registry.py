@@ -88,6 +88,12 @@ _WINDOW = 50
 #     THE STANDING QUERY — the engine path of the batch twin it
 #     displaces; combine_regroup's merge arithmetic stays covered by
 #     the full differential and the twin remains registered)
+#   streaming_osrel_telescope (B2o output-stream delta emission:
+#     Σ(new − old) over the full osrel history telescopes to the
+#     final counts — invariant to micro-batch boundaries, broken by
+#     any lost/duplicated/stale delta; displaces html_extract_main,
+#     C4 keeps srt_caption_stats + doc_fingerprint +
+#     ngram_top_bigrams + oov_rate_filter in-window)
 # They displace case_coalesce (B21 keeps scalar_datetime_funcs +
 # scalar_math_funcs in-window), rollup_revenue (B15 keeps
 # cube_orders — cube subsumes the rollup grouping-set shapes),
@@ -140,7 +146,7 @@ _PRIORITY = (
     # engine restart, dead-letter quarantine + replay
     "streaming_view_counts", "streaming_transform_chain",
     "streaming_restart_counts", "streaming_dead_letter_replay",
-    "streaming_activate_resume",
+    "streaming_activate_resume", "streaming_osrel_telescope",
     # relational SS2B rows: returning r01 joins/sets/scalars
     "join_right_outer", "join_full_outer", "join_theta_pairs",
     "set_intersect", "set_except",
@@ -168,7 +174,7 @@ _PRIORITY = (
     "asof_join", "zscore_per_user",
     # dedup (C1/C2: exact + span rewrite) and C4 text analysis
     # (returning fingerprint/bigram rows)
-    "exact_dedup", "dedup_spans_rewrite", "html_extract_main",
+    "exact_dedup", "dedup_spans_rewrite",
     "doc_fingerprint", "ngram_top_bigrams",
     # the real nearest-neighbor resize kernel under the gate
     "image_resize_stats",
