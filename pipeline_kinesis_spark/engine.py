@@ -160,8 +160,13 @@ def _guarded_batch(fn):
     def wrapper(bdf, bid):
         try:
             return fn(bdf, bid)
-        except BaseException as e:
+        except Exception as e:
             _raise_compact_batch_error(e)
+        # non-Exception BaseExceptions (SystemExit, KeyboardInterrupt)
+        # propagate unchanged: re-typing them as RuntimeError would
+        # alter what the interpreter-shutdown path sees, and their
+        # messages are never the multi-kB py4j stacks the compaction
+        # exists for
 
     return wrapper
 

@@ -25,9 +25,12 @@ from contextlib import contextmanager
 
 # Exceptions a corrupt byte stream can mechanically trigger in a pure
 # Python/numpy parser. struct.error subclasses Exception (it is NOT a
-# ValueError); zlib.error likewise. MemoryError covers forged header
-# dimensions that slip past the explicit caps below and reach a giant
-# single allocation, which CPython raises cleanly.
+# ValueError); zlib.error likewise. MemoryError is deliberately NOT
+# here: forged header dimensions are blocked by check_dims before they
+# can size an allocation, so a MemoryError that does surface means
+# genuine executor memory pressure — mislabeling it 'corrupt' would
+# silently dead-letter a healthy record instead of failing the task
+# for retry.
 import struct
 
 _MECHANICAL = (
@@ -39,7 +42,6 @@ _MECHANICAL = (
     UnicodeDecodeError,
     OverflowError,
     EOFError,
-    MemoryError,
 )
 
 # Per-record decoded-size cap: elements (pixels x channels, or audio

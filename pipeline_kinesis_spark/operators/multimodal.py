@@ -30,6 +30,7 @@ selected rows.
 
 from __future__ import annotations
 
+import array
 import hashlib
 from collections.abc import Iterator
 
@@ -844,14 +845,21 @@ def _build_huff_decoder(bits: list[int], vals: list[int], is_dc: bool = False):
     amp = (idx >> shift) & (full - 1)
     val = np.where(amp >= half, amp, amp - full + 1)
     val = np.where((size == 0) | ~ok, 0, val)
+    # array('i'), not a list: 65536 Python ints cost MBs per table and
+    # up to 64 cached entries would hold 100-250 MB per executor
+    # process; array stores them in 256 KB with the same O(1) int
+    # indexing in the scan hot loop.
     out = (
         bytes(sym),
         bytes(ln),
         np.where(ok, tot, 0).astype(np.uint8).tobytes(),
-        val.astype(np.int32).tolist(),
+        array.array("i", val.astype(np.int32)),
     )
+    # evict oldest-first (dict preserves insertion order), not clear():
+    # an adversarial corpus with unique per-image DHTs must not thrash
+    # the hot K.3 standard tables every 64th build
     if len(_HUFF_LUT_CACHE) >= 64:
-        _HUFF_LUT_CACHE.clear()
+        _HUFF_LUT_CACHE.pop(next(iter(_HUFF_LUT_CACHE)))
     _HUFF_LUT_CACHE[key] = out
     return out
 

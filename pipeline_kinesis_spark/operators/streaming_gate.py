@@ -234,22 +234,23 @@ def streaming_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = [r for r in ev if r.event_id % 2 == 0]
     second = [r for r in ev if r.event_id % 2 == 1]
     write_record_file(f"{root}/events_replay", _as_records(first))
-    eng = Engine(
+    eng1 = Engine(
         spark,
         metadata_dir=f"{root}/meta",
         # gate rows replay a small fixed file; poll tightly so the
         # drain wait prices the data path, not inter-batch idle
         trigger_interval="50 milliseconds",
     )
+    eng2 = None
     ep, stream, view = (
         f"src_ep_{tag}",
         f"src_stream_{tag}",
         f"src_view_{tag}",
     )
     try:
-        eng.add_endpoint(ep, url=root)
-        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
-        eng.create_continuous_view(
+        eng1.add_endpoint(ep, url=root)
+        eng1.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng1.create_continuous_view(
             view,
             f"SELECT event_type, count(*) AS n_events, "
             f"sum(event_id) AS sum_event_id FROM {stream} "
@@ -258,34 +259,37 @@ def streaming_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             materialize="parquet_upsert",
             key_cols=["event_type"],
         )
-        eng.consume_begin(
+        eng1.consume_begin(
             ep, "events_replay", stream, fmt="csv", delimiter=",",
         )
-        eng.wait_for_ingest(timeout_s=180)
-        eng.consume_end(ep, "events_replay", stream)
+        eng1.wait_for_ingest(timeout_s=180)
+        # explicit full stop of the first engine BEFORE the second is
+        # constructed — the process-death analog must leave no live
+        # queries behind the restarted engine's back
+        eng1.consume_end_all()
         # the second half lands WHILE THE PIPELINE IS DOWN, at
         # sequence numbers above everything consumed; the restarted
         # engine must pick up exactly these
         write_record_file(
             f"{root}/events_replay", _as_records(second, seq_base=10**12)
         )
-        eng = Engine(
-        spark,
-        metadata_dir=f"{root}/meta",
-        # gate rows replay a small fixed file; poll tightly so the
-        # drain wait prices the data path, not inter-batch idle
-        trigger_interval="50 milliseconds",
-    )
-        eng.consume_begin(
+        eng2 = Engine(
+            spark,
+            metadata_dir=f"{root}/meta",
+            trigger_interval="50 milliseconds",
+        )
+        eng2.consume_begin(
             ep, "events_replay", stream, fmt="csv", delimiter=",",
         )
-        eng.wait_for_ingest(timeout_s=180)
+        eng2.wait_for_ingest(timeout_s=180)
         rows = [
             (r.event_type, int(r.n_events), int(r.sum_event_id))
-            for r in eng.view_table(view).collect()
+            for r in eng2.view_table(view).collect()
         ]
     finally:
-        eng.consume_end_all()
+        eng1.consume_end_all()
+        if eng2 is not None:
+            eng2.consume_end_all()
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, _RESULT_SCHEMA)
 
