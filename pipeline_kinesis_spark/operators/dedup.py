@@ -17,7 +17,7 @@ Four tiers, all shuffle-disciplined for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_kinesis_spark.functions.exprs import ngrams, tokens
@@ -773,15 +773,22 @@ def crossdoc_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the boilerplate/template-reuse signal that whole-document dedup
     (exact or near) cannot see.
 
-    Scale shape: explode all overlapping spans (cost ∝ corpus tokens),
-    ONE distinct + span-keyed count to get each span's document
-    frequency, one span-keyed join back, one doc-keyed aggregate. Every
-    shuffle is keyed on span hash or doc_id — bucketed at any scale; no
-    pair join ever forms (the per-span doc COUNT is enough, the doc×doc
-    pair list is exactly what this operator avoids materializing).
+    Scale shape (r10 rework): explode all overlapping spans ONCE
+    (cost ∝ corpus tokens), pre-aggregate to (span, doc) occurrence
+    counts, attach each span's document frequency with a window COUNT
+    over the span key, one doc-keyed aggregate. Three keyed shuffles
+    ((g,doc) → g → doc_id), no join, NO BROADCAST: the previous form
+    joined the span stream against a per-span-frequency table that
+    Catalyst chose to broadcast — a hash relation that grows with the
+    corpus (~15M entries at the sf1 probe, built single-threaded on
+    the driver; the superlinear term in the r10 scale-decade probe and
+    an OOM at default heap) — while the window form's per-key state is
+    one running count. No pair join ever forms (the per-span doc COUNT
+    is enough; the doc×doc pair list is exactly what this operator
+    avoids materializing).
     """
     # spans are keyed by xxhash64 of the gram, not the ~50-char string —
-    # the two keyed shuffles carry 8-byte keys (~6× less payload). A
+    # the keyed shuffles carry 8-byte keys (~6× less payload). A
     # 64-bit collision merges two gram groups; at ~10^12 spans that is a
     # handful of spans miscounted out of a trillion (birthday bound), an
     # acceptable error for an audit statistic — switch to a
@@ -798,22 +805,29 @@ def crossdoc_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
-    gstats = (
-        spans.select("doc_id", "g")
-        .distinct()
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("nd"))
+    # (span, doc) occurrence counts: dedups repeated spans within a doc
+    # before the wider span-keyed shuffle
+    dspans = spans.groupBy("g", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
     )
+    # document frequency per span, attached in place of the old
+    # aggregate-and-join-back: count rows per span key (each row is one
+    # distinct (span, doc) pair)
+    nd = F.count(F.lit(1)).over(Window.partitionBy("g"))
     return (
-        spans.join(gstats, "g")
+        dspans.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_spans"),
-            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            F.sum("c").cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0))
             .cast("long")
             .alias("n_dup_spans"),
             F.round(
-                F.avg(F.when(F.col("nd") >= 2, 1.0).otherwise(0.0)), 6
+                F.sum(
+                    F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)
+                ).cast("double")
+                / F.sum("c").cast("double"),
+                6,
             ).alias("dup_frac"),
         )
     )

@@ -41,12 +41,7 @@ def streaming_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_record_file,
     )
 
-    ev = (
-        load(spark, sf_dir, "events")
-        .where(F.col("user_id") % 41 == 7)
-        .select("event_id", "event_type", "user_id")
-        .collect()
-    )
+    ev = _events_subset(spark, sf_dir, 41, 7)
     tag = uuid.uuid4().hex[:8]
     root = tempfile.mkdtemp(prefix=f"svc_{tag}_")
     stream_dir = f"{root}/events_replay"
@@ -110,13 +105,29 @@ GROUP BY event_type
 _RESULT_SCHEMA = "event_type STRING, n_events BIGINT, sum_event_id BIGINT"
 
 
+# One projected events collect per sf_dir, shared by all seven gate
+# rows: each row needs a different (mod, rem) slice, and seven separate
+# parquet scans + collects cost ~0.5-1 s each at sf0.1 — ~a quarter of
+# the streaming rows' gate-window bill (VERDICT r09 "what's wrong" #2).
+# The projection is 3 small columns (~100k rows / ~3 MB at sf0.1), so
+# holding ONE sf_dir's copy on the driver is cheap; a different sf_dir
+# evicts it. Filtering a driver-side list is gate-fixture construction
+# (same boundary as the documented per-row collect it replaces), not a
+# query path.
+_EVENTS_CACHE: dict[str, list] = {}
+
+
 def _events_subset(spark: SparkSession, sf_dir: str, mod: int, rem: int):
-    return (
-        load(spark, sf_dir, "events")
-        .where(F.col("user_id") % mod == rem)
-        .select("event_id", "event_type", "user_id")
-        .collect()
-    )
+    rows = _EVENTS_CACHE.get(sf_dir)
+    if rows is None:
+        rows = (
+            load(spark, sf_dir, "events")
+            .select("event_id", "event_type", "user_id")
+            .collect()
+        )
+        _EVENTS_CACHE.clear()
+        _EVENTS_CACHE[sf_dir] = rows
+    return [r for r in rows if r.user_id % mod == rem]
 
 
 def _as_records(rows, seq_base: int = 0):

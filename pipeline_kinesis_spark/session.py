@@ -33,6 +33,15 @@ _DEFAULTS = {
     # Quieter Ivy/UI in test environments.
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
+    # Driver heap: in local mode the driver JVM IS the executor, and
+    # PySpark's default is 1 GiB regardless of host RAM — the sf1
+    # scaling probe hit notEnoughMemoryToBuildAndBroadcastTable at
+    # exactly that ceiling (r10). Size it like an executor on the
+    # target box (SPARK_GRAFT_DRIVER_MEM to override; only effective
+    # for the process that launches the JVM — a second getOrCreate in
+    # the same process reuses the running heap, and on a real cluster
+    # spark-submit's --driver-memory/--executor-memory govern).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
 
 

@@ -21,11 +21,18 @@ from pipeline_kinesis_spark.io import TABLES, table_path
 
 
 def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register each fixture table present in ``sf_dir`` as a DuckDB
+    view. Missing tables are skipped (a query touching one then fails
+    at run time with a clear unknown-table error): the driver's SFs
+    always carry all ten, but self-made scale fixtures
+    (tools/make_sf1.py) deliberately omit e.g. embeddings."""
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'"
-        )
+        p = table_path(sf_dir, t)
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
 

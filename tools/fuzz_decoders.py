@@ -215,12 +215,69 @@ def run_codec(codec: str, seeds: list[bytes], n: int, seed: int) -> list[tuple]:
     return findings
 
 
+def run_budget(seed: int, budget_s: float, chunk: int = 100) -> int:
+    """Round-close battery mode (VERDICT r09 "next round" #4): spend a
+    fixed wall-clock budget fuzzing ALL codecs on a fresh seed and emit
+    ONE summary JSON line for BENCH_NOTES. Codecs rotate in chunks so
+    the budget spreads across formats instead of exhausting on the
+    first; each chunk advances the per-codec case stream
+    deterministically (pass k re-seeds with [seed, codec, k]), so a
+    finding is reproducible from (seed, codec, pass, case)."""
+    import json
+    import time
+
+    t0 = time.monotonic()
+    rng = np.random.default_rng(seed)
+    seeds = build_seeds(rng)
+    codecs = sorted(seeds)
+    counts: dict[str, int] = dict.fromkeys(codecs, 0)
+    all_findings: list[tuple] = []
+    k = 0
+    while time.monotonic() - t0 < budget_s:
+        codec = codecs[k % len(codecs)]
+        pass_seed = int(
+            np.random.default_rng(
+                [seed, hash(codec) & 0x7FFFFFFF, k]
+            ).integers(1, 2**31)
+        )
+        f = run_codec(codec, seeds[codec], chunk, pass_seed)
+        counts[codec] += chunk
+        for row in f:
+            print(f"    {codec} pass {k} case {row[1]} {row[2]} {row[3]}")
+        all_findings.extend(f)
+        k += 1
+    print(
+        json.dumps(
+            {
+                "metric": "decoder_fuzz_budget",
+                "mutations": sum(counts.values()),
+                "violations": len(all_findings),
+                "seed": seed,
+                "budget_s": budget_s,
+                "wall_s": round(time.monotonic() - t0, 1),
+                "per_codec": counts,
+            }
+        )
+    )
+    return 1 if all_findings else 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--codec", default=None)
     ap.add_argument("--n", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=9)
+    ap.add_argument(
+        "--budget-s",
+        type=float,
+        default=None,
+        help="wall-clock budget mode: fuzz all codecs on a fresh seed "
+        "until the budget runs out, then print one summary JSON line",
+    )
     args = ap.parse_args()
+
+    if args.budget_s is not None:
+        return run_budget(args.seed, args.budget_s)
 
     rng = np.random.default_rng(args.seed)
     seeds = build_seeds(rng)

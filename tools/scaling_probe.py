@@ -34,6 +34,15 @@ from pipeline_kinesis_spark.registry import all_queries
 
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
+# A fourth decade when the self-made sf1 fixture exists (tools/
+# make_sf1.py writes it; SPARK_GRAFT_SF1_DIR overrides the location).
+# Queries needing embeddings are skipped at sf1 — the fixture
+# deliberately omits that table (see make_sf1.py docstring).
+_SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sparkgraft_sf1")
+if os.path.isdir(_SF1_DIR):
+    SFS = SFS + (_SF1_DIR,)
+_SF1_SKIP_TABLES = ("embeddings",)
+
 # one per major plan family: scan-agg, broadcast join tree, window,
 # inverted-index self-join, banded LSH join, ANN scan, span rewrite,
 # LM two-pass, event funnel, grouped top-N (WindowGroupLimit),
@@ -396,26 +405,40 @@ def main() -> None:
     names = sys.argv[1:] or list(PROBE)
     spark = get_spark("scaling-probe")
     qs = all_queries()
+    sf_labels = [
+        float(d.rsplit("sf", 1)[-1]) if "sf" in d else 1.0 for d in SFS
+    ]
     for sf in SFS:  # warm the JVM/readers on every SF first
         qs["q1_pricing_summary"].fn(spark, sf).collect()
     for name in names:
         spec = qs[name]
-        times = []
+        times: list = []
         for sf in SFS:
             samples = []
-            for _ in range(2):
-                t0 = time.time()
-                (spec.bench_fn or spec.fn)(spark, sf).collect()
-                samples.append(time.time() - t0)
-            times.append(round(min(samples), 3))
+            try:
+                for _ in range(2):
+                    t0 = time.time()
+                    (spec.bench_fn or spec.fn)(spark, sf).collect()
+                    samples.append(time.time() - t0)
+                times.append(round(min(samples), 3))
+            except Exception:  # noqa: BLE001 — sf1 omits embeddings
+                times.append(None)
+        ratios = [
+            round(b / a, 2)
+            if (a is not None and b is not None and a > 0)
+            else None
+            for a, b in zip(times, times[1:])
+        ]
         print(
             json.dumps(
                 {
                     "query": name,
-                    "sf": [0.001, 0.01, 0.1],
+                    "sf": sf_labels,
                     "sec": times,
-                    "ratio_10x_small": round(times[1] / times[0], 2),
-                    "ratio_10x_big": round(times[2] / times[1], 2),
+                    "ratio_per_10x": ratios,
+                    # kept for readers of older rounds' artifacts
+                    "ratio_10x_small": ratios[0],
+                    "ratio_10x_big": ratios[1],
                 }
             ),
             flush=True,
