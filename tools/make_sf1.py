@@ -18,11 +18,16 @@ preserves exactly the properties a scaling probe needs:
   diameter) instead of a 10x-denser graph that no real corpus shows.
 
 region/nation stay fixed (TPC-H semantics: dimension tables do not
-scale). `embeddings` is NOT generated: additive perturbation of float
-vectors shifts the cosine-neighborhood structure in ways replication
-can't control, so embedding-family scaling evidence stays at the
-driver SFs. Everything is DuckDB-side (no Spark) and deterministic —
-no RNG at all; the perturbation is a pure function of (copy, text).
+scale). `embeddings` scales by a PER-COPY ORTHOGONAL ROTATION: copy c
+applies one seeded QR-derived rotation R_c to every vector (copy 0 is
+the identity), which preserves every within-copy inner product and
+norm EXACTLY — the cosine-neighborhood structure of sf0.1 is replicated
+bit-for-bit up to one matmul's float error — while cross-copy cosines
+scatter like random 64-dim vectors (~N(0, 1/64)), so no spurious
+cross-copy neighbors form. Labels offset per copy (centroid groups
+must not mix rotated copies). Deterministic: table perturbations are
+pure functions of (copy, value); the rotations come from a
+fixed-seeded numpy Generator.
 
 Usage: python tools/make_sf1.py [outdir]   (default /tmp/sparkgraft_sf1)
 """
@@ -127,8 +132,52 @@ def main() -> int:
         f"user_id + {{c}} * {{user_id}} AS user_id, event_type, value, "
         f"props FROM '{SRC}/events.parquet'",
     )
+    _gen_embeddings(con, out)
     print(f"sf1 fixture at {out}")
     return 0
+
+
+def _gen_embeddings(con: duckdb.DuckDBPyConnection, out: str) -> None:
+    """Ten rotated copies of the embeddings table (see module
+    docstring). numpy-side because DuckDB has no matmul over list
+    columns; one QR per copy, one (n, d) @ (d, d) per copy."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = con.execute(
+        f"SELECT vec_id, embedding, label FROM '{SRC}/embeddings.parquet' "
+        f"ORDER BY vec_id"
+    ).fetchall()
+    vec_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    vecs = np.array([r[1] for r in rows], dtype=np.float32)
+    labels = np.array([r[2] for r in rows], dtype=np.int32)
+    d = vecs.shape[1]
+    out_ids, out_vecs, out_labels = [], [], []
+    for c in range(COPIES):
+        if c == 0:
+            r_c = np.eye(d, dtype=np.float64)
+        else:
+            rng = np.random.default_rng([42, c])
+            q, r = np.linalg.qr(rng.standard_normal((d, d)))
+            # canonical QR sign fix: make the rotation unique for the
+            # seed regardless of LAPACK's sign conventions
+            r_c = q * np.sign(np.diag(r))
+        out_ids.append(vec_ids + c * 1_000_000)
+        out_vecs.append((vecs.astype(np.float64) @ r_c.T).astype(np.float32))
+        out_labels.append(labels + c * 1_000)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in np.concatenate(out_vecs)],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(np.concatenate(out_labels), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    print(f"embeddings: {tbl.num_rows} rows (rotated copies)")
 
 
 if __name__ == "__main__":
