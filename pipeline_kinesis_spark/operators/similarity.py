@@ -24,6 +24,24 @@ N_QUERIES = 5  # vec_id < 5 are the benchmark query vectors
 TOP_K = 10
 
 
+def _ivf_params(n: int) -> tuple[int, int]:
+    """Scale-aware IVF sizing (r10, found by the sf1 recall probe): a
+    FIXED (n_cells=8, nprobe=3) lets the probed fraction stay constant
+    but each cell grow linearly with the corpus — and recall collapses
+    once the corpus holds more distinct neighborhoods than cells (the
+    10x sf1 fixture broke the 0.4 bound at 8 cells). The classic IVF
+    rule: n_cells ~ sqrt(n) (cell size ~ sqrt(n) too), nprobe a fixed
+    fraction of n_cells so the scanned share of the corpus is constant
+    (3/8 here, matching the historical small-SF behavior). Floors keep
+    the driver SFs (n = 20 / 200) byte-identical to rounds 1-9:
+    sqrt(200)/2 = 7 -> floor 8 cells, nprobe 3. At 100 TB the cell
+    count follows the same rule with KMeans trained on a sample and
+    cells as the table's physical partitioning."""
+    n_cells = max(8, int(round(n ** 0.5 / 2)))
+    nprobe = max(3, (n_cells * 3) // 8)
+    return n_cells, nprobe
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -286,8 +304,8 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n_cells, nprobe = 8, 3
     e = _with_dvec(load(spark, sf_dir, "embeddings"))
+    n_cells, nprobe = _ivf_params(e.count())
     fe = e.withColumn("fvec", array_to_vector("dvec"))
     km = KMeans(k=n_cells, seed=42, featuresCol="fvec", predictionCol="cell")
     model = km.fit(fe)
@@ -408,22 +426,39 @@ FROM topk WHERE rnk = 1
 PQ_M = 8  # subspaces (64 dims / 8 per subspace)
 PQ_DSUB = 8
 PQ_K = 16  # centroids per subspace → 4-bit codes
-PQ_TRAIN_IDS = 256  # deterministic training sample: vec_id < 256
+PQ_TRAIN_SAMPLE = 512  # deterministic hash-spread training sample size
 PQ_ITERS = 15
-PQ_RERANK = 120  # ADC candidates exact-reranked per query
+PQ_RERANK = 120  # floor of ADC candidates exact-reranked per query
+
+
+def _pq_rerank_depth(n: int) -> int:
+    """Scale-aware ADC rerank depth (r10, found by the sf1 recall probe):
+    a FIXED 120-candidate rerank means the 4-bit-quantized ADC ranking
+    must place the true neighbors inside a shrinking fraction of the
+    corpus (120/n), and recall fell through the 0.4 bound at the 10x sf1
+    fixture. Quantization noise per candidate is constant, so the depth
+    that keeps the true top-k inside the rerank set grows ~sqrt(n) (same
+    sizing family as `_ivf_params`); the floor keeps the driver SFs
+    (n = 200) at the historical 120."""
+    return max(PQ_RERANK, int(8 * n**0.5))
 
 
 def _pq_codebooks(e: DataFrame):
     """Driver-side Lloyd k-means per subspace over a deterministic sample.
 
     Codebook training is O(sample) — at any corpus scale it reads a fixed
-    few-thousand-row sample (like IVF's KMeans fit), so the driver-side
-    numpy here is not a scale bottleneck."""
+    few-hundred-row sample (like IVF's KMeans fit), so the driver-side
+    numpy here is not a scale bottleneck. The sample is hash-spread
+    across the WHOLE corpus (top-PQ_TRAIN_SAMPLE by xxhash64 — a
+    distributed TakeOrdered, not a full sort): the r10 sf1 probe showed
+    a head-of-table sample (`vec_id < 256`) trains codebooks on one
+    neighborhood of the id space and quantizes the rest of the corpus
+    badly once the corpus is no longer id-homogeneous."""
     import numpy as np
 
     rows = (
-        e.filter(F.col("vec_id") < PQ_TRAIN_IDS)
-        .orderBy("vec_id")
+        e.orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+        .limit(PQ_TRAIN_SAMPLE)
         .select("dvec")
         .collect()
     )
@@ -527,10 +562,18 @@ def _pq_query_lut(spark: SparkSession, q: DataFrame, books) -> DataFrame:
 
 
 def _adc_rerank(
-    e: DataFrame, enc_with_lut: DataFrame, q: DataFrame
+    e: DataFrame, enc_with_lut: DataFrame, q: DataFrame, rerank: int
 ) -> DataFrame:
     """Shared ADC tail: score code rows with PQ_M element_at lookups,
-    keep PQ_RERANK candidates per query, exact-rerank to TOP_K."""
+    keep `rerank` candidates per query, exact-rerank to TOP_K.
+
+    Candidate selection is two-phase (r10): a local top-`rerank` per
+    (query, input partition) before the global top-`rerank`. The final
+    set is identical (global top-N by a total order is invariant under
+    per-partition pre-filtering), but the full ADC-scored stream never
+    funnels into one partition per query — at 100 TB a single
+    row_number window over query_id would shuffle the whole code table
+    into #queries partitions."""
     approx_dot = F.aggregate(
         F.sequence(F.lit(0), F.lit(PQ_M - 1)),
         F.lit(0.0),
@@ -540,9 +583,9 @@ def _adc_rerank(
             F.element_at("codes", m + 1) + 1,
         ),
     )
-    wa = Window.partitionBy("query_id").orderBy(
-        F.desc("approx_sim"), F.asc("vec_id")
-    )
+    order = (F.desc("approx_sim"), F.asc("vec_id"))
+    wl = Window.partitionBy("query_id", "part").orderBy(*order)
+    wa = Window.partitionBy("query_id").orderBy(*order)
     cand = (
         enc_with_lut.filter(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -551,9 +594,12 @@ def _adc_rerank(
             (approx_dot / (F.col("qnrm") * F.col("nrm"))).alias(
                 "approx_sim"
             ),
+            F.spark_partition_id().alias("part"),
         )
+        .withColumn("lrnk", F.row_number().over(wl))
+        .filter(F.col("lrnk") <= rerank)
         .withColumn("arnk", F.row_number().over(wa))
-        .filter(F.col("arnk") <= PQ_RERANK)
+        .filter(F.col("arnk") <= rerank)
         .select("query_id", "vec_id")
     )
     sim = F.round(
@@ -588,11 +634,12 @@ def cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall twin below.
     """
     e = _with_dvec(load(spark, sf_dir, "embeddings"))
+    rerank = _pq_rerank_depth(e.count())
     books = _pq_codebooks(e)
     enc = _pq_encode(e, books)
     q = _query_vectors(e)
     lut = _pq_query_lut(spark, q, books)
-    return _adc_rerank(e, enc.crossJoin(F.broadcast(lut)), q)
+    return _adc_rerank(e, enc.crossJoin(F.broadcast(lut)), q, rerank)
 
 
 def cosine_topk_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,8 +664,10 @@ def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n_cells, nprobe = 8, 3
     e = _with_dvec(load(spark, sf_dir, "embeddings"))
+    n = e.count()
+    n_cells, nprobe = _ivf_params(n)
+    rerank = _pq_rerank_depth(n)
     fe = e.withColumn("fvec", array_to_vector("dvec"))
     km = KMeans(k=n_cells, seed=42, featuresCol="fvec", predictionCol="cell")
     model = km.fit(fe)
@@ -662,7 +711,7 @@ def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the probe: ONE equi-join on cell — only nprobe/n_cells of the code
     # table is scanned per query
-    return _adc_rerank(e, enc.join(F.broadcast(qcells), "cell"), q)
+    return _adc_rerank(e, enc.join(F.broadcast(qcells), "cell"), q, rerank)
 
 
 def cosine_topk_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
