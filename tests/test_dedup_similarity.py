@@ -390,3 +390,32 @@ def test_dedup_spans_rewrite_removes_shared_passage(spark, tmp_path):
     for r in rows.values():
         assert r.n_kept + r.n_removed == r.n_tokens
     assert rows[1].n_removed == SPAN_N and rows[2].n_removed == SPAN_N
+
+
+def test_ann_parameters_scale_with_corpus():
+    """The r10 sf1 recall probe found three fixed ANN constants that must
+    scale with the corpus. Pin both halves of each fix: the floors keep
+    every driver SF (n <= 200 embeddings at sf0.1) byte-identical to
+    rounds 1-9, and past the floor the parameters grow ~sqrt(n) so the
+    probed corpus fraction / rerank fraction don't shrink to zero at
+    100 TB."""
+    from pipeline_kinesis_spark.operators.similarity import (
+        PQ_RERANK,
+        _ivf_params,
+        _pq_rerank_depth,
+    )
+
+    # Floors: driver SFs (sf0.001 n=20, sf0.01 n=200(?), sf0.1 n<=2000)
+    # at or below the historical constants stay exactly historical.
+    assert _ivf_params(20) == (8, 3)
+    assert _ivf_params(200) == (8, 3)
+    assert _pq_rerank_depth(20) == PQ_RERANK
+    assert _pq_rerank_depth(200) == PQ_RERANK
+
+    # Growth: ~sqrt(n) cells with a constant probed fraction (3/8), and
+    # rerank depth 8*sqrt(n) once past the floor.
+    for n in (20_000, 2_000_000, 200_000_000):
+        cells, nprobe = _ivf_params(n)
+        assert abs(cells - n**0.5 / 2) <= 1
+        assert nprobe == max(3, cells * 3 // 8)
+        assert _pq_rerank_depth(n) == int(8 * n**0.5)
