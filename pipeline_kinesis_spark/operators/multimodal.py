@@ -2442,6 +2442,15 @@ def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> list[int]:
     and the string table is a plain list indexed by code — the same
     shape as the TIFF LZW decoder (tiff.py), which profiled ~5x faster
     than the original per-bit/dict form of this function."""
+    if not 1 <= min_code <= 11:
+        # GIF89a appendix F: root codes are 2..8 bits (image data is at
+        # most 256 colors; many encoders emit 2 even for 2-color
+        # images) and total code width caps at 12 bits, so min_code+1
+        # must leave room to grow — a forged size byte here otherwise
+        # sizes the base table as 2**min_code (r10 fuzz: min_code=0x87
+        # allocated a 2**135-entry list -> MemoryError, killing the
+        # task instead of dead-lettering the file).
+        raise ValueError(f"GIF LZW minimum code size {min_code} out of range")
     clear, end = 1 << min_code, (1 << min_code) + 1
     code_size = min_code + 1
     base: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]

@@ -233,6 +233,12 @@ def _decode_tiff_impl(payload: bytes) -> "np.ndarray":
             e + "HHI4s", payload, ifd_off + 2 + 12 * k
         )
         size = _TYPE_SIZES.get(typ, 1) * count
+        if size > len(payload):
+            # an entry's value bytes must lie inside the file; a forged
+            # count field otherwise sizes a value buffer (or, below, a
+            # placeholder list) of up to 2**32 elements before any data
+            # is read (r10 fuzz: count=0x2ba90000 -> MemoryError)
+            raise ValueError("TIFF IFD entry value overruns payload")
         if size <= 4:
             buf = raw
         else:
@@ -245,7 +251,9 @@ def _decode_tiff_impl(payload: bytes) -> "np.ndarray":
         elif typ == 1:
             vals = list(buf[:count])
         else:
-            vals = [0] * count  # rationals/ASCII: not needed here
+            # rationals/ASCII: values are never read, only first-element
+            # presence via one(); don't materialize count entries
+            vals = [0] * min(count, 1)
         tags[tag] = vals
 
     def one(tag: int, default=None):

@@ -44,7 +44,9 @@ def seeds():
     ["ppm", "bmp", "png", "gif", "jpeg", "wav", "flac", "tiff", "avi"],
 )
 def test_mutation_corpus_honors_decode_contract(codec, seeds):
-    rng = np.random.default_rng([9, hash(codec) & 0x7FFFFFFF])
+    # fuzz._codec_key, not hash(): built-in hash is salted per process
+    # (PYTHONHASHSEED), which made this corpus silently differ per run
+    rng = np.random.default_rng([9, fuzz._codec_key(codec)])
     for i in range(N_CASES):
         payload = fuzz.make_case(codec, seeds[codec], rng)
         try:
@@ -82,6 +84,40 @@ def test_forged_gif_dims_rejected():
     gif[i + 5 : i + 9] = struct.pack("<HH", 65535, 65535)
     with pytest.raises(ValueError):
         decode_media(bytes(gif))
+
+
+def test_forged_gif_lzw_min_code_rejected_before_allocation():
+    # r10 budget fuzz (seed 100815): a mutated LZW minimum-code-size
+    # byte (0x87) sized the base string table as 2**min_code entries →
+    # MemoryError escaped the decode contract. The spec bounds root
+    # codes at 2..8 bits (12-bit total cap); the decoder must reject
+    # the byte BEFORE allocating.
+    gif = bytearray(fuzz.build_seeds(np.random.default_rng(9))["gif"][0])
+    i = 13 + 768  # header + 256-entry GCT → image separator
+    assert gif[i] == 0x2C and gif[i + 10] == 8  # LZW min-code byte
+    for forged in (0x87, 0xFF, 0x0C, 0x00):
+        gif[i + 10] = forged
+        with pytest.raises(ValueError, match="minimum code size"):
+            decode_media(bytes(gif))
+
+
+def test_forged_tiff_ifd_count_rejected_before_allocation():
+    # r10 budget fuzz (seed 100815): a mutated IFD entry count
+    # (0x2ba90000 on a rational-typed tag) sized a placeholder list of
+    # count elements → MemoryError. An entry's value bytes must fit
+    # inside the payload.
+    from pipeline_kinesis_spark.operators.tiff import encode_tiff
+
+    px = np.full((4, 4, 3), 7, np.uint8)
+    enc = bytearray(encode_tiff(px))
+    (ifd_off,) = struct.unpack_from("<I", enc, 4)
+    (n_entries,) = struct.unpack_from("<H", enc, ifd_off)
+    # forge every entry's count in turn; all must reject, none allocate
+    for k in range(n_entries):
+        forged = bytearray(enc)
+        struct.pack_into("<I", forged, ifd_off + 2 + 12 * k + 4, 0x2BA90000)
+        with pytest.raises(ValueError):
+            decode_media(bytes(forged))
 
 
 def test_truncated_tiff_ifd_value_is_valueerror():

@@ -43,6 +43,17 @@ TIME_LIMIT_S = 10
 AS_LIMIT_BYTES = 6 << 30
 
 
+def _codec_key(codec: str) -> int:
+    """Stable per-codec RNG stream key. Python's built-in hash() is
+    salted per-process (PYTHONHASHSEED), which silently broke the
+    "reproducible from (seed, codec, pass, case)" contract: a finding's
+    pass_seed could not be regenerated in a later process (found when a
+    r10 GIF MemoryError finding failed to replay)."""
+    import zlib
+
+    return zlib.crc32(codec.encode()) & 0x7FFFFFFF
+
+
 # -- seed corpus: one or two small valid payloads per codec -----------------
 
 
@@ -179,7 +190,7 @@ def _child(conn, payloads: list[bytes]) -> None:
 
 
 def run_codec(codec: str, seeds: list[bytes], n: int, seed: int) -> list[tuple]:
-    rng = np.random.default_rng([seed, hash(codec) & 0x7FFFFFFF])
+    rng = np.random.default_rng([seed, _codec_key(codec)])
     payloads = [make_case(codec, seeds, rng) for _ in range(n)]
     findings: list[tuple] = []
     start = 0
@@ -237,7 +248,7 @@ def run_budget(seed: int, budget_s: float, chunk: int = 100) -> int:
         codec = codecs[k % len(codecs)]
         pass_seed = int(
             np.random.default_rng(
-                [seed, hash(codec) & 0x7FFFFFFF, k]
+                [seed, _codec_key(codec), k]
             ).integers(1, 2**31)
         )
         f = run_codec(codec, seeds[codec], chunk, pass_seed)
