@@ -34,11 +34,14 @@ def _ivf_params(n: int) -> tuple[int, int]:
     fraction of n_cells so the scanned share of the corpus is constant
     (3/8 here, matching the historical small-SF behavior). Floors keep
     the driver SFs (n = 20 / 200) byte-identical to rounds 1-9:
-    sqrt(200)/2 = 7 -> floor 8 cells, nprobe 3. At 100 TB the cell
-    count follows the same rule with KMeans trained on a sample and
-    cells as the table's physical partitioning."""
+    sqrt(200)/2 = 7 -> floor 8 cells, nprobe 3. nprobe rounds UP —
+    floor division let the probed fraction dip below 3/8 (8/22 = 36%
+    at n = 2000, where the sf0.1 differential caught query 0's recall
+    at 0.3 < bound; ceil's 9/22 = 41% restores 0.5). At 100 TB the
+    cell count follows the same rule with KMeans trained on a sample
+    and cells as the table's physical partitioning."""
     n_cells = max(8, int(round(n ** 0.5 / 2)))
-    nprobe = max(3, (n_cells * 3) // 8)
+    nprobe = max(3, -((n_cells * 3) // -8))
     return n_cells, nprobe
 
 

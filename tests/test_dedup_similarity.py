@@ -417,5 +417,9 @@ def test_ann_parameters_scale_with_corpus():
     for n in (20_000, 2_000_000, 200_000_000):
         cells, nprobe = _ivf_params(n)
         assert abs(cells - n**0.5 / 2) <= 1
-        assert nprobe == max(3, cells * 3 // 8)
+        # ceil, not floor: the probed fraction must never drop BELOW
+        # the historical 3/8 (floor division let it dip to 36% at
+        # n=2000 and sf0.1 query-0 recall fell through the bound)
+        assert nprobe == max(3, -((cells * 3) // -8))
+        assert nprobe / cells >= 3 / 8
         assert _pq_rerank_depth(n) == int(8 * n**0.5)
