@@ -190,3 +190,53 @@ def test_vtt_spec_edge_forms():
     assert parse_vtt("WEBVTT label\n\n00:00.000 --> 00:01.000\nx") == [
         (1, 0, 1000, "x")
     ]
+
+
+def test_text_parsers_contract_on_foreign_input():
+    """Foreign-input containment for the three text parsers, mirroring
+    the decoder contract (tests/test_decoder_fuzz.py): arbitrary text
+    either parses or raises ValueError — never IndexError/KeyError/
+    OverflowError — so a hostile caption/page lands in a dead-letter
+    path instead of killing an executor task. Mutation strategies echo
+    the decoder fuzzer: valid payloads with flipped chars, truncations,
+    garbage tails, and pure garbage."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pipeline_kinesis_spark.operators.textops import (
+        extract_main_text,
+        format_srt_timestamp,
+        parse_srt,
+        parse_vtt,
+        wrap_in_chrome,
+    )
+
+    valid_srt = (
+        f"1\n{format_srt_timestamp(0)} --> {format_srt_timestamp(900)}\nhi"
+    )
+    valid_vtt = "WEBVTT\n\n00:00.000 --> 00:01.000\nhi"
+    valid_html = wrap_in_chrome(3, "payload")
+
+    text = st.text(max_size=300)
+    payload = st.one_of(
+        text,
+        *[
+            st.tuples(
+                st.just(base),
+                st.integers(0, max(len(base) - 1, 0)),
+                text,
+            ).map(lambda t: t[0][: t[1]] + t[2])
+            for base in (valid_srt, valid_vtt, valid_html)
+        ],
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(payload=payload)
+    def check(payload):
+        for parser in (parse_srt, parse_vtt, extract_main_text):
+            try:
+                parser(payload)
+            except ValueError:
+                pass
+
+    check()
