@@ -59,3 +59,11 @@ class QuerySpec:
     oracle: str | None
     bench: bool = False  # include in bench.py headline set
     bench_fn: Callable[[SparkSession, str], DataFrame] | None = None
+    # Deliberately-naive exact tier kept as the correctness reference
+    # for an approximate scale-safe twin. Cost (Spark's AND the DuckDB
+    # oracle's) grows ~n^2 with the corpus, so big-SF differential
+    # sweeps exclude these mechanically (compare_oracle --skip-anchors;
+    # the r10 full-sf1 sweep wedged >50 min on one such oracle before
+    # this flag existed). NOT an excuse tag: every anchor's twin must
+    # hold its own green row at every swept SF.
+    exact_anchor: bool = False

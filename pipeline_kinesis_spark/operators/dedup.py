@@ -991,7 +991,7 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_spans_rewrite, DEDUP_SPANS_REWRITE_SQL
     ),
     "ngram_jaccard_pairs": QuerySpec(
-        ngram_jaccard_pairs, NGRAM_JACCARD_SQL, bench=True
+        ngram_jaccard_pairs, NGRAM_JACCARD_SQL, bench=True, exact_anchor=True
     ),
     "ngram_jaccard_prefix": QuerySpec(
         ngram_jaccard_prefix, NGRAM_JACCARD_SQL, bench=True

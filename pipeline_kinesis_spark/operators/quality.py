@@ -824,7 +824,9 @@ QUERIES: dict[str, QuerySpec] = {
     "gopher_repetition": QuerySpec(gopher_repetition, GOPHER_REPETITION_SQL),
     "pii_redact": QuerySpec(pii_redact, PII_REDACT_SQL, bench=True),
     "sequence_pack": QuerySpec(sequence_pack, SEQUENCE_PACK_SQL, bench=True),
-    "stratified_sample": QuerySpec(stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "stratified_sample": QuerySpec(
+        stratified_sample, STRATIFIED_SAMPLE_SQL, exact_anchor=True
+    ),
     "stratified_sample_hash": QuerySpec(
         stratified_sample_hash, STRATIFIED_SAMPLE_HASH_SQL
     ),

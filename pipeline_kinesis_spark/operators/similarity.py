@@ -796,7 +796,9 @@ FROM comp
 
 QUERIES: dict[str, QuerySpec] = {
     "embedding_neardup_clusters": QuerySpec(
-        embedding_neardup_clusters, EMBEDDING_NEARDUP_CLUSTERS_SQL
+        embedding_neardup_clusters,
+        EMBEDDING_NEARDUP_CLUSTERS_SQL,
+        exact_anchor=True,
     ),
     "embedding_centroids": QuerySpec(
         embedding_centroids, EMBEDDING_CENTROIDS_SQL
@@ -807,7 +809,8 @@ QUERIES: dict[str, QuerySpec] = {
         cosine_topk_ivf_recall, COSINE_IVF_RECALL_SQL
     ),
     "cosine_neardup_pairs": QuerySpec(
-        cosine_neardup_pairs, COSINE_NEARDUP_SQL, bench=True
+        cosine_neardup_pairs, COSINE_NEARDUP_SQL, bench=True,
+        exact_anchor=True,
     ),
     "cosine_topk_lsh": QuerySpec(cosine_topk_lsh, None),
     "cosine_topk_lsh_recall": QuerySpec(

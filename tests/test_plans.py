@@ -73,3 +73,32 @@ def test_no_cartesian_in_tpch(spark, sf_dir):
     for q in (q3_shipping_priority, q5_local_supplier_volume):
         plan = explain_str(q(spark, sf_dir))
         assert "CartesianProduct" not in plan
+
+
+def test_exact_anchors_flagged_and_twinned():
+    """The exact_anchor flag (r10) marks deliberately-naive quadratic
+    tiers so big-SF sweeps can exclude them mechanically. Two
+    invariants: the flag set is exactly the documented four (adding a
+    quadratic query without flagging it re-wedges the sf1 sweep;
+    flagging a scale-path query hides it from big-SF verification),
+    and every anchor's scale-safe twin is a registered, oracled query
+    so the skipped semantics stay verified at every swept SF."""
+    from pipeline_kinesis_spark.registry import all_queries
+
+    qs = all_queries()
+    anchors = {n for n, s in qs.items() if s.exact_anchor}
+    assert anchors == {
+        "ngram_jaccard_pairs",
+        "cosine_neardup_pairs",
+        "embedding_neardup_clusters",
+        "stratified_sample",
+    }
+    twins = {
+        "ngram_jaccard_pairs": "ngram_jaccard_prefix",
+        "cosine_neardup_pairs": "cosine_topk_lsh_recall",
+        "embedding_neardup_clusters": "neardup_components",
+        "stratified_sample": "stratified_sample_hash",
+    }
+    for anchor, twin in twins.items():
+        assert twin in qs and not qs[twin].exact_anchor
+        assert qs[twin].oracle is not None

@@ -3,7 +3,11 @@
 Runs every registered query on Spark and its oracle SQL on DuckDB over the
 same parquet tables and reports per-query PASS/FAIL.
 
-Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+Usage: python tools/compare_oracle.py [--skip-anchors] [sf_dir] [query ...]
+
+--skip-anchors excludes queries flagged exact_anchor=True (deliberately
+naive exact tiers whose Spark AND oracle cost grows ~n^2) — use it for
+big-SF sweeps (sf1+), where one anchor's DuckDB oracle can burn an hour.
 """
 
 from __future__ import annotations
@@ -19,14 +23,21 @@ from pipeline_kinesis_spark.testing import compare_to_oracle, oracle_connection
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    skip_anchors = "--skip-anchors" in args
+    args = [a for a in args if a != "--skip-anchors"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark("compare-oracle")
     con = oracle_connection(sf_dir)
 
     failures = []
+    skipped = []
     for name, spec in sorted(all_queries().items()):
         if only and name not in only:
+            continue
+        if skip_anchors and spec.exact_anchor:
+            skipped.append(name)
             continue
         t0 = time.time()
         try:
@@ -59,6 +70,8 @@ def main() -> int:
         f"\nregistry: {len(qs)} queries ({oracled} oracled, "
         f"{len(qs) - oracled} rows-only)"
     )
+    if skipped:
+        print(f"skipped {len(skipped)} exact anchors: {sorted(skipped)}")
     print(
         f"{len(failures)} failures"
         + (f": {sorted(failures)}" if failures else "")
