@@ -45,6 +45,34 @@ def _ivf_params(n: int) -> tuple[int, int]:
     return n_cells, nprobe
 
 
+IVF_TRAIN_CAP = 65536  # max vectors the coarse-quantizer KMeans trains on
+
+
+def _fit_ivf_model(fe: DataFrame, n: int, n_cells: int, cap: int = IVF_TRAIN_CAP):
+    """Fit the IVF coarse quantizer on a bounded hash-spread sample.
+
+    Below ``cap`` (every driver SF and the sf1 fixture) the fit sees
+    the whole table — byte-identical to rounds 1-10. Above it, KMeans
+    trains on the top-``cap`` rows by xxhash64(vec_id) (a distributed
+    TakeOrdered, same sampling family as ``_pq_codebooks``): the
+    coarse-quantizer loss surface is a k-center summary, so a spread
+    sample an order of magnitude larger than n_cells recovers the same
+    centers while keeping the fit O(cap * n_cells * iters) instead of
+    O(n * n_cells * iters) full-table Lloyd passes — at 100 TB the
+    difference between a bounded preprocessing step and n passes over
+    the corpus. Assignment (``model.transform``) still covers every
+    row."""
+    from pyspark.ml.clustering import KMeans
+
+    train = fe
+    if n > cap:
+        train = fe.orderBy(
+            F.xxhash64(F.col("vec_id")), F.col("vec_id")
+        ).limit(cap)
+    km = KMeans(k=n_cells, seed=42, featuresCol="fvec", predictionCol="cell")
+    return km.fit(train)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -304,14 +332,13 @@ def cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic (fixed seed); rows-only check + recall asserted in
     tests against the exact brute-force tier.
     """
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     e = _with_dvec(load(spark, sf_dir, "embeddings"))
-    n_cells, nprobe = _ivf_params(e.count())
+    n = e.count()
+    n_cells, nprobe = _ivf_params(n)
     fe = e.withColumn("fvec", array_to_vector("dvec"))
-    km = KMeans(k=n_cells, seed=42, featuresCol="fvec", predictionCol="cell")
-    model = km.fit(fe)
+    model = _fit_ivf_model(fe, n, n_cells)
     assigned = model.transform(fe).select("vec_id", "dvec", "nrm", "cell")
 
     centers = [
@@ -664,7 +691,6 @@ def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     of cosine_topk_ivf and the codebooks/ADC of cosine_topk_pq; the cell
     id rides through the encode batch so the probe is one equi-join on
     cell. Deterministic; rows-only check + recall twin below."""
-    from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     e = _with_dvec(load(spark, sf_dir, "embeddings"))
@@ -672,8 +698,7 @@ def cosine_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells, nprobe = _ivf_params(n)
     rerank = _pq_rerank_depth(n)
     fe = e.withColumn("fvec", array_to_vector("dvec"))
-    km = KMeans(k=n_cells, seed=42, featuresCol="fvec", predictionCol="cell")
-    model = km.fit(fe)
+    model = _fit_ivf_model(fe, n, n_cells)
     assigned = model.transform(fe).select("vec_id", "dvec", "nrm", "cell")
 
     books = _pq_codebooks(e)

@@ -423,3 +423,26 @@ def test_ann_parameters_scale_with_corpus():
         assert nprobe == max(3, -((cells * 3) // -8))
         assert nprobe / cells >= 3 / 8
         assert _pq_rerank_depth(n) == int(8 * n**0.5)
+
+
+def test_ivf_trains_on_bounded_sample_past_cap(spark, sf_dir, monkeypatch):
+    """At 100 TB the IVF coarse quantizer cannot run Lloyd passes over
+    the whole corpus; past IVF_TRAIN_CAP it trains on a hash-spread
+    sample and assigns everything. Engage the sampled path here by
+    lowering the cap below the fixture size and assert the tier still
+    meets the recall bound against the exact baseline — i.e. sampling
+    the fit degrades centers gracefully, not catastrophically."""
+    import pipeline_kinesis_spark.operators.similarity as S
+
+    monkeypatch.setattr(S, "IVF_TRAIN_CAP", 64)
+    exact = {}
+    for r in S.cosine_topk(spark, sf_dir).select("query_id", "vec_id").collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    approx = {}
+    for r in (
+        S.cosine_topk_ivf(spark, sf_dir).select("query_id", "vec_id").collect()
+    ):
+        approx.setdefault(r.query_id, set()).add(r.vec_id)
+    for q, ex in exact.items():
+        rec = len(ex & approx.get(q, set())) / len(ex)
+        assert rec >= S.IVF_RECALL_BOUND, f"query {q} recall {rec}"
