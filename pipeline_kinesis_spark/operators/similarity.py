@@ -468,9 +468,14 @@ def _pq_rerank_depth(n: int) -> int:
     corpus (120/n), and recall fell through the 0.4 bound at the 10x sf1
     fixture. Quantization noise per candidate is constant, so the depth
     that keeps the true top-k inside the rerank set grows ~sqrt(n) (same
-    sizing family as `_ivf_params`); the floor keeps the driver SFs
-    (n = 200) at the historical 120."""
-    return max(PQ_RERANK, int(8 * n**0.5))
+    sizing family as `_ivf_params`). The multiplier is 16, set by the
+    sf10 probe (200k rotated-copy vectors): 8*sqrt(n) left both PQ
+    tiers at exactly the 0.4 bound with zero margin, 16*sqrt(n) lifts
+    min per-query recall to 0.6 — and the reranked corpus FRACTION
+    (16/sqrt(n)) still vanishes with scale: 3.6% at 200k, 0.05% at
+    1e9. The floor keeps tiny corpora (n <= ~56) at the historical
+    120."""
+    return max(PQ_RERANK, int(16 * n**0.5))
 
 
 def _pq_codebooks(e: DataFrame):

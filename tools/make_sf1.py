@@ -29,7 +29,10 @@ must not mix rotated copies). Deterministic: table perturbations are
 pure functions of (copy, value); the rotations come from a
 fixed-seeded numpy Generator.
 
-Usage: python tools/make_sf1.py [outdir]   (default /tmp/sparkgraft_sf1)
+Usage: python tools/make_sf1.py [outdir] [copies]
+  (defaults /tmp/sparkgraft_sf1, 10 copies; pass e.g. 100 for an
+  sf10-equivalent — strides hold to >=100 copies: max source keys
+  are well under every stride, and stride*copies stays inside int64)
 """
 
 from __future__ import annotations
@@ -56,7 +59,10 @@ STRIDES = {
 
 
 def main() -> int:
+    global COPIES
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparkgraft_sf1"
+    if len(sys.argv) > 2:
+        COPIES = int(sys.argv[2])
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
@@ -133,12 +139,12 @@ def main() -> int:
         f"props FROM '{SRC}/events.parquet'",
     )
     _gen_embeddings(con, out)
-    print(f"sf1 fixture at {out}")
+    print(f"sf fixture ({COPIES} copies of sf0.1) at {out}")
     return 0
 
 
 def _gen_embeddings(con: duckdb.DuckDBPyConnection, out: str) -> None:
-    """Ten rotated copies of the embeddings table (see module
+    """COPIES rotated copies of the embeddings table (see module
     docstring). numpy-side because DuckDB has no matmul over list
     columns; one QR per copy, one (n, d) @ (d, d) per copy."""
     import numpy as np

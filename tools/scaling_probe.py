@@ -36,12 +36,16 @@ SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"
 
 # A fourth decade when the self-made sf1 fixture exists (tools/
 # make_sf1.py writes it; SPARK_GRAFT_SF1_DIR overrides the location).
-# Queries needing embeddings are skipped at sf1 — the fixture
-# deliberately omits that table (see make_sf1.py docstring).
+# Since r10 the fixture includes embeddings (per-copy orthogonal
+# rotations), so every PROBE family spans the extra decades.
+# An sf10-equivalent (make_sf1.py <dir> 100) joins as a fifth decade
+# when present.
 _SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sparkgraft_sf1")
 if os.path.isdir(_SF1_DIR):
     SFS = SFS + (_SF1_DIR,)
-_SF1_SKIP_TABLES = ("embeddings",)
+_SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sparkgraft_sf10")
+if os.path.isdir(_SF10_DIR):
+    SFS = SFS + (_SF10_DIR,)
 
 # one per major plan family: scan-agg, broadcast join tree, window,
 # inverted-index self-join, banded LSH join, ANN scan, span rewrite,
@@ -418,7 +422,19 @@ def main() -> None:
             try:
                 for _ in range(2):
                     t0 = time.time()
-                    (spec.bench_fn or spec.fn)(spark, sf).collect()
+                    # compute-to-sink, NOT .collect(): per-row results
+                    # (e.g. window_range_frame emits one row per event)
+                    # made the old collect()-based timing superlinear in
+                    # the result size — 10M rows funneling into the
+                    # single-threaded Python driver read as an 18x
+                    # last-decade "regression" at sf10 while the actual
+                    # window compute was flat (BENCH_NOTES r10). The
+                    # noop sink executes the full plan with zero
+                    # driver/serialization cost, which is what a real
+                    # deployment's write does.
+                    (spec.bench_fn or spec.fn)(spark, sf).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
                     samples.append(time.time() - t0)
                 times.append(round(min(samples), 3))
             except Exception:  # noqa: BLE001 — sf1 omits embeddings
