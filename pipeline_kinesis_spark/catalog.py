@@ -101,6 +101,16 @@ class ViewDef:
     # subdirs (None → keep everything). Size it well above the longest
     # plausible consumer lag — reaped batches are gone for late readers.
     osrel_keep_batches: int | None = None
+    # B25 event-time watermark (PipelineDB arrival-time ordering,
+    # pipeline_kinesis.c:247-257, generalized to a declared event-time
+    # column): the standing query runs under
+    # withWatermark(watermark_column, delay) — rows arriving more than
+    # the delay behind the max observed event time are DROPPED and
+    # finalized windows never reopen. Requires append/update output
+    # (Spark's complete mode keeps all state and never drops late
+    # rows, so a watermark there would silently do nothing).
+    watermark_column: str | None = None
+    watermark_delay_seconds: int | None = None
 
 
 @dataclass

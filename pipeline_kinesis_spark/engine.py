@@ -357,6 +357,8 @@ class Engine:
         sw_step_seconds: int | None = None,
         upsert_buckets: int | None = None,
         osrel_keep_batches: int | None = _OSREL_KEEP_UNSET,
+        watermark_column: str | None = None,
+        watermark_delay_seconds: int | None = None,
     ) -> None:
         """ttl_seconds/ttl_column mirror PipelineDB's
         `WITH (ttl='...', ttl_column='...')`: view rows whose ttl_column
@@ -390,6 +392,24 @@ class Engine:
           past sw + 2 steps — state AND store bounded by the window at
           any runtime."""
         self._validate_osrel_source(stream)
+        if (watermark_column is None) != (watermark_delay_seconds is None):
+            raise ValueError(
+                "watermark_column and watermark_delay_seconds go together"
+            )
+        if watermark_column is not None:
+            if sw_seconds is not None:
+                # sw views carry their own arrival_timestamp watermark
+                # (see _view_stream_df) — two watermarks on one stream
+                # would race on eviction
+                raise ValueError("sw views manage their own watermark")
+            if output_mode == "complete":
+                # Spark's complete mode never evicts aggregation state,
+                # so late rows would be silently ACCEPTED — reject
+                # rather than ship a watermark that does nothing
+                raise ValueError(
+                    "watermark views need append or update output "
+                    "(complete mode never drops late data)"
+                )
         sw_aggs = sw_group_cols = sw_having = None
         combine_aggs = None
         if sw_seconds is None:
@@ -478,6 +498,8 @@ class Engine:
                 upsert_buckets=upsert_buckets,
                 combine_aggs=combine_aggs,
                 osrel_keep_batches=osrel_keep_batches,
+                watermark_column=watermark_column,
+                watermark_delay_seconds=watermark_delay_seconds,
             )
         )
         # PipelineDB starts materializing the moment the view exists —
@@ -550,6 +572,17 @@ class Engine:
         ):
             return src.withWatermark(
                 "arrival_timestamp", f"{2 * view.sw_step_seconds} seconds"
+            )
+        if view.watermark_column is not None:
+            # B25 explicit event-time watermark: late rows behind
+            # max(event_time) - delay are dropped. NB: Catalyst pushes
+            # deterministic WHERE predicates BELOW the watermark node,
+            # so rows the view SQL filters out do NOT advance the
+            # watermark — a heartbeat/sentinel record must survive the
+            # view's own predicates to move event time forward.
+            return src.withWatermark(
+                view.watermark_column,
+                f"{view.watermark_delay_seconds} seconds",
             )
         return src
 

@@ -42,6 +42,9 @@ _MECHANICAL = (
     UnicodeDecodeError,
     OverflowError,
     EOFError,
+    # a forged size/stride field of 0 used as a divisor (e.g. a WAV
+    # block_align) — corrupt input, not an executor fault
+    ZeroDivisionError,
 )
 
 # Per-record decoded-size cap: elements (pixels x channels, or audio

@@ -312,8 +312,6 @@ def _decode_png(payload: bytes) -> "np.ndarray":
         raise ValueError("PNG missing IHDR/IDAT chunks")
     if color == 3 and palette is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    stream = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-
     # Adam7 pass grids (PNG spec 8.2): (row0, col0) starts and
     # (row, col) increments per pass; non-interlaced = one full pass
     if interlace:
@@ -321,6 +319,24 @@ def _decode_png(payload: bytes) -> "np.ndarray":
         steps = [(8, 8), (8, 8), (8, 4), (4, 4), (4, 2), (2, 2), (2, 1)]
     else:
         starts, steps = [(0, 0)], [(1, 1)]
+
+    # Deflate-bomb guard (the WAV/IMA pattern, ADVICE r10 #4): the
+    # raster walk below consumes a KNOWN byte count — per pass,
+    # rows x (1 filter byte + stride) — so cap inflation there
+    # instead of letting a few-KB IDAT inflate gigabytes under tiny
+    # declared dimensions (check_dims bounds w*h, not the stream).
+    # Inflate output beyond the raster was always ignored by the
+    # walk; now it is never materialized.
+    need_total = 0
+    for (row0, col0), (rstep, cstep) in zip(starts, steps):
+        pw = (w - col0 + cstep - 1) // cstep
+        ph = (h - row0 + rstep - 1) // rstep
+        if pw > 0 and ph > 0:
+            need_total += ph * ((pw * ch * depth + 7) // 8 + 1)
+    dec = zlib.decompressobj()
+    stream = np.frombuffer(
+        dec.decompress(bytes(idat), need_total), dtype=np.uint8
+    )
 
     out_samples = np.zeros((h, w, ch), dtype=np.uint16)
     off = 0
@@ -2688,6 +2704,29 @@ def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
                         f"(size={size}, bits={bits})"
                     )
                 (spb,) = struct.unpack_from("<H", payload, pos + 18)
+                # forged-field pre-allocation guard (ADVICE r10 #4,
+                # mirroring TIFF's value-overruns-payload pattern):
+                # the vectorized decoder allocates (blocks, channels,
+                # spb) int64 BEFORE any per-block validation, so a
+                # wSamplesPerBlock far beyond the block's nibble
+                # capacity would size a huge mostly-garbage allocation
+                # from a tiny payload (65535 ch x 65535 spb = 34 GB
+                # from ~256 KB). A conforming block carries
+                # (block_align - 4*channels) body bytes = 2 nibbles
+                # each, interleaved across channels.
+                if channels < 1 or block_align < 4 * channels:
+                    raise ValueError(
+                        f"corrupt WAV: IMA block_align {block_align} "
+                        f"cannot hold {channels}-channel headers"
+                    )
+                cap = (block_align - 4 * channels) * 2 // channels + 1
+                if spb > cap:
+                    raise ValueError(
+                        f"corrupt WAV: samples-per-block {spb} "
+                        f"overruns block capacity {cap} "
+                        f"(block_align {block_align}, "
+                        f"{channels} channels)"
+                    )
             elif not (
                 (fmt == 1 and bits == 16)
                 or (fmt in (6, 7) and bits == 8)
@@ -2718,6 +2757,11 @@ def _decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
                 # across every full block at once; only a ragged tail
                 # block falls back to the scalar walker
                 n_full = size // block_align
+                # cap the total decoded elements like the image paths
+                # do (the fmt-chunk capacity check above makes this
+                # linear in the payload, so it only fires on
+                # pathological giant records)
+                check_dims("WAV/IMA", n_full + 1, channels, spb)
                 parts: list[list] = [[] for _ in range(channels)]
                 if (block_align - 4 * channels) % (4 * channels) != 0:
                     # nonconforming foreign block_align whose body is

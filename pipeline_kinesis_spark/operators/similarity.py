@@ -48,7 +48,9 @@ def _ivf_params(n: int) -> tuple[int, int]:
 IVF_TRAIN_CAP = 65536  # max vectors the coarse-quantizer KMeans trains on
 
 
-def _fit_ivf_model(fe: DataFrame, n: int, n_cells: int, cap: int = IVF_TRAIN_CAP):
+def _fit_ivf_model(
+    fe: DataFrame, n: int, n_cells: int, cap: int | None = None
+):
     """Fit the IVF coarse quantizer on a bounded hash-spread sample.
 
     Below ``cap`` (every driver SF and the sf1 fixture) the fit sees
@@ -61,16 +63,29 @@ def _fit_ivf_model(fe: DataFrame, n: int, n_cells: int, cap: int = IVF_TRAIN_CAP
     O(n * n_cells * iters) full-table Lloyd passes — at 100 TB the
     difference between a bounded preprocessing step and n passes over
     the corpus. Assignment (``model.transform``) still covers every
-    row."""
+    row.
+
+    ``cap`` resolves the module global at CALL time (not bound as a
+    default at definition time) so tests can monkeypatch
+    ``IVF_TRAIN_CAP`` and actually exercise the sampled-training path
+    (ADVICE r10 #1)."""
     from pyspark.ml.clustering import KMeans
 
-    train = fe
-    if n > cap:
-        train = fe.orderBy(
-            F.xxhash64(F.col("vec_id")), F.col("vec_id")
-        ).limit(cap)
+    train = _ivf_train_df(fe, n, cap)
     km = KMeans(k=n_cells, seed=42, featuresCol="fvec", predictionCol="cell")
     return km.fit(train)
+
+
+def _ivf_train_df(fe: DataFrame, n: int, cap: int | None = None) -> DataFrame:
+    """The coarse-quantizer training set: the whole table below the
+    cap, a bounded hash-spread TakeOrdered sample above it."""
+    if cap is None:
+        cap = IVF_TRAIN_CAP
+    if n <= cap:
+        return fe
+    return fe.orderBy(
+        F.xxhash64(F.col("vec_id")), F.col("vec_id")
+    ).limit(cap)
 
 
 def _dot(a: Column, b: Column) -> Column:

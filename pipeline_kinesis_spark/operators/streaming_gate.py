@@ -105,8 +105,8 @@ GROUP BY event_type
 _RESULT_SCHEMA = "event_type STRING, n_events BIGINT, sum_event_id BIGINT"
 
 
-# One projected events collect per sf_dir, shared by all seven gate
-# rows: each row needs a different (mod, rem) slice, and seven separate
+# One projected events collect per sf_dir, shared by all eight gate
+# rows: each row needs a different (mod, rem) slice, and eight separate
 # parquet scans + collects cost ~0.5-1 s each at sf0.1 — ~a quarter of
 # the streaming rows' gate-window bill (VERDICT r09 "what's wrong" #2).
 # The projection is 3 small columns (~100k rows / ~3 MB at sf0.1), so
@@ -721,4 +721,146 @@ GROUP BY event_type
 
 QUERIES["streaming_osrel_telescope"] = QuerySpec(
     streaming_osrel_telescope, STREAMING_OSREL_TELESCOPE_SQL
+)
+
+
+def streaming_watermark_drop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark / late-data semantics (B25), oracled — the last core
+    streaming semantic previously verified only by pytest. A tumbling-
+    window view runs under a 10-minute event-time watermark in APPEND
+    mode (finalized windows only, PipelineDB's arrival-ordering
+    contract generalized to a declared event-time column,
+    pipeline_kinesis.c:247-257). The replay plants late arrivals
+    deterministically:
+
+    - every data row's event_time is 10:00 + (event_id % 60) minutes,
+      so the corpus spans exactly the [10:00,10:30) and [10:30,11:00)
+      windows;
+    - batch 1 carries the on-time rows (event_id % 3 != 0) plus a
+      LAST-sequenced sentinel at 23:00 whose only job is advancing the
+      watermark to 22:50 — far past both data windows. The sentinel
+      flows THROUGH the aggregation (Catalyst pushes a WHERE below the
+      EventTimeWatermark node, so a filtered sentinel would never
+      advance event time) and is excluded from the result at read
+      time; its own window stays un-finalized, so it never reaches the
+      matrel either way;
+    - batch 2 (written only after batch 1 fully drains, at strictly
+      higher sequence numbers) carries the late rows (event_id % 3 ==
+      0) — every one behind the watermark, so Spark MUST drop them all
+      and emit the two finalized windows untouched.
+
+    All records ride ONE shard so per-shard sequence order is a total
+    order: the sentinel cannot be consumed before any on-time row. The
+    oracle is the closed-form GROUP BY that excludes the late rows —
+    a view that accepts even one late row (or loses an on-time one)
+    shifts a count and hash-fails."""
+    from datetime import datetime, timedelta
+
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 59, 3)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"swd_{tag}_")
+    if not ev:
+        return spark.createDataFrame(
+            [],
+            "window_start TIMESTAMP, event_type STRING, "
+            "n_events BIGINT, sum_event_id BIGINT",
+        )
+    base = datetime(2024, 1, 1, 10, 0, 0)
+
+    def rec(event_id: int, event_type: str, when: datetime, seq: int):
+        return {
+            "data": (
+                f"{event_id},{event_type},"
+                f"{when.strftime('%Y-%m-%dT%H:%M:%S')}"
+            ),
+            "partition_key": "pk",
+            "shard_id": "shardId-000000000000",
+            "sequence_number": f"{seq:056d}",
+        }
+
+    on_time = [r for r in ev if r.event_id % 3 != 0]
+    late = [r for r in ev if r.event_id % 3 == 0]
+    ts = lambda r: base + timedelta(minutes=r.event_id % 60)  # noqa: E731
+    batch1 = [rec(r.event_id, r.event_type, ts(r), r.event_id)
+              for r in on_time]
+    # watermark-advancing sentinel: HIGHEST sequence in the file, so
+    # on the single shard it is consumed last
+    batch1.append(rec(0, "__advance__", datetime(2024, 1, 1, 23, 0), 10**11))
+    batch2 = [rec(r.event_id, r.event_type, ts(r), 10**12 + r.event_id)
+              for r in late]
+    write_record_file(f"{root}/events_replay", batch1)
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+    )
+    ep, stream, view = (
+        f"swd_ep_{tag}",
+        f"swd_stream_{tag}",
+        f"swd_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(
+            stream,
+            "event_id BIGINT, event_type STRING, event_time TIMESTAMP",
+        )
+        eng.create_continuous_view(
+            view,
+            f"SELECT window(event_time, '30 minutes').start "
+            f"AS window_start, event_type, "
+            f"count(*) AS n_events, sum(event_id) AS sum_event_id "
+            f"FROM {stream} "
+            f"GROUP BY window(event_time, '30 minutes'), event_type",
+            stream=stream,
+            output_mode="append",
+            watermark_column="event_time",
+            watermark_delay_seconds=600,
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        # the late half lands only after batch 1 fully drained — the
+        # watermark the standing query holds is already 22:50
+        write_record_file(f"{root}/events_replay", batch2)
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.window_start, r.event_type, int(r.n_events),
+             int(r.sum_event_id))
+            for r in eng.view_table(view)
+            .filter("event_type <> '__advance__'")
+            .collect()
+        ]
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "window_start TIMESTAMP, event_type STRING, "
+        "n_events BIGINT, sum_event_id BIGINT",
+    )
+
+
+STREAMING_WATERMARK_DROP_SQL = """
+SELECT CASE WHEN event_id % 60 < 30
+            THEN TIMESTAMP '2024-01-01 10:00:00'
+            ELSE TIMESTAMP '2024-01-01 10:30:00' END AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 59 = 3 AND event_id % 3 <> 0
+GROUP BY 1, 2
+"""
+
+QUERIES["streaming_watermark_drop"] = QuerySpec(
+    streaming_watermark_drop, STREAMING_WATERMARK_DROP_SQL
 )

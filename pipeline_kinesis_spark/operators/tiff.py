@@ -41,10 +41,12 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 # -- PackBits (TIFF 6.0 §9) --------------------------------------------------
 
 
-def _packbits_decode(data: bytes) -> bytes:
+def _packbits_decode(data: bytes, max_out: int | None = None) -> bytes:
     out = bytearray()
     i = 0
     while i < len(data):
+        if max_out is not None and len(out) >= max_out:
+            return bytes(out[:max_out])
         n = data[i]
         i += 1
         if n < 128:  # literal run of n+1 bytes
@@ -94,10 +96,16 @@ _CLEAR, _EOI = 256, 257
 _LZW_BASE = [bytes([i]) for i in range(256)] + [b"", b""]
 
 
-def _lzw_decode(data: bytes) -> bytes:
+def _lzw_decode(data: bytes, max_out: int | None = None) -> bytes:
     # Hot loop: lengths, the width mask, and the early-change threshold
     # are kept in locals (profiling showed ~1.1M len() calls per strip
     # batch dominating the walltime at 0.46 MB/s/core).
+    #
+    # max_out caps the decoded size (an LZW bomb expands ~4096x: each
+    # 12-bit code can emit a dictionary string thousands of bytes
+    # long). The raster slice always discarded the excess; the cap
+    # stops it from being materialized — same guard family as the
+    # deflate strips (ADVICE r10 #4, the GIF decoder's npix bound).
     out = bytearray()
     table = _LZW_BASE.copy()
     ncodes = 258
@@ -144,6 +152,8 @@ def _lzw_decode(data: bytes) -> bytes:
         else:
             raise ValueError("corrupt TIFF LZW stream")
         out += entry
+        if max_out is not None and len(out) >= max_out:
+            return bytes(out[:max_out])
         prev = entry
         # early change: width bumps when the NEXT added code would be
         # 2^width - 1 (one earlier than GIF). The decoder's table runs
@@ -286,14 +296,29 @@ def _decode_tiff_impl(payload: bytes) -> "np.ndarray":
     raw = bytearray()
     for idx, (off, cnt) in enumerate(zip(offsets, counts)):
         strip = payload[off : off + cnt]
+        strip_cap = (
+            min(rows_per_strip, max(h - idx * rows_per_strip, 0))
+            * row_bytes
+        )
+        if strip_cap <= 0:
+            # surplus strips beyond the raster contribute nothing —
+            # and zlib treats max_length=0 as UNLIMITED, so never let
+            # a zero cap reach the decompressor
+            continue
         if compression == 1:
             data = strip
         elif compression == 5:
-            data = _lzw_decode(strip)
+            data = _lzw_decode(strip, max_out=strip_cap)
         elif compression in (8, 32946):
-            data = zlib.decompress(strip)
+            # deflate-bomb guard: a strip never legitimately inflates
+            # past its row span (check_dims bounds w*h but not the
+            # stream) — cap the inflation at what the raster consumes
+            # instead of materializing an attacker-chosen expansion.
+            # Over-long output was always sliced off below; the cap
+            # just stops it from ever existing.
+            data = zlib.decompressobj().decompress(strip, strip_cap)
         elif compression == 32773:
-            data = _packbits_decode(strip)
+            data = _packbits_decode(strip, max_out=strip_cap)
         else:
             raise NotImplementedError(
                 f"TIFF compression {compression} (baseline: 1/5/8/32773)"

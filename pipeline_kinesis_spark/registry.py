@@ -132,70 +132,77 @@ _WINDOW = 50
 # tools/gate_history.py asserts every oracled registry query has held
 # a driver-green row in some round.
 _PRIORITY = (
-    # Round-10 rotation (VERDICT r09 "Next round" #5): the ENTIRE
-    # remaining staleness tail returns — the twelve TPC-H rows whose
-    # last driver-green was r01/r02 and the five r02/r03-only
-    # similarity/text/pivot rows. Seventeen r07-r09 multi-greens
-    # retire, each with its family still represented in-window (the
-    # per-retirement family argument is in the block comment above).
-    # TPC-H: the full r01/r02 staleness tail (aggs, outer/semi/anti
-    # join shapes, date/string/math scalar expressions, correlated
-    # subqueries, CASE pivots — q12/q14 CASE, q22 substring, q6 date
-    # range arithmetic keep B21 scalar coverage after the
-    # scalar_*_funcs rows retire)
-    "q6_forecast_revenue", "q9_product_profit", "q10_returned_items",
-    "q11_important_stock", "q12_shipmode_priority", "q14_promo_revenue",
-    "q15_top_supplier", "q17_small_qty_revenue",
-    "q18_large_volume_customer", "q19_discounted_revenue",
-    "q20_part_promotion", "q22_global_sales",
-    # PipelineDB combine() merge math: the KLL-sketch batch twin plus
-    # the ENGINE-path simple-agg regroup
-    "combine_percentile_regroup", "streaming_combine_regroup",
-    # the standing-query engine end-to-end (r09, all seven stay: the
-    # oracle gate on the engine loop is the repo's hardest evidence
-    # and each row covers a distinct engine path)
+    # Round-11 rotation (VERDICT r10 "Next round" #1): the r02-r05
+    # staleness tail returns — the thirteen rows gate_history showed
+    # with no driver-green since r04/r05 (+ window_lag_lead /
+    # dataset_split / agg_approx_distinct at r06 and the r04-latest
+    # cosine_neardup_pairs) — plus the NEW streaming_watermark_drop
+    # row (verdict #2: B25 watermark/late-data, previously
+    # pytest-only, now oracle-gated). Fifteen rows retire, each with
+    # its family still in-window:
+    #   q10/q11/q14/q15/q17/q18/q19/q20 (TPC-H, r10-green; q6 date
+    #     arith + q9 multi-join profit + q12 CASE + q22 substring/
+    #     NOT-EXISTS keep the B5-B9/B21 shapes)
+    #   combine_percentile_regroup -> streaming_combine_regroup keeps
+    #     the combine() engine path; the KLL batch twin stays in the
+    #     differential
+    #   agg_percentile -> agg_stats stays; exact-percentile math also
+    #     via returning agg_approx_percentile's oracle bounds
+    #   pivot_priority_by_year -> returning grouping_sets_revenue
+    #     keeps B15
+    #   theta_set_overlap -> FOUR sketch rows return (bloom/fss/
+    #     approx_distinct/approx_percentile keep B14)
+    #   window_distribution -> returning window_lag_lead keeps B17
+    #   multimodal_video_stats -> returning multimodal_frame_sample
+    #     keeps the video decode path; image via decode_stats, audio
+    #     via audio_signal_features
+    #   doc_fingerprint -> returning tfidf_top_terms + token_stats +
+    #     staying lang_id_heuristic keep C4
+    # TPC-H staying rows (filter/join/scalar coverage)
+    "q6_forecast_revenue", "q9_product_profit",
+    "q12_shipmode_priority", "q22_global_sales",
+    # the standing-query engine end-to-end (all seven r09/r10 rows
+    # stay — the oracle gate on the engine loop is the repo's hardest
+    # evidence — PLUS the new watermark/late-data row)
     "streaming_view_counts", "streaming_transform_chain",
     "streaming_restart_counts", "streaming_dead_letter_replay",
     "streaming_activate_resume", "streaming_osrel_telescope",
-    # relational §2B rows (B8/B10/B20/B22 reps; set_intersect retired,
-    # set_except keeps B20; scalar rows retired, TPC-H returning rows
-    # keep B21)
+    "streaming_combine_regroup", "streaming_watermark_drop",
+    # relational §2B rows (B8/B10/B20/B22 reps)
     "join_right_outer", "join_full_outer", "join_theta_pairs",
     "set_except", "json_extract",
-    # aggregate stats family (B12)
-    "agg_percentile", "agg_stats",
-    # grouping sets family (B15): pivot returns, cube_orders retires
-    "pivot_priority_by_year",
+    # aggregate stats family (B12): corr/regr stays, salted twin
+    # returns
+    "agg_stats", "agg_salted_skew",
+    # approx aggregates / sketches (B14): the r02-r04 staleness tail
+    "bloom_order_priorities", "fss_topk_tokens",
+    "agg_approx_percentile", "agg_approx_distinct",
+    # grouping sets family (B15)
+    "grouping_sets_revenue",
+    # window functions (B17): lag/lead frame row returns
+    "window_lag_lead",
     # dedup clustering + tokenizer training + ANN compression
     "neardup_components", "bpe_train_verify", "cosine_topk_ivfpq_recall",
-    # approx aggregates / sketches (B14)
-    "theta_set_overlap",
     # events: cohort analysis
     "cohort_retention",
     # perceptual media dedup (C2-for-media)
     "audio_fingerprint_dedup",
-    # window functions (B17): distribution-rank row
-    "window_distribution",
-    # C5: real video + audio-feature decode gates (image decode stays
-    # in-window via multimodal_decode_stats)
-    "multimodal_video_stats", "audio_signal_features",
+    # C5: image + returning video-frame-sample + audio-feature decode
+    "multimodal_decode_stats", "multimodal_frame_sample",
+    "audio_signal_features",
     # timeseries (B11/B23/B24) + pandas-UDF surface (B27)
     "sliding_window_agg", "session_window_agg",
     "asof_join", "zscore_per_user",
-    # dedup C1 sole rep + C2 n-gram Jaccard (the r03-only stale row
-    # returns; span-rewrite twin retires, still in the differential)
-    "exact_dedup", "ngram_jaccard_pairs",
-    # C4 text analysis: fingerprint + returning lang-id; bigram/oov/
-    # srt rows retire (all r07-r09 multi-green, family covered)
-    "doc_fingerprint", "lang_id_heuristic",
-    # corpus curation (C6)
-    "corpus_clean", "oov_rate_filter",
-    # similarity search (C3): the r02/r03-only stale rows return
-    # (exact brute-force anchor + centroid assignment); LSH-recall
-    # twin retires, C7 ivfpq stays
-    "cosine_topk", "embedding_centroids",
-    # multimodal (C5): real image codecs under full DuckDB oracles
-    "multimodal_decode_stats",
+    # dedup C1 sole rep + C2: n-gram Jaccard + returning SimHash
+    # planted-capture row
+    "exact_dedup", "ngram_jaccard_pairs", "simhash_planted_capture",
+    # C4 text analysis: staying lang-id + returning tfidf/token-stats
+    "lang_id_heuristic", "tfidf_top_terms", "token_stats",
+    # corpus curation (C6): staying rows + returning split/pack
+    "corpus_clean", "oov_rate_filter", "dataset_split", "sequence_pack",
+    # similarity search (C3): exact anchor + centroids stay fresh
+    # (r10), embedding-cosine near-dup pair row returns
+    "cosine_topk", "embedding_centroids", "cosine_neardup_pairs",
 )
 
 # The driver checks exactly the first _WINDOW entries of queries();

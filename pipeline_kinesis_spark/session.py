@@ -33,16 +33,32 @@ _DEFAULTS = {
     # Quieter Ivy/UI in test environments.
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
-    # Driver heap: in local mode the driver JVM IS the executor, and
-    # PySpark's default is 1 GiB regardless of host RAM — the sf1
-    # scaling probe hit notEnoughMemoryToBuildAndBroadcastTable at
-    # exactly that ceiling (r10). Size it like an executor on the
-    # target box (SPARK_GRAFT_DRIVER_MEM to override; only effective
-    # for the process that launches the JVM — a second getOrCreate in
-    # the same process reuses the running heap, and on a real cluster
-    # spark-submit's --driver-memory/--executor-memory govern).
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
 }
+
+
+def _default_driver_mem() -> str:
+    """Driver heap: in local mode the driver JVM IS the executor, and
+    PySpark's default is 1 GiB regardless of host RAM — the sf1
+    scaling probe hit notEnoughMemoryToBuildAndBroadcastTable at
+    exactly that ceiling (r10). Size it from the HOST's RAM (~3/8,
+    floor 2g, cap 48g) rather than hardcoding one target box: Xmx is
+    not reserved up front, so a fixed 48g on a smaller machine starts
+    fine but OOM-kills the host under load instead of failing cleanly
+    inside Spark (ADVICE r10 #2). SPARK_GRAFT_DRIVER_MEM overrides;
+    only effective for the process that launches the JVM — a second
+    getOrCreate in the same process reuses the running heap, and on a
+    real cluster spark-submit's --driver-memory/--executor-memory
+    govern."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total_gib = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) // (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        total_gib = 0
+    return f"{max(2, min(48, (total_gib * 3) // 8))}g"
 
 
 def default_parallelism() -> int:
@@ -61,6 +77,7 @@ def get_spark(
         master or f"local[{cpus}]"
     )
     conf = dict(_DEFAULTS)
+    conf["spark.driver.memory"] = _default_driver_mem()
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
     if extra_conf:
         conf.update(extra_conf)

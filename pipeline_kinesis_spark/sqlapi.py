@@ -25,7 +25,8 @@ Supported surface:
 - ``CREATE CONTINUOUS VIEW v [WITH (ttl='N seconds', ttl_column='c',
   materialize='memory|parquet_upsert', key_cols='a,b',
   sw='1 hour', sw_step='3 minutes', upsert_buckets=N,
-  osrel_keep_batches=N)] AS SELECT ...``
+  osrel_keep_batches=N, watermark='10 minutes',
+  watermark_column='ts', output_mode='append')] AS SELECT ...``
   — the source stream is inferred from the FROM clause; a FROM of
   ``output_of('v')`` (or ``<v>_osrel``) chains on view v's delta stream
 - ``CREATE CONTINUOUS TRANSFORM t AS SELECT ...`` — output rows append to
@@ -391,6 +392,16 @@ def execute(engine, statement: str) -> DataFrame | str:
                     kwargs["sw_step_seconds"] = _duration_secs(v, "sw_step")
                 elif k == "ttl_column":
                     kwargs["ttl_column"] = v
+                elif k == "watermark":
+                    # B25 event-time watermark: WITH
+                    # (watermark='10 minutes', watermark_column='ts',
+                    # output_mode='append') — late rows behind the
+                    # delay are dropped, finalized windows never reopen
+                    kwargs["watermark_delay_seconds"] = _duration_secs(
+                        v, "watermark"
+                    )
+                elif k == "watermark_column":
+                    kwargs["watermark_column"] = v
                 elif k == "materialize":
                     kwargs["materialize"] = v
                 elif k == "key_cols":

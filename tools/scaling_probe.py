@@ -437,7 +437,21 @@ def main() -> None:
                     ).mode("overwrite").save()
                     samples.append(time.time() - t0)
                 times.append(round(min(samples), 3))
-            except Exception:  # noqa: BLE001 — sf1 omits embeddings
+            except Exception as exc:  # noqa: BLE001
+                # Expected only for fixtures lacking a table (the sf1/
+                # sf10 generators omit some); any OTHER failure is a
+                # real regression — surface it on stderr instead of
+                # silently recording a missing data point (ADVICE r10
+                # #3). AnalysisException covers unknown tables/paths.
+                from pyspark.errors import AnalysisException
+
+                if not isinstance(exc, AnalysisException):
+                    print(
+                        f"PROBE ERROR {name} @ {sf}: "
+                        f"{type(exc).__name__}: {exc}",
+                        file=sys.stderr,
+                        flush=True,
+                    )
                 times.append(None)
         ratios = [
             round(b / a, 2)
