@@ -864,3 +864,101 @@ GROUP BY 1, 2
 QUERIES["streaming_watermark_drop"] = QuerySpec(
     streaming_watermark_drop, STREAMING_WATERMARK_DROP_SQL
 )
+
+
+def streaming_dim_join_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-table join inside a continuous view (B2j), oracled —
+    PipelineDB's signature enrichment shape (stream rows joined to a
+    static dimension in the standing query, README.md:66-89) was
+    previously pytest-only. An events subset replays through a real
+    consumer; the view joins each stream row to the NATION dimension
+    (registered as a session table, exactly how a deployment registers
+    its parquet dims) on user_id % 25 = n_nationkey and aggregates per
+    nation name. Exactly-once ingest + a deterministic dimension make
+    the matrel a pure function of the subset, so DuckDB's plain
+    join+GROUP BY oracles it: a dropped/duplicated stream row, a wrong
+    join key, or a stale dimension snapshot all shift a count or a sum
+    and hash-fail."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 61, 5)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"sdj_{tag}_")
+    if not ev:
+        return spark.createDataFrame(
+            [], "n_name STRING, n_events BIGINT, sum_event_id BIGINT"
+        )
+    write_record_file(
+        f"{root}/events_replay",
+        [
+            {
+                "data": f"{r.event_id},{r.event_type},{r.user_id}",
+                "partition_key": str(r.user_id),
+                "shard_id": f"shardId-{r.user_id % 4:012d}",
+                "sequence_number": f"{r.event_id:056d}",
+            }
+            for r in ev
+        ],
+    )
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+    )
+    ep, stream, view, dim = (
+        f"sdj_ep_{tag}",
+        f"sdj_stream_{tag}",
+        f"sdj_view_{tag}",
+        f"sdj_nation_{tag}",
+    )
+    load(spark, sf_dir, "nation").createOrReplaceTempView(dim)
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(
+            stream,
+            "event_id BIGINT, event_type STRING, user_id BIGINT",
+        )
+        eng.create_continuous_view(
+            view,
+            f"SELECT n.n_name AS n_name, count(*) AS n_events, "
+            f"sum(s.event_id) AS sum_event_id "
+            f"FROM {stream} s JOIN {dim} n "
+            f"ON s.user_id % 25 = n.n_nationkey "
+            f"GROUP BY n.n_name",
+            stream=stream,
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.n_name, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(view).collect()
+        ]
+    finally:
+        eng.consume_end_all()
+        spark.catalog.dropTempView(dim)
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "n_name STRING, n_events BIGINT, sum_event_id BIGINT"
+    )
+
+
+STREAMING_DIM_JOIN_COUNTS_SQL = """
+SELECT n.n_name AS n_name,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(e.event_id) AS BIGINT) AS sum_event_id
+FROM events e
+JOIN nation n ON e.user_id % 25 = n.n_nationkey
+WHERE e.user_id % 61 = 5
+GROUP BY 1
+"""
+
+QUERIES["streaming_dim_join_counts"] = QuerySpec(
+    streaming_dim_join_counts, STREAMING_DIM_JOIN_COUNTS_SQL
+)

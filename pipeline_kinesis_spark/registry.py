@@ -158,16 +158,22 @@ _PRIORITY = (
     #     via audio_signal_features
     #   doc_fingerprint -> returning tfidf_top_terms + token_stats +
     #     staying lang_id_heuristic keep C4
-    # TPC-H staying rows (filter/join/scalar coverage)
-    "q6_forecast_revenue", "q9_product_profit",
+    # TPC-H staying rows (filter/join/scalar coverage; q9 retires late
+    # in r11 for the dim-join engine row below — its multi-join-agg
+    # shape stays via q12/q22 + join_right/full_outer + the TPC-H rows
+    # in the full differential)
+    "q6_forecast_revenue",
     "q12_shipmode_priority", "q22_global_sales",
     # the standing-query engine end-to-end (all seven r09/r10 rows
     # stay — the oracle gate on the engine loop is the repo's hardest
-    # evidence — PLUS the new watermark/late-data row)
+    # evidence — PLUS the new watermark/late-data row and the
+    # stream-table dim-join row, the two engine semantics that were
+    # pytest-only before r11)
     "streaming_view_counts", "streaming_transform_chain",
     "streaming_restart_counts", "streaming_dead_letter_replay",
     "streaming_activate_resume", "streaming_osrel_telescope",
     "streaming_combine_regroup", "streaming_watermark_drop",
+    "streaming_dim_join_counts",
     # relational §2B rows (B8/B10/B20/B22 reps)
     "join_right_outer", "join_full_outer", "join_theta_pairs",
     "set_except", "json_extract",
