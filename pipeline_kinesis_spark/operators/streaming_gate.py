@@ -962,3 +962,158 @@ GROUP BY 1
 QUERIES["streaming_dim_join_counts"] = QuerySpec(
     streaming_dim_join_counts, STREAMING_DIM_JOIN_COUNTS_SQL
 )
+
+
+def streaming_sessionize_payloads(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The custom stateful sessionizer (B24/B27,
+    applyInPandasWithState with EventTimeTimeout — the escape hatch
+    PipelineDB-style per-session payloads need), oracled: an events
+    subset with DERIVED deterministic event times (base + event_id %
+    240 minutes) streams through the sessionizer (5-minute gap), two
+    far-future watermark sentinels close every real session (timeouts
+    fire against the watermark set by the PREVIOUS batch, hence two),
+    and the emitted per-session payloads are hash-checked against
+    DuckDB's gaps-and-islands SQL. Records are written time-ordered
+    and the data rides one file -> one micro-batch, so no row is ever
+    behind the watermark; sessions are then a pure function of the
+    event times. A state machine that drops/duplicates an event,
+    mis-merges runs across batches, or double-emits on timeout shifts
+    n_events/duration and hash-fails."""
+    from datetime import datetime, timedelta
+
+    from pipeline_kinesis_spark.sources.file_replay import (
+        FileReplaySource,
+        write_record_file,
+    )
+    from pipeline_kinesis_spark.streaming.stateful import sessionize
+
+    ev = _events_subset(spark, sf_dir, 67, 7)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"ssp_{tag}_")
+    schema = (
+        "key STRING, session_start TIMESTAMP, session_end TIMESTAMP, "
+        "n_events BIGINT, duration_secs DOUBLE"
+    )
+    if not ev:
+        return spark.createDataFrame([], schema)
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    data = sorted(
+        (base + timedelta(minutes=r.event_id % 240), r.user_id, r.event_id)
+        for r in ev
+    )
+    src = f"{root}/events_replay"
+    write_record_file(
+        src,
+        [
+            {
+                "data": str(uid),
+                "approximate_arrival_timestamp": ts.strftime(
+                    "%Y-%m-%dT%H:%M:%S"
+                ),
+                "sequence_number": f"{i:056d}",
+                "shard_id": "shardId-000000000000",
+            }
+            for i, (ts, uid, _eid) in enumerate(data)
+        ],
+    )
+    records = FileReplaySource(src).read_stream(spark)
+    sessions = sessionize(
+        records,
+        key_col="data",
+        ts_col="approximate_arrival_timestamp",
+        gap_secs=300,
+        watermark_delay="10 minutes",
+    )
+    name = f"ssp_{tag}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{root}/ck")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+
+        def sentinel(i: int, when: datetime) -> None:
+            write_record_file(
+                src,
+                [
+                    {
+                        "data": "__wm__",
+                        "approximate_arrival_timestamp": when.strftime(
+                            "%Y-%m-%dT%H:%M:%S"
+                        ),
+                        "sequence_number": f"{10**12 + i:056d}",
+                        "shard_id": "shardId-000000000000",
+                    }
+                ],
+            )
+            q.processAllAvailable()
+
+        # sentinel 1 advances the watermark past every session's
+        # last + gap; sentinel 2 triggers the batch in which the
+        # event-time timeouts (evaluated against that watermark) fire
+        sentinel(0, datetime(2024, 1, 3, 0, 0))
+        sentinel(1, datetime(2024, 1, 3, 0, 1))
+        rows = [
+            (
+                r.key,
+                r.session_start,
+                r.session_end,
+                int(r.n_events),
+                float(r.duration_secs),
+            )
+            for r in spark.table(name)
+            .filter("key <> '__wm__'")
+            .collect()
+        ]
+    finally:
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+STREAMING_SESSIONIZE_PAYLOADS_SQL = """
+-- gaps-and-islands over DISTINCT (key, ts) with per-timestamp event
+-- counts carried along: with duplicate timestamps, lag() and the
+-- running sum() would order the tied rows independently and could
+-- misattribute one of them to the previous session (seen at sf0.1:
+-- two events in the same minute split a session the state machine
+-- correctly kept whole). Unique ts per key makes both windows
+-- deterministic.
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS key,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (event_id % 240) * INTERVAL 1 MINUTE AS ts,
+         count(*) AS c
+  FROM events WHERE user_id % 67 = 7
+  GROUP BY 1, 2
+), flagged AS (
+  SELECT key, ts, c,
+         CASE WHEN lag(ts) OVER (PARTITION BY key ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY key ORDER BY ts)
+                   > INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM ev
+), s AS (
+  SELECT key, ts, c,
+         sum(new_s) OVER (PARTITION BY key ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT key,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(sum(c) AS BIGINT) AS n_events,
+       CAST(date_diff('second', min(ts), max(ts)) AS DOUBLE)
+         AS duration_secs
+FROM s
+GROUP BY key, sid
+"""
+
+QUERIES["streaming_sessionize_payloads"] = QuerySpec(
+    streaming_sessionize_payloads, STREAMING_SESSIONIZE_PAYLOADS_SQL
+)

@@ -101,11 +101,16 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NB: the running sum's ORDER BY must match lag's (ts, event_id)
+# exactly — with duplicate timestamps, two windows ordering ties
+# independently can misattribute a tied row to the previous session
+# (the bug the r11 sessionize-gate oracle hit at sf0.1).
 SESSION_SQL = """
 WITH flagged AS (
   SELECT
     user_id,
     ts,
+    event_id,
     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
               > INTERVAL 5 MINUTE OR
               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -115,7 +120,7 @@ WITH flagged AS (
   SELECT
     user_id,
     ts,
-    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       AS session_id
   FROM flagged

@@ -173,7 +173,7 @@ _PRIORITY = (
     "streaming_restart_counts", "streaming_dead_letter_replay",
     "streaming_activate_resume", "streaming_osrel_telescope",
     "streaming_combine_regroup", "streaming_watermark_drop",
-    "streaming_dim_join_counts",
+    "streaming_dim_join_counts", "streaming_sessionize_payloads",
     # relational §2B rows (B8/B10/B20/B22 reps)
     "join_right_outer", "join_full_outer", "join_theta_pairs",
     "set_except", "json_extract",
@@ -196,8 +196,12 @@ _PRIORITY = (
     # C5: image + returning video-frame-sample + audio-feature decode
     "multimodal_decode_stats", "multimodal_frame_sample",
     "audio_signal_features",
-    # timeseries (B11/B23/B24) + pandas-UDF surface (B27)
-    "sliding_window_agg", "session_window_agg",
+    # timeseries (B11/B23) + pandas-UDF surface (B27); B24 session
+    # coverage moved UP a tier late in r11: the engine-path
+    # applyInPandasWithState sessionizer row (streaming_sessionize_
+    # payloads, above) displaces the batch session_window_agg twin,
+    # which stays in the full differential (multi-green r02-r10)
+    "sliding_window_agg",
     "asof_join", "zscore_per_user",
     # dedup C1 sole rep + C2: n-gram Jaccard + returning SimHash
     # planted-capture row
