@@ -1117,3 +1117,135 @@ GROUP BY key, sid
 QUERIES["streaming_sessionize_payloads"] = QuerySpec(
     streaming_sessionize_payloads, STREAMING_SESSIONIZE_PAYLOADS_SQL
 )
+
+
+def streaming_stream_join_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream event-time interval join (B7/B11 streaming form),
+    oracled: one events subset splits into TWO live streams (even
+    event_ids -> clicks, odd -> views), each watermarked on a derived
+    deterministic event time, inner-joined on user_id with the
+    interval condition view.ts in [click.ts - 10 min, click.ts] —
+    Spark's cross-stream state machine buffers both sides across
+    micro-batches. Inner-join matches emit when both sides have
+    arrived, so the appended pair set is a pure function of the two
+    subsets regardless of batch boundaries; the returned per-user
+    aggregate hash-checks against DuckDB's self-join with the same
+    range predicate. A pair lost (state evicted too early), duplicated
+    (re-emitted on redelivery), or matched past the interval shifts a
+    count and hash-fails."""
+    from datetime import datetime, timedelta
+
+    from pipeline_kinesis_spark.sources.file_replay import (
+        FileReplaySource,
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 71, 11)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"ssj_{tag}_")
+    schema = "user_id BIGINT, n_pairs BIGINT, sum_pair_ids BIGINT"
+    if not ev:
+        return spark.createDataFrame([], schema)
+    base = datetime(2024, 1, 1, 0, 0, 0)
+
+    def recs(rows):
+        return [
+            {
+                "data": f"{r.event_id},{r.user_id}",
+                "approximate_arrival_timestamp": (
+                    base + timedelta(minutes=r.event_id % 120)
+                ).strftime("%Y-%m-%dT%H:%M:%S"),
+                "sequence_number": f"{r.event_id:056d}",
+                "shard_id": "shardId-000000000000",
+            }
+            for r in rows
+        ]
+
+    write_record_file(
+        f"{root}/clicks", recs([r for r in ev if r.event_id % 2 == 0])
+    )
+    write_record_file(
+        f"{root}/views", recs([r for r in ev if r.event_id % 2 == 1])
+    )
+
+    def side(dir_name: str, prefix: str) -> DataFrame:
+        raw = FileReplaySource(f"{root}/{dir_name}").read_stream(spark)
+        parts = F.split(F.col("data"), ",")
+        return raw.select(
+            parts.getItem(0).cast("bigint").alias(f"{prefix}_event_id"),
+            parts.getItem(1).cast("bigint").alias(f"{prefix}_user_id"),
+            F.col("approximate_arrival_timestamp").alias(f"{prefix}_ts"),
+        ).withWatermark(f"{prefix}_ts", "10 minutes")
+
+    clicks, views = side("clicks", "c"), side("views", "v")
+    pairs = clicks.join(
+        views,
+        (F.col("c_user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") >= F.col("c_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("v_ts") <= F.col("c_ts")),
+        "inner",
+    )
+    name = f"ssj_{tag}"
+    # a stream-stream join materializes FOUR state stores per shuffle
+    # partition (keyed + key-with-index, each side); at the session's
+    # 32 partitions that is 128 store initializations for a ~1k-row
+    # gate replay — partition-count, not data, dominates. Pin the
+    # query's shuffle width at start (streaming queries snapshot the
+    # conf), then restore the session value for whatever runs next.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ck")
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        q.processAllAvailable()
+        # batch-side aggregation of the appended pair set (the
+        # streaming contract under test is the join itself)
+        rows = [
+            (int(r.user_id), int(r.n_pairs), int(r.sum_pair_ids))
+            for r in spark.table(name)
+            .groupBy(F.col("c_user_id").alias("user_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(
+                    F.col("c_event_id") + F.col("v_event_id")
+                ).alias("sum_pair_ids"),
+            )
+            .collect()
+        ]
+    finally:
+        q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+STREAMING_STREAM_JOIN_PAIRS_SQL = """
+WITH sub AS (
+  SELECT user_id, event_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (event_id % 120) * INTERVAL 1 MINUTE AS ts
+  FROM events WHERE user_id % 71 = 11
+)
+SELECT c.user_id AS user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(c.event_id + v.event_id) AS BIGINT) AS sum_pair_ids
+FROM sub c JOIN sub v
+  ON c.user_id = v.user_id
+ AND v.ts >= c.ts - INTERVAL 10 MINUTE
+ AND v.ts <= c.ts
+WHERE c.event_id % 2 = 0 AND v.event_id % 2 = 1
+GROUP BY 1
+"""
+
+QUERIES["streaming_stream_join_pairs"] = QuerySpec(
+    streaming_stream_join_pairs, STREAMING_STREAM_JOIN_PAIRS_SQL
+)

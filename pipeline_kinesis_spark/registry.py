@@ -174,6 +174,7 @@ _PRIORITY = (
     "streaming_activate_resume", "streaming_osrel_telescope",
     "streaming_combine_regroup", "streaming_watermark_drop",
     "streaming_dim_join_counts", "streaming_sessionize_payloads",
+    "streaming_stream_join_pairs",
     # relational §2B rows (B8/B10/B20/B22 reps)
     "join_right_outer", "join_full_outer", "join_theta_pairs",
     "set_except", "json_extract",
@@ -208,8 +209,10 @@ _PRIORITY = (
     "exact_dedup", "ngram_jaccard_pairs", "simhash_planted_capture",
     # C4 text analysis: staying lang-id + returning tfidf/token-stats
     "lang_id_heuristic", "tfidf_top_terms", "token_stats",
-    # corpus curation (C6): staying rows + returning split/pack
-    "corpus_clean", "oov_rate_filter", "dataset_split", "sequence_pack",
+    # corpus curation (C6): staying row + returning split/pack
+    # (oov_rate_filter, multi-green r05-r10, retires late in r11 for
+    # the stream-stream join engine row above — C6 keeps three reps)
+    "corpus_clean", "dataset_split", "sequence_pack",
     # similarity search (C3): exact anchor + centroids stay fresh
     # (r10), embedding-cosine near-dup pair row returns
     "cosine_topk", "embedding_centroids", "cosine_neardup_pairs",
