@@ -105,8 +105,8 @@ GROUP BY event_type
 _RESULT_SCHEMA = "event_type STRING, n_events BIGINT, sum_event_id BIGINT"
 
 
-# One projected events collect per sf_dir, shared by all eight gate
-# rows: each row needs a different (mod, rem) slice, and eight separate
+# One projected events collect per sf_dir, shared by all eleven gate
+# rows: each row needs a different (mod, rem) slice, and eleven separate
 # parquet scans + collects cost ~0.5-1 s each at sf0.1 — ~a quarter of
 # the streaming rows' gate-window bill (VERDICT r09 "what's wrong" #2).
 # The projection is 3 small columns (~100k rows / ~3 MB at sf0.1), so
