@@ -1027,13 +1027,23 @@ def streaming_sessionize_payloads(
         watermark_delay="10 minutes",
     )
     name = f"ssp_{tag}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", f"{root}/ck")
-        .start()
-    )
+    # pin the query's shuffle width at start (streaming queries
+    # snapshot the conf): applyInPandasWithState spins one state store
+    # AND one Arrow-batched Python worker task per shuffle partition —
+    # under a host session's default 200 partitions this ~1k-row gate
+    # replay would pay 200 store inits per batch
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{root}/ck")
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     try:
         q.processAllAvailable()
 
