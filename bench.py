@@ -77,28 +77,31 @@ def gates_main() -> None:
 
 
 def _wait_for_quiet_host(max_wait_s: float) -> float:
-    """Sleep-poll (bounded) until 1-min load < 1.5, so the canonical
-    driver-stamped artifact is the quiet-host envelope instead of a
-    contended sample needing side-file forensics (VERDICT r09 #1:
-    BENCH_r09.json recorded 21.65 s at loadavg 4.3 while the round's
-    real envelope, 15.97 s, lived in a side file). Returns seconds
-    actually waited. Poll at 15 s — the 1-min loadavg halves roughly
-    every minute after a battery drains, so finer polling buys
-    nothing. Opt out with SPARK_GRAFT_BENCH_QUIET_WAIT_S=0 (e.g. when
-    intentionally sampling a contended host)."""
+    """Sleep-poll (bounded) until 1-min load < 1.5 AND 5-min load
+    < 2.5, so the canonical driver-stamped artifact is the quiet-host
+    envelope instead of a contended sample needing side-file forensics
+    (VERDICT r09 #1: BENCH_r09.json recorded 21.65 s at loadavg 4.3
+    while the round's real envelope, 15.97 s, lived in a side file;
+    VERDICT r11 #1: gating on 1-min only let BENCH_r11.json sample a
+    just-drained host — loadavg_start [1.3, 4.85, 4.51] — whose
+    cache/turbo state carried ~4% noise vs the quiet close samples).
+    Returns seconds actually waited. Poll at 15 s — the 1-min loadavg
+    halves roughly every minute after a battery drains, so finer
+    polling buys nothing. Opt out with SPARK_GRAFT_BENCH_QUIET_WAIT_S=0
+    (e.g. when intentionally sampling a contended host)."""
     deadline = time.time() + max_wait_s
     waited = 0.0
     while time.time() < deadline:
         try:
-            load1 = os.getloadavg()[0]
+            load1, load5, _ = os.getloadavg()
         except OSError:
             return waited
-        if load1 < 1.5:
+        if load1 < 1.5 and load5 < 2.5:
             return waited
         print(
-            f"bench: 1-min load {load1:.2f} >= 1.5 — waiting for the"
-            f" host to drain ({deadline - time.time():.0f}s budget"
-            " left)",
+            f"bench: load {load1:.2f}/1min {load5:.2f}/5min above the"
+            f" quiet gate (1.5/2.5) — waiting for the host to drain"
+            f" ({deadline - time.time():.0f}s budget left)",
             file=sys.stderr,
         )
         time.sleep(15)
@@ -216,14 +219,21 @@ def main() -> None:
                 # informational (r01-r10 artifacts reported it as
                 # ingest_records_per_s).
                 "ingest_records_per_s": ingest_rps_warm,
+                "ingest_records_per_s_warm_median": ingest_rps_warm,
                 "ingest_records_per_s_warm": ingest_rps_warm,
                 "ingest_records_per_s_first": ingest_rps_first,
                 "ingest_warm_shots": warm_shots,
                 "ingest_stat_semantics": (
                     "headline = median of 3 same-session warm shots "
                     "(since r11); _first = single JVM-cold shot, "
-                    "informational"
+                    "informational (r01-r10 artifacts reported the "
+                    "cold shot under the headline key)"
                 ),
+                # schema v2 (ADVICE r11 #3): marks the r11 semantics
+                # change of ingest_records_per_s (cold single-shot ->
+                # warm median-of-3) so field-name comparisons across
+                # rounds can attribute the step change; v1 = r01-r10.
+                "bench_schema_version": 2,
                 # provenance: numbers comparable only within one boot;
                 # loadavg (1/5/15 min, sampled at END of run) >~2 means
                 # a contended host inflated the samples

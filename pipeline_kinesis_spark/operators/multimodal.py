@@ -334,9 +334,19 @@ def _decode_png(payload: bytes) -> "np.ndarray":
         if pw > 0 and ph > 0:
             need_total += ph * ((pw * ch * depth + 7) // 8 + 1)
     dec = zlib.decompressobj()
-    stream = np.frombuffer(
-        dec.decompress(bytes(idat), need_total), dtype=np.uint8
-    )
+    raw_stream = dec.decompress(bytes(idat), need_total)
+    # The cap dropped the end-of-stream/adler32 validation that plain
+    # zlib.decompress performed for streams whose inflate output lands
+    # exactly on the raster size (ADVICE r11 #2). Probe ONE more byte
+    # (never flush() — a bomb could buffer gigabytes there): a
+    # conformant PNG's IDAT inflates to exactly the filtered raster,
+    # so any extra byte, a truncated stream, or a bad adler32 trailer
+    # dead-letters just as it did before the bomb guard.
+    if dec.decompress(dec.unconsumed_tail, 1):
+        raise ValueError("PNG IDAT inflates beyond the raster size")
+    if not dec.eof:
+        raise ValueError("PNG IDAT stream truncated or corrupt")
+    stream = np.frombuffer(raw_stream, dtype=np.uint8)
 
     out_samples = np.zeros((h, w, ch), dtype=np.uint16)
     off = 0

@@ -46,7 +46,7 @@ def _packbits_decode(data: bytes, max_out: int | None = None) -> bytes:
     i = 0
     while i < len(data):
         if max_out is not None and len(out) >= max_out:
-            return bytes(out[:max_out])
+            break
         n = data[i]
         i += 1
         if n < 128:  # literal run of n+1 bytes
@@ -56,6 +56,11 @@ def _packbits_decode(data: bytes, max_out: int | None = None) -> bytes:
             out += data[i : i + 1] * (257 - n)
             i += 1
         # n == 128: no-op
+    # the cap is only checked between runs, so a final overshooting run
+    # can leave up to 128 extra bytes in the buffer — honor the
+    # contract at the boundary too (ADVICE r11 #1)
+    if max_out is not None:
+        return bytes(out[:max_out])
     return bytes(out)
 
 

@@ -1,0 +1,110 @@
+"""Round-12 ADVICE items: the PackBits cap honored at the final run
+boundary (ADVICE r11 #1) and the PNG exact-raster stream-integrity
+probe restored on top of the inflate-bomb cap (ADVICE r11 #2)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from pipeline_kinesis_spark.operators.multimodal import (
+    _decode_png,
+    encode_png,
+)
+from pipeline_kinesis_spark.operators.tiff import _packbits_decode
+
+
+class TestPackbitsCap:
+    def test_final_literal_run_truncated_to_cap(self):
+        # one literal run of 100 bytes; max_out=10 must not leak the
+        # overshoot (pre-fix this returned all 100 bytes)
+        data = bytes([99]) + bytes(range(100))
+        assert _packbits_decode(data, max_out=10) == bytes(range(10))
+
+    def test_final_repeat_run_truncated_to_cap(self):
+        # repeat run: n=133 -> 257-133 = 124 copies of 0xAB
+        data = bytes([133, 0xAB])
+        assert _packbits_decode(data, max_out=10) == b"\xab" * 10
+
+    def test_uncapped_and_exact_cap_unchanged(self):
+        data = bytes([2]) + b"xyz" + bytes([255, 0x41])
+        full = b"xyz" + b"AA"
+        assert _packbits_decode(data) == full
+        assert _packbits_decode(data, max_out=len(full)) == full
+
+
+def _flip_idat_tail(png: bytes) -> bytes:
+    """Corrupt the LAST byte of the IDAT zlib stream (its adler32
+    trailer) in place. Chunk CRCs are not checked by the decoder, so
+    no CRC rewrite is needed."""
+    pos = 8
+    buf = bytearray(png)
+    while pos + 8 <= len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        ctype = bytes(buf[pos + 4 : pos + 8])
+        if ctype == b"IDAT":
+            last = pos + 8 + length - 1
+            buf[last] ^= 0xFF
+            return bytes(buf)
+        pos += 12 + length
+    raise AssertionError("no IDAT chunk")
+
+
+def _png_with_idat(png: bytes, idat: bytes) -> bytes:
+    """Rebuild the PNG with a replacement IDAT payload."""
+    pos = 8
+    out = bytearray(png[:8])
+    while pos + 8 <= len(png):
+        (length,) = struct.unpack_from(">I", png, pos)
+        ctype = png[pos + 4 : pos + 8]
+        data = png[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IDAT":
+            data = idat
+        out += struct.pack(">I", len(data))
+        out += ctype + data
+        out += struct.pack(">I", zlib.crc32(ctype + data))
+    return bytes(out)
+
+
+class TestPngStreamIntegrity:
+    def setup_method(self):
+        self.pixels = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        self.png = encode_png(self.pixels)
+
+    def test_valid_png_still_decodes(self):
+        rgb = _decode_png(self.png)
+        assert np.array_equal(rgb, self.pixels)
+
+    def test_corrupt_adler_rejected(self):
+        # pre-fix the capped decompressobj never read the adler32 for
+        # exact-raster streams, so this decoded silently
+        bad = _flip_idat_tail(self.png)
+        with pytest.raises((zlib.error, ValueError)):
+            _decode_png(bad)
+
+    def test_oversized_inflate_rejected(self):
+        # IDAT that inflates past the raster byte count: a conformant
+        # PNG never does this; the probe must reject without ever
+        # materializing the excess
+        raster = bytearray()
+        for y in range(4):
+            raster.append(0)  # filter byte
+            raster += self.pixels[y].tobytes()
+        oversized = zlib.compress(bytes(raster) + b"\x00" * 64)
+        bad = _png_with_idat(self.png, oversized)
+        with pytest.raises(ValueError, match="beyond the raster"):
+            _decode_png(bad)
+
+    def test_truncated_stream_rejected(self):
+        raster = bytearray()
+        for y in range(4):
+            raster.append(0)
+            raster += self.pixels[y].tobytes()
+        good = zlib.compress(bytes(raster))
+        bad = _png_with_idat(self.png, good[:-5])
+        with pytest.raises((zlib.error, ValueError)):
+            _decode_png(bad)
