@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from pipeline_kinesis_spark.io import load
 from pipeline_kinesis_spark.operators import QuerySpec
+from pipeline_kinesis_spark.streaming.pinned_start import pinned_shuffle
 
 
 def streaming_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1032,9 +1033,7 @@ def streaming_sessionize_payloads(
     # AND one Arrow-batched Python worker task per shuffle partition —
     # under a host session's default 200 partitions this ~1k-row gate
     # replay would pay 200 store inits per batch
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with pinned_shuffle(spark, 4):
         q = (
             sessions.writeStream.format("memory")
             .queryName(name)
@@ -1042,8 +1041,6 @@ def streaming_sessionize_payloads(
             .option("checkpointLocation", f"{root}/ck")
             .start()
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     try:
         q.processAllAvailable()
 
@@ -1204,9 +1201,7 @@ def streaming_stream_join_pairs(
     # gate replay — partition-count, not data, dominates. Pin the
     # query's shuffle width at start (streaming queries snapshot the
     # conf), then restore the session value for whatever runs next.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with pinned_shuffle(spark, 4):
         q = (
             pairs.writeStream.format("memory")
             .queryName(name)
@@ -1214,8 +1209,6 @@ def streaming_stream_join_pairs(
             .option("checkpointLocation", f"{root}/ck")
             .start()
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     try:
         q.processAllAvailable()
         # batch-side aggregation of the appended pair set (the

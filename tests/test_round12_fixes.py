@@ -1,10 +1,13 @@
-"""Round-12 ADVICE items: the PackBits cap honored at the final run
-boundary (ADVICE r11 #1) and the PNG exact-raster stream-integrity
-probe restored on top of the inflate-bomb cap (ADVICE r11 #2)."""
+"""Round-12 items: the PackBits cap honored at the final run boundary
+(ADVICE r11 #1), the PNG exact-raster stream-integrity probe restored
+on top of the inflate-bomb cap (ADVICE r11 #2), and the lock-protected
+shuffle-pin helper for streaming gate-row starts (VERDICT r11 "What's
+wrong" #3)."""
 
 from __future__ import annotations
 
 import struct
+import threading
 import zlib
 
 import numpy as np
@@ -15,6 +18,7 @@ from pipeline_kinesis_spark.operators.multimodal import (
     encode_png,
 )
 from pipeline_kinesis_spark.operators.tiff import _packbits_decode
+from pipeline_kinesis_spark.streaming.pinned_start import pinned_shuffle
 
 
 class TestPackbitsCap:
@@ -108,3 +112,52 @@ class TestPngStreamIntegrity:
         bad = _png_with_idat(self.png, good[:-5])
         with pytest.raises((zlib.error, ValueError)):
             _decode_png(bad)
+
+
+_KEY = "spark.sql.shuffle.partitions"
+
+
+class TestPinnedShuffle:
+    def test_restores_on_error(self, spark):
+        # the session conf must come back even when the body (the
+        # .start() call in the gate rows) raises
+        prev = spark.conf.get(_KEY)
+        with pytest.raises(RuntimeError, match="boom"):
+            with pinned_shuffle(spark, 4):
+                assert spark.conf.get(_KEY) == "4"
+                raise RuntimeError("boom")
+        assert spark.conf.get(_KEY) == prev
+
+    def test_nominal_pin_and_restore(self, spark):
+        prev = spark.conf.get(_KEY)
+        with pinned_shuffle(spark, 7):
+            assert spark.conf.get(_KEY) == "7"
+        assert spark.conf.get(_KEY) == prev
+
+    def test_concurrent_pins_serialize(self, spark):
+        # two threads pinning different widths must each observe their
+        # own width inside the body (the lock serializes the windows)
+        # and leave the session value untouched afterwards
+        prev = spark.conf.get(_KEY)
+        errors: list[Exception] = []
+
+        def pin(n: int) -> None:
+            try:
+                for _ in range(20):
+                    with pinned_shuffle(spark, n):
+                        if spark.conf.get(_KEY) != str(n):
+                            raise AssertionError(
+                                f"pin {n} observed {spark.conf.get(_KEY)}"
+                            )
+            except Exception as exc:  # noqa: BLE001 - collected for assert
+                errors.append(exc)
+
+        threads = [
+            threading.Thread(target=pin, args=(n,)) for n in (3, 5, 9)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert spark.conf.get(_KEY) == prev
