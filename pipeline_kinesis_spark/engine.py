@@ -52,6 +52,7 @@ from pipeline_kinesis_spark.sources.kinesis import (
 )
 from pipeline_kinesis_spark.sources.records import RECORD_SCHEMA
 from pipeline_kinesis_spark.streaming.listeners import QueryMetricsListener
+from pipeline_kinesis_spark.streaming.pinned_start import pinned_shuffle
 from pipeline_kinesis_spark.streaming.continuous_view import (
     KB_COL,
     OSREL_KEEP_DEFAULT,
@@ -218,9 +219,22 @@ class Engine:
         metadata_dir: str = ".pipeline_kinesis_spark",
         trigger_interval: str = "500 milliseconds",
         state_store: str | None = None,
+        shuffle_partitions: int | None = None,
     ):
         self.spark = spark
         ship_package(spark)
+        # Per-engine shuffle width for the STANDING queries this engine
+        # starts (views/transforms/landing sinks). Structured Streaming
+        # snapshots spark.sql.shuffle.partitions into each query's
+        # checkpoint at start, and every stateful operator then pays one
+        # state-store partition (plus task) per shuffle partition per
+        # micro-batch — so the width should follow the pipeline's data
+        # volume, not whatever the shared session happens to default to
+        # (32 here, 200 stock). Tune UP for wide keyspaces on a real
+        # cluster, DOWN for small replays; None = inherit the session.
+        # Applied under pinned_shuffle's process-wide lock so concurrent
+        # engines/gate rows can't leak widths into each other's starts.
+        self._shuffle_partitions = shuffle_partitions
         if state_store == "rocksdb":
             # streaming state spills to disk instead of executor heap —
             # the right provider once view/dedup state outgrows memory
@@ -1116,7 +1130,7 @@ class Engine:
                     bdf.write.mode("overwrite").json(tmp)
                     _publish_spool_batch(_spool, bid, tmp)
 
-                queries.append(
+                queries.append(self._start_query(
                     ds_raw.writeStream.foreachBatch(_guarded_batch(_land))
                     .queryName(
                         f"kds_landing_{relation}_c{consumer.id}"
@@ -1126,21 +1140,19 @@ class Engine:
                         self._ckpt(consumer.id, "kds_landing"),
                     )
                     .trigger(processingTime=interval)
-                    .start()
-                )
+                ))
                 self._ds_consumers.add(consumer.id)
             # (a) exactly-once durable archive of the parsed stream.
-            queries.append(
+            queries.append(self._start_query(
                 good.writeStream.format("parquet")
                 .queryName(f"ingest_{relation}_c{consumer.id}")
                 .option("path", self.table_dir(relation))
                 .option("checkpointLocation", self._ckpt(consumer.id, "ingest"))
                 .trigger(processingTime=interval)
-                .start()
-            )
+            ))
             # (b) dead-letter quarantine (improves on the reference's
             # whole-batch drop, pipeline_kinesis.c:740-758).
-            queries.append(
+            queries.append(self._start_query(
                 bad.writeStream.format("parquet")
                 .queryName(f"deadletter_{relation}_c{consumer.id}")
                 .option("path", self.dead_letter_dir(relation))
@@ -1149,8 +1161,7 @@ class Engine:
                     self._ckpt(consumer.id, "dead_letter"),
                 )
                 .trigger(processingTime=interval)
-                .start()
-            )
+            ))
             # (c) continuous views registered on this relation; each may
             # fan out further through its output stream (PipelineDB
             # output_of chaining): delta emission turns on only when the
@@ -1683,6 +1694,16 @@ class Engine:
                 return self._trigger_for(c)
         return self.trigger_interval
 
+    def _start_query(self, builder) -> StreamingQuery:
+        """``.start()`` a standing query under this engine's shuffle
+        width (see ``shuffle_partitions`` in ``__init__``); no-op
+        passthrough when unset. The pin is held under a process-wide
+        lock so concurrent starts never inherit each other's width."""
+        if self._shuffle_partitions is None:
+            return builder.start()
+        with pinned_shuffle(self.spark, self._shuffle_partitions):
+            return builder.start()
+
     def _osrel_delta_dir(self, view: ViewDef) -> str | None:
         """Where this view's output stream lands — or None when no
         active downstream consumer reads it (emission off, zero cost).
@@ -1819,7 +1840,7 @@ class Engine:
             if _p is not None:
                 _p(bdf, bid)
 
-        return (
+        return self._start_query(
             tdf.writeStream.foreachBatch(_guarded_batch(_transform_batch))
             .queryName(f"transform_{t.name}")
             .outputMode("append")
@@ -1828,7 +1849,6 @@ class Engine:
                 self._ckpt(consumer_id, f"transform_{t.name}"),
             )
             .trigger(processingTime=interval)
-            .start()
         )
 
     def _start_view_query(
@@ -1885,7 +1905,7 @@ class Engine:
                         **({"num_buckets": buckets} if buckets else {}),
                     )
 
-            return (
+            return self._start_query(
                 vdf.writeStream.foreachBatch(_guarded_batch(_merge_batch))
                 .queryName(view.name)
                 .outputMode("update")
@@ -1894,7 +1914,6 @@ class Engine:
                     self._ckpt(consumer_id, f"view_{view.name}"),
                 )
                 .trigger(processingTime=interval)
-                .start()
             )
         # sw views keep their per-step partials under a raw-suffixed sink
         # name: view_table / sql() recombine them under the public name,
@@ -1914,6 +1933,7 @@ class Engine:
             self._ckpt(consumer_id, f"view_{view.name}"),
             output_mode=view.output_mode,
             trigger_interval=interval,
+            start_fn=self._start_query,
         )
 
     def _apply_start_position(

@@ -64,6 +64,10 @@ def streaming_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # gate rows replay a small fixed file; poll tightly so the
         # drain wait prices the data path, not inter-batch idle
         trigger_interval="50 milliseconds",
+        # ~1k-row slice: state-store count should follow the data, not
+        # the session's 32-partition default (VERDICT r11 #2 — the gate
+        # bill is micro-batch fixed cost per shuffle partition)
+        shuffle_partitions=4,
     )
     stream, view = f"svc_stream_{tag}", f"svc_view_{tag}"
     try:
@@ -173,6 +177,10 @@ def streaming_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         # gate rows replay a small fixed file; poll tightly so the
         # drain wait prices the data path, not inter-batch idle
         trigger_interval="50 milliseconds",
+        # ~1k-row slice: state-store count should follow the data, not
+        # the session's 32-partition default (VERDICT r11 #2 — the gate
+        # bill is micro-batch fixed cost per shuffle partition)
+        shuffle_partitions=4,
     )
     stream, sink, view = (
         f"stc_stream_{tag}",
@@ -252,6 +260,10 @@ def streaming_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # gate rows replay a small fixed file; poll tightly so the
         # drain wait prices the data path, not inter-batch idle
         trigger_interval="50 milliseconds",
+        # ~1k-row slice: state-store count should follow the data, not
+        # the session's 32-partition default (VERDICT r11 #2 — the gate
+        # bill is micro-batch fixed cost per shuffle partition)
+        shuffle_partitions=4,
     )
     eng2 = None
     ep, stream, view = (
@@ -289,6 +301,7 @@ def streaming_restart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             metadata_dir=f"{root}/meta",
             trigger_interval="50 milliseconds",
+            shuffle_partitions=4,
         )
         eng2.consume_begin(
             ep, "events_replay", stream, fmt="csv", delimiter=",",
@@ -372,6 +385,7 @@ def streaming_dead_letter_replay(
         spark,
         metadata_dir=f"{root}/meta",
         trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
     )
     ep, stream = f"sdl_ep_{tag}", f"sdl_stream_{tag}"
     try:
@@ -451,6 +465,7 @@ def streaming_activate_resume(
         spark,
         metadata_dir=f"{root}/meta",
         trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
     )
     ep, stream, view = (
         f"sar_ep_{tag}",
@@ -558,6 +573,7 @@ def streaming_combine_regroup(
         spark,
         metadata_dir=f"{root}/meta",
         trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
     )
     ep, stream, view = (
         f"scr_ep_{tag}",
@@ -650,6 +666,7 @@ def streaming_osrel_telescope(
         spark,
         metadata_dir=f"{root}/meta",
         trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
     )
     ep, stream, view = (
         f"sot_ep_{tag}",
@@ -801,6 +818,7 @@ def streaming_watermark_drop(
         spark,
         metadata_dir=f"{root}/meta",
         trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
     )
     ep, stream, view = (
         f"swd_ep_{tag}",
@@ -910,6 +928,7 @@ def streaming_dim_join_counts(
         spark,
         metadata_dir=f"{root}/meta",
         trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
     )
     ep, stream, view, dim = (
         f"sdj_ep_{tag}",

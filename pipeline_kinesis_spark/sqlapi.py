@@ -162,7 +162,9 @@ def _parse_call_args(argstr: str) -> tuple[list, dict]:
     return pos, named
 
 
-def _bind(pos: list, named: dict, params: list[str]) -> dict:
+def _bind(
+    pos: list, named: dict, params: list[str], required: int = 0
+) -> dict:
     if len(pos) > len(params):
         raise ValueError(f"too many arguments (max {len(params)})")
     bound = dict(zip(params, pos))
@@ -172,6 +174,12 @@ def _bind(pos: list, named: dict, params: list[str]) -> dict:
         if k in bound:
             raise ValueError(f"argument {k!r} given twice")
         bound[k] = v
+    # a statement that parses to fewer arguments than the call needs
+    # (PG raises "function does not exist" for a wrong-arity call)
+    # must reject cleanly, not KeyError downstream (fuzz_sqlapi find)
+    for p in params[:required]:
+        if p not in bound:
+            raise ValueError(f"missing required argument {p!r}")
     return bound
 
 
@@ -362,8 +370,11 @@ def execute(engine, statement: str) -> DataFrame | str:
                 raw = km.group(2).strip()
                 # bare keyword accepted alongside quoted: the
                 # retention opt-out reads naturally either way
-                if raw.lower() == "unbounded":
-                    v = "unbounded"
+                # ('none' joined 'unbounded' in r12 — the docstring
+                # always named both spellings but only the quoted form
+                # of 'none' parsed; caught by tools/fuzz_sqlapi.py)
+                if raw.lower() in ("unbounded", "none"):
+                    v = raw.lower()
                 else:
                     v = _parse_value(raw)
 

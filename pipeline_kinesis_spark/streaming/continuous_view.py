@@ -48,15 +48,19 @@ def materialize_memory(
     checkpoint_dir: str,
     output_mode: str = "complete",
     trigger_interval: str = "500 milliseconds",
+    start_fn=None,
 ) -> StreamingQuery:
-    return (
+    """`start_fn` (builder -> StreamingQuery) lets the caller start the
+    query under a pinned shuffle width (Engine._start_query); default is
+    a plain .start()."""
+    builder = (
         view_df.writeStream.format("memory")
         .queryName(view_name)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=trigger_interval)
-        .start()
     )
+    return builder.start() if start_fn is None else start_fn(builder)
 
 
 # Hash-bucket partitioning for the upsert store: rows live under

@@ -117,6 +117,68 @@ class TestPngStreamIntegrity:
 _KEY = "spark.sql.shuffle.partitions"
 
 
+def test_engine_shuffle_partitions_pin(spark, tmp_path):
+    """Engine(shuffle_partitions=N) must start its standing queries at
+    width N (state-store layout follows the pipeline's data volume, not
+    the session default) and leave the session conf untouched."""
+    import glob
+    import uuid
+
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    root = str(tmp_path)
+    prev = spark.conf.get(_KEY)
+    write_record_file(
+        f"{root}/replay",
+        [
+            {
+                "data": f"{i},t{i % 3}",
+                "partition_key": "pk",
+                "shard_id": "shardId-000000000000",
+                "sequence_number": f"{i:056d}",
+            }
+            for i in range(30)
+        ],
+    )
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=2,
+    )
+    stream, view = f"esp_s_{tag}", f"esp_v_{tag}"
+    try:
+        eng.add_endpoint(f"esp_ep_{tag}", url=root)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n FROM {stream} "
+            f"GROUP BY event_type",
+            stream=stream,
+        )
+        cons = eng.consume_begin(
+            f"esp_ep_{tag}", "replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=120)
+        assert sum(
+            r.n for r in eng.view_table(view).collect()
+        ) == 30
+        # the aggregation state under the view checkpoint must be laid
+        # out at the ENGINE's width, not the session's
+        state_parts = glob.glob(
+            f"{root}/meta/checkpoints/{cons.id}/view_{view}/state/0/*"
+        )
+        part_dirs = [p for p in state_parts if p.rsplit("/", 1)[-1].isdigit()]
+        assert len(part_dirs) == 2, state_parts
+    finally:
+        eng.consume_end_all()
+    assert spark.conf.get(_KEY) == prev
+
+
 class TestPinnedShuffle:
     def test_restores_on_error(self, spark):
         # the session conf must come back even when the body (the
