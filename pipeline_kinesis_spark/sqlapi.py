@@ -290,7 +290,10 @@ def execute(engine, statement: str) -> DataFrame | str:
         fn, argstr = m.group(1).lower(), m.group(2)
         pos, named = _parse_call_args(argstr)
         if fn == "add_endpoint":
-            b = _bind(pos, named, ["name", "region", "credfile", "url"])
+            b = _bind(
+                pos, named,
+                ["name", "region", "credfile", "url"], required=1,
+            )
             engine.add_endpoint(
                 b["name"],
                 region=b.get("region", "local"),
@@ -299,7 +302,7 @@ def execute(engine, statement: str) -> DataFrame | str:
             )
             return "success"
         if fn == "remove_endpoint":
-            b = _bind(pos, named, ["name"])
+            b = _bind(pos, named, ["name"], required=1)
             engine.remove_endpoint(b["name"])
             return "success"
         if fn == "consume_begin":
@@ -321,6 +324,7 @@ def execute(engine, statement: str) -> DataFrame | str:
                     "parallelism",
                     "start_seq",
                 ],
+                required=3,
             )
             engine.consume_begin(
                 b["endpoint"],
@@ -339,7 +343,10 @@ def execute(engine, statement: str) -> DataFrame | str:
             if not pos and not named:
                 engine.consume_end_all()
                 return "success"
-            b = _bind(pos, named, ["endpoint", "stream", "relation"])
+            b = _bind(
+                pos, named, ["endpoint", "stream", "relation"],
+                required=3,
+            )
             engine.consume_end(b["endpoint"], b["stream"], b["relation"])
             return "success"
         raise ValueError(f"unknown pipeline_kinesis function: {fn}")

@@ -290,3 +290,35 @@ def test_unknown_function_and_bad_option(engine):
 def test_pipeline_version(engine):
     out = engine.execute("SELECT pipeline_version()")
     assert "0.9.0" in out
+
+
+def test_missing_required_args_raise_value_error(engine):
+    """A wrong-arity control-plane call must reject cleanly (PG raises
+    "function does not exist"), never KeyError — fuzz_sqlapi find."""
+    with pytest.raises(ValueError, match="missing required"):
+        engine.execute("SELECT pipeline_kinesis.consume_end('only_ep')")
+    with pytest.raises(ValueError, match="missing required"):
+        engine.execute(
+            "SELECT pipeline_kinesis.consume_begin('ep', 'st')"
+        )
+    with pytest.raises(ValueError, match="missing required"):
+        engine.execute(
+            "SELECT pipeline_kinesis.add_endpoint(region := 'r')"
+        )
+    with pytest.raises(ValueError, match="missing required"):
+        engine.execute("SELECT pipeline_kinesis.remove_endpoint()")
+
+
+def test_osrel_keep_batches_bare_keywords(engine):
+    """Both documented retention opt-out spellings parse bare or
+    quoted (bare 'none' was a fuzz_sqlapi find)."""
+    engine.execute("CREATE STREAM oks (v bigint, g text)")
+    for i, kw in enumerate(("unbounded", "none", "'none'", "'unbounded'")):
+        engine.execute(
+            f"CREATE CONTINUOUS VIEW okv{i} WITH "
+            f"(osrel_keep_batches={kw}) AS "
+            f"SELECT g, count(*) AS n FROM oks GROUP BY g"
+        )
+        assert engine.catalog.state.views[f"okv{i}"][
+            "osrel_keep_batches"
+        ] is None
