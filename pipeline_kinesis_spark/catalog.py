@@ -165,6 +165,16 @@ class Consumer:
     # checkpoints that path never wrote and re-ingest from
     # start_position.
     source: str = "auto"
+    # B26 wire-level redelivery collapse: the reference's delivery is
+    # at-least-once (a failed copy retries the WHOLE batch,
+    # pipeline_kinesis.c:744-758), so the same (shard, seqnum) record
+    # can arrive twice. False = archive redeliveries as-is (reference
+    # behavior); True = exact dropDuplicates on (shard_id,
+    # sequence_number) before parse (state grows with the stream —
+    # replay/audit use); a duration string like "10 minutes" = Spark's
+    # dropDuplicatesWithinWatermark keyed the same way, state bounded
+    # by the redelivery horizon — the at-scale setting.
+    dedup: bool | str = False
 
 
 @dataclass

@@ -723,6 +723,7 @@ class Engine:
         rate_limit_rps: float | None = None,
         source: str = "auto",
         spool_keep_seconds: float | None = None,
+        dedup: bool | str = False,
     ) -> Consumer:
         """Start ingesting `stream` (a directory under the endpoint url)
         into the declared `relation`, plus one incremental query per
@@ -836,6 +837,7 @@ class Engine:
                     rate_limit_rps=rate_limit_rps,
                     spool_keep_seconds=spool_keep_seconds,
                     source=source,
+                    dedup=dedup,
                 )
             )
             if self._queries.get(consumer.id):
@@ -1092,6 +1094,28 @@ class Engine:
                 records = self._apply_start_position(
                     consumer, replay_src, replay_src.read_stream(self.spark)
                 )
+            if dedup:
+                # B26: the wire is at-least-once (a failed copy retries
+                # the WHOLE batch, pipeline_kinesis.c:744-758), so the
+                # same (shard, seqnum) record can arrive again in a
+                # later file/batch. Collapse redeliveries BEFORE parse
+                # so the archive, the dead-letter quarantine and every
+                # standing view each see a record exactly once. Keyed
+                # on the Kinesis identity (shard_id, sequence_number);
+                # first delivery wins.
+                keys = ["shard_id", "sequence_number"]
+                if isinstance(dedup, str):
+                    # bounded dedup state: redeliveries only need to be
+                    # remembered for the redelivery horizon, so the
+                    # watermark reaps older keys — the at-scale setting
+                    # (unbounded dropDuplicates state on a 100 TB
+                    # stream is a slow leak). Records must carry
+                    # arrival timestamps for this form.
+                    records = records.withWatermark(
+                        "approximate_arrival_timestamp", dedup
+                    ).dropDuplicatesWithinWatermark(keys)
+                else:
+                    records = records.dropDuplicates(keys)
             parsed = parse_records(
                 records, sd.schema_ddl, fmt, delimiter, quote, escape
             )
@@ -2040,6 +2064,7 @@ class Engine:
                         spool_keep_seconds=getattr(
                             c, "spool_keep_seconds", None
                         ),
+                        dedup=getattr(c, "dedup", False),
                     )
                 )
             except Exception as exc:  # noqa: BLE001 — isolate per consumer

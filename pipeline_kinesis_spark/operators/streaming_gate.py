@@ -1271,3 +1271,97 @@ GROUP BY 1
 QUERIES["streaming_stream_join_pairs"] = QuerySpec(
     streaming_stream_join_pairs, STREAMING_STREAM_JOIN_PAIRS_SQL
 )
+
+
+def streaming_dedup_redelivery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stateful dedup over wire-level redelivery (B26), oracled — the
+    last streaming operator previously verified only by pytest. The
+    reference's delivery is at-least-once: a failed batch copy retries
+    the WHOLE batch (pipeline_kinesis.c:744-758), so the same (shard,
+    seqnum) record can arrive twice. The replay plants that exactly:
+    batch 1 delivers the full subset; after it drains, batch 2
+    REDELIVERS every event_id % 3 == 0 record byte-identically (same
+    shard, same seqnum) alongside nothing new. The consumer runs with
+    dedup=True — exact dropDuplicates on (shard_id, sequence_number)
+    ahead of parse — so the matrel must equal the plain GROUP BY over
+    the subset: a single accepted redelivery inflates a count by one
+    and hash-fails; a dedup that over-drops (keys too coarse) deflates
+    one. The durable archive's deduped row count rides along as a
+    ('__archive_rows__', n, n) sentinel so a dupe swallowed before the
+    view but archived twice still fails."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 73, 5)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"sdr_{tag}_")
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    write_record_file(f"{root}/events_replay", _as_records(ev))
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    ep, stream, view = (
+        f"sdr_ep_{tag}",
+        f"sdr_stream_{tag}",
+        f"sdr_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n_events, "
+            f"sum(event_id) AS sum_event_id FROM {stream} "
+            f"GROUP BY event_type",
+            stream=stream,
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+            dedup=True,
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        # the redelivered batch arrives only after the first fully
+        # drains, so the dedup state must survive ACROSS micro-batches
+        write_record_file(
+            f"{root}/events_replay",
+            _as_records([r for r in ev if r.event_id % 3 == 0]),
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(view).collect()
+        ]
+        n_arch = eng.stream_table(stream).count()
+        rows.append(("__archive_rows__", n_arch, n_arch))
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_DEDUP_REDELIVERY_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 73 = 5
+GROUP BY event_type
+UNION ALL
+SELECT '__archive_rows__',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM events
+WHERE user_id % 73 = 5
+"""
+
+QUERIES["streaming_dedup_redelivery"] = QuerySpec(
+    streaming_dedup_redelivery, STREAMING_DEDUP_REDELIVERY_SQL
+)

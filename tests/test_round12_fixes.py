@@ -117,6 +117,85 @@ class TestPngStreamIntegrity:
 _KEY = "spark.sql.shuffle.partitions"
 
 
+@pytest.mark.parametrize("dedup", [True, "10 minutes"])
+def test_engine_consume_dedup_redelivery(spark, tmp_path, dedup):
+    """consume_begin(dedup=...) collapses wire-level redeliveries —
+    the same (shard, seqnum) record arriving again in a later batch
+    file — before parse, so the archive and every standing view see
+    each record exactly once (B26 over the at-least-once wire,
+    pipeline_kinesis.c:744-758). Covers both the exact and the
+    watermark-bounded form."""
+    import uuid
+
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    root = str(tmp_path)
+
+    def recs(ids, ts="2024-01-01T10:00:00"):
+        return [
+            {
+                "data": f"{i},t{i % 2}",
+                "partition_key": "pk",
+                "shard_id": "shardId-000000000000",
+                "sequence_number": f"{i:056d}",
+                "approximate_arrival_timestamp": ts,
+            }
+            for i in ids
+        ]
+
+    # batch 1: records 0-9; batch 2 REDELIVERS 3..6 (same seqnums)
+    # plus genuinely-new 10-14
+    write_record_file(f"{root}/replay", recs(range(10)))
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=2,
+    )
+    stream, view = f"ddr_s_{tag}", f"ddr_v_{tag}"
+    try:
+        eng.add_endpoint(f"ddr_ep_{tag}", url=root)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n, sum(event_id) AS s "
+            f"FROM {stream} GROUP BY event_type",
+            stream=stream,
+        )
+        eng.consume_begin(
+            f"ddr_ep_{tag}", "replay", stream, fmt="csv", delimiter=",",
+            dedup=dedup,
+        )
+        eng.wait_for_ingest(timeout_s=120)
+        write_record_file(
+            f"{root}/replay",
+            recs(range(3, 7), ts="2024-01-01T10:01:00")
+            + recs(range(10, 15), ts="2024-01-01T10:01:00"),
+        )
+        eng.wait_for_ingest(timeout_s=120)
+        got = {
+            r.event_type: (int(r.n), int(r.s))
+            for r in eng.view_table(view).collect()
+        }
+        ids = list(range(15))  # each exactly once
+        want = {
+            f"t{k}": (
+                sum(1 for i in ids if i % 2 == k),
+                sum(i for i in ids if i % 2 == k),
+            )
+            for k in (0, 1)
+        }
+        assert got == want
+        # the durable archive is deduped too
+        assert eng.stream_table(stream).count() == 15
+    finally:
+        eng.consume_end_all()
+
+
 def test_engine_shuffle_partitions_pin(spark, tmp_path):
     """Engine(shuffle_partitions=N) must start its standing queries at
     width N (state-store layout follows the pipeline's data volume, not
