@@ -132,90 +132,95 @@ _WINDOW = 50
 # tools/gate_history.py asserts every oracled registry query has held
 # a driver-green row in some round.
 _PRIORITY = (
-    # Round-11 rotation (VERDICT r10 "Next round" #1): the r02-r05
-    # staleness tail returns — the thirteen rows gate_history showed
-    # with no driver-green since r04/r05 (+ window_lag_lead /
-    # dataset_split / agg_approx_distinct at r06 and the r04-latest
-    # cosine_neardup_pairs) — plus the NEW streaming_watermark_drop
-    # row (verdict #2: B25 watermark/late-data, previously
-    # pytest-only, now oracle-gated). Fifteen rows retire, each with
-    # its family still in-window:
-    #   q10/q11/q14/q15/q17/q18/q19/q20 (TPC-H, r10-green; q6 date
-    #     arith + q9 multi-join profit + q12 CASE + q22 substring/
-    #     NOT-EXISTS keep the B5-B9/B21 shapes)
-    #   combine_percentile_regroup -> streaming_combine_regroup keeps
-    #     the combine() engine path; the KLL batch twin stays in the
-    #     differential
-    #   agg_percentile -> agg_stats stays; exact-percentile math also
-    #     via returning agg_approx_percentile's oracle bounds
-    #   pivot_priority_by_year -> returning grouping_sets_revenue
-    #     keeps B15
-    #   theta_set_overlap -> FOUR sketch rows return (bloom/fss/
-    #     approx_distinct/approx_percentile keep B14)
-    #   window_distribution -> returning window_lag_lead keeps B17
-    #   multimodal_video_stats -> returning multimodal_frame_sample
-    #     keeps the video decode path; image via decode_stats, audio
-    #     via audio_signal_features
-    #   doc_fingerprint -> returning tfidf_top_terms + token_stats +
-    #     staying lang_id_heuristic keep C4
-    # TPC-H staying rows (filter/join/scalar coverage; q9 retires late
-    # in r11 for the dim-join engine row below — its multi-join-agg
-    # shape stays via q12/q22 + join_right/full_outer + the TPC-H rows
-    # in the full differential)
-    "q6_forecast_revenue",
-    "q12_shipmode_priority", "q22_global_sales",
-    # the standing-query engine end-to-end (all seven r09/r10 rows
+    # Round-12 rotation (VERDICT r11 "Next round" #1): the r05/r06
+    # staleness tail returns — all EIGHTEEN rows gate_history showed
+    # with no driver-green since r05/r06 (stratified_sample at r05, the
+    # rest r06-latest) — plus the NEW streaming_dedup_redelivery row
+    # (verdict #3: B26 stateful dedup under planted wire redelivery,
+    # previously pytest-only) and a 13-row coverage set drawn
+    # stale-first (r07/r08) so every §2 family keeps an in-window rep.
+    # THIRTY-TWO r10/r11 multi-greens retire, each with its family
+    # still represented:
+    #   q6/q12/q22 (TPC-H, r11) -> returning q1 (B12 agg summary +
+    #     date arith), q7 (multi-join volume/year), q2 (correlated
+    #     min-subquery), q4 (EXISTS semi-join — also keeps the B9
+    #     shape in-window)
+    #   join_right_outer/join_full_outer (B8, r11) -> join_left_outer
+    #     returns (r08)
+    #   join_theta_pairs (B10, r11) -> join_range returns (r08)
+    #   set_except (B20, r11) -> set_union_distinct returns (r08)
+    #   agg_stats/agg_salted_skew (B12, r11) -> agg_keyed_minmax +
+    #     agg_corr_regression return (r06); join_salted_skew (r06)
+    #     keeps the salted-skew shape
+    #   bloom/fss/approx_percentile/approx_distinct (B14, r11) ->
+    #     hll_mergeable_distinct (r07) + cms_event_counts (r08) return
+    #   grouping_sets_revenue (B15, r11) -> rollup_revenue returns (r08)
+    #   window_lag_lead (B17, r11) -> window_rank returns (r07)
+    #   sliding_window_agg (B23, r11) -> tumbling_window_agg returns
+    #     (r07)
+    #   cohort_retention (events, r11) -> funnel_conversion returns
+    #     (r07)
+    #   ngram_jaccard_pairs/simhash_planted_capture (C2, r11) ->
+    #     ngram_jaccard_prefix + minhash_lsh_recall return (r06)
+    #   cosine_topk/embedding_centroids/cosine_neardup_pairs (C3, r11)
+    #     -> cosine_topk_ivf_recall + cosine_topk_pq_recall return (r06)
+    #   lang_id_heuristic/tfidf_top_terms/token_stats (C4, r11) ->
+    #     text_normalize + winnow_fingerprint_stats + lm_perplexity
+    #     return (r06)
+    #   corpus_clean/dataset_split/sequence_pack (C6, r11) ->
+    #     curation_report + gopher_repetition + decontaminate_overlap +
+    #     stratified_sample return (r05/r06)
+    #   multimodal_decode_stats/frame_sample/audio_signal_features/
+    #     audio_fingerprint_dedup (C5/C2+, r11) -> multimodal_meta_stats
+    #     + multimodal_features + multimodal_resize return (r06);
+    #     perceptual-media dedup rests on the differential this round
+    #     (image_dhash_dedup r08 is next in the staleness queue)
+    #   scaled_value_pandas (r06) returns alongside staying
+    #     zscore_per_user (B27)
+    # B13 (agg_distinct, r08) and C2-media (image_dhash_dedup, r08)
+    # wait one round — the r05/r06 tail outranked them for slots; both
+    # stay covered by the full differential + pytest.
+    # TPC-H returning rows (stalest first: q1/q7 r07, q2/q4 r08)
+    "q1_pricing_summary", "q7_volume_shipping",
+    "q2_min_cost_supplier", "q4_order_priority",
+    # the standing-query engine end-to-end (all eleven r09-r11 rows
     # stay — the oracle gate on the engine loop is the repo's hardest
-    # evidence — PLUS the new watermark/late-data row and the
-    # stream-table dim-join row, the two engine semantics that were
-    # pytest-only before r11)
+    # evidence — PLUS the new B26 dedup-under-redelivery row)
     "streaming_view_counts", "streaming_transform_chain",
     "streaming_restart_counts", "streaming_dead_letter_replay",
     "streaming_activate_resume", "streaming_osrel_telescope",
     "streaming_combine_regroup", "streaming_watermark_drop",
     "streaming_dim_join_counts", "streaming_sessionize_payloads",
-    "streaming_stream_join_pairs",
-    # relational §2B rows (B8/B10/B20/B22 reps)
-    "join_right_outer", "join_full_outer", "join_theta_pairs",
-    "set_except", "json_extract",
-    # aggregate stats family (B12): corr/regr stays, salted twin
-    # returns
-    "agg_stats", "agg_salted_skew",
-    # approx aggregates / sketches (B14): the r02-r04 staleness tail
-    "bloom_order_priorities", "fss_topk_tokens",
-    "agg_approx_percentile", "agg_approx_distinct",
-    # grouping sets family (B15)
-    "grouping_sets_revenue",
-    # window functions (B17): lag/lead frame row returns
-    "window_lag_lead",
-    # dedup clustering + tokenizer training + ANN compression
+    "streaming_stream_join_pairs", "streaming_dedup_redelivery",
+    # relational §2B returns (B8/B9-via-q4/B10/B20/B22)
+    "join_left_outer", "join_range", "set_union_distinct",
+    "json_extract",
+    # aggregate stats family (B12): the r06 staleness pair + salted
+    # skew join twin
+    "agg_keyed_minmax", "agg_corr_regression", "join_salted_skew",
+    # approx aggregates / sketches (B14): the r07/r08 tail
+    "hll_mergeable_distinct", "cms_event_counts",
+    # grouping sets (B15) + window functions (B17)
+    "rollup_revenue", "window_rank",
+    # dedup clustering + tokenizer training + ANN compression (sole
+    # reps) + the r06 ANN recall tail (C3/C7)
     "neardup_components", "bpe_train_verify", "cosine_topk_ivfpq_recall",
-    # events: cohort analysis
-    "cohort_retention",
-    # perceptual media dedup (C2-for-media)
-    "audio_fingerprint_dedup",
-    # C5: image + returning video-frame-sample + audio-feature decode
-    "multimodal_decode_stats", "multimodal_frame_sample",
-    "audio_signal_features",
-    # timeseries (B11/B23) + pandas-UDF surface (B27); B24 session
-    # coverage moved UP a tier late in r11: the engine-path
-    # applyInPandasWithState sessionizer row (streaming_sessionize_
-    # payloads, above) displaces the batch session_window_agg twin,
-    # which stays in the full differential (multi-green r02-r10)
-    "sliding_window_agg",
-    "asof_join", "zscore_per_user",
-    # dedup C1 sole rep + C2: n-gram Jaccard + returning SimHash
-    # planted-capture row
-    "exact_dedup", "ngram_jaccard_pairs", "simhash_planted_capture",
-    # C4 text analysis: staying lang-id + returning tfidf/token-stats
-    "lang_id_heuristic", "tfidf_top_terms", "token_stats",
-    # corpus curation (C6): staying row + returning split/pack
-    # (oov_rate_filter, multi-green r05-r10, retires late in r11 for
-    # the stream-stream join engine row above — C6 keeps three reps)
-    "corpus_clean", "dataset_split", "sequence_pack",
-    # similarity search (C3): exact anchor + centroids stay fresh
-    # (r10), embedding-cosine near-dup pair row returns
-    "cosine_topk", "embedding_centroids", "cosine_neardup_pairs",
+    "cosine_topk_ivf_recall", "cosine_topk_pq_recall",
+    # events: funnel returns (r07)
+    "funnel_conversion",
+    # C5 multimodal: the r06 staleness trio
+    "multimodal_meta_stats", "multimodal_features", "multimodal_resize",
+    # timeseries (B11/B23) + pandas-UDF surface (B27, + returning r06
+    # scaling twin)
+    "tumbling_window_agg", "asof_join",
+    "zscore_per_user", "scaled_value_pandas",
+    # dedup C1 sole rep + C2: the r06 recall tail
+    "exact_dedup", "ngram_jaccard_prefix", "minhash_lsh_recall",
+    # C4 text analysis: the r06 tail
+    "text_normalize", "winnow_fingerprint_stats", "lm_perplexity",
+    # corpus curation (C6): the r05/r06 tail
+    "curation_report", "gopher_repetition", "decontaminate_overlap",
+    "stratified_sample",
 )
 
 # The driver checks exactly the first _WINDOW entries of queries();
