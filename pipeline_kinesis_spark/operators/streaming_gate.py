@@ -1365,3 +1365,247 @@ WHERE user_id % 73 = 5
 QUERIES["streaming_dedup_redelivery"] = QuerySpec(
     streaming_dedup_redelivery, STREAMING_DEDUP_REDELIVERY_SQL
 )
+
+
+def streaming_ttl_reap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL expiry through the ENGINE (B16's TTL sweep + PipelineDB's
+    pipeline_ttl_expire, pipeline_kinesis--0.9.0.sql TTL-view
+    semantics), oracled with PLANTED ERAS so wall-clock never enters
+    the hash: every row's event-time lands in either 2000-01-01
+    (expired for any plausible 'now' under the view's 1-hour TTL) or
+    2099-01-01 (alive until 2099). The slice splits three ways by
+    event_id % 3:
+
+    - rem 0 → ancient, delivered in batch 1: reaped/hidden by the
+      merge-time filter, the round-robin sweep, or the read-time guard
+      — whichever runs first, the read must never show them;
+    - rem 1 → future, delivered in batch 1: must ALL survive, so a
+      sweep that over-reaps (off-by-one interval, wrong column)
+      deflates a count and hash-fails;
+    - rem 2 → ancient, delivered in batch 2 AFTER the manual sweep ran:
+      rows that arrive already-expired must never surface.
+
+    Between batches the row drives the reference's ops hammer through
+    the SQL surface (``SELECT pipeline_ttl_expire('<view>')`` via
+    sqlapi.execute), so the synchronous per-bucket MVCC sweep runs
+    against a live standing query. The oracle is the plain GROUP BY
+    over the future third."""
+    from pipeline_kinesis_spark import sqlapi
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 79, 3)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"str_{tag}_")
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    ancient, future = "2000-01-01T10:00:00", "2099-01-01T10:00:00"
+
+    def recs(rows, seq_base=0):
+        return [
+            {
+                "data": (
+                    f"{r.event_id},{r.event_type},"
+                    f"{ancient if r.event_id % 3 != 1 else future}"
+                ),
+                "partition_key": str(r.user_id),
+                "shard_id": f"shardId-{r.user_id % 4:012d}",
+                "sequence_number": f"{seq_base + r.event_id:056d}",
+            }
+            for r in rows
+        ]
+
+    write_record_file(
+        f"{root}/events_replay",
+        recs([r for r in ev if r.event_id % 3 in (0, 1)]),
+    )
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    ep, stream, view = (
+        f"str_ep_{tag}",
+        f"str_stream_{tag}",
+        f"str_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(
+            stream,
+            "event_id BIGINT, event_type STRING, ts TIMESTAMP",
+        )
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, ts, count(*) AS n_events, "
+            f"sum(event_id) AS sum_event_id FROM {stream} "
+            f"GROUP BY event_type, ts",
+            stream=stream,
+            materialize="parquet_upsert",
+            key_cols=["event_type", "ts"],
+            ttl_seconds=3600,
+            ttl_column="ts",
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        # the reference's manual sweep, through its SQL spelling —
+        # returns the reaped-row count as a string (ignored: whether
+        # the merge already filtered the ancient rows or the sweep
+        # reaps them now is batch-boundary dependent; VISIBILITY is
+        # the deterministic contract)
+        sqlapi.execute(eng, f"SELECT pipeline_ttl_expire('{view}')")
+        # batch 2: rows that arrive ALREADY expired must never surface
+        write_record_file(
+            f"{root}/events_replay",
+            recs(
+                [r for r in ev if r.event_id % 3 == 2],
+                seq_base=10**12,
+            ),
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(view)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_event_id").alias("sum_event_id"),
+            )
+            .collect()
+        ]
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_TTL_REAP_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 79 = 3 AND event_id % 3 = 1
+GROUP BY event_type
+"""
+
+QUERIES["streaming_ttl_reap"] = QuerySpec(
+    streaming_ttl_reap, STREAMING_TTL_REAP_SQL
+)
+
+
+def streaming_alter_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER STREAM ADD COLUMN mid-pipeline (B1's evolution path,
+    PipelineDB stream DDL), oracled end-to-end: generation-1 records
+    (two columns) ingest and archive, the consumer stops (the documented
+    ALTER precondition — parse schemas bind at query start), the stream
+    gains ``val BIGINT`` through the SQL surface, a NEW standing view
+    summing the new column is declared, and the consumer resumes over
+    generation-2 records (three columns, val = 7 * event_id).
+
+    Deterministic contract, all three legs hash-checked:
+    - the post-ALTER view aggregates EXACTLY the generation-2 rows (its
+      fresh checkpoint replays gen-1 files too, but two-field lines
+      quarantine under the three-column schema and never reach `good`);
+    - the archive is exactly-once across the stop/ALTER/restart: gen-1
+      rows are not re-archived, so the ('__archive__', total, n_nulls)
+      sentinel carries |gen1| + |gen2| and
+    - mergeSchema + typed NULL fill-in: every gen-1 archive row reads
+      back NULL for `val`, so n_nulls == |gen1| exactly."""
+    from pipeline_kinesis_spark import sqlapi
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 83, 7)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"sas_{tag}_")
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    gen1 = [r for r in ev if r.event_id % 2 == 0]
+    gen2 = [r for r in ev if r.event_id % 2 == 1]
+    write_record_file(f"{root}/events_replay", _as_records(gen1))
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    ep, stream, view = (
+        f"sas_ep_{tag}",
+        f"sas_stream_{tag}",
+        f"sas_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        eng.consume_end(ep, "events_replay", stream)
+        # schema evolution through the reference's DDL spelling
+        sqlapi.execute(
+            eng, f"ALTER STREAM {stream} ADD COLUMN val bigint"
+        )
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n_events, "
+            f"sum(val) AS sum_val FROM {stream} GROUP BY event_type",
+            stream=stream,
+        )
+        write_record_file(
+            f"{root}/events_replay",
+            [
+                {
+                    "data": f"{r.event_id},{r.event_type},{7 * r.event_id}",
+                    "partition_key": str(r.user_id),
+                    "shard_id": f"shardId-{r.user_id % 4:012d}",
+                    "sequence_number": f"{10**12 + r.event_id:056d}",
+                }
+                for r in gen2
+            ],
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_val))
+            for r in eng.view_table(view).collect()
+        ]
+        arch = eng.stream_table(stream)
+        total = arch.count()
+        n_nulls = arch.filter(F.col("val").isNull()).count()
+        rows.append(("__archive__", total, n_nulls))
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type STRING, n_events BIGINT, sum_val BIGINT"
+    )
+
+
+STREAMING_ALTER_SCHEMA_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(7 * event_id) AS BIGINT) AS sum_val
+FROM events
+WHERE user_id % 83 = 7 AND event_id % 2 = 1
+GROUP BY event_type
+UNION ALL
+SELECT '__archive__',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+WHERE user_id % 83 = 7
+"""
+
+QUERIES["streaming_alter_schema"] = QuerySpec(
+    streaming_alter_schema, STREAMING_ALTER_SCHEMA_SQL
+)

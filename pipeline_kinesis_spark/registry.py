@@ -180,9 +180,18 @@ _PRIORITY = (
     # B13 (agg_distinct, r08) and C2-media (image_dhash_dedup, r08)
     # wait one round — the r05/r06 tail outranked them for slots; both
     # stay covered by the full differential + pytest.
-    # TPC-H returning rows (stalest first: q1/q7 r07, q2/q4 r08)
-    "q1_pricing_summary", "q7_volume_shipping",
-    "q2_min_cost_supplier", "q4_order_priority",
+    # Late-r12 swap: TWO more engine semantics graduated to oracle
+    # rows mid-round — streaming_ttl_reap (B16's TTL sweep +
+    # pipeline_ttl_expire under planted 2000/2099 eras, so wall-clock
+    # never enters the hash) and streaming_alter_schema (B1's ALTER
+    # STREAM ADD COLUMN across a stop/alter/restart, with the
+    # mergeSchema NULL-fill sentinel). They take the window slots of
+    # q2_min_cost_supplier (TPC-H keeps q1/q7/q4; q2 r08 is next in
+    # the staleness queue) and cms_event_counts (B14 keeps
+    # hll_mergeable_distinct; cms r08 likewise) — both stay in the
+    # full differential and pend for r13.
+    # TPC-H returning rows (stalest first: q1/q7 r07, q4 r08)
+    "q1_pricing_summary", "q7_volume_shipping", "q4_order_priority",
     # the standing-query engine end-to-end (all eleven r09-r11 rows
     # stay — the oracle gate on the engine loop is the repo's hardest
     # evidence — PLUS the new B26 dedup-under-redelivery row)
@@ -192,14 +201,15 @@ _PRIORITY = (
     "streaming_combine_regroup", "streaming_watermark_drop",
     "streaming_dim_join_counts", "streaming_sessionize_payloads",
     "streaming_stream_join_pairs", "streaming_dedup_redelivery",
+    "streaming_ttl_reap", "streaming_alter_schema",
     # relational §2B returns (B8/B9-via-q4/B10/B20/B22)
     "join_left_outer", "join_range", "set_union_distinct",
     "json_extract",
     # aggregate stats family (B12): the r06 staleness pair + salted
     # skew join twin
     "agg_keyed_minmax", "agg_corr_regression", "join_salted_skew",
-    # approx aggregates / sketches (B14): the r07/r08 tail
-    "hll_mergeable_distinct", "cms_event_counts",
+    # approx aggregates / sketches (B14): the r07 tail
+    "hll_mergeable_distinct",
     # grouping sets (B15) + window functions (B17)
     "rollup_revenue", "window_rank",
     # dedup clustering + tokenizer training + ANN compression (sole

@@ -90,18 +90,19 @@ class TestPngStreamIntegrity:
         with pytest.raises((zlib.error, ValueError)):
             _decode_png(bad)
 
-    def test_oversized_inflate_rejected(self):
-        # IDAT that inflates past the raster byte count: a conformant
-        # PNG never does this; the probe must reject without ever
-        # materializing the excess
+    def test_oversized_inflate_still_decodes_capped(self):
+        # IDAT that inflates past the raster byte count: plain
+        # decompress always accepted these (the walk ignores the
+        # excess) and the r10 bomb test pins that — the integrity
+        # probe must keep the lenient contract without materializing
+        # the excess (its adler32 goes unvalidated by design)
         raster = bytearray()
         for y in range(4):
             raster.append(0)  # filter byte
             raster += self.pixels[y].tobytes()
         oversized = zlib.compress(bytes(raster) + b"\x00" * 64)
-        bad = _png_with_idat(self.png, oversized)
-        with pytest.raises(ValueError, match="beyond the raster"):
-            _decode_png(bad)
+        out = _decode_png(_png_with_idat(self.png, oversized))
+        assert np.array_equal(out, self.pixels)
 
     def test_truncated_stream_rejected(self):
         raster = bytearray()
