@@ -1609,3 +1609,379 @@ WHERE user_id % 83 = 7
 QUERIES["streaming_alter_schema"] = QuerySpec(
     streaming_alter_schema, STREAMING_ALTER_SCHEMA_SQL
 )
+
+
+def streaming_reshard_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shard split + merge mid-consume through the FULL consumer
+    protocol (A2), oracled — previously pytest-only. The reference must
+    be RESTARTED to pick up a reshard (kinesis_consumer.cpp redeploy
+    note); this engine discovers children mid-stream: a closed parent
+    drains to its final record, one DescribeStream sweep registers the
+    children with their ParentShardId lineage, and each child starts at
+    TRIM_HORIZON only after every parent drained — no record between
+    parent end and child start may be lost, none delivered twice.
+
+    The replay plants three eras of a fixed events slice on a canned
+    boto3-shaped wire (sources/fake_kinesis.py):
+
+    - era 0 (event_id % 4 in {0,1}): two open shards;
+    - era 1 (event_id % 4 == 2): shard 000 SPLITS into 002/003, the
+      era's records land on the children (by event_id % 8);
+    - era 2 (event_id % 4 == 3): 002+003 MERGE into 004, which carries
+      both ParentShardId and AdjacentParentShardId, and the era lands
+      there.
+
+    Era 1 additionally arrives under INJECTED WIRE FAULTS (A12): the
+    wire throttles one GetRecords (ProvisionedThroughputExceeded → the
+    reference's linear backoff, kinesis_consumer.cpp:395-430) and
+    expires one iterator (→ re-acquire AFTER the last delivered
+    seqnum) while the era's records are pending — a re-acquire that
+    rewinds or skips shows up as a duplicated or lost record.
+
+    The standing view's final counts must equal the plain GROUP BY over
+    the whole slice: a record lost across either reshard boundary or
+    the expiry re-acquire deflates a count, a replayed one inflates
+    one. The durable archive row count rides along as an exactly-once
+    sentinel."""
+    import time as _time
+
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.fake_kinesis import (
+        FakeKinesisClient,
+    )
+
+    ev = _events_subset(spark, sf_dir, 89, 3)
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"srs_{tag}_")
+
+    def payload(r) -> bytes:
+        return f"{r.event_id},{r.event_type}".encode()
+
+    era0a = [payload(r) for r in ev if r.event_id % 4 == 0]
+    era0b = [payload(r) for r in ev if r.event_id % 4 == 1]
+    era1a = [payload(r) for r in ev if r.event_id % 8 == 2]
+    era1b = [payload(r) for r in ev if r.event_id % 8 == 6]
+    era2 = [payload(r) for r in ev if r.event_id % 4 == 3]
+    n0 = len(era0a) + len(era0b)
+    n1 = len(era1a) + len(era1b)
+    fake = FakeKinesisClient(
+        {"shardId-000": era0a, "shardId-001": era0b}
+    )
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    ep, stream, view = (
+        f"srs_ep_{tag}",
+        f"srs_stream_{tag}",
+        f"srs_view_{tag}",
+    )
+
+    def wait_pumped(c, n, timeout_s=120.0):
+        deadline = _time.monotonic() + timeout_s
+        while _time.monotonic() < deadline:
+            st = eng.pump_status().get(c.id, {})
+            if st.get("records", 0) >= n:
+                return
+            _time.sleep(0.05)
+        raise TimeoutError(
+            f"pump landed {eng.pump_status()} < {n} records"
+        )
+
+    try:
+        eng.add_endpoint(ep)  # kinesis-typed: no url, client injected
+        eng.register_kinesis_client(ep, fake)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n_events, "
+            f"sum(event_id) AS sum_event_id FROM {stream} "
+            f"GROUP BY event_type",
+            stream=stream,
+        )
+        c = eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+            source="pump",
+            # gate replay: poll tightly so era drains price the
+            # protocol, not the reference's 4 req/s wire pacing
+            rate_limit_rps=40,
+        )
+        wait_pumped(c, n0)
+        # era 1: split 000 -> 002/003 while 001 stays open; children
+        # must begin (TRIM_HORIZON) only after the parent drains
+        fake.reshard("shardId-000", ["shardId-002", "shardId-003"])
+        for d in era1a:
+            fake.append("shardId-002", d)
+        for d in era1b:
+            fake.append("shardId-003", d)
+        # era 1 delivers under wire faults: one throttled GetRecords
+        # (backoff, then retry) and one expired iterator (re-acquire
+        # after the last delivered seqnum) — exactly-once must hold
+        fake.throttle_next = 1
+        fake.expire_next = 1
+        wait_pumped(c, n0 + n1)
+        # era 2: the children MERGE into 004 (ParentShardId +
+        # AdjacentParentShardId lineage), which carries the final era
+        fake.merge(["shardId-002", "shardId-003"], "shardId-004")
+        for d in era2:
+            fake.append("shardId-004", d)
+        wait_pumped(c, len(ev))
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(view).collect()
+        ]
+        n_arch = eng.stream_table(stream).count()
+        rows.append(("__archive_rows__", n_arch, n_arch))
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_RESHARD_COUNTS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 89 = 3
+GROUP BY event_type
+UNION ALL
+SELECT '__archive_rows__',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM events
+WHERE user_id % 89 = 3
+"""
+
+QUERIES["streaming_reshard_counts"] = QuerySpec(
+    streaming_reshard_counts, STREAMING_RESHARD_COUNTS_SQL
+)
+
+
+def streaming_start_position(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Offset resolution (A3) under oracle — previously pytest-only.
+    The reference resolves a consumer's configured start into a shard
+    iterator (pipeline_kinesis.c:587-605, kinesis_consumer.cpp:258-291:
+    trim_horizon | latest | after_sequence_number:X); this row gates
+    the after_sequence_number form end-to-end: the WHOLE slice is
+    already on the wire when the consumer starts, but its configured
+    start names the slice's midpoint seqnum, so exactly the upper half
+    may land — one record admitted at-or-below the threshold inflates a
+    count and hash-fails, an off-by-one that skips the first admitted
+    record deflates one.
+
+    The threshold is (min+max)//2 of the slice's event_ids — closed
+    form on both sides (sequence numbers are zero-padded event_ids,
+    _as_records), so the oracle expresses it as a scalar subquery. The
+    archive count rides along: a start applied to the VIEW but not the
+    archive (or vice versa) fails the sentinel."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 97, 5)
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    ids = [r.event_id for r in ev]
+    threshold = (min(ids) + max(ids)) // 2
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"ssp_{tag}_")
+    write_record_file(f"{root}/events_replay", _as_records(ev))
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    ep, stream, view = (
+        f"ssp_ep_{tag}",
+        f"ssp_stream_{tag}",
+        f"ssp_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n_events, "
+            f"sum(event_id) AS sum_event_id FROM {stream} "
+            f"GROUP BY event_type",
+            stream=stream,
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+            start_position=f"after_sequence_number:{threshold:056d}",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(view).collect()
+        ]
+        n_arch = eng.stream_table(stream).count()
+        rows.append(("__archive_rows__", n_arch, n_arch))
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_START_POSITION_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 97 = 5
+  AND event_id > (SELECT (MIN(event_id) + MAX(event_id)) // 2
+                  FROM events WHERE user_id % 97 = 5)
+GROUP BY event_type
+UNION ALL
+SELECT '__archive_rows__',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM events
+WHERE user_id % 97 = 5
+  AND event_id > (SELECT (MIN(event_id) + MAX(event_id)) // 2
+                  FROM events WHERE user_id % 97 = 5)
+"""
+
+QUERIES["streaming_start_position"] = QuerySpec(
+    streaming_start_position, STREAMING_START_POSITION_SQL
+)
+
+
+def streaming_datasource_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EXECUTOR-PARALLEL ingest path (A1's datasource form) under
+    oracle — the scale architecture the reference cannot reach
+    (bgworker ceiling MAX_PROCS=8, pipeline_kinesis.c:54): one input
+    partition per live shard, GetRecords issued by executor tasks over
+    real SigV4-signed HTTP against an in-process fake Kinesis REST
+    endpoint (sources/fake_kinesis.py serve_fake_kinesis — only AWS
+    itself is faked; boto3 client construction, request signing and
+    response parsing are the production code path).
+
+    The slice spreads over TWELVE shards — past the reference's worker
+    ceiling, the regime that forces this path — in two tranches:
+    event_id % 2 == 0 is on the wire before the consumer starts, the
+    odd half is appended mid-consume after the first drains, so the
+    always-advancing offset planner, the attained-position pins and the
+    cross-batch resume all run. Final view counts must equal the plain
+    GROUP BY over the whole slice; the archive count rides along as the
+    exactly-once sentinel (a replayed batch after the mid-stream append
+    inflates it even if the view's aggregate absorbs the dupe)."""
+    import os
+
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.fake_kinesis import (
+        FakeKinesisClient,
+        serve_fake_kinesis,
+    )
+
+    ev = _events_subset(spark, sf_dir, 101, 7)
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"sdc_{tag}_")
+
+    def payload(r) -> bytes:
+        return f"{r.event_id},{r.event_type}".encode()
+
+    n_shards = 12  # > MAX_PROCS: the regime that forces this path
+    shards: dict[str, list[bytes]] = {
+        f"shardId-{i:012d}": [] for i in range(n_shards)
+    }
+    for r in ev:
+        if r.event_id % 2 == 0:
+            shards[f"shardId-{r.user_id % n_shards:012d}"].append(
+                payload(r)
+            )
+    fake = FakeKinesisClient(shards)
+    srv, url = serve_fake_kinesis(fake)
+    cred = f"{root}/creds"
+    with open(cred, "w") as f:
+        f.write(
+            "[default]\naws_access_key_id = testing\n"
+            "aws_secret_access_key = testing\n"
+        )
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    ep, stream, view = (
+        f"sdc_ep_{tag}",
+        f"sdc_stream_{tag}",
+        f"sdc_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, region="us-east-1", url=url, credfile=cred)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n_events, "
+            f"sum(event_id) AS sum_event_id FROM {stream} "
+            f"GROUP BY event_type",
+            stream=stream,
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+            source="datasource",
+            # gate replay against an in-process wire: unpace GetRecords
+            # so the drain waits price the executor data path, not the
+            # reference's 4 req/s/shard AWS budget
+            rate_limit_rps=1000,
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        # tranche 2 arrives mid-consume: the executor tasks must pick
+        # up the new reach on already-drained shards (no restart)
+        for r in ev:
+            if r.event_id % 2 == 1:
+                fake.append(
+                    f"shardId-{r.user_id % n_shards:012d}", payload(r)
+                )
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(view).collect()
+        ]
+        n_arch = eng.stream_table(stream).count()
+        rows.append(("__archive_rows__", n_arch, n_arch))
+    finally:
+        eng.consume_end_all()
+        srv.shutdown()
+        srv.server_close()
+        os.environ.pop("AWS_SHARED_CREDENTIALS_FILE", None)
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_DATASOURCE_COUNTS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 101 = 7
+GROUP BY event_type
+UNION ALL
+SELECT '__archive_rows__',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM events
+WHERE user_id % 101 = 7
+"""
+
+QUERIES["streaming_datasource_counts"] = QuerySpec(
+    streaming_datasource_counts, STREAMING_DATASOURCE_COUNTS_SQL
+)

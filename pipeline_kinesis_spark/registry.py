@@ -190,6 +190,25 @@ _PRIORITY = (
     # the staleness queue) and cms_event_counts (B14 keeps
     # hll_mergeable_distinct; cms r08 likewise) — both stay in the
     # full differential and pend for r13.
+    # Late-r12 swap 2: the last two pytest-only INGESTION semantics
+    # graduated to oracle rows — streaming_reshard_counts (A2: shard
+    # split AND merge mid-consume through the full pump protocol,
+    # exactly-once across both reshard boundaries) and
+    # streaming_start_position (A3: after_sequence_number offset
+    # resolution against a closed-form midpoint threshold). They take
+    # the window slots of zscore_per_user (B27 keeps
+    # scaled_value_pandas in-window; zscore is green r02-r11) and
+    # cosine_topk_ivfpq_recall (C7 keeps cosine_topk_pq_recall +
+    # cosine_topk_ivf_recall in-window; ivfpq is green r03-r11) —
+    # both stay in the full differential and pend for r13.
+    # Late-r12 swap 3: streaming_datasource_counts oracle-gates the
+    # EXECUTOR-PARALLEL ingest path (A1's datasource form — GetRecords
+    # on executor tasks over real SigV4 HTTP, 12 shards > MAX_PROCS,
+    # mid-consume appends) — the scale architecture previously
+    # verified only by pytest e2e/soak. It takes the slot of asof_join
+    # (B11), the registry's most multi-green row (r02-r11, ten
+    # straight): as-of rests on the full differential for one round,
+    # tumbling_window_agg keeps the timeseries family in-window.
     # TPC-H returning rows (stalest first: q1/q7 r07, q4 r08)
     "q1_pricing_summary", "q7_volume_shipping", "q4_order_priority",
     # the standing-query engine end-to-end (all eleven r09-r11 rows
@@ -202,6 +221,8 @@ _PRIORITY = (
     "streaming_dim_join_counts", "streaming_sessionize_payloads",
     "streaming_stream_join_pairs", "streaming_dedup_redelivery",
     "streaming_ttl_reap", "streaming_alter_schema",
+    "streaming_reshard_counts", "streaming_start_position",
+    "streaming_datasource_counts",
     # relational §2B returns (B8/B9-via-q4/B10/B20/B22)
     "join_left_outer", "join_range", "set_union_distinct",
     "json_extract",
@@ -214,7 +235,7 @@ _PRIORITY = (
     "rollup_revenue", "window_rank",
     # dedup clustering + tokenizer training + ANN compression (sole
     # reps) + the r06 ANN recall tail (C3/C7)
-    "neardup_components", "bpe_train_verify", "cosine_topk_ivfpq_recall",
+    "neardup_components", "bpe_train_verify",
     "cosine_topk_ivf_recall", "cosine_topk_pq_recall",
     # events: funnel returns (r07)
     "funnel_conversion",
@@ -222,8 +243,8 @@ _PRIORITY = (
     "multimodal_meta_stats", "multimodal_features", "multimodal_resize",
     # timeseries (B11/B23) + pandas-UDF surface (B27, + returning r06
     # scaling twin)
-    "tumbling_window_agg", "asof_join",
-    "zscore_per_user", "scaled_value_pandas",
+    "tumbling_window_agg",
+    "scaled_value_pandas",
     # dedup C1 sole rep + C2: the r06 recall tail
     "exact_dedup", "ngram_jaccard_prefix", "minhash_lsh_recall",
     # C4 text analysis: the r06 tail

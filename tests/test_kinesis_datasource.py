@@ -14,7 +14,6 @@ Two layers:
 from __future__ import annotations
 
 import os
-import threading
 import time
 
 import pytest
@@ -245,24 +244,22 @@ def wire(tmp_path):
     """(fake, endpoint_url, credfile): HTTP Kinesis endpoint + a
     shared-credentials file (how executor workers, whose env Spark
     controls, get SigV4 material)."""
-    from http.server import ThreadingHTTPServer
-
-    from tests.test_kinesis_wire import _KinesisHandler
+    from pipeline_kinesis_spark.sources.fake_kinesis import (
+        serve_fake_kinesis,
+    )
 
     boto3 = pytest.importorskip("boto3")  # noqa: F841
 
     fake = FakeKinesisClient(
         {"shardId-000": [b"a,1", b"a,2"], "shardId-001": [b"b,5"]}
     )
-    handler = type("H", (_KinesisHandler,), {"fake": fake})
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    srv, url = serve_fake_kinesis(fake)
     cred = tmp_path / "creds"
     cred.write_text(
         "[default]\naws_access_key_id = testing\n"
         "aws_secret_access_key = testing\n"
     )
-    yield fake, f"http://127.0.0.1:{srv.server_address[1]}", str(cred)
+    yield fake, url, str(cred)
     srv.shutdown()
     srv.server_close()
 

@@ -19,120 +19,15 @@ from pipeline_kinesis_spark.sources.kinesis import (
 )
 
 
-class ProvisionedThroughputExceededException(Exception):
-    pass
-
-
-class ExpiredIteratorException(Exception):
-    pass
-
-
-class FakeKinesisClient:
-    """Canned-response Kinesis: shards hold ordered records; iterators
-    encode (shard, offset); reshard() closes parents and adds children."""
-
-    def __init__(self, shards: dict[str, list[bytes]], page_size: int = 100):
-        # shard_id -> list of record payloads (seq = "<shard>-<i>")
-        self.shards = {s: list(rs) for s, rs in shards.items()}
-        self.meta: dict[str, dict] = {s: {} for s in shards}
-        self.closed: set[str] = set()
-        self.page_size = page_size
-        self.throttle_next: int = 0  # fail the next N get_records calls
-        self.expire_next: int = 0
-        self.calls: list[str] = []
-        self.millis_behind: int = 0
-
-    # -- stream mutation hooks --------------------------------------------
-
-    def append(self, shard: str, data: bytes) -> None:
-        self.shards[shard].append(data)
-
-    def reshard(self, parent: str, children: list[str]) -> None:
-        self.closed.add(parent)
-        for c in children:
-            self.shards[c] = []
-            self.meta[c] = {"ParentShardId": parent}
-
-    def merge(self, parents: list[str], child: str) -> None:
-        """Kinesis MergeShards: two adjacent parents close; the child
-        carries ParentShardId + AdjacentParentShardId."""
-        assert len(parents) == 2
-        for p in parents:
-            self.closed.add(p)
-        self.shards[child] = []
-        self.meta[child] = {
-            "ParentShardId": parents[0],
-            "AdjacentParentShardId": parents[1],
-        }
-
-    # -- boto3-shaped API --------------------------------------------------
-
-    def describe_stream(self, StreamName, ExclusiveStartShardId=None):
-        self.calls.append("describe_stream")
-        ids = sorted(self.shards)
-        if ExclusiveStartShardId is not None:
-            ids = [s for s in ids if s > ExclusiveStartShardId]
-        page, rest = ids[: self.page_size], ids[self.page_size:]
-        return {
-            "StreamDescription": {
-                "StreamName": StreamName,
-                "Shards": [
-                    {"ShardId": s, **self.meta.get(s, {})} for s in page
-                ],
-                "HasMoreShards": bool(rest),
-            }
-        }
-
-    def get_shard_iterator(
-        self,
-        StreamName,
-        ShardId,
-        ShardIteratorType,
-        StartingSequenceNumber=None,
-    ):
-        self.calls.append(f"get_shard_iterator:{ShardIteratorType}")
-        n = len(self.shards[ShardId])
-        if ShardIteratorType == "TRIM_HORIZON":
-            off = 0
-        elif ShardIteratorType == "LATEST":
-            off = n
-        elif ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
-            off = int(StartingSequenceNumber.rsplit("-", 1)[1]) + 1
-        else:
-            raise ValueError(ShardIteratorType)
-        return {"ShardIterator": f"{ShardId}@{off}"}
-
-    def get_records(self, ShardIterator, Limit):
-        self.calls.append("get_records")
-        if self.throttle_next > 0:
-            self.throttle_next -= 1
-            raise ProvisionedThroughputExceededException("slow down")
-        if self.expire_next > 0:
-            self.expire_next -= 1
-            raise ExpiredIteratorException("iterator expired")
-        shard, off = ShardIterator.rsplit("@", 1)
-        off = int(off)
-        recs = self.shards[shard][off : off + Limit]
-        new_off = off + len(recs)
-        drained = new_off >= len(self.shards[shard])
-        nxt = (
-            None
-            if (shard in self.closed and drained)
-            else f"{shard}@{new_off}"
-        )
-        return {
-            "Records": [
-                {
-                    "SequenceNumber": f"{shard}-{off + i}",
-                    "PartitionKey": f"pk{off + i}",
-                    "Data": d,
-                    "ApproximateArrivalTimestamp": None,
-                }
-                for i, d in enumerate(recs)
-            ],
-            "NextShardIterator": nxt,
-            "MillisBehindLatest": self.millis_behind,
-        }
+# The fake wire moved into the package (sources/fake_kinesis.py) so the
+# streaming_reshard_counts gate row can drive a real Engine consume loop
+# through it under the DuckDB oracle; re-exported here because five
+# sibling suites import it from this module.
+from pipeline_kinesis_spark.sources.fake_kinesis import (  # noqa: F401
+    ExpiredIteratorException,
+    FakeKinesisClient,
+    ProvisionedThroughputExceededException,
+)
 
 
 def _src(start="trim_horizon", **kw):

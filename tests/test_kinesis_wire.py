@@ -10,9 +10,7 @@ from __future__ import annotations
 
 import base64
 import json
-import threading
 import time
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
 
@@ -24,57 +22,11 @@ from pipeline_kinesis_spark.sources.kinesis import make_boto3_client
 from tests.test_kinesis_protocol import FakeKinesisClient
 
 
-class _KinesisHandler(BaseHTTPRequestHandler):
-    fake: FakeKinesisClient  # class attr, set by the server factory
-
-    def do_POST(self):  # noqa: N802 — http.server API
-        n = int(self.headers.get("Content-Length", 0))
-        body = json.loads(self.rfile.read(n) or b"{}")
-        target = self.headers.get("X-Amz-Target", "").split(".")[-1]
-        try:
-            if target == "DescribeStream":
-                out = self.fake.describe_stream(**body)
-            elif target == "GetShardIterator":
-                out = self.fake.get_shard_iterator(**body)
-            elif target == "GetRecords":
-                raw = self.fake.get_records(**body)
-                recs = [
-                    {
-                        k: v
-                        for k, v in {
-                            **r,
-                            "Data": base64.b64encode(r["Data"]).decode(),
-                        }.items()
-                        if v is not None
-                    }
-                    for r in raw["Records"]
-                ]
-                out = {
-                    k: v
-                    for k, v in {**raw, "Records": recs}.items()
-                    if v is not None
-                }
-            else:
-                raise ValueError(f"unhandled target {target!r}")
-        except Exception as exc:  # fake's typed errors → AWS error shape
-            payload = json.dumps(
-                {"__type": type(exc).__name__, "message": str(exc)}
-            ).encode()
-            self.send_response(400)
-            self.send_header("Content-Type", "application/x-amz-json-1.1")
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
-            return
-        payload = json.dumps(out).encode()
-        self.send_response(200)
-        self.send_header("Content-Type", "application/x-amz-json-1.1")
-        self.send_header("Content-Length", str(len(payload)))
-        self.end_headers()
-        self.wfile.write(payload)
-
-    def log_message(self, *args):  # quiet
-        pass
+# The HTTP front moved into the package (sources/fake_kinesis.py
+# serve_fake_kinesis) so the streaming_datasource_counts gate row can
+# drive the executor-parallel path over real SigV4 HTTP under the
+# DuckDB oracle; sibling suites build their endpoints from it too.
+from pipeline_kinesis_spark.sources.fake_kinesis import serve_fake_kinesis
 
 
 @pytest.fixture
@@ -88,11 +40,8 @@ def wire(monkeypatch):
     fake = FakeKinesisClient(
         {"shardId-000": [b"a,1", b"a,2"], "shardId-001": [b"b,5"]}
     )
-    handler = type("H", (_KinesisHandler,), {"fake": fake})
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
-    t.start()
-    yield fake, f"http://127.0.0.1:{srv.server_address[1]}"
+    srv, url = serve_fake_kinesis(fake)
+    yield fake, url
     srv.shutdown()
     srv.server_close()
 

@@ -126,16 +126,13 @@ def test_datasource_landing_auto_reaps(spark, tmp_path):
     """The executor-parallel path's landing query runs the same
     retention sweep: spool files past spool_keep_seconds disappear
     while ingestion keeps flowing."""
-    import threading
-    from http.server import ThreadingHTTPServer
-
     pytest.importorskip("boto3")
-    from tests.test_kinesis_wire import _KinesisHandler
+    from pipeline_kinesis_spark.sources.fake_kinesis import (
+        serve_fake_kinesis,
+    )
 
     fake = FakeKinesisClient({"shardId-000": [b"a,1", b"a,2"]})
-    handler = type("H", (_KinesisHandler,), {"fake": fake})
-    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    srv, url = serve_fake_kinesis(fake)
     cred = tmp_path / "creds"
     cred.write_text(
         "[default]\naws_access_key_id = testing\n"
@@ -151,7 +148,7 @@ def test_datasource_landing_auto_reaps(spark, tmp_path):
         eng.add_endpoint(
             "ep",
             region="us-east-1",
-            url=f"http://127.0.0.1:{srv.server_address[1]}",
+            url=url,
             credfile=str(cred),
         )
         eng.create_stream("ds_in", "k STRING, v BIGINT")
