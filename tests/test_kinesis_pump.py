@@ -205,3 +205,64 @@ def test_pump_on_round_failure_is_terminal():
     p.run()
     assert isinstance(p.error, RuntimeError)
     assert p.rounds == 0  # round did not count as completed
+
+
+def test_pump_merge_after_split_under_faults_exactly_once(
+    spark, tmp_path
+):
+    """Distilled twin of the streaming_reshard_counts gate row
+    (operators/streaming_gate.py): split -> children drain -> MERGE of
+    the children (the child carries ParentShardId AND
+    AdjacentParentShardId) -> final era lands, with one throttled
+    GetRecords and one expired iterator injected while the post-split
+    era is pending. Every record exactly once across both reshard
+    boundaries and the expiry re-acquire."""
+    fake = FakeKinesisClient(
+        {"shardId-000": [b"a,1", b"a,2"], "shardId-001": [b"b,5"]}
+    )
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+    eng.add_endpoint("ep")
+    eng.register_kinesis_client("ep", fake)
+    eng.create_stream("k_in", "k STRING, v BIGINT")
+    eng.create_continuous_view("k_counts", _VIEW_SQL, stream="k_in")
+    c = eng.consume_begin(
+        "ep", "events", "k_in", fmt="csv", delimiter=",",
+        rate_limit_rps=40,
+    )
+    assert _wait_until(
+        lambda: eng.pump_status().get(c.id, {}).get("records", 0) >= 3
+    ), eng.pump_status()
+
+    # split 000 -> 002/003, era arrives under one throttle + one expiry
+    fake.reshard("shardId-000", ["shardId-002", "shardId-003"])
+    fake.append("shardId-002", b"c,7")
+    fake.append("shardId-003", b"d,11")
+    fake.throttle_next = 1
+    fake.expire_next = 1
+    assert _wait_until(
+        lambda: eng.pump_status()[c.id]["records"] >= 5, timeout=90
+    ), eng.pump_status()
+
+    # merge the split children; the merged shard carries the final era
+    fake.merge(["shardId-002", "shardId-003"], "shardId-004")
+    fake.append("shardId-004", b"e,13")
+    assert _wait_until(
+        lambda: eng.pump_status()[c.id]["records"] >= 6, timeout=90
+    ), eng.pump_status()
+    eng.wait_for_ingest()
+
+    rows = {
+        r.k: (r.n, r.total) for r in eng.view_table("k_counts").collect()
+    }
+    assert rows == {
+        "a": (2, 3), "b": (1, 5), "c": (1, 7), "d": (1, 11), "e": (1, 13),
+    }
+    seqs = [
+        r.sequence_number
+        for r in eng.stream_table("k_in").select("sequence_number").collect()
+    ]
+    assert len(seqs) == 6 and len(set(seqs)) == 6  # exactly once
+    # children of the merge started at TRIM_HORIZON after parents
+    # drained; the expiry re-acquire resumed AFTER a delivered seqnum
+    assert "get_shard_iterator:AFTER_SEQUENCE_NUMBER" in fake.calls
+    eng.consume_end_all()
