@@ -1714,17 +1714,23 @@ def streaming_reshard_counts(
         )
         wait_pumped(c, n0)
         # era 1: split 000 -> 002/003 while 001 stays open; children
-        # must begin (TRIM_HORIZON) only after the parent drains
+        # must begin (TRIM_HORIZON) only after the parent drains.
+        # Wire faults are pinned per-shard (fault_plan, ADVICE r12 —
+        # the old global counters let the pump drain era 1 before the
+        # flags were even set): child 002's FIRST GetRecords throttles
+        # (backoff, then the retry delivers), child 003 expires AFTER
+        # its first delivered page (re-acquire at AFTER_SEQUENCE_NUMBER
+        # of the last delivered seqnum). Plans + appends land before
+        # the pump can discover the children (discovery requires the
+        # closed parent to drain first), so the injection points are
+        # per-run facts, and exactly-once must hold through both.
         fake.reshard("shardId-000", ["shardId-002", "shardId-003"])
+        fake.fault_plan["shardId-002"] = ["throttle"]
+        fake.fault_plan["shardId-003"] = [None, "expire"]
         for d in era1a:
             fake.append("shardId-002", d)
         for d in era1b:
             fake.append("shardId-003", d)
-        # era 1 delivers under wire faults: one throttled GetRecords
-        # (backoff, then retry) and one expired iterator (re-acquire
-        # after the last delivered seqnum) — exactly-once must hold
-        fake.throttle_next = 1
-        fake.expire_next = 1
         wait_pumped(c, n0 + n1)
         # era 2: the children MERGE into 004 (ParentShardId +
         # AdjacentParentShardId lineage), which carries the final era
@@ -1907,25 +1913,32 @@ def streaming_datasource_counts(
                 payload(r)
             )
     fake = FakeKinesisClient(shards)
-    srv, url = serve_fake_kinesis(fake)
-    cred = f"{root}/creds"
-    with open(cred, "w") as f:
-        f.write(
-            "[default]\naws_access_key_id = testing\n"
-            "aws_secret_access_key = testing\n"
-        )
-    eng = Engine(
-        spark,
-        metadata_dir=f"{root}/meta",
-        trigger_interval="50 milliseconds",
-        shuffle_partitions=4,
-    )
     ep, stream, view = (
         f"sdc_ep_{tag}",
         f"sdc_stream_{tag}",
         f"sdc_view_{tag}",
     )
+    # Everything that acquires a resource sits INSIDE the try (ADVICE
+    # r12: a failure between serve_fake_kinesis and the old try block
+    # leaked the HTTP server thread and the temp dir), and the engine's
+    # process-wide AWS_SHARED_CREDENTIALS_FILE is saved/restored rather
+    # than popped (a pre-existing host value must survive this row).
+    prior_cred = os.environ.get("AWS_SHARED_CREDENTIALS_FILE")
+    srv = eng = None
     try:
+        srv, url = serve_fake_kinesis(fake)
+        cred = f"{root}/creds"
+        with open(cred, "w") as f:
+            f.write(
+                "[default]\naws_access_key_id = testing\n"
+                "aws_secret_access_key = testing\n"
+            )
+        eng = Engine(
+            spark,
+            metadata_dir=f"{root}/meta",
+            trigger_interval="50 milliseconds",
+            shuffle_partitions=4,
+        )
         eng.add_endpoint(ep, region="us-east-1", url=url, credfile=cred)
         eng.create_stream(stream, "event_id BIGINT, event_type STRING")
         eng.create_continuous_view(
@@ -1959,10 +1972,15 @@ def streaming_datasource_counts(
         n_arch = eng.stream_table(stream).count()
         rows.append(("__archive_rows__", n_arch, n_arch))
     finally:
-        eng.consume_end_all()
-        srv.shutdown()
-        srv.server_close()
-        os.environ.pop("AWS_SHARED_CREDENTIALS_FILE", None)
+        if eng is not None:
+            eng.consume_end_all()
+        if srv is not None:
+            srv.shutdown()
+            srv.server_close()
+        if prior_cred is None:
+            os.environ.pop("AWS_SHARED_CREDENTIALS_FILE", None)
+        else:
+            os.environ["AWS_SHARED_CREDENTIALS_FILE"] = prior_cred
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(rows, _RESULT_SCHEMA)
 

@@ -38,6 +38,17 @@ class FakeKinesisClient:
         self.page_size = page_size
         self.throttle_next: int = 0  # fail the next N get_records calls
         self.expire_next: int = 0
+        # shard_id -> per-call fault queue: each get_records for that
+        # shard pops one entry — "throttle" / "expire" raise, None
+        # passes through. Unlike the global counters above (which fire
+        # on WHICHEVER shard polls next — fine for chaos, wrong for a
+        # docstring that promises where the fault lands), this pins the
+        # injection to a specific shard AND call ordinal, so e.g. "the
+        # expiry hits child X after its first delivered page" is a
+        # deterministic per-run fact (ADVICE r12: the global form let
+        # the expiry land on a child's FIRST read, where re-acquire has
+        # no last_seq and legitimately falls back to TRIM_HORIZON).
+        self.fault_plan: dict[str, list[str | None]] = {}
         self.calls: list[str] = []
         self.millis_behind: int = 0
 
@@ -47,10 +58,16 @@ class FakeKinesisClient:
         self.shards[shard].append(data)
 
     def reshard(self, parent: str, children: list[str]) -> None:
+        # meta BEFORE shards: describe_stream (pump thread) iterates
+        # self.shards and joins self.meta — a child visible in shards
+        # without its ParentShardId yet would be registered parentless
+        # ONCE by the poller, silently disabling parent-before-child
+        # gating for the run (ADVICE r12). Ordering the dict inserts
+        # closes the window (each assignment is atomic under the GIL).
         self.closed.add(parent)
         for c in children:
-            self.shards[c] = []
             self.meta[c] = {"ParentShardId": parent}
+            self.shards[c] = []
 
     def merge(self, parents: list[str], child: str) -> None:
         """Kinesis MergeShards: two adjacent parents close; the child
@@ -58,11 +75,12 @@ class FakeKinesisClient:
         assert len(parents) == 2
         for p in parents:
             self.closed.add(p)
-        self.shards[child] = []
+        # meta before shards — same describe_stream race as reshard()
         self.meta[child] = {
             "ParentShardId": parents[0],
             "AdjacentParentShardId": parents[1],
         }
+        self.shards[child] = []
 
     # -- boto3-shaped API --------------------------------------------------
 
@@ -110,6 +128,13 @@ class FakeKinesisClient:
             self.expire_next -= 1
             raise ExpiredIteratorException("iterator expired")
         shard, off = ShardIterator.rsplit("@", 1)
+        plan = self.fault_plan.get(shard)
+        if plan:
+            fault = plan.pop(0)
+            if fault == "throttle":
+                raise ProvisionedThroughputExceededException("slow down")
+            if fault == "expire":
+                raise ExpiredIteratorException("iterator expired")
         off = int(off)
         recs = self.shards[shard][off : off + Limit]
         new_off = off + len(recs)

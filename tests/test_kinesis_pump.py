@@ -233,12 +233,18 @@ def test_pump_merge_after_split_under_faults_exactly_once(
         lambda: eng.pump_status().get(c.id, {}).get("records", 0) >= 3
     ), eng.pump_status()
 
-    # split 000 -> 002/003, era arrives under one throttle + one expiry
+    # split 000 -> 002/003, era arrives under one throttle + one expiry.
+    # Faults are pinned per-shard (fault_plan): the global counters let
+    # the expiry land on a child's FIRST GetRecords, where re-acquire
+    # has no last_seq and legitimately falls back to TRIM_HORIZON — so
+    # the AFTER_SEQUENCE_NUMBER assert below could flake (ADVICE r12).
+    # Here 002's first read throttles (backoff then retry), and 003
+    # expires on its SECOND read, after b"d,11" delivered a last_seq.
     fake.reshard("shardId-000", ["shardId-002", "shardId-003"])
+    fake.fault_plan["shardId-002"] = ["throttle"]
+    fake.fault_plan["shardId-003"] = [None, "expire"]
     fake.append("shardId-002", b"c,7")
     fake.append("shardId-003", b"d,11")
-    fake.throttle_next = 1
-    fake.expire_next = 1
     assert _wait_until(
         lambda: eng.pump_status()[c.id]["records"] >= 5, timeout=90
     ), eng.pump_status()
