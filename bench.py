@@ -42,6 +42,7 @@ def gates_main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
+    calib = _cpu_calibration()
     spark = get_spark("bench-gates")
     fns = registry.query_fns()
     warm_dir = "/root/testdata/sf0.001"
@@ -71,9 +72,60 @@ def gates_main() -> None:
                 "n_queries": len(timings),
                 "queries": timings,
                 "loadavg": loadavg,
+                **calib,
             }
         )
     )
+
+
+def _cpu_calibration() -> dict:
+    """Fixed-work single-thread host-speed probe (VERDICT r12 "next
+    round" #3): run immediately before the bench, its wall stamped into
+    the artifact as calib_s so cross-round deltas normalize by MEASURED
+    host speed instead of being inferred from prior-tree A/B reruns
+    (r12's canonical artifact read 1.21x r11 purely from co-tenant
+    load; the unchanged r11 tree benched 2.6x its recorded number on
+    the same box). Three single-threaded components, ~2 s nominal on a
+    quiet host: a SHA-256 stream (~1 GiB; crypto/SIMD core speed), a
+    pure-Python integer loop (interpreter speed — the driver-side
+    overhead bench queries pay), and seeded numpy sorts (memory/cache
+    bandwidth). All fixed-work and seeded; calib_digest must be
+    identical on every host/run — a changed digest means the probe
+    itself changed and calib_s is not comparable."""
+    import hashlib
+
+    import numpy as np
+
+    t0 = time.perf_counter()
+    h = hashlib.sha256(b"pks-calib")
+    buf = h.digest() * 8192  # 256 KiB
+    for _ in range(4000):
+        h.update(buf)
+    hash_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(3_000_000):
+        acc = (acc + i * i) & 0xFFFFFFFF
+    py_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    rng = np.random.default_rng(13)
+    x = rng.random(1_000_000)
+    for _ in range(5):
+        np.sort(x)
+    np_s = time.perf_counter() - t0
+
+    h.update(str(acc).encode())
+    return {
+        "calib_s": round(hash_s + py_s + np_s, 3),
+        "calib_components": {
+            "sha256_s": round(hash_s, 3),
+            "python_loop_s": round(py_s, 3),
+            "numpy_sort_s": round(np_s, 3),
+        },
+        "calib_digest": h.hexdigest()[:12],
+    }
 
 
 def _wait_for_quiet_host(max_wait_s: float) -> float:
@@ -134,6 +186,7 @@ def main() -> None:
     except OSError:
         loadavg_start = None
     contended = bool(loadavg_start) and loadavg_start[0] > 3.0
+    calib = _cpu_calibration()
     if contended:
         print(
             f"WARNING: 1-min load {loadavg_start[0]} > 3 at bench start"
@@ -247,6 +300,12 @@ def main() -> None:
                 # seconds spent waiting for the host to drain before
                 # sampling (0 = already quiet or wait disabled)
                 "quiet_wait_s": round(quiet_waited, 1),
+                # fixed-work single-thread host-speed probe (~2 s
+                # nominal), sampled just before Spark started: divide
+                # two rounds' calib_s to get the host factor between
+                # their artifacts; calib_digest must match across
+                # rounds or calib_s is not comparable
+                **calib,
             }
         )
     )
