@@ -91,32 +91,43 @@ def _cpu_calibration() -> dict:
     overhead bench queries pay), and seeded numpy sorts (memory/cache
     bandwidth). All fixed-work and seeded; calib_digest must be
     identical on every host/run — a changed digest means the probe
-    itself changed and calib_s is not comparable."""
+    itself changed and calib_s is not comparable.
+
+    calib_s is the per-component MIN of two passes: the probe exists to
+    measure the host's intrinsic speed, and contention only ever adds
+    time (the same min-of-N argument as the bench's own timings —
+    observed 2.2 s vs 1.3 s for back-to-back passes on a loaded host)."""
     import hashlib
 
     import numpy as np
 
-    t0 = time.perf_counter()
-    h = hashlib.sha256(b"pks-calib")
-    buf = h.digest() * 8192  # 256 KiB
-    for _ in range(4000):
-        h.update(buf)
-    hash_s = time.perf_counter() - t0
+    def one_pass() -> tuple[float, float, float, str]:
+        t0 = time.perf_counter()
+        h = hashlib.sha256(b"pks-calib")
+        buf = h.digest() * 8192  # 256 KiB
+        for _ in range(4000):
+            h.update(buf)
+        hash_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(3_000_000):
-        acc = (acc + i * i) & 0xFFFFFFFF
-    py_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(3_000_000):
+            acc = (acc + i * i) & 0xFFFFFFFF
+        py_s = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    rng = np.random.default_rng(13)
-    x = rng.random(1_000_000)
-    for _ in range(5):
-        np.sort(x)
-    np_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rng = np.random.default_rng(13)
+        x = rng.random(1_000_000)
+        for _ in range(5):
+            np.sort(x)
+        np_s = time.perf_counter() - t0
 
-    h.update(str(acc).encode())
+        h.update(str(acc).encode())
+        return hash_s, py_s, np_s, h.hexdigest()[:12]
+
+    a, b = one_pass(), one_pass()
+    assert a[3] == b[3], "calibration probe is not deterministic"
+    hash_s, py_s, np_s = (min(x, y) for x, y in zip(a[:3], b[:3]))
     return {
         "calib_s": round(hash_s + py_s + np_s, 3),
         "calib_components": {
@@ -124,7 +135,7 @@ def _cpu_calibration() -> dict:
             "python_loop_s": round(py_s, 3),
             "numpy_sort_s": round(np_s, 3),
         },
-        "calib_digest": h.hexdigest()[:12],
+        "calib_digest": a[3],
     }
 
 
