@@ -176,13 +176,26 @@ def prewarm_datasource(spark: SparkSession):
     return t
 
 
+# The warm query and its wire are deliberately LEFT RUNNING for the
+# session's lifetime: interrupting a Python-DataSource stream via
+# q.stop() intermittently dies with a JVM regex StackOverflowError in
+# the stopping stream thread (observed 1-in-3 on this Spark build —
+# cosmetic, the thread was terminating, but it spews a 1000-frame
+# stack into the driver log). A static 1-shard fake produces no new
+# offsets after the first batch, so the leftover query costs one
+# driver-side latestOffset poll per trigger (2 s) and no new
+# micro-batches; the HTTP server thread is a daemon and the few-KB
+# /tmp state dies with the process. Keeping the references here also
+# pins them from GC.
+_DS_PREWARM_KEEP: list = []
+
+
 def _prewarm_datasource_work(spark: SparkSession) -> None:
     import os
     import time as _t
 
     root = tempfile.mkdtemp(prefix="dswarm_")
     prior_cred = os.environ.get("AWS_SHARED_CREDENTIALS_FILE")
-    srv = q = None
     try:
         from pipeline_kinesis_spark.sources.fake_kinesis import (
             FakeKinesisClient,
@@ -209,9 +222,10 @@ def _prewarm_datasource_work(spark: SparkSession) -> None:
         q = (
             df.writeStream.foreachBatch(lambda b, i: b.count())
             .option("checkpointLocation", f"{root}/ckpt")
-            .trigger(processingTime="100 milliseconds")
+            .trigger(processingTime="2 seconds")
             .start()
         )
+        _DS_PREWARM_KEEP.append((q, srv, fake))
         deadline = _t.monotonic() + 90
         while _t.monotonic() < deadline:
             p = q.lastProgress
@@ -223,22 +237,10 @@ def _prewarm_datasource_work(spark: SparkSession) -> None:
     except Exception:
         pass  # a failed warm must never fail a gate row
     finally:
-        try:
-            if q is not None:
-                q.stop()
-        except Exception:
-            pass
-        try:
-            if srv is not None:
-                srv.shutdown()
-                srv.server_close()
-        except Exception:
-            pass
         if prior_cred is None:
             os.environ.pop("AWS_SHARED_CREDENTIALS_FILE", None)
         else:
             os.environ["AWS_SHARED_CREDENTIALS_FILE"] = prior_cred
-        shutil.rmtree(root, ignore_errors=True)
 
 
 def _as_records(rows, seq_base: int = 0):
@@ -2113,4 +2115,171 @@ WHERE user_id % 101 = 7
 
 QUERIES["streaming_datasource_counts"] = QuerySpec(
     streaming_datasource_counts, STREAMING_DATASOURCE_COUNTS_SQL
+)
+
+
+def streaming_sw_recombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durable sliding-window view: per-step partials, the step reaper,
+    and read-time recombination, oracle-gated end to end (VERDICT r12
+    "next round" #4 — B2sw was the last engine semantic verified only
+    by pytest). PipelineDB's `WITH (sw = ...)` views
+    (pipeline_kinesis--0.9.0.sql TTL/sw view family) keep per-(group,
+    step) partial aggregates; a read answers over the trailing window
+    by recombining the live steps' partials.
+
+    Deterministic with PLANTED ERAS, the streaming_ttl_reap trick —
+    wall-clock never enters the hash because every arrival timestamp is
+    either year 2000 (expired for any plausible 'now' under the 1-hour
+    window + 2-step retention) or year 2099 (inside the trailing window
+    until 2099). The slice splits by event_id % 3:
+
+    - rem 0 → arrival 2000-01-01, batch 1: their steps must be REAPED
+      from the durable store (or never land) — n_steps counts the
+      store's rows, so a surviving expired bucket hash-fails;
+    - rem 1 → arrival 2099-01-01T10:00 + (event_id % 5)*180 s, batch 1:
+      five live steps per group — the read must merge count/sum/max/min
+      partials ACROSS steps (a read that takes one step's partial, or
+      sums a max, hash-fails);
+    - rem 2 → arrival 2099-01-01T10:00 + 540 + (event_id % 2)*180 s,
+      batch 2: lands in steps that ALREADY hold batch-1 partials, above
+      the 2*step watermark — the standing query must merge into
+      existing (group, step) state across micro-batches.
+
+    The result carries the recombined aggregates PLUS n_steps = the
+    durable store's per-group live-bucket count, whose closed form the
+    oracle computes as count(DISTINCT planted-offset) — pinning both
+    the window answer AND the store's per-step granularity. The view is
+    declared through the SQL surface (`WITH (sw, sw_step, materialize,
+    key_cols...)` — engine.create_continuous_view's documented SQL
+    spelling)."""
+    from datetime import datetime, timedelta
+
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 103, 7)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"swr_{tag}_")
+    schema = (
+        "event_type STRING, n_events BIGINT, sum_event_id BIGINT, "
+        "max_event_id BIGINT, min_event_id BIGINT, n_steps BIGINT"
+    )
+    if not ev:
+        return spark.createDataFrame([], schema)
+    t_alive = datetime(2099, 1, 1, 10, 0, 0)
+    t_dead = datetime(2000, 1, 1, 10, 0, 0)
+
+    def arrival(r) -> str:
+        rem = r.event_id % 3
+        if rem == 0:
+            return t_dead.isoformat()
+        if rem == 1:
+            off = (r.event_id % 5) * 180
+        else:
+            off = 540 + (r.event_id % 2) * 180
+        return (t_alive + timedelta(seconds=off)).isoformat()
+
+    def recs(rows, seq_base=0):
+        return [
+            {
+                "data": f"{r.event_id},{r.event_type}",
+                "partition_key": str(r.user_id),
+                "shard_id": f"shardId-{r.user_id % 4:012d}",
+                "sequence_number": f"{seq_base + r.event_id:056d}",
+                "approximate_arrival_timestamp": arrival(r),
+            }
+            for r in rows
+        ]
+
+    write_record_file(
+        f"{root}/events_replay",
+        recs([r for r in ev if r.event_id % 3 in (0, 1)]),
+    )
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    ep, stream, view = (
+        f"swr_ep_{tag}",
+        f"swr_stream_{tag}",
+        f"swr_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        assert eng.execute(
+            f"CREATE CONTINUOUS VIEW {view} WITH (sw = '1 hour', "
+            f"sw_step = '3 minutes', materialize = 'parquet_upsert') AS "
+            f"SELECT event_type, count(*) AS n_events, "
+            f"sum(event_id) AS sum_event_id, "
+            f"max(event_id) AS max_event_id, "
+            f"min(event_id) AS min_event_id "
+            f"FROM {stream} GROUP BY event_type"
+        ) == "success"
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        # batch 2: later-arriving rows merge into EXISTING step state
+        write_record_file(
+            f"{root}/events_replay",
+            recs(
+                [r for r in ev if r.event_id % 3 == 2],
+                seq_base=10**12,
+            ),
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        recombined = {
+            r.event_type: r
+            for r in eng.view_table(view).collect()
+        }
+        # the durable store's live per-step granularity: matrel is the
+        # MVCC-resolved store read (latest version per (group, step) —
+        # a raw parquet read would also count superseded versions of
+        # updated buckets); expired steps must already be reaped
+        steps = {
+            r.event_type: int(r.n_steps)
+            for r in eng.matrel(view)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_steps"))
+            .collect()
+        }
+        rows = [
+            (
+                et,
+                int(r.n_events),
+                int(r.sum_event_id),
+                int(r.max_event_id),
+                int(r.min_event_id),
+                steps.get(et, 0),
+            )
+            for et, r in sorted(recombined.items())
+        ]
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+STREAMING_SW_RECOMBINE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(count(DISTINCT CASE WHEN event_id % 3 = 1
+                                THEN (event_id % 5) * 180
+                                ELSE 540 + (event_id % 2) * 180
+                           END) AS BIGINT) AS n_steps
+FROM events
+WHERE user_id % 103 = 7 AND event_id % 3 IN (1, 2)
+GROUP BY event_type
+"""
+
+QUERIES["streaming_sw_recombine"] = QuerySpec(
+    streaming_sw_recombine, STREAMING_SW_RECOMBINE_SQL
 )

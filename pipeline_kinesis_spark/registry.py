@@ -132,126 +132,82 @@ _WINDOW = 50
 # tools/gate_history.py asserts every oracled registry query has held
 # a driver-green row in some round.
 _PRIORITY = (
-    # Round-12 rotation (VERDICT r11 "Next round" #1): the r05/r06
-    # staleness tail returns — all EIGHTEEN rows gate_history showed
-    # with no driver-green since r05/r06 (stratified_sample at r05, the
-    # rest r06-latest) — plus the NEW streaming_dedup_redelivery row
-    # (verdict #3: B26 stateful dedup under planted wire redelivery,
-    # previously pytest-only) and a 13-row coverage set drawn
-    # stale-first (r07/r08) so every §2 family keeps an in-window rep.
-    # THIRTY-TWO r10/r11 multi-greens retire, each with its family
-    # still represented:
-    #   q6/q12/q22 (TPC-H, r11) -> returning q1 (B12 agg summary +
-    #     date arith), q7 (multi-join volume/year), q2 (correlated
-    #     min-subquery), q4 (EXISTS semi-join — also keeps the B9
-    #     shape in-window)
-    #   join_right_outer/join_full_outer (B8, r11) -> join_left_outer
-    #     returns (r08)
-    #   join_theta_pairs (B10, r11) -> join_range returns (r08)
-    #   set_except (B20, r11) -> set_union_distinct returns (r08)
-    #   agg_stats/agg_salted_skew (B12, r11) -> agg_keyed_minmax +
-    #     agg_corr_regression return (r06); join_salted_skew (r06)
-    #     keeps the salted-skew shape
-    #   bloom/fss/approx_percentile/approx_distinct (B14, r11) ->
-    #     hll_mergeable_distinct (r07) + cms_event_counts (r08) return
-    #   grouping_sets_revenue (B15, r11) -> rollup_revenue returns (r08)
-    #   window_lag_lead (B17, r11) -> window_rank returns (r07)
-    #   sliding_window_agg (B23, r11) -> tumbling_window_agg returns
-    #     (r07)
-    #   cohort_retention (events, r11) -> funnel_conversion returns
-    #     (r07)
-    #   ngram_jaccard_pairs/simhash_planted_capture (C2, r11) ->
-    #     ngram_jaccard_prefix + minhash_lsh_recall return (r06)
-    #   cosine_topk/embedding_centroids/cosine_neardup_pairs (C3, r11)
-    #     -> cosine_topk_ivf_recall + cosine_topk_pq_recall return (r06)
-    #   lang_id_heuristic/tfidf_top_terms/token_stats (C4, r11) ->
-    #     text_normalize + winnow_fingerprint_stats + lm_perplexity
-    #     return (r06)
-    #   corpus_clean/dataset_split/sequence_pack (C6, r11) ->
-    #     curation_report + gopher_repetition + decontaminate_overlap +
-    #     stratified_sample return (r05/r06)
-    #   multimodal_decode_stats/frame_sample/audio_signal_features/
-    #     audio_fingerprint_dedup (C5/C2+, r11) -> multimodal_meta_stats
-    #     + multimodal_features + multimodal_resize return (r06);
-    #     perceptual-media dedup rests on the differential this round
-    #     (image_dhash_dedup r08 is next in the staleness queue)
-    #   scaled_value_pandas (r06) returns alongside staying
-    #     zscore_per_user (B27)
-    # B13 (agg_distinct, r08) and C2-media (image_dhash_dedup, r08)
-    # wait one round — the r05/r06 tail outranked them for slots; both
-    # stay covered by the full differential + pytest.
-    # Late-r12 swap: TWO more engine semantics graduated to oracle
-    # rows mid-round — streaming_ttl_reap (B16's TTL sweep +
-    # pipeline_ttl_expire under planted 2000/2099 eras, so wall-clock
-    # never enters the hash) and streaming_alter_schema (B1's ALTER
-    # STREAM ADD COLUMN across a stop/alter/restart, with the
-    # mergeSchema NULL-fill sentinel). They take the window slots of
-    # q2_min_cost_supplier (TPC-H keeps q1/q7/q4; q2 r08 is next in
-    # the staleness queue) and cms_event_counts (B14 keeps
-    # hll_mergeable_distinct; cms r08 likewise) — both stay in the
-    # full differential and pend for r13.
-    # Late-r12 swap 2: the last two pytest-only INGESTION semantics
-    # graduated to oracle rows — streaming_reshard_counts (A2: shard
-    # split AND merge mid-consume through the full pump protocol,
-    # exactly-once across both reshard boundaries) and
-    # streaming_start_position (A3: after_sequence_number offset
-    # resolution against a closed-form midpoint threshold). They take
-    # the window slots of zscore_per_user (B27 keeps
-    # scaled_value_pandas in-window; zscore is green r02-r11) and
-    # cosine_topk_ivfpq_recall (C7 keeps cosine_topk_pq_recall +
-    # cosine_topk_ivf_recall in-window; ivfpq is green r03-r11) —
-    # both stay in the full differential and pend for r13.
-    # Late-r12 swap 3: streaming_datasource_counts oracle-gates the
-    # EXECUTOR-PARALLEL ingest path (A1's datasource form — GetRecords
-    # on executor tasks over real SigV4 HTTP, 12 shards > MAX_PROCS,
-    # mid-consume appends) — the scale architecture previously
-    # verified only by pytest e2e/soak. It takes the slot of asof_join
-    # (B11), the registry's most multi-green row (r02-r11, ten
-    # straight): as-of rests on the full differential for one round,
-    # tumbling_window_agg keeps the timeseries family in-window.
-    # TPC-H returning rows (stalest first: q1/q7 r07, q4 r08)
-    "q1_pricing_summary", "q7_volume_shipping", "q4_order_priority",
-    # the standing-query engine end-to-end (all eleven r09-r11 rows
-    # stay — the oracle gate on the engine loop is the repo's hardest
-    # evidence — PLUS the new B26 dedup-under-redelivery row)
-    "streaming_view_counts", "streaming_transform_chain",
-    "streaming_restart_counts", "streaming_dead_letter_replay",
-    "streaming_activate_resume", "streaming_osrel_telescope",
-    "streaming_combine_regroup", "streaming_watermark_drop",
+    # Round-13 rotation (VERDICT r12 "Next round" #1 + #4): the seven
+    # r12-new single-green rows HOLD their slots for a second green
+    # (streaming_dedup_redelivery, streaming_ttl_reap,
+    # streaming_alter_schema, streaming_reshard_counts,
+    # streaming_start_position, streaming_datasource_counts, plus the
+    # r11 pair watermark/dim_join/sessionize/stream_join keep the
+    # two-green engine set), the r07/r08 staleness tail returns —
+    # FIFTEEN rows gate_history showed stalest (agg_distinct,
+    # q2_min_cost_supplier, cms_event_counts, image_dhash_dedup,
+    # html_extract_main, case_coalesce, filter_predicates, join_anti,
+    # join_semi, order_limit, scalar_string_funcs, topk_per_group,
+    # combine_regroup, token_count_bpe, text_quality) — and the NEW
+    # streaming_sw_recombine row (verdict #4: B2sw durable
+    # sliding-window step recombination under planted 2000/2099 eras,
+    # the last engine semantic that was pytest-only). SIXTEEN r12
+    # multi-greens retire, each with family coverage preserved:
+    #   q7_volume_shipping / q4_order_priority (TPC-H keeps q1 +
+    #     returning q2; B9's semi/anti shapes return as join_semi /
+    #     join_anti themselves)
+    #   streaming_view_counts / streaming_transform_chain /
+    #     streaming_dead_letter_replay / streaming_activate_resume /
+    #     streaming_osrel_telescope / streaming_combine_regroup (all
+    #     four-green r09-r12; TWELVE streaming-engine rows stay in
+    #     window, and the batch combine_regroup twin returns for the
+    #     combine() arithmetic; A13 dead-letter rests on the full
+    #     differential + test_dead_letter_replay.py for one round)
+    #   hll_mergeable_distinct (B14 <- returning cms_event_counts)
+    #   multimodal_features / multimodal_resize (C5 keeps
+    #     multimodal_meta_stats; media decode also returns in-window
+    #     via image_dhash_dedup)
+    #   text_normalize / winnow_fingerprint_stats / lm_perplexity (C4
+    #     <- returning html_extract_main + token_count_bpe +
+    #     text_quality, three-for-three)
+    #   gopher_repetition / decontaminate_overlap (C6 keeps
+    #     curation_report + stratified_sample)
+    # TPC-H (q1 stays as the flagship agg/date-arith row; q2 returns,
+    # r08-stale, correlated min-subquery)
+    "q1_pricing_summary", "q2_min_cost_supplier",
+    # the standing-query engine: exactly-once restart + the r11
+    # two-green set + all seven r12 single-greens + the NEW sw row
+    "streaming_restart_counts", "streaming_watermark_drop",
     "streaming_dim_join_counts", "streaming_sessionize_payloads",
     "streaming_stream_join_pairs", "streaming_dedup_redelivery",
     "streaming_ttl_reap", "streaming_alter_schema",
     "streaming_reshard_counts", "streaming_start_position",
-    "streaming_datasource_counts",
-    # relational §2B returns (B8/B9-via-q4/B10/B20/B22)
+    "streaming_datasource_counts", "streaming_sw_recombine",
+    # relational §2B: held B8/B10/B20/B22 reps + the returning
+    # r07/r08 tail (B6/B9/B18/B19/B21)
     "join_left_outer", "join_range", "set_union_distinct",
-    "json_extract",
-    # aggregate stats family (B12): the r06 staleness pair + salted
-    # skew join twin
+    "json_extract", "filter_predicates", "join_semi", "join_anti",
+    "order_limit", "topk_per_group", "case_coalesce",
+    "scalar_string_funcs",
+    # aggregate stats family (B12) + B13's returning distinct row
     "agg_keyed_minmax", "agg_corr_regression", "join_salted_skew",
-    # approx aggregates / sketches (B14): the r07 tail
-    "hll_mergeable_distinct",
+    "agg_distinct",
+    # approx aggregates / sketches (B14): cms returns, hll rests
+    "cms_event_counts",
     # grouping sets (B15) + window functions (B17)
     "rollup_revenue", "window_rank",
-    # dedup clustering + tokenizer training + ANN compression (sole
-    # reps) + the r06 ANN recall tail (C3/C7)
+    # dedup clustering + tokenizer training + ANN recall (sole reps)
     "neardup_components", "bpe_train_verify",
     "cosine_topk_ivf_recall", "cosine_topk_pq_recall",
-    # events: funnel returns (r07)
+    # events
     "funnel_conversion",
-    # C5 multimodal: the r06 staleness trio
-    "multimodal_meta_stats", "multimodal_features", "multimodal_resize",
-    # timeseries (B11/B23) + pandas-UDF surface (B27, + returning r06
-    # scaling twin)
-    "tumbling_window_agg",
-    "scaled_value_pandas",
-    # dedup C1 sole rep + C2: the r06 recall tail
+    # C5 multimodal metadata + C2+ media decode dedup (returning)
+    "multimodal_meta_stats", "image_dhash_dedup",
+    # timeseries (B23) + pandas-UDF surface (B27)
+    "tumbling_window_agg", "scaled_value_pandas",
+    # dedup C1 sole rep + C2 recall pair
     "exact_dedup", "ngram_jaccard_prefix", "minhash_lsh_recall",
-    # C4 text analysis: the r06 tail
-    "text_normalize", "winnow_fingerprint_stats", "lm_perplexity",
-    # corpus curation (C6): the r05/r06 tail
-    "curation_report", "gopher_repetition", "decontaminate_overlap",
-    "stratified_sample",
+    # C4 text analysis: the returning r07/r08 tail
+    "html_extract_main", "token_count_bpe", "text_quality",
+    # corpus curation (C6)
+    "curation_report", "stratified_sample",
+    # combine() merge arithmetic (batch twin returns)
+    "combine_regroup",
 )
 
 # The driver checks exactly the first _WINDOW entries of queries();
