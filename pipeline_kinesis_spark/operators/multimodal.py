@@ -848,6 +848,17 @@ def _build_huff_decoder(bits: list[int], vals: list[int], is_dc: bool = False):
     hit = _HUFF_LUT_CACHE.get(key)
     if hit is not None:
         return hit
+    # T.81 C.2 validity: the canonical code space must fit 16 bits and
+    # HUFFVAL must cover every declared code. Without this, a hostile
+    # DHT (e.g. BITS all 255) drives `lo` past the 64 KiB table and the
+    # bytearray slice-assign below silently RESIZES instead of writing
+    # in place — each straddling assign memmoves the whole (growing)
+    # table, a CPU bomb measured at ~53 s for one 2.5 KB payload
+    # (decoder fuzz r13, seed 130816 avi/36/40).
+    if sum(bits) > len(vals):
+        raise ValueError("invalid DHT: BITS declares more codes than HUFFVAL")
+    if sum(n << (16 - length) for length, n in enumerate(bits, 1)) > (1 << 16):
+        raise ValueError("invalid DHT: canonical code space overflows 16 bits")
     import numpy as np
 
     sym = bytearray(1 << 16)

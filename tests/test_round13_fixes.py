@@ -129,3 +129,32 @@ def test_datasource_row_preserves_preexisting_credfile_env(
             os.environ.pop("AWS_SHARED_CREDENTIALS_FILE", None)
         else:
             os.environ["AWS_SHARED_CREDENTIALS_FILE"] = prior
+
+
+def test_hostile_dht_rejected_fast():
+    """Decoder-fuzz r13 finding (seed 130816, avi pass 36 case 40): a
+    DHT whose BITS overflow the canonical 16-bit code space must be
+    rejected up front — building its tables used to resize the 64 KiB
+    lookup bytearray on every straddling slice-assign (O(n^2) memmove,
+    ~53 s CPU for one 2.5 KB payload)."""
+    import time
+
+    import pytest
+
+    from pipeline_kinesis_spark.operators.multimodal import (
+        _build_huff_decoder,
+    )
+
+    t0 = time.process_time()
+    with pytest.raises(ValueError, match="code space"):
+        _build_huff_decoder([255] * 16, list(range(256)) * 16, is_dc=False)
+    with pytest.raises(ValueError, match="BITS declares more"):
+        _build_huff_decoder(
+            [2] + [0] * 15, [0], is_dc=True
+        )
+    assert time.process_time() - t0 < 1.0
+    # a valid K.3-style tiny table still builds
+    sym, ln, tot, val = _build_huff_decoder(
+        [0, 1, 1] + [0] * 13, [3, 7], is_dc=True
+    )
+    assert len(sym) == 1 << 16
