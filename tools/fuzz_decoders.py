@@ -33,6 +33,7 @@ import os
 import resource
 import signal
 import sys
+import time
 
 import numpy as np
 
@@ -189,6 +190,19 @@ def _child(conn, payloads: list[bytes]) -> None:
     conn.close()
 
 
+def _child_cpu_s(pid: int) -> float:
+    """utime+stime of a child from /proc (Linux): lets the parent tell
+    a STARVED child (wall passed, little CPU granted — co-tenant load)
+    from a genuinely stuck one before declaring HANG."""
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            parts = f.read().rsplit(")", 1)[1].split()
+        hz = os.sysconf("SC_CLK_TCK")
+        return (int(parts[11]) + int(parts[12])) / hz
+    except (OSError, IndexError, ValueError):
+        return float("inf")  # can't tell — fall back to the wall verdict
+
+
 def run_codec(codec: str, seeds: list[bytes], n: int, seed: int) -> list[tuple]:
     rng = np.random.default_rng([seed, _codec_key(codec)])
     payloads = [make_case(codec, seeds, rng) for _ in range(n)]
@@ -204,7 +218,45 @@ def run_codec(codec: str, seeds: list[bytes], n: int, seed: int) -> list[tuple]:
         try:
             while last + 1 < n - start:
                 if not parent.poll(TIME_LIMIT_S * 6):
-                    findings.append((codec, start + last + 1, "HANG", ""))
+                    # wall deadline passed without a result. Three
+                    # explanations (r13: the avi DHT bomb was found on
+                    # a host 32-threads-deep in an sf1 sweep — the
+                    # child got so little CPU its ITIMER_VIRTUAL alarm
+                    # couldn't fire inside the wall window):
+                    #   cpu >= limit  -> CPU bomb the alarm failed to
+                    #                    interrupt (stuck in one C
+                    #                    call): a real finding;
+                    #   cpu growing   -> starved, not stuck: extend the
+                    #                    wait (bounded);
+                    #   cpu flat      -> genuinely blocked: HANG.
+                    cpu = _child_cpu_s(proc.pid)
+                    deadline = time.monotonic() + TIME_LIMIT_S * 54
+                    while (
+                        cpu < TIME_LIMIT_S * 1.5
+                        and time.monotonic() < deadline
+                    ):
+                        if parent.poll(TIME_LIMIT_S):
+                            break
+                        cpu2 = _child_cpu_s(proc.pid)
+                        if cpu2 <= cpu + 0.05:
+                            break  # flat CPU: truly blocked
+                        cpu = cpu2
+                    if parent.poll(0):
+                        i, outcome, detail = parent.recv()
+                        last = i
+                        if outcome == "BUG":
+                            findings.append(
+                                (codec, start + i, outcome, detail)
+                            )
+                        continue
+                    findings.append(
+                        (
+                            codec,
+                            start + last + 1,
+                            "HANG",
+                            f"child cpu {cpu:.1f}s",
+                        )
+                    )
                     aborted = True
                     break
                 i, outcome, detail = parent.recv()
