@@ -2283,3 +2283,126 @@ GROUP BY event_type
 QUERIES["streaming_sw_recombine"] = QuerySpec(
     streaming_sw_recombine, STREAMING_SW_RECOMBINE_SQL
 )
+
+
+def streaming_sw_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window count(DISTINCT) via mergeable per-step HLL
+    sketches — PipelineDB's own sw-distinct mechanism (its sw views
+    keep hll partials per step and union at read) — oracle-gated.
+    Registered BELOW the driver window (r14 rotation fodder): the full
+    differential and the sf1 sweep cover it meanwhile.
+
+    The standing query keeps one hll_sketch_agg sketch per (group,
+    step) persisted as a BINARY parquet column in the durable store;
+    the read unions the LIVE steps' sketches before estimating. The
+    planted-era layout is streaming_sw_recombine's (2000 = expired /
+    reaped, 2099 = alive across five steps, batch 2 merges into
+    existing step state), and the distinct column is user_id % 100, so
+    every group's cardinality is bounded at 100 AT ANY SCALE FACTOR —
+    the sketch stays in its exact (coupon/set) regime and the estimate
+    equals DuckDB's count(DISTINCT) exactly. What the hash pins: a
+    value seen in SEVERAL live steps counts once (sketch union, not
+    sum), an expired step's values drop out entirely, and the
+    sketch-typed partials survive the store's MVCC merge cycle."""
+    from datetime import datetime, timedelta
+
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 107, 3)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"swh_{tag}_")
+    schema = "event_type STRING, uniq BIGINT, n_events BIGINT"
+    if not ev:
+        return spark.createDataFrame([], schema)
+    t_alive = datetime(2099, 1, 1, 10, 0, 0)
+    t_dead = datetime(2000, 1, 1, 10, 0, 0)
+
+    def arrival(r) -> str:
+        rem = r.event_id % 3
+        if rem == 0:
+            return t_dead.isoformat()
+        if rem == 1:
+            off = (r.event_id % 5) * 180
+        else:
+            off = 540 + (r.event_id % 2) * 180
+        return (t_alive + timedelta(seconds=off)).isoformat()
+
+    def recs(rows, seq_base=0):
+        return [
+            {
+                "data": (
+                    f"{r.event_id},{r.event_type},{r.user_id % 100}"
+                ),
+                "partition_key": str(r.user_id),
+                "shard_id": f"shardId-{r.user_id % 4:012d}",
+                "sequence_number": f"{seq_base + r.event_id:056d}",
+                "approximate_arrival_timestamp": arrival(r),
+            }
+            for r in rows
+        ]
+
+    write_record_file(
+        f"{root}/events_replay",
+        recs([r for r in ev if r.event_id % 3 in (0, 1)]),
+    )
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    ep, stream, view = (
+        f"swh_ep_{tag}",
+        f"swh_stream_{tag}",
+        f"swh_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(
+            stream, "event_id BIGINT, event_type STRING, u BIGINT"
+        )
+        assert eng.execute(
+            f"CREATE CONTINUOUS VIEW {view} WITH (sw = '1 hour', "
+            f"sw_step = '3 minutes', materialize = 'parquet_upsert') AS "
+            f"SELECT event_type, approx_count_distinct(u) AS uniq, "
+            f"count(*) AS n_events "
+            f"FROM {stream} GROUP BY event_type"
+        ) == "success"
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        # batch 2: more arrivals union into EXISTING step sketches
+        write_record_file(
+            f"{root}/events_replay",
+            recs(
+                [r for r in ev if r.event_id % 3 == 2],
+                seq_base=10**12,
+            ),
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.uniq), int(r.n_events))
+            for r in eng.view_table(view).collect()
+        ]
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+STREAMING_SW_HLL_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id % 100) AS BIGINT) AS uniq,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE user_id % 107 = 3 AND event_id % 3 IN (1, 2)
+GROUP BY event_type
+"""
+
+QUERIES["streaming_sw_hll_distinct"] = QuerySpec(
+    streaming_sw_hll_distinct, STREAMING_SW_HLL_DISTINCT_SQL
+)
