@@ -2406,3 +2406,105 @@ GROUP BY event_type
 QUERIES["streaming_sw_hll_distinct"] = QuerySpec(
     streaming_sw_hll_distinct, STREAMING_SW_HLL_DISTINCT_SQL
 )
+
+
+def streaming_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-framed ingest through the ENGINE, oracle-gated (B3/A6: the
+    reference's COPY ... FORMAT 'json' leg — pipeline_kinesis--0.9.0.sql
+    COPY options — previously csv-only in the oracle rows, json in
+    pytest). Records carry the payload as a JSON object per line
+    (`from_json` parse path, ingest/parse.py:61), including a nested
+    field the projection must reach through, so the row pins: JSON
+    framing, field extraction incl. a nested struct, NULL handling for
+    an absent optional field, and exactly-once landing (archive
+    sentinel). Oracled as the whole-slice GROUP BY with the same
+    even/odd nested arithmetic. Registered BELOW the driver window
+    (r14 rotation fodder); the full differential covers it meanwhile."""
+    import json as _json
+
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 109, 5)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"sji_{tag}_")
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+
+    def rec(r):
+        body = {
+            "event_id": r.event_id,
+            "event_type": r.event_type,
+            "meta": {"user": r.user_id, "flag": r.event_id % 2 == 0},
+        }
+        if r.event_id % 2 == 0:
+            # optional field present on the even half only: the odd
+            # half must land NULL (and sum as zero), not dead-letter
+            body["weight"] = r.event_id % 7
+        return {
+            "data": _json.dumps(body, sort_keys=True),
+            "partition_key": str(r.user_id),
+            "shard_id": f"shardId-{r.user_id % 4:012d}",
+            "sequence_number": f"{r.event_id:056d}",
+        }
+
+    write_record_file(f"{root}/events_replay", [rec(r) for r in ev])
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    stream, view = f"sji_stream_{tag}", f"sji_view_{tag}"
+    try:
+        eng.add_endpoint(f"sji_ep_{tag}", url=root)
+        eng.create_stream(
+            stream,
+            "event_id BIGINT, event_type STRING, "
+            "meta STRUCT<user: BIGINT, flag: BOOLEAN>, weight BIGINT",
+        )
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n_events, "
+            f"sum(meta.user + coalesce(weight, 0)) AS sum_event_id "
+            f"FROM {stream} GROUP BY event_type",
+            stream=stream,
+        )
+        eng.consume_begin(
+            f"sji_ep_{tag}", "events_replay", stream, fmt="json",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(view).collect()
+        ]
+        n_arch = eng.stream_table(stream).count()
+        rows.append(("__archive_rows__", n_arch, n_arch))
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_JSON_INGEST_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(user_id + CASE WHEN event_id % 2 = 0
+                               THEN event_id % 7 ELSE 0 END)
+            AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 109 = 5
+GROUP BY event_type
+UNION ALL
+SELECT '__archive_rows__',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM events
+WHERE user_id % 109 = 5
+"""
+
+QUERIES["streaming_json_ingest"] = QuerySpec(
+    streaming_json_ingest, STREAMING_JSON_INGEST_SQL
+)
