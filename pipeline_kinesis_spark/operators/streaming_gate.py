@@ -2508,3 +2508,103 @@ WHERE user_id % 109 = 5
 QUERIES["streaming_json_ingest"] = QuerySpec(
     streaming_json_ingest, STREAMING_JSON_INGEST_SQL
 )
+
+
+def streaming_rebucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE store rebucket under a standing query, oracle-gated (B16's
+    ops path — engine.rebucket resizes a parquet_upsert view's
+    hash-bucket count through the same two-generation MVCC machinery
+    as the merge, previously verified only by the engine soak). The
+    replay: batch 1 lands through a durable keyed view at the default
+    bucket count, the store is REBUCKETED 4x while the consumer stays
+    live, batch 2 lands into the new layout. The final counts + the
+    archive exactly-once sentinel hash-fail if the whole-store rewrite
+    loses/duplicates a committed partial, if the manifest flip desyncs
+    the hash modulus (a post-rebucket merge would land rows in wrong-
+    generation buckets and double-count keys), or if a batch replays
+    across the swap. Oracled as the whole-slice GROUP BY. Registered
+    BELOW the driver window (r14 rotation fodder)."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 113, 7)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"srb_{tag}_")
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    write_record_file(
+        f"{root}/events_replay",
+        _as_records([r for r in ev if r.event_id % 2 == 0]),
+    )
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    ep, stream, view = (
+        f"srb_ep_{tag}",
+        f"srb_stream_{tag}",
+        f"srb_view_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(stream, "event_id BIGINT, event_type STRING")
+        eng.create_continuous_view(
+            view,
+            f"SELECT event_type, count(*) AS n_events, "
+            f"sum(event_id) AS sum_event_id FROM {stream} "
+            f"GROUP BY event_type",
+            stream=stream,
+            materialize="parquet_upsert",
+            key_cols=["event_type"],
+            upsert_buckets=2,
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        # the ops hammer: resize the live store 2 -> 8 while the
+        # standing query keeps running (merges queue behind the
+        # rewrite on the store mutex and resume on the new layout)
+        eng.rebucket(view, 8)
+        write_record_file(
+            f"{root}/events_replay",
+            _as_records(
+                [r for r in ev if r.event_id % 2 == 1],
+                seq_base=10**12,
+            ),
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(view).collect()
+        ]
+        n_arch = eng.stream_table(stream).count()
+        rows.append(("__archive_rows__", n_arch, n_arch))
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_REBUCKET_COUNTS_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 113 = 7
+GROUP BY event_type
+UNION ALL
+SELECT '__archive_rows__',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM events
+WHERE user_id % 113 = 7
+"""
+
+QUERIES["streaming_rebucket_counts"] = QuerySpec(
+    streaming_rebucket_counts, STREAMING_REBUCKET_COUNTS_SQL
+)
