@@ -2608,3 +2608,88 @@ WHERE user_id % 113 = 7
 QUERIES["streaming_rebucket_counts"] = QuerySpec(
     streaming_rebucket_counts, STREAMING_REBUCKET_COUNTS_SQL
 )
+
+
+def streaming_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-framed ingest through the engine, oracle-gated — completes
+    the COPY-format triple in the oracle rows (csv in most ingest rows,
+    json via streaming_json_ingest, text here; A6/B3,
+    pipeline_kinesis--0.9.0.sql COPY options). fmt='text' lands each
+    record as one `payload` STRING; the standing view then does the
+    splitting in SQL (B5 expression projection over a stream), so the
+    row pins the raw-payload path AND expression evaluation inside a
+    continuous view. Exactly-once via the archive sentinel. Registered
+    BELOW the driver window (r14 rotation fodder)."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 127, 9)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"sti_{tag}_")
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+    write_record_file(
+        f"{root}/events_replay",
+        [
+            {
+                "data": f"{r.event_type}:{r.event_id}",
+                "partition_key": str(r.user_id),
+                "shard_id": f"shardId-{r.user_id % 4:012d}",
+                "sequence_number": f"{r.event_id:056d}",
+            }
+            for r in ev
+        ],
+    )
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    stream, view = f"sti_stream_{tag}", f"sti_view_{tag}"
+    try:
+        eng.add_endpoint(f"sti_ep_{tag}", url=root)
+        eng.create_stream(stream, "payload STRING")
+        eng.create_continuous_view(
+            view,
+            f"SELECT split(payload, ':')[0] AS event_type, "
+            f"count(*) AS n_events, "
+            f"sum(CAST(split(payload, ':')[1] AS BIGINT)) "
+            f"AS sum_event_id FROM {stream} "
+            f"GROUP BY split(payload, ':')[0]",
+            stream=stream,
+        )
+        eng.consume_begin(f"sti_ep_{tag}", "events_replay", stream, fmt="text")
+        eng.wait_for_ingest(timeout_s=180)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(view).collect()
+        ]
+        n_arch = eng.stream_table(stream).count()
+        rows.append(("__archive_rows__", n_arch, n_arch))
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_TEXT_INGEST_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 127 = 9
+GROUP BY event_type
+UNION ALL
+SELECT '__archive_rows__',
+       CAST(count(*) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM events
+WHERE user_id % 127 = 9
+"""
+
+QUERIES["streaming_text_ingest"] = QuerySpec(
+    streaming_text_ingest, STREAMING_TEXT_INGEST_SQL
+)
