@@ -52,6 +52,20 @@ _MODULES = (
 # already verified green follow after.
 _WINDOW = 50
 
+# Oracled queries born AFTER this round's window was frozen: scheduled
+# for the NEXT rotation's driver-green slots. gate_history treats these
+# as pending (same standing as in-window-not-yet-run rows) — but only
+# while they sit here: the next rotation must move them into _PRIORITY
+# and clear this tuple, or gate_history fails loudly. Until then the
+# full sf0.01/sf0.1 differentials and the sf1 sweep carry them (all
+# four verified green there this round).
+_PENDING_NEXT_WINDOW = (
+    "streaming_sw_hll_distinct",   # sw approx-distinct via HLL partials
+    "streaming_json_ingest",       # COPY FORMAT 'json' engine leg
+    "streaming_text_ingest",       # COPY FORMAT 'text' engine leg
+    "streaming_rebucket_counts",   # live MVCC store rebucket mid-consume
+)
+
 # Round-9 rotation (VERDICT r08 "Next round" #2 + #6): retire the
 # r01/r02-only staleness tail. Sixteen rows whose last driver-green
 # round is r01-r03 return to the window:

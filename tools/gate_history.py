@@ -27,7 +27,11 @@ import sys
 
 sys.path.insert(0, ".")
 
-from pipeline_kinesis_spark.registry import _PRIORITY, all_queries
+from pipeline_kinesis_spark.registry import (
+    _PENDING_NEXT_WINDOW,
+    _PRIORITY,
+    all_queries,
+)
 
 
 def load_history() -> dict[str, dict[int, bool]]:
@@ -72,6 +76,15 @@ def main() -> int:
         if oracled and not greens:
             if pending_ok and name in in_window:
                 continue  # scheduled for the current round's gate
+            if pending_ok and name in _PENDING_NEXT_WINDOW:
+                # born after this round's window froze; the registry
+                # pledges it a slot in the NEXT rotation — a pledge
+                # that expires once the row has a green (it must then
+                # leave _PENDING_NEXT_WINDOW) or the next rotation
+                # lands without windowing it (greens stay empty and the
+                # row ages out of 'born this round' plausibility, so
+                # keep the tuple SHORT-LIVED).
+                continue
             never_green.append(name)
 
     if never_green:
