@@ -239,6 +239,15 @@ def all_queries() -> dict[str, QuerySpec]:
     missing = [n for n in _PRIORITY if n not in merged]
     if missing:
         raise ValueError(f"priority entries not registered: {missing}")
+    # a pledged row must be a real, oracled, below-window query — a
+    # typo here would silently satisfy gate_history's coverage check
+    bad = [
+        n
+        for n in _PENDING_NEXT_WINDOW
+        if n in _PRIORITY or merged.get(n) is None or merged[n].oracle is None
+    ]
+    if bad:
+        raise ValueError(f"invalid pending-window pledges: {bad}")
     out = {n: merged[n] for n in _PRIORITY}
     out.update({n: s for n, s in merged.items() if n not in out})
     return out
