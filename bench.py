@@ -126,7 +126,18 @@ def _cpu_calibration() -> dict:
         return hash_s, py_s, np_s, h.hexdigest()[:12]
 
     a, b = one_pass(), one_pass()
-    assert a[3] == b[3], "calibration probe is not deterministic"
+    # A digest mismatch means the probe itself misbehaved and calib_s
+    # is not cross-comparable — record that fact IN the artifact and
+    # keep benching (ADVICE r13 #4: the old assert both vanished under
+    # python -O and, had it fired, aborted the whole run — the
+    # opposite of making artifacts self-describing).
+    deterministic = a[3] == b[3]
+    if not deterministic:
+        print(
+            f"WARNING: calibration digests differ ({a[3]} vs {b[3]}) — "
+            "calib_s stamped non-comparable",
+            file=sys.stderr,
+        )
     hash_s, py_s, np_s = (min(x, y) for x, y in zip(a[:3], b[:3]))
     return {
         "calib_s": round(hash_s + py_s + np_s, 3),
@@ -135,8 +146,46 @@ def _cpu_calibration() -> dict:
             "python_loop_s": round(py_s, 3),
             "numpy_sort_s": round(np_s, 3),
         },
-        "calib_digest": a[3],
+        "calib_digest": a[3] if deterministic else None,
+        "calib_digests_raw": [a[3], b[3]],
+        "calib_deterministic": deterministic,
     }
+
+
+# Canonical quiet-host calibration figure (VERDICT r13 "next round"
+# #3/#4): the r13 round's quiet same-box probes read 1.147-1.318 s;
+# 1.147 is the canonical quiet envelope. total_normalized_s in the
+# artifact is total_raw_s x (CALIB_REF_S / calib_s), so a contended
+# driver run (r13's probe read 1.749 on a loadavg-0.07 host) can never
+# masquerade as a code regression. Only comparable while calib_digest
+# stays c5a4b1d81937.
+CALIB_REF_S = 1.147
+
+
+def _calib_gated_start(max_wait_s: float) -> tuple[dict, float, bool]:
+    """Run the calibration probe BEFORE the suite and use IT as the
+    admission check (VERDICT r13 #4: r13's artifact read
+    contended_start=false from a 0.07 loadavg yet calibrated 1.5x slow
+    — co-tenant steal doesn't show in this box's loadavg). If calib_s
+    exceeds 1.25x the canonical quiet figure, wait and re-probe until
+    it drops or the budget runs out; the best probe is stamped.
+    Returns (calib dict, seconds waited, still-contended?)."""
+    waited = 0.0
+    best = _cpu_calibration()
+    while best["calib_s"] > 1.25 * CALIB_REF_S and waited < max_wait_s:
+        print(
+            f"bench: calib_s {best['calib_s']:.3f} > "
+            f"{1.25 * CALIB_REF_S:.3f} (1.25x quiet ref) — host is "
+            f"contended; re-probing ({max_wait_s - waited:.0f}s budget "
+            "left)",
+            file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
+        probe = _cpu_calibration()
+        if probe["calib_s"] < best["calib_s"]:
+            best = probe
+    return best, waited, best["calib_s"] > 1.25 * CALIB_REF_S
 
 
 def _wait_for_quiet_host(max_wait_s: float) -> float:
@@ -196,14 +245,24 @@ def main() -> None:
         loadavg_start = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         loadavg_start = None
-    contended = bool(loadavg_start) and loadavg_start[0] > 3.0
-    calib = _cpu_calibration()
+    # Admission is gated on the calibration PROBE, not loadavg (VERDICT
+    # r13 #4): this box's loadavg misses co-tenant steal (r13 read 0.07
+    # while calibrating 1.5x slow). Re-probe until quiet or budget out.
+    calib, calib_waited, calib_contended = _calib_gated_start(
+        max(quiet_wait_budget - quiet_waited, 0.0)
+    )
+    quiet_waited += calib_waited
+    contended = (
+        calib_contended
+        or (bool(loadavg_start) and loadavg_start[0] > 3.0)
+    )
     if contended:
         print(
-            f"WARNING: 1-min load {loadavg_start[0]} > 3 at bench start"
-            f" even after waiting {quiet_waited:.0f}s —"
-            " sample will be stamped contended_start; rerun on a quiet"
-            " host for a comparable artifact",
+            f"WARNING: host still contended at bench start (calib_s "
+            f"{calib['calib_s']}, 1-min load "
+            f"{loadavg_start[0] if loadavg_start else 'n/a'}) after "
+            f"waiting {quiet_waited:.0f}s — sample stamped "
+            "contended_start; total_normalized_s remains comparable",
             file=sys.stderr,
         )
     spark = get_spark("bench")
@@ -261,12 +320,25 @@ def main() -> None:
     except OSError:
         loadavg = None
 
+    total_raw = round(sum(timings.values()), 3)
+    # Host-normalized headline (VERDICT r13 #3): raw wall x the
+    # measured host factor vs the canonical quiet box. Divide-compare
+    # total_normalized_s across rounds; total_raw_s is this host, this
+    # moment. Valid only while calib_digest matches CALIB_REF_S's era.
+    norm = (
+        round(total_raw * CALIB_REF_S / calib["calib_s"], 3)
+        if calib.get("calib_deterministic") and calib["calib_s"] > 0
+        else None
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
+                "value": total_raw,
                 "unit": "sec",
+                "total_raw_s": total_raw,
+                "calib_ref_s": CALIB_REF_S,
+                "total_normalized_s": norm,
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
@@ -293,11 +365,12 @@ def main() -> None:
                     "informational (r01-r10 artifacts reported the "
                     "cold shot under the headline key)"
                 ),
-                # schema v2 (ADVICE r11 #3): marks the r11 semantics
-                # change of ingest_records_per_s (cold single-shot ->
-                # warm median-of-3) so field-name comparisons across
-                # rounds can attribute the step change; v1 = r01-r10.
-                "bench_schema_version": 2,
+                # schema v2 (ADVICE r11 #3): r11 ingest stat semantics
+                # change (cold single-shot -> warm median-of-3);
+                # v3 (r14): calib-GATED start + total_raw_s /
+                # total_normalized_s / calib_ref_s keys ("value" stays
+                # the raw total for cross-round field compatibility).
+                "bench_schema_version": 3,
                 # provenance: numbers comparable only within one boot;
                 # loadavg (1/5/15 min, sampled at END of run) >~2 means
                 # a contended host inflated the samples

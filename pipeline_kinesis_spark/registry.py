@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pipeline_kinesis_spark.operators import QuerySpec, release_stale_caches
 from pipeline_kinesis_spark.shipping import ship_package
+from pipeline_kinesis_spark.gates import streaming as streaming_gate
 from pipeline_kinesis_spark.operators import (
     bpe,
     dedup,
@@ -22,7 +23,6 @@ from pipeline_kinesis_spark.operators import (
     relational,
     similarity,
     sketches,
-    streaming_gate,
     textops,
     timeseries,
     tpch,
@@ -53,18 +53,15 @@ _MODULES = (
 _WINDOW = 50
 
 # Oracled queries born AFTER this round's window was frozen: scheduled
-# for the NEXT rotation's driver-green slots. gate_history treats these
-# as pending (same standing as in-window-not-yet-run rows) — but only
-# while they sit here: the next rotation must move them into _PRIORITY
-# and clear this tuple, or gate_history fails loudly. Until then the
-# full sf0.01/sf0.1 differentials and the sf1 sweep carry them (all
-# four verified green there this round).
-_PENDING_NEXT_WINDOW = (
-    "streaming_sw_hll_distinct",   # sw approx-distinct via HLL partials
-    "streaming_json_ingest",       # COPY FORMAT 'json' engine leg
-    "streaming_text_ingest",       # COPY FORMAT 'text' engine leg
-    "streaming_rebucket_counts",   # live MVCC store rebucket mid-consume
-)
+# for the NEXT rotation's driver-green slots, as {name: round pledged}.
+# gate_history treats these as pending (same standing as
+# in-window-not-yet-run rows) — but a pledge EXPIRES: once correctness
+# history contains a round newer than pledge_round + 1 with the row
+# still pledged and never green, gate_history fails loudly (ADVICE r13
+# #3 — an open-ended pledge exempted a never-green row indefinitely).
+# Until rotation, the full sf0.01/sf0.1 differentials and the sf1 sweep
+# carry pledged rows. r14 rotated the four r13 pledges into _PRIORITY.
+_PENDING_NEXT_WINDOW: dict[str, int] = {}
 
 # Round-9 rotation (VERDICT r08 "Next round" #2 + #6): retire the
 # r01/r02-only staleness tail. Sixteen rows whose last driver-green
@@ -146,83 +143,94 @@ _PENDING_NEXT_WINDOW = (
 # tools/gate_history.py asserts every oracled registry query has held
 # a driver-green row in some round.
 _PRIORITY = (
-    # Round-13 rotation (VERDICT r12 "Next round" #1 + #4): the seven
-    # r12-new single-green rows HOLD their slots for a second green
-    # (streaming_dedup_redelivery, streaming_ttl_reap,
-    # streaming_alter_schema, streaming_reshard_counts,
-    # streaming_start_position, streaming_datasource_counts, plus the
-    # r11 pair watermark/dim_join/sessionize/stream_join keep the
-    # two-green engine set), the r07/r08 staleness tail returns —
-    # FIFTEEN rows gate_history showed stalest (agg_distinct,
-    # q2_min_cost_supplier, cms_event_counts, image_dhash_dedup,
-    # html_extract_main, case_coalesce, filter_predicates, join_anti,
-    # join_semi, order_limit, scalar_string_funcs, topk_per_group,
-    # combine_regroup, token_count_bpe, text_quality) — and the NEW
-    # streaming_sw_recombine row (verdict #4: B2sw durable
-    # sliding-window step recombination under planted 2000/2099 eras,
-    # the last engine semantic that was pytest-only). SIXTEEN r12
-    # multi-greens retire, each with family coverage preserved:
-    #   q7_volume_shipping / q4_order_priority (TPC-H keeps q1 +
-    #     returning q2; B9's semi/anti shapes return as join_semi /
-    #     join_anti themselves)
-    #   streaming_view_counts / streaming_transform_chain /
-    #     streaming_dead_letter_replay / streaming_activate_resume /
-    #     streaming_osrel_telescope / streaming_combine_regroup (all
-    #     four-green r09-r12; TWELVE streaming-engine rows stay in
-    #     window, and the batch combine_regroup twin returns for the
-    #     combine() arithmetic; A13 dead-letter rests on the full
-    #     differential + test_dead_letter_replay.py for one round)
-    #   hll_mergeable_distinct (B14 <- returning cms_event_counts)
-    #   multimodal_features / multimodal_resize (C5 keeps
-    #     multimodal_meta_stats; media decode also returns in-window
-    #     via image_dhash_dedup)
-    #   text_normalize / winnow_fingerprint_stats / lm_perplexity (C4
-    #     <- returning html_extract_main + token_count_bpe +
-    #     text_quality, three-for-three)
-    #   gopher_repetition / decontaminate_overlap (C6 keeps
-    #     curation_report + stratified_sample)
-    # TPC-H (q1 stays as the flagship agg/date-arith row; q2 returns,
-    # r08-stale, correlated min-subquery)
-    "q1_pricing_summary", "q2_min_cost_supplier",
-    # the standing-query engine: exactly-once restart + the r11
-    # two-green set + all seven r12 single-greens + the NEW sw row
-    "streaming_restart_counts", "streaming_watermark_drop",
-    "streaming_dim_join_counts", "streaming_sessionize_payloads",
-    "streaming_stream_join_pairs", "streaming_dedup_redelivery",
-    "streaming_ttl_reap", "streaming_alter_schema",
-    "streaming_reshard_counts", "streaming_start_position",
-    "streaming_datasource_counts", "streaming_sw_recombine",
-    # relational §2B: held B8/B10/B20/B22 reps + the returning
-    # r07/r08 tail (B6/B9/B18/B19/B21)
-    "join_left_outer", "join_range", "set_union_distinct",
-    "json_extract", "filter_predicates", "join_semi", "join_anti",
-    "order_limit", "topk_per_group", "case_coalesce",
-    "scalar_string_funcs",
-    # aggregate stats family (B12) + B13's returning distinct row
-    "agg_keyed_minmax", "agg_corr_regression", "join_salted_skew",
-    "agg_distinct",
-    # approx aggregates / sketches (B14): cms returns, hll rests
-    "cms_event_counts",
-    # grouping sets (B15) + window functions (B17)
-    "rollup_revenue", "window_rank",
-    # dedup clustering + tokenizer training + ANN recall (sole reps)
-    "neardup_components", "bpe_train_verify",
-    "cosine_topk_ivf_recall", "cosine_topk_pq_recall",
-    # events
-    "funnel_conversion",
-    # C5 multimodal metadata + C2+ media decode dedup (returning)
-    "multimodal_meta_stats", "image_dhash_dedup",
-    # timeseries (B23) + pandas-UDF surface (B27)
-    "tumbling_window_agg", "scaled_value_pandas",
-    # dedup C1 sole rep + C2 recall pair
-    "exact_dedup", "ngram_jaccard_prefix", "minhash_lsh_recall",
-    # C4 text analysis: the returning r07/r08 tail
-    "html_extract_main", "token_count_bpe", "text_quality",
-    # corpus curation (C6)
-    "curation_report", "stratified_sample",
-    # combine() merge arithmetic (batch twin returns)
-    "combine_regroup",
+    # Round-14 rotation (VERDICT r13 "Next round" #1 + #2 + #6):
+    #
+    # IN — the four r13 pledges, never driver-green, now windowed
+    # (streaming_json_ingest / streaming_text_ingest /
+    # streaming_rebucket_counts / streaming_sw_hll_distinct — clears
+    # _PENDING_NEXT_WINDOW), the NEW streaming_sw_percentile row
+    # (verdict #6: KLL sw-percentile gated in its exact regime), the
+    # r13 single-green streaming_sw_recombine held for a second green,
+    # and the staleness tail: every oracled row whose last green is
+    # r08 or older returns (pii_redact r06; agg_exact_percentiles /
+    # crossdoc_span_dup / doc_chunk_overlap / domain_balance /
+    # embedding_neardup_clusters / unpivot_lineitem_measures r07;
+    # value_histogram / window_range_frame r08 — verdict #2's bound:
+    # after this round no oracled row is staler than five rounds),
+    # plus 14 of the 17 r09 rows and the r10/r11 mid-tail
+    # (window_distribution, combine_percentile_regroup,
+    # cosine_topk_lsh_recall explicitly named by verdict #2).
+    #
+    # HELD — engine families that would otherwise lose their only
+    # in-window rep: streaming_watermark_drop (B25),
+    # streaming_sessionize_payloads (B24), streaming_dedup_redelivery
+    # (B26); sole-family reps q1_pricing_summary (flagship),
+    # json_extract (B22), exact_dedup (C1), bpe_train_verify (C9),
+    # neardup_components (C8), asof_join (B11, returning r11).
+    #
+    # OUT — multi-green r12/r13 rows, each with family coverage
+    # preserved in-window: q2 (TPC-H keeps q1/q3/q5/q13/q16/q21/q18/
+    # q10), streaming_restart/dim_join/stream_join/ttl_reap/
+    # alter_schema/reshard/start_position/datasource (2-5 greens each;
+    # engine end-to-end stays via the six new/held streaming rows,
+    # B11 stream-join shape via asof_join, TTL via the sw reaper
+    # rows), join_left_outer (q13), join_range (join_theta_pairs
+    # returns for B10), set_union_distinct (set_intersect),
+    # filter_predicates/join_semi/join_anti (q21 exists + q16 NOT IN),
+    # order_limit/topk_per_group (q3/q10/q18 + window_distribution),
+    # case_coalesce/scalar_string_funcs (scalar_datetime_funcs +
+    # doc_fingerprint string exprs), agg_keyed_minmax/
+    # agg_corr_regression/join_salted_skew/agg_distinct (B12/B13 via
+    # q1, agg_percentile, value_histogram, q16), cms_event_counts
+    # (theta_set_overlap), rollup_revenue (cube_orders), window_rank
+    # (window_distribution + window_range_frame), cosine_topk_ivf/
+    # pq_recall (cosine_topk_lsh_recall), funnel_conversion
+    # (cohort_retention), multimodal_meta_stats/image_dhash_dedup
+    # (image_resize_stats + multimodal_video_stats +
+    # multimodal_audio_stats), tumbling_window_agg (the three sw
+    # rows), scaled_value_pandas (zscore_per_user), ngram_jaccard_
+    # prefix/minhash_lsh_recall (embedding_neardup_clusters +
+    # crossdoc_span_dup + dedup_spans_rewrite), html_extract_main/
+    # token_count_bpe/text_quality (ngram_top_bigrams +
+    # doc_fingerprint), curation_report/stratified_sample (pii_redact
+    # + domain_balance + stratified_sample_hash), combine_regroup
+    # (combine_percentile_regroup carries combine() arithmetic).
+    # Three r09 rows stay out one more round within the five-round
+    # bound (scalar_math_funcs, q8_market_share, srt_caption_stats —
+    # r15 rotation fodder with the remaining r10 tail).
+    "q1_pricing_summary",
+    # the standing-query engine: four pledges + the new KLL row + the
+    # held single-green sw row + the B24/B25/B26 family reps
+    "streaming_json_ingest", "streaming_text_ingest",
+    "streaming_rebucket_counts", "streaming_sw_hll_distinct",
+    "streaming_sw_percentile", "streaming_sw_recombine",
+    "streaming_watermark_drop", "streaming_sessionize_payloads",
+    "streaming_dedup_redelivery",
+    # staleness tail, last green <= r08 (verdict #2 hard bound)
+    "pii_redact", "agg_exact_percentiles", "crossdoc_span_dup",
+    "doc_chunk_overlap", "domain_balance",
+    "embedding_neardup_clusters", "unpivot_lineitem_measures",
+    "value_histogram", "window_range_frame",
+    # r09 refreshers
+    "cosine_topk_lsh_recall", "cube_orders", "dedup_spans_rewrite",
+    "image_resize_stats", "multimodal_audio_stats",
+    "ngram_top_bigrams", "q13_customer_distribution",
+    "q16_supplier_cnt", "q21_waiting_suppliers",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "scalar_datetime_funcs", "set_intersect",
+    "stratified_sample_hash",
+    # r10/r11 mid-tail + returning family reps
+    "window_distribution", "combine_percentile_regroup",
+    "theta_set_overlap", "multimodal_video_stats",
+    "pivot_priority_by_year", "doc_fingerprint", "agg_percentile",
+    "q18_large_volume_customer", "q10_returned_items",
+    "join_theta_pairs", "asof_join", "zscore_per_user",
+    "cohort_retention",
+    # sole-family holds
+    "json_extract", "exact_dedup", "bpe_train_verify",
+    "neardup_components",
 )
+
 
 # The driver checks exactly the first _WINDOW entries of queries();
 # overflow would silently push curated entries out of the gate.

@@ -9,7 +9,7 @@ DescribeStream — so split/merge draining, iterator follow, throttle
 backoff and expiry re-acquisition are all drivable without AWS.
 
 Lives in the package (not tests/) because the replay gate row
-`streaming_reshard_counts` (operators/streaming_gate.py) drives a real
+`streaming_reshard_counts` (gates/streaming.py) drives a real
 Engine consume loop through this wire under the DuckDB oracle; the
 pytest suites import it from here too.
 """

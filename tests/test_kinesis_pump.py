@@ -211,7 +211,7 @@ def test_pump_merge_after_split_under_faults_exactly_once(
     spark, tmp_path
 ):
     """Distilled twin of the streaming_reshard_counts gate row
-    (operators/streaming_gate.py): split -> children drain -> MERGE of
+    (gates/streaming.py): split -> children drain -> MERGE of
     the children (the child carries ParentShardId AND
     AdjacentParentShardId) -> final era lands, with one throttled
     GetRecords and one expired iterator injected while the post-split

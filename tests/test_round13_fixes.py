@@ -113,7 +113,7 @@ def test_datasource_row_preserves_preexisting_credfile_env(
     """VERDICT r12 #3 / ADVICE #4: a host-level
     AWS_SHARED_CREDENTIALS_FILE must survive the datasource gate row
     (the old finally popped it unconditionally)."""
-    from pipeline_kinesis_spark.operators.streaming_gate import (
+    from pipeline_kinesis_spark.gates.streaming import (
         streaming_datasource_counts,
     )
 

@@ -78,13 +78,22 @@ def main() -> int:
                 continue  # scheduled for the current round's gate
             if pending_ok and name in _PENDING_NEXT_WINDOW:
                 # born after this round's window froze; the registry
-                # pledges it a slot in the NEXT rotation — a pledge
-                # that expires once the row has a green (it must then
-                # leave _PENDING_NEXT_WINDOW) or the next rotation
-                # lands without windowing it (greens stay empty and the
-                # row ages out of 'born this round' plausibility, so
-                # keep the tuple SHORT-LIVED).
-                continue
+                # pledges it a slot in the NEXT rotation. The pledge
+                # EXPIRES (ADVICE r13 #3): if correctness history
+                # already holds a round newer than pledge_round + 1
+                # and the row is still pledged-never-green, the
+                # rotation that was supposed to window it has come and
+                # gone — fail instead of exempting it forever.
+                pledge_round = _PENDING_NEXT_WINDOW[name]
+                latest = max(
+                    (r for rs in hist.values() for r in rs), default=0
+                )
+                if latest <= pledge_round + 1:
+                    continue
+                print(
+                    f"STALE PLEDGE: {name} pledged in r{pledge_round} "
+                    f"but history reaches r{latest} with no green"
+                )
             never_green.append(name)
 
     if never_green:
