@@ -2310,8 +2310,8 @@ def streaming_sw_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window count(DISTINCT) via mergeable per-step HLL
     sketches — PipelineDB's own sw-distinct mechanism (its sw views
     keep hll partials per step and union at read) — oracle-gated.
-    Registered BELOW the driver window (r14 rotation fodder): the full
-    differential and the sf1 sweep cover it meanwhile.
+    In the driver window since the r14 rotation (r13 pledge honored);
+    the full differential and the sf1 sweep cover it besides.
 
     The standing query keeps one hll_sketch_agg sketch per (group,
     step) persisted as a BINARY parquet column in the durable store;
@@ -2446,8 +2446,9 @@ def streaming_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     framing, field extraction incl. a nested struct, NULL handling for
     an absent optional field, and exactly-once landing (archive
     sentinel). Oracled as the whole-slice GROUP BY with the same
-    even/odd nested arithmetic. Registered BELOW the driver window
-    (r14 rotation fodder); the full differential covers it meanwhile."""
+    even/odd nested arithmetic. In the driver window since the r14
+    rotation (r13 pledge honored); the full differential covers it
+    besides."""
     import json as _json
 
     from pipeline_kinesis_spark.engine import Engine
@@ -2551,7 +2552,8 @@ def streaming_rebucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash modulus (a post-rebucket merge would land rows in wrong-
     generation buckets and double-count keys), or if a batch replays
     across the swap. Oracled as the whole-slice GROUP BY. Registered
-    BELOW the driver window (r14 rotation fodder)."""
+    in the driver window since the r14 rotation (r13 pledge
+    honored)."""
     from pipeline_kinesis_spark.engine import Engine
     from pipeline_kinesis_spark.sources.file_replay import (
         write_record_file,
@@ -2647,7 +2649,8 @@ def streaming_text_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     splitting in SQL (B5 expression projection over a stream), so the
     row pins the raw-payload path AND expression evaluation inside a
     continuous view. Exactly-once via the archive sentinel. Registered
-    BELOW the driver window (r14 rotation fodder)."""
+    in the driver window since the r14 rotation (r13 pledge
+    honored)."""
     from pipeline_kinesis_spark.engine import Engine
     from pipeline_kinesis_spark.sources.file_replay import (
         write_record_file,

@@ -1,0 +1,129 @@
+"""Round-14 regressions: prewarm keying, pledge hygiene, calib
+recording, and the KLL sw-percentile row's exact-regime bound."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+
+def test_prewarm_keyed_per_live_session(monkeypatch):
+    """ADVICE r13 #2: the once-only guard must be keyed on the session
+    OBJECT (weakly), not id() — alternating between two live sessions
+    must reuse each session's own warm thread instead of clearing and
+    re-warming (which leaked a running query + HTTP server per
+    re-entry)."""
+    from pipeline_kinesis_spark.gates import streaming as g
+
+    started = []
+    monkeypatch.setattr(
+        g, "_prewarm_datasource_work", lambda spark: started.append(spark)
+    )
+
+    class FakeSession:  # weakref-able stand-in; prewarm only keys on it
+        pass
+
+    s1, s2 = FakeSession(), FakeSession()
+    t1 = g.prewarm_datasource(s1)
+    t2 = g.prewarm_datasource(s2)
+    # alternation: both sessions keep their own thread, nothing re-warms
+    assert g.prewarm_datasource(s1) is t1
+    assert g.prewarm_datasource(s2) is t2
+    assert g.prewarm_datasource(s1) is t1
+    t1.join(5), t2.join(5)
+    assert len(started) == 2
+
+
+def test_prewarm_work_never_touches_driver_env(monkeypatch):
+    """ADVICE r13 #1: the warm thread must not save/restore
+    AWS_SHARED_CREDENTIALS_FILE in the driver process — a late finally
+    wrote back a value captured minutes earlier, racing gate rows."""
+    import inspect
+    import os
+
+    from pipeline_kinesis_spark.gates import streaming as g
+
+    src = inspect.getsource(g._prewarm_datasource_work)
+    assert "environ" not in src, (
+        "_prewarm_datasource_work must not touch os.environ "
+        "(stale-restore race, ADVICE r13 #1)"
+    )
+    # and running it against a dead-end session leaves env untouched
+    sentinel = "/nonexistent/creds-sentinel"
+    prior = os.environ.get("AWS_SHARED_CREDENTIALS_FILE")
+    os.environ["AWS_SHARED_CREDENTIALS_FILE"] = sentinel
+    try:
+        g._prewarm_datasource_work(None)  # fails inside, swallowed
+        assert os.environ["AWS_SHARED_CREDENTIALS_FILE"] == sentinel
+    finally:
+        if prior is None:
+            os.environ.pop("AWS_SHARED_CREDENTIALS_FILE", None)
+        else:
+            os.environ["AWS_SHARED_CREDENTIALS_FILE"] = prior
+
+
+def test_pending_window_pledges_carry_rounds():
+    """ADVICE r13 #3: pledges are {name: pledge_round} so gate_history
+    can expire them; a pledged name must be a real oracled below-window
+    query (registry assembly validates)."""
+    from pipeline_kinesis_spark import registry
+
+    assert isinstance(registry._PENDING_NEXT_WINDOW, dict)
+    for name, rnd in registry._PENDING_NEXT_WINDOW.items():
+        assert isinstance(rnd, int) and rnd >= 14, (name, rnd)
+    # r14 rotated the four r13 pledges in — the dict starts empty and
+    # all four ride the window now
+    for name in (
+        "streaming_json_ingest",
+        "streaming_text_ingest",
+        "streaming_rebucket_counts",
+        "streaming_sw_hll_distinct",
+    ):
+        assert name in registry._PRIORITY
+
+
+def test_calibration_records_determinism_instead_of_asserting():
+    """ADVICE r13 #4: a calib digest mismatch must stamp the artifact,
+    not abort the bench (and not vanish under -O)."""
+    import bench
+
+    calib = bench._cpu_calibration()
+    assert set(calib) >= {
+        "calib_s",
+        "calib_digest",
+        "calib_digests_raw",
+        "calib_deterministic",
+    }
+    assert calib["calib_deterministic"] is True
+    assert calib["calib_digest"] == calib["calib_digests_raw"][0]
+    assert bench.CALIB_REF_S > 0
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"]
+)
+def test_sw_percentile_fixture_stays_in_kll_exact_regime(sf_dir):
+    """VERDICT r13 #6: the row is hash-exact ONLY while the merged
+    per-group item count stays under the KLL sketch's k=200 (verified
+    exact vs quantile_disc up to n=150). The dedup-planted fixture
+    bounds it at 17 values x 5 alive slots = 85; assert the REAL data
+    never exceeds the verified regime at any driver scale factor."""
+    con = duckdb.connect()
+    n = con.execute(
+        f"""
+        WITH planted AS (
+            SELECT DISTINCT event_type,
+                   user_id % 17 AS v,
+                   CASE WHEN event_id % 3 = 1 THEN (event_id % 5) * 180
+                        ELSE 540 + (event_id % 2) * 180 END AS slot
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE user_id % 131 = 5 AND event_id % 3 IN (1, 2)
+        )
+        SELECT coalesce(max(cnt), 0) FROM (
+            SELECT event_type, count(*) AS cnt
+            FROM planted GROUP BY event_type
+        )
+        """
+    ).fetchone()[0]
+    assert n <= 85, n
