@@ -1,0 +1,236 @@
+"""Budgeted randomized ENGINE-LIFECYCLE fuzz (r14).
+
+The gate rows each pin ONE lifecycle choreography (restart, pause/
+resume, rebucket, alter, TTL reap...). This tool fuzzes the
+INTERLEAVINGS: a seeded random schedule of lifecycle operations runs
+against one standing parquet_upsert view while deterministic records
+feed in, and at the end the contract must hold exactly:
+
+  - view_table == the exact python-side aggregate of everything fed
+    (count / sum / min / max per key),
+  - the durable archive holds every record exactly once,
+  - no operation ever raises.
+
+Ops drawn per step (seeded):
+  feed           write another record file (monotonic seqnums; may
+                 land while the pipeline is down — must be picked up)
+  drain          wait_for_ingest
+  pause_resume   consume_end_all + consume_begin on the SAME engine
+  restart        consume_end_all + a NEW Engine over the same
+                 metadata dir + consume_begin (process-death analog)
+  flap_view      deactivate(view) + activate(view) (consumers keep
+                 archiving; view resumes from its checkpoint)
+  rebucket       live store resize to a new bucket count
+
+Usage:
+  python tools/fuzz_lifecycle.py [--budget-s 300] [--seed N]
+
+Emits one JSON summary line; exit 1 on any contract violation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+OPS = ("feed", "drain", "pause_resume", "restart", "flap_view", "rebucket")
+# feeds and drains dominate so most scenarios move real data between
+# lifecycle punches
+WEIGHTS = (0.30, 0.22, 0.12, 0.12, 0.12, 0.12)
+KEYS = tuple(f"k{i}" for i in range(8))
+
+
+def _scenario(spark, rng: np.random.Generator) -> dict:
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"lcf_{tag}_")
+    ep, stream, view = f"lcf_ep_{tag}", f"lcf_st_{tag}", f"lcf_v_{tag}"
+
+    def new_engine() -> "Engine":
+        return Engine(
+            spark,
+            metadata_dir=f"{root}/meta",
+            trigger_interval="50 milliseconds",
+            shuffle_partitions=4,
+        )
+
+    expected: dict[str, list] = {}  # k -> [n, sum, min, max]
+    fed = 0
+    feed_no = 0
+
+    def feed():
+        nonlocal fed, feed_no
+        n = int(rng.integers(20, 120))
+        recs = []
+        for i in range(n):
+            k = KEYS[int(rng.integers(0, len(KEYS)))]
+            v = int(rng.integers(-1000, 1000))
+            agg = expected.setdefault(k, [0, 0, v, v])
+            agg[0] += 1
+            agg[1] += v
+            agg[2] = min(agg[2], v)
+            agg[3] = max(agg[3], v)
+            recs.append(
+                {
+                    "data": f"{k},{v}",
+                    "partition_key": k,
+                    "shard_id": f"shardId-{i % 4:012d}",
+                    "sequence_number": f"{feed_no * 10**9 + i:056d}",
+                }
+            )
+        write_record_file(f"{root}/records", recs)
+        fed += n
+        feed_no += 1
+
+    eng = new_engine()
+    consuming = False
+    view_active = True
+    buckets_now = 2
+    ops_run = []
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(stream, "k STRING, v BIGINT")
+        eng.create_continuous_view(
+            view,
+            f"SELECT k, count(*) AS n, sum(v) AS total, "
+            f"min(v) AS vmin, max(v) AS vmax FROM {stream} GROUP BY k",
+            stream=stream,
+            materialize="parquet_upsert",
+            key_cols=["k"],
+            upsert_buckets=buckets_now,
+        )
+        feed()
+
+        def begin():
+            nonlocal consuming
+            eng.consume_begin(
+                ep, "records", stream, fmt="csv", delimiter=",",
+            )
+            consuming = True
+
+        begin()
+        n_ops = int(rng.integers(5, 11))
+        for _ in range(n_ops):
+            op = rng.choice(OPS, p=WEIGHTS)
+            ops_run.append(str(op))
+            if op == "feed":
+                feed()
+            elif op == "drain":
+                if consuming:
+                    eng.wait_for_ingest(timeout_s=180)
+            elif op == "pause_resume":
+                eng.consume_end_all()
+                consuming = False
+                if rng.random() < 0.5:
+                    feed()  # lands while the pipeline is down
+                begin()
+            elif op == "restart":
+                eng.consume_end_all()
+                consuming = False
+                if rng.random() < 0.5:
+                    feed()
+                eng = new_engine()
+                begin()
+                view_active = True
+            elif op == "flap_view":
+                if view_active and consuming:
+                    eng.deactivate(view)
+                    if rng.random() < 0.5:
+                        feed()  # archived while the view is down
+                    eng.activate(view)
+            elif op == "rebucket":
+                if consuming:
+                    buckets_now = int(rng.choice([1, 2, 4, 8]))
+                    eng.rebucket(view, buckets_now)
+        if not consuming:
+            begin()
+        eng.wait_for_ingest(timeout_s=300)
+
+        problems = []
+        got = {
+            r.k: (int(r.n), int(r.total), int(r.vmin), int(r.vmax))
+            for r in eng.view_table(view).collect()
+        }
+        want = {k: tuple(v) for k, v in expected.items()}
+        if got != want:
+            extra = {k: got[k] for k in got if want.get(k) != got[k]}
+            missing = {k: want[k] for k in want if got.get(k) != want[k]}
+            problems.append(
+                f"view mismatch: got!={extra} want!={missing}"
+            )
+        archived = eng.stream_table(stream).count()
+        if archived != fed:
+            problems.append(f"archive {archived} != fed {fed}")
+        return {
+            "ops": ops_run,
+            "fed": fed,
+            "feeds": feed_no,
+            "problems": problems,
+        }
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget-s", type=float, default=300.0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from pipeline_kinesis_spark import get_spark
+
+    spark = get_spark("fuzz-lifecycle")
+    rng = np.random.default_rng(args.seed)
+    t0 = time.monotonic()
+    scenarios = 0
+    total_ops = 0
+    total_fed = 0
+    violations = []
+    while time.monotonic() - t0 < args.budget_s:
+        try:
+            res = _scenario(spark, rng)
+        except Exception as e:  # an op raising IS a violation
+            violations.append({"scenario": scenarios, "error": repr(e)[:300]})
+            scenarios += 1
+            continue
+        scenarios += 1
+        total_ops += len(res["ops"])
+        total_fed += res["fed"]
+        for p in res["problems"]:
+            violations.append(
+                {"scenario": scenarios - 1, "ops": res["ops"], "problem": p}
+            )
+    print(
+        json.dumps(
+            {
+                "metric": "lifecycle_fuzz_budget",
+                "scenarios": scenarios,
+                "lifecycle_ops": total_ops,
+                "records_fed": total_fed,
+                "violations": len(violations),
+                "seed": args.seed,
+                "budget_s": args.budget_s,
+                "wall_s": round(time.monotonic() - t0, 1),
+                "detail": violations[:5],
+            }
+        )
+    )
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
