@@ -694,9 +694,35 @@ class Engine:
             )
 
     def _ckpt(self, consumer_id: int, kind: str) -> str:
-        return os.path.join(
+        """Checkpoint path for one standing query — with batch-0
+        debris hygiene (r14, found by tools/fuzz_lifecycle.py):
+        consume_end can interrupt Spark's offset-log write between the
+        temp-file create and its atomic rename, leaving a checkpoint
+        whose offset log holds a `.tmp` stub but NO committed batch.
+        Spark 4.1's verifyCheckpointDirectoryEmptyOnStart guard
+        (default on) then refuses the resume outright
+        (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY: "should be empty
+        on batch 0"). A checkpoint with no committed offsets batch
+        never got past batch 0, so resetting it for a clean first
+        start loses nothing — the exactly-once contract rides the
+        sink-side logs (parquet _spark_metadata / spool publish /
+        attained-position pins), all of which tolerate a batch-0
+        replan by construction. A checkpoint WITH a committed batch
+        resumes untouched."""
+        path = os.path.join(
             self.metadata_dir, "checkpoints", str(consumer_id), kind
         )
+        off = os.path.join(path, "offsets")
+        if os.path.isdir(path):
+            try:
+                committed = os.path.isdir(off) and any(
+                    n.isdigit() for n in os.listdir(off)
+                )
+            except OSError:
+                committed = False
+            if not committed:
+                shutil.rmtree(path, ignore_errors=True)
+        return path
 
     def _ds_state_dir(self, consumer_id: int) -> str:
         """Attained-position metadata for the executor-parallel

@@ -127,3 +127,39 @@ def test_sw_percentile_fixture_stays_in_kll_exact_regime(sf_dir):
         """
     ).fetchone()[0]
     assert n <= 85, n
+
+
+def test_ckpt_resets_interrupted_batch0_debris(spark, tmp_path):
+    """fuzz_lifecycle finding (seed 816140): consume_end can interrupt
+    the offset-log write, leaving offsets/ with a .tmp stub and no
+    committed batch; Spark 4.1's verifyCheckpointDirectoryEmptyOnStart
+    then refuses the resume (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY).
+    _ckpt must reset such a checkpoint (it never got past batch 0) and
+    must NOT touch one with a committed batch."""
+    import os
+
+    from pipeline_kinesis_spark.engine import Engine
+
+    eng = Engine(spark, metadata_dir=str(tmp_path / "meta"))
+
+    # interrupted-stop debris: temp offset file, no committed batch
+    debris = os.path.join(
+        str(tmp_path / "meta"), "checkpoints", "1", "dead_letter"
+    )
+    os.makedirs(os.path.join(debris, "offsets"))
+    open(os.path.join(debris, "offsets", ".0.tmp.123"), "w").write("x")
+    open(os.path.join(debris, "metadata"), "w").write("{}")
+    path = eng._ckpt(1, "dead_letter")
+    assert path == debris
+    assert not os.path.exists(debris)  # wiped for a clean batch-0 start
+
+    # committed checkpoint: untouched
+    resumed = os.path.join(
+        str(tmp_path / "meta"), "checkpoints", "2", "ingest"
+    )
+    os.makedirs(os.path.join(resumed, "offsets"))
+    open(os.path.join(resumed, "offsets", "0"), "w").write("v1")
+    open(os.path.join(resumed, "offsets", ".1.tmp"), "w").write("x")
+    assert eng._ckpt(2, "ingest") == resumed
+    assert os.path.exists(os.path.join(resumed, "offsets", "0"))
+    assert os.path.exists(os.path.join(resumed, "offsets", ".1.tmp"))

@@ -22,8 +22,13 @@ Ops drawn per step (seeded):
                  archiving; view resumes from its checkpoint)
   rebucket       live store resize to a new bucket count
 
+Scenario i draws from default_rng([seed, i]) so any single scenario
+replays standalone: --only-scenario N reruns exactly scenario N of
+the same seed.
+
 Usage:
   python tools/fuzz_lifecycle.py [--budget-s 300] [--seed N]
+                                 [--only-scenario N]
 
 Emits one JSON summary line; exit 1 on any contract violation.
 """
@@ -36,6 +41,7 @@ import shutil
 import sys
 import tempfile
 import time
+import traceback
 import uuid
 
 sys.path.insert(0, ".")
@@ -49,7 +55,9 @@ WEIGHTS = (0.30, 0.22, 0.12, 0.12, 0.12, 0.12)
 KEYS = tuple(f"k{i}" for i in range(8))
 
 
-def _scenario(spark, rng: np.random.Generator) -> dict:
+def _scenario(spark, rng: np.random.Generator, ops_run: list) -> dict:
+    """Run one seeded scenario; appends each op to ops_run as it goes
+    (so a raising op leaves its trace for the caller's report)."""
     from pipeline_kinesis_spark.engine import Engine
     from pipeline_kinesis_spark.sources.file_replay import (
         write_record_file,
@@ -68,11 +76,9 @@ def _scenario(spark, rng: np.random.Generator) -> dict:
         )
 
     expected: dict[str, list] = {}  # k -> [n, sum, min, max]
-    fed = 0
-    feed_no = 0
+    state = {"fed": 0, "feed_no": 0}
 
     def feed():
-        nonlocal fed, feed_no
         n = int(rng.integers(20, 120))
         recs = []
         for i in range(n):
@@ -88,18 +94,18 @@ def _scenario(spark, rng: np.random.Generator) -> dict:
                     "data": f"{k},{v}",
                     "partition_key": k,
                     "shard_id": f"shardId-{i % 4:012d}",
-                    "sequence_number": f"{feed_no * 10**9 + i:056d}",
+                    "sequence_number": (
+                        f"{state['feed_no'] * 10**9 + i:056d}"
+                    ),
                 }
             )
         write_record_file(f"{root}/records", recs)
-        fed += n
-        feed_no += 1
+        state["fed"] += n
+        state["feed_no"] += 1
 
     eng = new_engine()
     consuming = False
     view_active = True
-    buckets_now = 2
-    ops_run = []
     try:
         eng.add_endpoint(ep, url=root)
         eng.create_stream(stream, "k STRING, v BIGINT")
@@ -110,7 +116,7 @@ def _scenario(spark, rng: np.random.Generator) -> dict:
             stream=stream,
             materialize="parquet_upsert",
             key_cols=["k"],
-            upsert_buckets=buckets_now,
+            upsert_buckets=2,
         )
         feed()
 
@@ -124,8 +130,8 @@ def _scenario(spark, rng: np.random.Generator) -> dict:
         begin()
         n_ops = int(rng.integers(5, 11))
         for _ in range(n_ops):
-            op = rng.choice(OPS, p=WEIGHTS)
-            ops_run.append(str(op))
+            op = str(rng.choice(OPS, p=WEIGHTS))
+            ops_run.append(op)
             if op == "feed":
                 feed()
             elif op == "drain":
@@ -153,8 +159,7 @@ def _scenario(spark, rng: np.random.Generator) -> dict:
                     eng.activate(view)
             elif op == "rebucket":
                 if consuming:
-                    buckets_now = int(rng.choice([1, 2, 4, 8]))
-                    eng.rebucket(view, buckets_now)
+                    eng.rebucket(view, int(rng.choice([1, 2, 4, 8])))
         if not consuming:
             begin()
         eng.wait_for_ingest(timeout_s=300)
@@ -172,12 +177,11 @@ def _scenario(spark, rng: np.random.Generator) -> dict:
                 f"view mismatch: got!={extra} want!={missing}"
             )
         archived = eng.stream_table(stream).count()
-        if archived != fed:
-            problems.append(f"archive {archived} != fed {fed}")
+        if archived != state["fed"]:
+            problems.append(f"archive {archived} != fed {state['fed']}")
         return {
-            "ops": ops_run,
-            "fed": fed,
-            "feeds": feed_no,
+            "fed": state["fed"],
+            "feeds": state["feed_no"],
             "problems": problems,
         }
     finally:
@@ -189,31 +193,49 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--budget-s", type=float, default=300.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--only-scenario", type=int, default=None)
     args = ap.parse_args()
 
     from pipeline_kinesis_spark import get_spark
 
     spark = get_spark("fuzz-lifecycle")
-    rng = np.random.default_rng(args.seed)
     t0 = time.monotonic()
     scenarios = 0
     total_ops = 0
     total_fed = 0
     violations = []
-    while time.monotonic() - t0 < args.budget_s:
+
+    def run_one(idx: int):
+        nonlocal scenarios, total_ops, total_fed
+        rng = np.random.default_rng([args.seed, idx])
+        ops_run: list = []
         try:
-            res = _scenario(spark, rng)
+            res = _scenario(spark, rng, ops_run)
         except Exception as e:  # an op raising IS a violation
-            violations.append({"scenario": scenarios, "error": repr(e)[:300]})
-            scenarios += 1
-            continue
-        scenarios += 1
-        total_ops += len(res["ops"])
-        total_fed += res["fed"]
-        for p in res["problems"]:
             violations.append(
-                {"scenario": scenarios - 1, "ops": res["ops"], "problem": p}
+                {
+                    "scenario": idx,
+                    "ops": ops_run,
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                    "trace_tail": traceback.format_exc()[-800:],
+                }
             )
+        else:
+            total_ops += len(ops_run)
+            total_fed += res["fed"]
+            for p in res["problems"]:
+                violations.append(
+                    {"scenario": idx, "ops": ops_run, "problem": p}
+                )
+        scenarios += 1
+
+    if args.only_scenario is not None:
+        run_one(args.only_scenario)
+    else:
+        idx = 0
+        while time.monotonic() - t0 < args.budget_s:
+            run_one(idx)
+            idx += 1
     print(
         json.dumps(
             {
@@ -225,7 +247,7 @@ def main() -> int:
                 "seed": args.seed,
                 "budget_s": args.budget_s,
                 "wall_s": round(time.monotonic() - t0, 1),
-                "detail": violations[:5],
+                "detail": violations[:4],
             }
         )
     )
