@@ -2384,6 +2384,7 @@ class Engine:
         delimiter: str | None = None,
         quote: str | None = None,
         escape: str | None = None,
+        schema_ddl: str | None = None,
     ) -> int:
         """Re-parse quarantined rows — with optionally corrected format
         options — appending recovered rows to the stream table. Returns
@@ -2391,7 +2392,18 @@ class Engine:
         in a marker table and excluded from ``dead_letters`` and from
         future replays. (The reference DROPPED such batches outright,
         pipeline_kinesis.c:744-758; quarantine+replay is the upgrade.)
-        """
+
+        ``schema_ddl`` overrides the declared stream schema for the
+        re-parse (r14, found by tools/fuzz_lifecycle.py): rows framed
+        under a PRE-``ALTER STREAM`` schema that were still unconsumed
+        when the ALTER landed quarantine as arity-mismatches, and
+        re-parsing them under the post-ALTER schema can never recover
+        them. Pass the schema they were framed with; stream_table's
+        mergeSchema + declared-schema NULL-fill then reads them back
+        with NULL for the later-added columns, same as any archived
+        pre-ALTER row. The override must be a prefix of the declared
+        schema (ADD COLUMN only appends), so recovered files stay
+        union-compatible."""
         consumer = next(
             (
                 c
@@ -2401,6 +2413,24 @@ class Engine:
             None,
         )
         sd = self.catalog.stream(relation)
+        replay_ddl = schema_ddl or sd.schema_ddl
+        if schema_ddl is not None:
+            from pyspark.sql.types import StructType
+
+            declared = [
+                (f.name, f.dataType)
+                for f in StructType.fromDDL(sd.schema_ddl).fields
+            ]
+            override = [
+                (f.name, f.dataType)
+                for f in StructType.fromDDL(schema_ddl).fields
+            ]
+            if override != declared[: len(override)]:
+                raise ValueError(
+                    "replay schema_ddl must be a prefix of the declared "
+                    f"stream schema (ALTER only appends); declared="
+                    f"{sd.schema_ddl!r}"
+                )
         pending = self.dead_letters(relation)
         records = pending.select(
             F.col("_corrupt_record").alias("data"),
@@ -2413,7 +2443,7 @@ class Engine:
         )
         parsed = parse_records(
             records,
-            sd.schema_ddl,
+            replay_ddl,
             fmt or (consumer.format if consumer else "text"),
             delimiter or (consumer.delimiter if consumer else "\t"),
             quote if quote is not None else (consumer.quote if consumer else None),

@@ -163,3 +163,79 @@ def test_ckpt_resets_interrupted_batch0_debris(spark, tmp_path):
     assert eng._ckpt(2, "ingest") == resumed
     assert os.path.exists(os.path.join(resumed, "offsets", "0"))
     assert os.path.exists(os.path.join(resumed, "offsets", ".1.tmp"))
+
+
+def test_replay_schema_override_recovers_pre_alter_rows(spark, tmp_path):
+    """fuzz_lifecycle finding #2 (seed 140817): rows framed under a
+    pre-ALTER schema that were still unconsumed when the ALTER landed
+    quarantine as arity-mismatches, and the default replay (current
+    schema) can never recover them. replay_dead_letters(schema_ddl=
+    <pre-alter schema>) must recover them, reading back NULL for the
+    later-added column via stream_table's mergeSchema fill."""
+    import os
+
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    root = str(tmp_path)
+    eng = Engine(
+        spark,
+        metadata_dir=os.path.join(root, "meta"),
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    try:
+        eng.add_endpoint("ep", url=root)
+        eng.create_stream("st", "v BIGINT, k STRING")
+        write_record_file(
+            os.path.join(root, "records"),
+            [
+                {"data": f"{i},a", "sequence_number": f"{i:056d}",
+                 "shard_id": "shardId-000"}
+                for i in range(5)
+            ],
+        )
+        eng.consume_begin("ep", "records", "st", fmt="csv", delimiter=",")
+        eng.wait_for_ingest(timeout_s=120)
+        eng.consume_end_all()
+        # old-format rows land while the pipeline is down...
+        write_record_file(
+            os.path.join(root, "records"),
+            [
+                {"data": f"{100 + i},b", "sequence_number":
+                 f"{10**9 + i:056d}", "shard_id": "shardId-000"}
+                for i in range(4)
+            ],
+        )
+        # ...and the schema evolves before they are consumed
+        eng.alter_stream_add_column("st", "w", "bigint")
+        eng.consume_begin("ep", "records", "st", fmt="csv", delimiter=",")
+        eng.wait_for_ingest(timeout_s=120)
+        assert eng.dead_letters("st").count() == 4  # arity-quarantined
+
+        # default replay (post-ALTER schema) cannot recover them
+        assert eng.replay_dead_letters("st", delimiter=",") == 0
+        # a non-prefix override is rejected
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="prefix"):
+            eng.replay_dead_letters(
+                "st", delimiter=",", schema_ddl="k STRING, v BIGINT"
+            )
+        # the pre-ALTER schema recovers exactly the stranded four
+        assert (
+            eng.replay_dead_letters(
+                "st", delimiter=",", schema_ddl="v BIGINT, k STRING"
+            )
+            == 4
+        )
+        assert eng.dead_letters("st").count() == 0
+        tbl = eng.stream_table("st")
+        assert tbl.count() == 9
+        recovered = tbl.filter("k = 'b'").collect()
+        assert len(recovered) == 4
+        assert all(r.w is None for r in recovered)  # NULL-filled column
+    finally:
+        eng.consume_end_all()

@@ -14,6 +14,9 @@ feed in, and at the end the contract must hold exactly:
 Ops drawn per step (seeded):
   feed           write another record file (monotonic seqnums; may
                  land while the pipeline is down — must be picked up)
+  feed_malformed a feed where ~1/5 rows use the wrong delimiter —
+                 they must quarantine exactly (first column BIGINT,
+                 so a mis-delimited row always fails the cast)
   drain          wait_for_ingest
   pause_resume   consume_end_all + consume_begin on the SAME engine
   restart        consume_end_all + a NEW Engine over the same
@@ -21,6 +24,17 @@ Ops drawn per step (seeded):
   flap_view      deactivate(view) + activate(view) (consumers keep
                  archiving; view resumes from its checkpoint)
   rebucket       live store resize to a new bucket count
+  replay         replay_dead_letters with the corrected delimiter
+                 (idempotent; recovered rows append to the ARCHIVE —
+                 standing views do not consume them, by contract)
+  alter          consume_end_all + ALTER STREAM ADD COLUMN via the
+                 SQL surface + resume; later feeds carry the extra
+                 column (view untouched; once per scenario)
+
+End-of-scenario ledger (after a final drain):
+  view == exact aggregate of WELL-FORMED rows fed,
+  archive == well-formed + replay-recovered,
+  dead_letters == malformed - recovered.
 
 Scenario i draws from default_rng([seed, i]) so any single scenario
 replays standalone: --only-scenario N reruns exactly scenario N of
@@ -48,10 +62,13 @@ sys.path.insert(0, ".")
 
 import numpy as np  # noqa: E402
 
-OPS = ("feed", "drain", "pause_resume", "restart", "flap_view", "rebucket")
+OPS = (
+    "feed", "drain", "pause_resume", "restart", "flap_view",
+    "rebucket", "feed_malformed", "replay", "alter",
+)
 # feeds and drains dominate so most scenarios move real data between
 # lifecycle punches
-WEIGHTS = (0.30, 0.22, 0.12, 0.12, 0.12, 0.12)
+WEIGHTS = (0.24, 0.20, 0.10, 0.10, 0.10, 0.10, 0.08, 0.05, 0.03)
 KEYS = tuple(f"k{i}" for i in range(8))
 
 
@@ -75,23 +92,39 @@ def _scenario(spark, rng: np.random.Generator, ops_run: list) -> dict:
             shuffle_partitions=4,
         )
 
-    expected: dict[str, list] = {}  # k -> [n, sum, min, max]
-    state = {"fed": 0, "feed_no": 0}
+    expected: dict[str, list] = {}  # k -> [n, sum, min, max] (good rows)
+    state = {
+        "good": 0,       # well-formed rows fed
+        "malformed": 0,  # mis-delimited rows fed (must quarantine)
+        "recovered": 0,  # rows replay_dead_letters brought back
+        "feed_no": 0,
+        "altered": False,
+    }
 
-    def feed():
+    def feed(malformed_frac: float = 0.0):
         n = int(rng.integers(20, 120))
         recs = []
         for i in range(n):
             k = KEYS[int(rng.integers(0, len(KEYS)))]
             v = int(rng.integers(-1000, 1000))
-            agg = expected.setdefault(k, [0, 0, v, v])
-            agg[0] += 1
-            agg[1] += v
-            agg[2] = min(agg[2], v)
-            agg[3] = max(agg[3], v)
+            if rng.random() < malformed_frac:
+                # wrong delimiter: "v;k" is ONE field and fails the
+                # BIGINT cast on column 1 -> quarantined exactly
+                data = f"{v};{k}"
+                state["malformed"] += 1
+            else:
+                data = f"{v},{k}"
+                if state["altered"]:
+                    data += f",{int(rng.integers(0, 100))}"
+                agg = expected.setdefault(k, [0, 0, v, v])
+                agg[0] += 1
+                agg[1] += v
+                agg[2] = min(agg[2], v)
+                agg[3] = max(agg[3], v)
+                state["good"] += 1
             recs.append(
                 {
-                    "data": f"{k},{v}",
+                    "data": data,
                     "partition_key": k,
                     "shard_id": f"shardId-{i % 4:012d}",
                     "sequence_number": (
@@ -100,7 +133,6 @@ def _scenario(spark, rng: np.random.Generator, ops_run: list) -> dict:
                 }
             )
         write_record_file(f"{root}/records", recs)
-        state["fed"] += n
         state["feed_no"] += 1
 
     eng = new_engine()
@@ -108,7 +140,7 @@ def _scenario(spark, rng: np.random.Generator, ops_run: list) -> dict:
     view_active = True
     try:
         eng.add_endpoint(ep, url=root)
-        eng.create_stream(stream, "k STRING, v BIGINT")
+        eng.create_stream(stream, "v BIGINT, k STRING")
         eng.create_continuous_view(
             view,
             f"SELECT k, count(*) AS n, sum(v) AS total, "
@@ -134,6 +166,8 @@ def _scenario(spark, rng: np.random.Generator, ops_run: list) -> dict:
             ops_run.append(op)
             if op == "feed":
                 feed()
+            elif op == "feed_malformed":
+                feed(malformed_frac=0.2)
             elif op == "drain":
                 if consuming:
                     eng.wait_for_ingest(timeout_s=180)
@@ -160,6 +194,33 @@ def _scenario(spark, rng: np.random.Generator, ops_run: list) -> dict:
             elif op == "rebucket":
                 if consuming:
                     eng.rebucket(view, int(rng.choice([1, 2, 4, 8])))
+            elif op == "replay":
+                # only quarantined-and-drained rows are recoverable;
+                # drain first so the ledger stays exact
+                if consuming:
+                    eng.wait_for_ingest(timeout_s=180)
+                state["recovered"] += int(
+                    eng.replay_dead_letters(stream, delimiter=";")
+                )
+            elif op == "alter":
+                if not state["altered"]:
+                    # documented precondition: drain, THEN stop, THEN
+                    # alter — old-format rows still unconsumed at ALTER
+                    # time quarantine as arity-mismatches (recoverable
+                    # only via replay_dead_letters(schema_ddl=...);
+                    # that path has its own deterministic test)
+                    if consuming:
+                        eng.wait_for_ingest(timeout_s=180)
+                    eng.consume_end_all()
+                    consuming = False
+                    from pipeline_kinesis_spark import sqlapi
+
+                    sqlapi.execute(
+                        eng,
+                        f"ALTER STREAM {stream} ADD COLUMN w bigint",
+                    )
+                    state["altered"] = True
+                    begin()
         if not consuming:
             begin()
         eng.wait_for_ingest(timeout_s=300)
@@ -177,10 +238,22 @@ def _scenario(spark, rng: np.random.Generator, ops_run: list) -> dict:
                 f"view mismatch: got!={extra} want!={missing}"
             )
         archived = eng.stream_table(stream).count()
-        if archived != state["fed"]:
-            problems.append(f"archive {archived} != fed {state['fed']}")
+        want_archive = state["good"] + state["recovered"]
+        if archived != want_archive:
+            problems.append(
+                f"archive {archived} != good+recovered {want_archive}"
+            )
+        try:
+            dl = eng.dead_letters(stream).count()
+        except Exception:
+            dl = 0  # no dead-letter dir yet: nothing ever quarantined
+        want_dl = state["malformed"] - state["recovered"]
+        if dl != want_dl:
+            problems.append(
+                f"dead_letters {dl} != malformed-recovered {want_dl}"
+            )
         return {
-            "fed": state["fed"],
+            "fed": state["good"] + state["malformed"],
             "feeds": state["feed_no"],
             "problems": problems,
         }
