@@ -36,6 +36,15 @@ End-of-scenario ledger (after a final drain):
   archive == well-formed + replay-recovered,
   dead_letters == malformed - recovered.
 
+--mode wire fuzzes the MANAGED KINESIS PUMP path instead (the
+reference's core protocol, A1-A4/A9-A12): a boto3-shaped canned wire
+(sources/fake_kinesis.py) takes seeded interleavings of append /
+shard SPLIT / shard MERGE / injected throttle+expire faults /
+pause-resume / full engine restart, and the same exactness ledger
+must hold (every appended record lands in the view and archive
+exactly once, across reshard boundaries, fault retries and
+restarts). --mode mixed alternates per scenario.
+
 Scenario i draws from default_rng([seed, i]) so any single scenario
 replays standalone: --only-scenario N reruns exactly scenario N of
 the same seed.
@@ -43,6 +52,7 @@ the same seed.
 Usage:
   python tools/fuzz_lifecycle.py [--budget-s 300] [--seed N]
                                  [--only-scenario N]
+                                 [--mode file|wire|mixed]
 
 Emits one JSON summary line; exit 1 on any contract violation.
 """
@@ -262,11 +272,186 @@ def _scenario(spark, rng: np.random.Generator, ops_run: list) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+WIRE_OPS = (
+    "append", "drain", "split", "merge", "fault",
+    "pause_resume", "restart",
+)
+WIRE_WEIGHTS = (0.34, 0.18, 0.12, 0.10, 0.10, 0.08, 0.08)
+
+
+def _scenario_wire(spark, rng: np.random.Generator, ops_run: list) -> dict:
+    """Wire-path scenario: seeded lifecycle ops against the managed
+    pump over a canned boto3-shaped Kinesis. The pump must deliver
+    every appended record exactly once through splits, merges,
+    injected faults, pauses and engine restarts."""
+    import time as _time
+
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.fake_kinesis import (
+        FakeKinesisClient,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"lcw_{tag}_")
+    ep, stream, view = f"lcw_ep_{tag}", f"lcw_st_{tag}", f"lcw_v_{tag}"
+
+    fake = FakeKinesisClient({"shardId-000": [], "shardId-001": []})
+    open_shards = ["shardId-000", "shardId-001"]
+    next_shard = [2]
+    expected: dict[str, list] = {}
+    state = {"fed": 0}
+
+    def shard_name() -> str:
+        n = f"shardId-{next_shard[0]:03d}"
+        next_shard[0] += 1
+        return n
+
+    def append():
+        n = int(rng.integers(10, 60))
+        for _ in range(n):
+            k = KEYS[int(rng.integers(0, len(KEYS)))]
+            v = int(rng.integers(-1000, 1000))
+            agg = expected.setdefault(k, [0, 0, v, v])
+            agg[0] += 1
+            agg[1] += v
+            agg[2] = min(agg[2], v)
+            agg[3] = max(agg[3], v)
+            s = open_shards[int(rng.integers(0, len(open_shards)))]
+            fake.append(s, f"{v},{k}".encode())
+        state["fed"] += n
+
+    def new_engine() -> "Engine":
+        eng = Engine(
+            spark,
+            metadata_dir=f"{root}/meta",
+            trigger_interval="50 milliseconds",
+            shuffle_partitions=4,
+        )
+        # clients are process-local by design: re-register after any
+        # restart (production rebuilds one via make_boto3_client)
+        eng.register_kinesis_client(ep, fake)
+        return eng
+
+    def drain(eng, timeout_s=240.0):
+        """Pump fetch is async to the landing queries: poll until the
+        archive holds everything appended so far, then drain views."""
+        deadline = _time.monotonic() + timeout_s
+        while _time.monotonic() < deadline:
+            eng.wait_for_ingest(timeout_s=timeout_s)
+            try:
+                n = eng.stream_table(stream).count()
+            except Exception:
+                n = 0  # nothing archived yet
+            if n >= state["fed"]:
+                return
+            _time.sleep(0.1)
+        raise TimeoutError(
+            f"archive stuck below fed={state['fed']}"
+        )
+
+    eng = None
+    try:
+        eng = Engine(
+            spark,
+            metadata_dir=f"{root}/meta",
+            trigger_interval="50 milliseconds",
+            shuffle_partitions=4,
+        )
+        eng.add_endpoint(ep)  # kinesis-typed endpoint, injected client
+        eng.register_kinesis_client(ep, fake)
+        eng.create_stream(stream, "v BIGINT, k STRING")
+        eng.create_continuous_view(
+            view,
+            f"SELECT k, count(*) AS n, sum(v) AS total, "
+            f"min(v) AS vmin, max(v) AS vmax FROM {stream} GROUP BY k",
+            stream=stream,
+            materialize="parquet_upsert",
+            key_cols=["k"],
+            upsert_buckets=2,
+        )
+        append()
+
+        def begin():
+            eng.consume_begin(
+                ep, "events_replay", stream, fmt="csv", delimiter=",",
+                source="pump", rate_limit_rps=40,
+            )
+
+        begin()
+        n_ops = int(rng.integers(5, 10))
+        for _ in range(n_ops):
+            op = str(rng.choice(WIRE_OPS, p=WIRE_WEIGHTS))
+            ops_run.append(op)
+            if op == "append":
+                append()
+            elif op == "drain":
+                drain(eng)
+            elif op == "split":
+                if len(open_shards) <= 10:
+                    parent = open_shards.pop(
+                        int(rng.integers(0, len(open_shards)))
+                    )
+                    kids = [shard_name(), shard_name()]
+                    fake.reshard(parent, kids)
+                    open_shards.extend(kids)
+            elif op == "merge":
+                if len(open_shards) >= 3:
+                    i = int(rng.integers(0, len(open_shards)))
+                    a = open_shards.pop(i)
+                    j = int(rng.integers(0, len(open_shards)))
+                    b = open_shards.pop(j)
+                    child = shard_name()
+                    fake.merge([a, b], child)
+                    open_shards.append(child)
+            elif op == "fault":
+                s = open_shards[int(rng.integers(0, len(open_shards)))]
+                kind = "throttle" if rng.random() < 0.5 else "expire"
+                fake.fault_plan.setdefault(s, []).append(kind)
+            elif op == "pause_resume":
+                eng.consume_end_all()
+                if rng.random() < 0.5:
+                    append()  # lands while the pump is down
+                begin()
+            elif op == "restart":
+                eng.consume_end_all()
+                if rng.random() < 0.5:
+                    append()
+                eng = new_engine()
+                begin()
+        drain(eng)
+
+        problems = []
+        got = {
+            r.k: (int(r.n), int(r.total), int(r.vmin), int(r.vmax))
+            for r in eng.view_table(view).collect()
+        }
+        want = {k: tuple(v) for k, v in expected.items()}
+        if got != want:
+            extra = {k: got[k] for k in got if want.get(k) != got[k]}
+            missing = {k: want[k] for k in want if got.get(k) != want[k]}
+            problems.append(
+                f"view mismatch: got!={extra} want!={missing}"
+            )
+        archived = eng.stream_table(stream).count()
+        if archived != state["fed"]:
+            problems.append(
+                f"archive {archived} != fed {state['fed']}"
+            )
+        return {"fed": state["fed"], "feeds": -1, "problems": problems}
+    finally:
+        if eng is not None:
+            eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--budget-s", type=float, default=300.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--only-scenario", type=int, default=None)
+    ap.add_argument(
+        "--mode", choices=("file", "wire", "mixed"), default="file"
+    )
     args = ap.parse_args()
 
     from pipeline_kinesis_spark import get_spark
@@ -282,8 +467,14 @@ def main() -> int:
         nonlocal scenarios, total_ops, total_fed
         rng = np.random.default_rng([args.seed, idx])
         ops_run: list = []
+        wire = args.mode == "wire" or (
+            args.mode == "mixed" and idx % 2 == 1
+        )
+        fn = _scenario_wire if wire else _scenario
+        if wire:
+            ops_run.append("[wire]")
         try:
-            res = _scenario(spark, rng, ops_run)
+            res = fn(spark, rng, ops_run)
         except Exception as e:  # an op raising IS a violation
             violations.append(
                 {
