@@ -694,8 +694,33 @@ class Engine:
             )
 
     def _ckpt(self, consumer_id: int, kind: str) -> str:
-        """Checkpoint path for one standing query — with batch-0
-        debris hygiene (r14, found by tools/fuzz_lifecycle.py):
+        """Checkpoint path for one standing query. PURE — no side
+        effects; callable from gap checks or diagnostics while a query
+        may be mid-batch. The batch-0 debris reset lives in
+        _reset_batch0_debris and runs only via _ckpt_for_start,
+        immediately before writeStream.start()."""
+        return os.path.join(
+            self.metadata_dir, "checkpoints", str(consumer_id), kind
+        )
+
+    @staticmethod
+    def _ckpt_has_committed_batch(path: str) -> bool:
+        """True iff the checkpoint's offset log holds at least one
+        committed (digit-named) batch. FAIL-SAFE: a transient OSError
+        on the listing (EMFILE, permission blip, NFS hiccup) reports
+        True — callers must then KEEP the checkpoint and let Spark
+        surface the real error, never destroy state on a read failure
+        (ADVICE r14 #1)."""
+        off = os.path.join(path, "offsets")
+        try:
+            return os.path.isdir(off) and any(
+                n.isdigit() for n in os.listdir(off)
+            )
+        except OSError:
+            return True
+
+    def _reset_batch0_debris(self, path: str) -> str:
+        """Batch-0 debris hygiene (r14, found by tools/fuzz_lifecycle.py):
         consume_end can interrupt Spark's offset-log write between the
         temp-file create and its atomic rename, leaving a checkpoint
         whose offset log holds a `.tmp` stub but NO committed batch.
@@ -707,22 +732,24 @@ class Engine:
         start loses nothing — the exactly-once contract rides the
         sink-side logs (parquet _spark_metadata / spool publish /
         attained-position pins), all of which tolerate a batch-0
-        replan by construction. A checkpoint WITH a committed batch
-        resumes untouched."""
-        path = os.path.join(
-            self.metadata_dir, "checkpoints", str(consumer_id), kind
-        )
-        off = os.path.join(path, "offsets")
-        if os.path.isdir(path):
-            try:
-                committed = os.path.isdir(off) and any(
-                    n.isdigit() for n in os.listdir(off)
-                )
-            except OSError:
-                committed = False
-            if not committed:
-                shutil.rmtree(path, ignore_errors=True)
+        replan by construction. A checkpoint WITH a committed batch —
+        or one whose offset log can't be LISTED (fail-safe: only wipe
+        when the listing positively shows no committed batch) —
+        resumes untouched. Destructive, so called ONLY from
+        _ckpt_for_start immediately before a query start (ADVICE r14
+        #2: a path-getter with a destructive side effect was safe only
+        while every caller preceded query start)."""
+        if os.path.isdir(path) and not self._ckpt_has_committed_batch(
+            path
+        ):
+            shutil.rmtree(path, ignore_errors=True)
         return path
+
+    def _ckpt_for_start(self, consumer_id: int, kind: str) -> str:
+        """Checkpoint path for a query that is about to START — applies
+        the batch-0 debris reset. Every `.option("checkpointLocation",
+        ...)` site uses this; everything else uses the pure _ckpt."""
+        return self._reset_batch0_debris(self._ckpt(consumer_id, kind))
 
     def _ds_state_dir(self, consumer_id: int) -> str:
         """Attained-position metadata for the executor-parallel
@@ -1187,7 +1214,7 @@ class Engine:
                     )
                     .option(
                         "checkpointLocation",
-                        self._ckpt(consumer.id, "kds_landing"),
+                        self._ckpt_for_start(consumer.id, "kds_landing"),
                     )
                     .trigger(processingTime=interval)
                 ))
@@ -1197,7 +1224,7 @@ class Engine:
                 good.writeStream.format("parquet")
                 .queryName(f"ingest_{relation}_c{consumer.id}")
                 .option("path", self.table_dir(relation))
-                .option("checkpointLocation", self._ckpt(consumer.id, "ingest"))
+                .option("checkpointLocation", self._ckpt_for_start(consumer.id, "ingest"))
                 .trigger(processingTime=interval)
             ))
             # (b) dead-letter quarantine (improves on the reference's
@@ -1208,7 +1235,7 @@ class Engine:
                 .option("path", self.dead_letter_dir(relation))
                 .option(
                     "checkpointLocation",
-                    self._ckpt(consumer.id, "dead_letter"),
+                    self._ckpt_for_start(consumer.id, "dead_letter"),
                 )
                 .trigger(processingTime=interval)
             ))
@@ -1801,7 +1828,10 @@ class Engine:
         wire time (warning, not error: the operator may know the
         consumer only needs go-forward deltas)."""
         lo = read_reap_marker(self.osrel_dir(base_view))
-        if lo > 0 and not os.path.isdir(ckpt):
+        # "no checkpoint" for gap purposes = no COMMITTED batch: a
+        # batch-0-debris checkpoint will be reset at start and read the
+        # history from scratch exactly like an absent one.
+        if lo > 0 and not self._ckpt_has_committed_batch(ckpt):
             warnings.warn(
                 f"{consumer_desc} chains on {base_view!r}'s output "
                 f"stream, which has already reaped delta batches below "
@@ -1896,7 +1926,7 @@ class Engine:
             .outputMode("append")
             .option(
                 "checkpointLocation",
-                self._ckpt(consumer_id, f"transform_{t.name}"),
+                self._ckpt_for_start(consumer_id, f"transform_{t.name}"),
             )
             .trigger(processingTime=interval)
         )
@@ -1961,7 +1991,7 @@ class Engine:
                 .outputMode("update")
                 .option(
                     "checkpointLocation",
-                    self._ckpt(consumer_id, f"view_{view.name}"),
+                    self._ckpt_for_start(consumer_id, f"view_{view.name}"),
                 )
                 .trigger(processingTime=interval)
             )
@@ -1980,7 +2010,7 @@ class Engine:
         return materialize_memory(
             vdf,
             sink_name,
-            self._ckpt(consumer_id, f"view_{view.name}"),
+            self._ckpt_for_start(consumer_id, f"view_{view.name}"),
             output_mode=view.output_mode,
             trigger_interval=interval,
             start_fn=self._start_query,

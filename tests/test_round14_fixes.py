@@ -134,8 +134,12 @@ def test_ckpt_resets_interrupted_batch0_debris(spark, tmp_path):
     the offset-log write, leaving offsets/ with a .tmp stub and no
     committed batch; Spark 4.1's verifyCheckpointDirectoryEmptyOnStart
     then refuses the resume (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY).
-    _ckpt must reset such a checkpoint (it never got past batch 0) and
-    must NOT touch one with a committed batch."""
+    _ckpt_for_start must reset such a checkpoint (it never got past
+    batch 0) and must NOT touch one with a committed batch. r15: the
+    reset moved out of the pure _ckpt path-getter into
+    _reset_batch0_debris, invoked only via _ckpt_for_start immediately
+    before a query start, and an OSError on the offsets listing is
+    fail-safe (keep the checkpoint) — ADVICE r14 #1/#2."""
     import os
 
     from pipeline_kinesis_spark.engine import Engine
@@ -149,7 +153,9 @@ def test_ckpt_resets_interrupted_batch0_debris(spark, tmp_path):
     os.makedirs(os.path.join(debris, "offsets"))
     open(os.path.join(debris, "offsets", ".0.tmp.123"), "w").write("x")
     open(os.path.join(debris, "metadata"), "w").write("{}")
-    path = eng._ckpt(1, "dead_letter")
+    assert eng._ckpt(1, "dead_letter") == debris
+    assert os.path.exists(debris)  # the pure path-getter never deletes
+    path = eng._ckpt_for_start(1, "dead_letter")
     assert path == debris
     assert not os.path.exists(debris)  # wiped for a clean batch-0 start
 
@@ -160,9 +166,29 @@ def test_ckpt_resets_interrupted_batch0_debris(spark, tmp_path):
     os.makedirs(os.path.join(resumed, "offsets"))
     open(os.path.join(resumed, "offsets", "0"), "w").write("v1")
     open(os.path.join(resumed, "offsets", ".1.tmp"), "w").write("x")
-    assert eng._ckpt(2, "ingest") == resumed
+    assert eng._ckpt_for_start(2, "ingest") == resumed
     assert os.path.exists(os.path.join(resumed, "offsets", "0"))
     assert os.path.exists(os.path.join(resumed, "offsets", ".1.tmp"))
+
+    # fail-safe: if the offsets listing errors, KEEP the checkpoint
+    # (only wipe when the listing positively shows no committed batch)
+    import unittest.mock as mock
+
+    with mock.patch(
+        "pipeline_kinesis_spark.engine.os.listdir",
+        side_effect=OSError("EMFILE"),
+    ):
+        assert eng._ckpt_for_start(1, "dead_letter")  # debris recreated? no —
+    # debris dir 1 was already wiped above; recreate fresh debris and
+    # verify the OSError path preserves it
+    os.makedirs(os.path.join(debris, "offsets"))
+    open(os.path.join(debris, "offsets", ".0.tmp.9"), "w").write("x")
+    with mock.patch(
+        "pipeline_kinesis_spark.engine.os.listdir",
+        side_effect=OSError("EMFILE"),
+    ):
+        assert eng._ckpt_for_start(1, "dead_letter") == debris
+    assert os.path.exists(debris)  # NOT destroyed on a transient error
 
 
 def test_replay_schema_override_recovers_pre_alter_rows(spark, tmp_path):
