@@ -2881,3 +2881,126 @@ GROUP BY event_type
 QUERIES["streaming_sw_percentile"] = QuerySpec(
     streaming_sw_percentile, STREAMING_SW_PERCENTILE_SQL
 )
+
+
+def streaming_osrel_cascade(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DEPTH-2 output-stream cascade (B2o, PipelineDB chained
+    ``output_of()`` — README.md:90-107), oracled: a durable per-
+    (event_type, bucket) counting view emits (old, new) delta tuples,
+    and a SECOND CONTINUOUS VIEW (not a transform — the full standing-
+    aggregation path) stands on ``<base>_osrel`` computing the
+    per-type TELESCOPED sums Σ(new − coalesce(old, 0)). The replay
+    runs in two planted phases so most keys change value across
+    batches and the delta history holds genuine old≠NULL updates.
+    Micro-batch boundaries are nondeterministic, but the chained
+    view's matrel telescopes to the plain per-type GROUP BY — a delta
+    emitted twice, lost, carrying a stale ``old``, or a chained-view
+    batch dropped anywhere in the cascade shifts a sum and
+    hash-fails. Deepens streaming_osrel_telescope (driver-side
+    telescope over a transform's sink) to the view→osrel→view shape
+    that was pytest-only (tests/test_output_streams.py
+    test_two_level_cascade)."""
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    ev = _events_subset(spark, sf_dir, 139, 11)
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix=f"soc_{tag}_")
+    if not ev:
+        return spark.createDataFrame([], _RESULT_SCHEMA)
+
+    def recs(rows, seq_base=0):
+        return [
+            {
+                "data": f"{r.event_id},{r.event_type},{r.user_id}",
+                "partition_key": str(r.user_id),
+                "shard_id": f"shardId-{r.user_id % 4:012d}",
+                "sequence_number": f"{seq_base + r.event_id:056d}",
+            }
+            for r in rows
+        ]
+
+    first = [r for r in ev if r.event_id % 2 == 0]
+    second = [r for r in ev if r.event_id % 2 == 1]
+    if not first:  # degenerate tiny slice: ship everything up front
+        first, second = second, []
+    write_record_file(f"{root}/events_replay", recs(first))
+    eng = Engine(
+        spark,
+        metadata_dir=f"{root}/meta",
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    ep, stream, base, chained = (
+        f"soc_ep_{tag}",
+        f"soc_stream_{tag}",
+        f"soc_base_{tag}",
+        f"soc_chain_{tag}",
+    )
+    try:
+        eng.add_endpoint(ep, url=root)
+        eng.create_stream(
+            stream,
+            "event_id BIGINT, event_type STRING, user_id BIGINT",
+        )
+        eng.create_continuous_view(
+            base,
+            f"SELECT event_type, user_id % 4 AS bucket, "
+            f"count(*) AS n, sum(event_id) AS s FROM {stream} "
+            f"GROUP BY event_type, user_id % 4",
+            stream=stream,
+            materialize="parquet_upsert",
+            key_cols=["event_type", "bucket"],
+            # the telescope needs the FULL delta history — opt out of
+            # the bounded default retention for this audit replay
+            osrel_keep_batches=None,
+        )
+        # the chained CONTINUOUS VIEW on the base view's output stream
+        # (created before consume_begin: emission is demand-driven)
+        eng.create_continuous_view(
+            chained,
+            f"SELECT new.event_type AS event_type, "
+            f"sum(new.n - coalesce(old.n, 0)) AS n_events, "
+            f"sum(new.s - coalesce(old.s, 0)) AS sum_event_id "
+            f"FROM {base}_osrel GROUP BY new.event_type",
+            stream=f"{base}_osrel",
+        )
+        eng.consume_begin(
+            ep, "events_replay", stream, fmt="csv", delimiter=",",
+        )
+        eng.wait_for_ingest(timeout_s=180)
+        eng.wait_for_ingest(timeout_s=60)  # drain the cascade tail
+        if second:
+            # phase two: most (type, bucket) keys update, so the
+            # osrel history holds genuine (old != NULL) deltas
+            write_record_file(
+                f"{root}/events_replay", recs(second, seq_base=10**12)
+            )
+            eng.wait_for_ingest(timeout_s=180)
+            eng.wait_for_ingest(timeout_s=60)
+        rows = [
+            (r.event_type, int(r.n_events), int(r.sum_event_id))
+            for r in eng.view_table(chained).collect()
+        ]
+    finally:
+        eng.consume_end_all()
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, _RESULT_SCHEMA)
+
+
+STREAMING_OSREL_CASCADE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS sum_event_id
+FROM events
+WHERE user_id % 139 = 11
+GROUP BY event_type
+"""
+
+QUERIES["streaming_osrel_cascade"] = QuerySpec(
+    streaming_osrel_cascade, STREAMING_OSREL_CASCADE_SQL
+)

@@ -143,92 +143,70 @@ _PENDING_NEXT_WINDOW: dict[str, int] = {}
 # tools/gate_history.py asserts every oracled registry query has held
 # a driver-green row in some round.
 _PRIORITY = (
-    # Round-14 rotation (VERDICT r13 "Next round" #1 + #2 + #6):
+    # Round-15 rotation (VERDICT r14 "Next round" #2 + #5):
     #
-    # IN — the four r13 pledges, never driver-green, now windowed
-    # (streaming_json_ingest / streaming_text_ingest /
-    # streaming_rebucket_counts / streaming_sw_hll_distinct — clears
-    # _PENDING_NEXT_WINDOW), the NEW streaming_sw_percentile row
-    # (verdict #6: KLL sw-percentile gated in its exact regime), the
-    # r13 single-green streaming_sw_recombine held for a second green,
-    # and the staleness tail: every oracled row whose last green is
-    # r08 or older returns (pii_redact r06; agg_exact_percentiles /
-    # crossdoc_span_dup / doc_chunk_overlap / domain_balance /
-    # embedding_neardup_clusters / unpivot_lineitem_measures r07;
-    # value_histogram / window_range_frame r08 — verdict #2's bound:
-    # after this round no oracled row is staler than five rounds),
-    # plus 14 of the 17 r09 rows and the r10/r11 mid-tail
-    # (window_distribution, combine_percentile_regroup,
-    # cosine_topk_lsh_recall explicitly named by verdict #2).
+    # IN — the full staleness tail: the three r09 rows verdict #2
+    # names (scalar_math_funcs, q8_market_share, srt_caption_stats),
+    # the entire r10 tail (oov_rate_filter, q9/q11/q14/q15/q17/q19/
+    # q20, session_window_agg), the five named streaming rows
+    # (streaming_view_counts / streaming_transform_chain r12,
+    # streaming_ttl_reap / streaming_start_position /
+    # streaming_stream_join_pairs r13), the NEW
+    # streaming_osrel_cascade row (verdict #5: depth-2 view → osrel →
+    # view cascade, previously pytest-only via
+    # test_two_level_cascade), and ALL 31 r11-last-green rows — after
+    # this round no oracled row's last green is older than r12, which
+    # pre-pays r16's staleness bound (the r11 cohort alone was 31
+    # rows; absorbing it now keeps every future window under the
+    # five-round bound without a bulge).
     #
-    # HELD — engine families that would otherwise lose their only
-    # in-window rep: streaming_watermark_drop (B25),
-    # streaming_sessionize_payloads (B24), streaming_dedup_redelivery
-    # (B26); sole-family reps q1_pricing_summary (flagship),
-    # json_extract (B22), exact_dedup (C1), bpe_train_verify (C9),
-    # neardup_components (C8), asof_join (B11, returning r11).
+    # HELD — q1_pricing_summary (flagship, always first).
     #
-    # OUT — multi-green r12/r13 rows, each with family coverage
-    # preserved in-window: q2 (TPC-H keeps q1/q3/q5/q13/q16/q21/q18/
-    # q10), streaming_restart/dim_join/stream_join/ttl_reap/
-    # alter_schema/reshard/start_position/datasource (2-5 greens each;
-    # engine end-to-end stays via the six new/held streaming rows,
-    # B11 stream-join shape via asof_join, TTL via the sw reaper
-    # rows), join_left_outer (q13), join_range (join_theta_pairs
-    # returns for B10), set_union_distinct (set_intersect),
-    # filter_predicates/join_semi/join_anti (q21 exists + q16 NOT IN),
-    # order_limit/topk_per_group (q3/q10/q18 + window_distribution),
-    # case_coalesce/scalar_string_funcs (scalar_datetime_funcs +
-    # doc_fingerprint string exprs), agg_keyed_minmax/
-    # agg_corr_regression/join_salted_skew/agg_distinct (B12/B13 via
-    # q1, agg_percentile, value_histogram, q16), cms_event_counts
-    # (theta_set_overlap), rollup_revenue (cube_orders), window_rank
-    # (window_distribution + window_range_frame), cosine_topk_ivf/
-    # pq_recall (cosine_topk_lsh_recall), funnel_conversion
-    # (cohort_retention), multimodal_meta_stats/image_dhash_dedup
-    # (image_resize_stats + multimodal_video_stats +
-    # multimodal_audio_stats), tumbling_window_agg (the three sw
-    # rows), scaled_value_pandas (zscore_per_user), ngram_jaccard_
-    # prefix/minhash_lsh_recall (embedding_neardup_clusters +
-    # crossdoc_span_dup + dedup_spans_rewrite), html_extract_main/
-    # token_count_bpe/text_quality (ngram_top_bigrams +
-    # doc_fingerprint), curation_report/stratified_sample (pii_redact
-    # + domain_balance + stratified_sample_hash), combine_regroup
-    # (combine_percentile_regroup carries combine() arithmetic).
-    # Three r09 rows stay out one more round within the five-round
-    # bound (scalar_math_funcs, q8_market_share, srt_caption_stats —
-    # r15 rotation fodder with the remaining r10 tail).
+    # OUT — the 49 r14-green rows (all fresh this round) and the r13
+    # cohort (within bound until r18). Family coverage inside the r15
+    # window: TPC-H via q1 + q8/q9/q11/q12/q14/q15/q17/q19/q20/q22;
+    # joins B8 via join_right/full_outer, B10 via the q17/q20
+    # correlated shapes + window_lag_lead range frames; aggs B12/B13
+    # via agg_stats/agg_approx_distinct/agg_salted_skew; sketches B14
+    # via agg_approx_percentile/bloom_order_priorities/
+    # fss_topk_tokens/hll-era rows' successor agg_approx_distinct;
+    # grouping sets B15 via grouping_sets_revenue; windows B17 via
+    # window_lag_lead; sets B20 via set_except; timeseries B23/B24
+    # via sliding_window_agg + session_window_agg; engine end-to-end
+    # via the six streaming rows; dedup C1-C3 via ngram_jaccard_pairs
+    # / simhash_planted_capture / audio_fingerprint_dedup /
+    # cosine_neardup_pairs; similarity C7 via cosine_topk +
+    # cosine_topk_ivfpq_recall; textops C4 via srt_caption_stats /
+    # oov_rate_filter / tfidf_top_terms / token_stats /
+    # lang_id_heuristic; multimodal C5/C6 via multimodal_decode_stats
+    # / multimodal_frame_sample / audio_signal_features; curation C8
+    # via corpus_clean / dataset_split / sequence_pack /
+    # embedding_centroids.
     "q1_pricing_summary",
-    # the standing-query engine: four pledges + the new KLL row + the
-    # held single-green sw row + the B24/B25/B26 family reps
-    "streaming_json_ingest", "streaming_text_ingest",
-    "streaming_rebucket_counts", "streaming_sw_hll_distinct",
-    "streaming_sw_percentile", "streaming_sw_recombine",
-    "streaming_watermark_drop", "streaming_sessionize_payloads",
-    "streaming_dedup_redelivery",
-    # staleness tail, last green <= r08 (verdict #2 hard bound)
-    "pii_redact", "agg_exact_percentiles", "crossdoc_span_dup",
-    "doc_chunk_overlap", "domain_balance",
-    "embedding_neardup_clusters", "unpivot_lineitem_measures",
-    "value_histogram", "window_range_frame",
-    # r09 refreshers
-    "cosine_topk_lsh_recall", "cube_orders", "dedup_spans_rewrite",
-    "image_resize_stats", "multimodal_audio_stats",
-    "ngram_top_bigrams", "q13_customer_distribution",
-    "q16_supplier_cnt", "q21_waiting_suppliers",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "scalar_datetime_funcs", "set_intersect",
-    "stratified_sample_hash",
-    # r10/r11 mid-tail + returning family reps
-    "window_distribution", "combine_percentile_regroup",
-    "theta_set_overlap", "multimodal_video_stats",
-    "pivot_priority_by_year", "doc_fingerprint", "agg_percentile",
-    "q18_large_volume_customer", "q10_returned_items",
-    "join_theta_pairs", "asof_join", "zscore_per_user",
-    "cohort_retention",
-    # sole-family holds
-    "json_extract", "exact_dedup", "bpe_train_verify",
-    "neardup_components",
+    # the standing-query engine: the five stale rows + the new
+    # depth-2 output-stream cascade
+    "streaming_view_counts", "streaming_transform_chain",
+    "streaming_ttl_reap", "streaming_start_position",
+    "streaming_stream_join_pairs", "streaming_osrel_cascade",
+    # r09 staleness tail (verdict #2 hard bound)
+    "scalar_math_funcs", "q8_market_share", "srt_caption_stats",
+    # the full r10 tail
+    "oov_rate_filter", "q9_product_profit", "q11_important_stock",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
+    "q19_discounted_revenue", "q20_part_promotion",
+    "session_window_agg",
+    # the full r11 cohort (pre-pays r16's staleness bound)
+    "agg_approx_distinct", "agg_approx_percentile", "agg_salted_skew",
+    "agg_stats", "audio_fingerprint_dedup", "audio_signal_features",
+    "bloom_order_priorities", "corpus_clean", "cosine_neardup_pairs",
+    "cosine_topk", "cosine_topk_ivfpq_recall", "dataset_split",
+    "embedding_centroids", "fss_topk_tokens", "grouping_sets_revenue",
+    "join_full_outer", "join_right_outer", "lang_id_heuristic",
+    "multimodal_decode_stats", "multimodal_frame_sample",
+    "ngram_jaccard_pairs", "q12_shipmode_priority", "q22_global_sales",
+    "q6_forecast_revenue", "sequence_pack", "set_except",
+    "simhash_planted_capture", "sliding_window_agg", "tfidf_top_terms",
+    "token_stats", "window_lag_lead",
 )
 
 

@@ -21,6 +21,11 @@ Supported surface:
   (kinesis_consume_begin_sr, pipeline_kinesis.c:922-925).
 - ``SELECT pipeline_kinesis.consume_end(endpoint, stream, relation)``
 - ``SELECT pipeline_kinesis.consume_begin()`` / ``consume_end()`` (all)
+- ``SELECT pipeline_kinesis.replay_dead_letters(relation [, format,
+  delimiter, quote, escape, schema_ddl])`` — A13 quarantine recovery;
+  returns the recovered-row count. ``schema_ddl => 'col type, ...'``
+  re-parses under a pre-``ALTER STREAM`` schema (prefix of the declared
+  schema; PG or Spark column types)
 - ``CREATE STREAM s (col pgtype, ...)`` — PG types mapped to Spark DDL
 - ``CREATE CONTINUOUS VIEW v [WITH (ttl='N seconds', ttl_column='c',
   materialize='memory|parquet_upsert', key_cols='a,b',
@@ -349,6 +354,39 @@ def execute(engine, statement: str) -> DataFrame | str:
             )
             engine.consume_end(b["endpoint"], b["stream"], b["relation"])
             return "success"
+        if fn == "replay_dead_letters":
+            # A13 recovery, SQL spelling (VERDICT r14 #4): the rest of
+            # the control plane has statement parity, the r14
+            # schema_ddl override was Python-API only. Returns the
+            # recovered-row count (same convention as
+            # pipeline_ttl_expire). schema_ddl accepts PG column types
+            # (mapped like CREATE STREAM) or Spark DDL verbatim.
+            b = _bind(
+                pos,
+                named,
+                [
+                    "relation",
+                    "format",
+                    "delimiter",
+                    "quote",
+                    "escape",
+                    "schema_ddl",
+                ],
+                required=1,
+            )
+            ddl = b.get("schema_ddl")
+            return str(
+                engine.replay_dead_letters(
+                    b["relation"],
+                    fmt=b.get("format"),
+                    delimiter=b.get("delimiter"),
+                    quote=b.get("quote"),
+                    escape=b.get("escape"),
+                    schema_ddl=(
+                        _map_pg_schema(ddl) if ddl is not None else None
+                    ),
+                )
+            )
         raise ValueError(f"unknown pipeline_kinesis function: {fn}")
 
     m = _CREATE_STREAM.match(statement)

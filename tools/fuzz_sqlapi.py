@@ -92,7 +92,7 @@ def _str_lit(rng: np.random.Generator) -> str:
 
 
 def _valid_statement(rng: np.random.Generator) -> str:
-    k = int(rng.integers(0, 12))
+    k = int(rng.integers(0, 13))
     name, other = _ident(rng), _ident(rng)
     if k == 0:
         return (f"SELECT pipeline_kinesis.add_endpoint('{name}', "
@@ -132,8 +132,11 @@ def _valid_statement(rng: np.random.Generator) -> str:
     if k == 10:
         verb = rng.choice(["ACTIVATE", "DEACTIVATE"])
         return f"{verb} {name}"
-    return (f"SELECT pipeline_rebucket('{name}', "
-            f"{int(rng.integers(1, 64))})")
+    if k == 11:
+        return (f"SELECT pipeline_rebucket('{name}', "
+                f"{int(rng.integers(1, 64))})")
+    return (f"SELECT pipeline_kinesis.replay_dead_letters('{name}', "
+            f"delimiter := ',', schema_ddl => 'a text, b bigint')")
 
 
 def _mangle(rng: np.random.Generator, stmt: str) -> str:
@@ -223,6 +226,22 @@ def _check_properties(rng: np.random.Generator) -> list[str]:
     }
     if fn != "create_continuous_view" or args[:1] != ("pv",) or kw != want_kw:
         bad.append(f"create_cv parsed to {fn} {args} {kw}")
+
+    # replay_dead_letters argument fidelity: PG column types in the
+    # schema_ddl override map exactly like CREATE STREAM (r15, the
+    # SQL spelling of the r14 pre-ALTER recovery override)
+    eng = run(
+        "SELECT pipeline_kinesis.replay_dead_letters('rel', "
+        "format := 'csv', delimiter := '|', "
+        "schema_ddl => 'v bigint, k text')"
+    )
+    fn, args, kw = eng.calls[-1]
+    want_kw = {
+        "fmt": "csv", "delimiter": "|", "quote": None, "escape": None,
+        "schema_ddl": "v BIGINT, k STRING",
+    }
+    if fn != "replay_dead_letters" or args != ("rel",) or kw != want_kw:
+        bad.append(f"replay_dead_letters parsed to {fn} {args} {kw}")
 
     # script splitting: semicolons inside literals and comments survive
     script = (
