@@ -42,7 +42,7 @@ def gates_main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    calib = _cpu_calibration()
+    calib = {**_cpu_calibration(), **_parallel_calibration()}
     spark = get_spark("bench-gates")
     fns = registry.query_fns()
     warm_dir = "/root/testdata/sf0.001"
@@ -158,34 +158,135 @@ def _cpu_calibration() -> dict:
 # artifact is total_raw_s x (CALIB_REF_S / calib_s), so a contended
 # driver run (r13's probe read 1.749 on a loadavg-0.07 host) can never
 # masquerade as a code regression. Only comparable while calib_digest
-# stays c5a4b1d81937.
+# stays CALIB_REF_DIGEST — normalization is now GATED on that match
+# (ADVICE r14 #3: a numpy/platform change yields a different-but-
+# deterministic digest and a silently incomparable normalized
+# headline).
 CALIB_REF_S = 1.147
+CALIB_REF_DIGEST = "c5a4b1d81937"
+
+# Canonical quiet figure for the PARALLEL probe (VERDICT r14 #1: the
+# 1.2 s single-thread probe admitted the r14 driver run as near-quiet
+# while the 32-way ingest measured 36.5k rec/s vs 65.5k on the quiet
+# close sample — a momentary single-thread probe can't see co-tenant
+# load that steals CORES from parallel stages). 32 threads x 300 MiB
+# SHA-256 each, GIL released per update, so the wall prices the box's
+# PARALLEL capacity: quiet same-box r15 probes read ~0.29-0.33 s while
+# a loadavg-5 co-tenant period read 2.4 s. Provisional r15-era
+# canonical; pcalib-derived fields are only comparable while
+# pcalib_digest stays PCALIB_REF_DIGEST.
+PCALIB_REF_S = 0.30
+PCALIB_REF_DIGEST = "323fc7a60455"
+PCALIB_THREADS = 32
+
+
+def _parallel_calibration(passes: int = 2) -> dict:
+    """Fixed-work PARALLEL host-speed probe (VERDICT r14 #1): 32
+    threads each SHA-256 a 256 KiB buffer 1200 times (~300 MiB/thread,
+    ~9.4 GiB total; hashlib releases the GIL for >2 KiB updates, so
+    the threads genuinely occupy cores). Wall-clock measures the box's
+    usable parallel capacity — exactly what the single-thread probe
+    misses when a co-tenant steals cores but leaves one quiet. Thread
+    count is FIXED at 32 (not cpu_count) so pcalib_digest — the
+    order-combined digest of every thread's output — is deterministic
+    across hosts; wall varies with cores, which is the point.
+    Min-of-N passes, same rationale as calib_s."""
+    import hashlib
+    import threading
+
+    def one_pass() -> tuple[float, str]:
+        out = [""] * PCALIB_THREADS
+
+        def work(idx: int) -> None:
+            h = hashlib.sha256(f"pks-pcalib-{idx}".encode())
+            buf = h.digest() * 8192  # 256 KiB
+            for _ in range(1200):
+                h.update(buf)
+            out[idx] = h.hexdigest()
+
+        t0 = time.perf_counter()
+        ts = [
+            threading.Thread(target=work, args=(i,))
+            for i in range(PCALIB_THREADS)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        wall = time.perf_counter() - t0
+        digest = hashlib.sha256("".join(out).encode()).hexdigest()[:12]
+        return wall, digest
+
+    results = [one_pass() for _ in range(max(passes, 1))]
+    digests = [d for _, d in results]
+    deterministic = len(set(digests)) == 1
+    if not deterministic:
+        print(
+            f"WARNING: parallel calibration digests differ {digests} — "
+            "pcalib_s stamped non-comparable",
+            file=sys.stderr,
+        )
+    return {
+        "pcalib_s": round(min(w for w, _ in results), 3),
+        "pcalib_threads": PCALIB_THREADS,
+        "pcalib_digest": digests[0] if deterministic else None,
+        "pcalib_deterministic": deterministic,
+    }
 
 
 def _calib_gated_start(max_wait_s: float) -> tuple[dict, float, bool]:
-    """Run the calibration probe BEFORE the suite and use IT as the
-    admission check (VERDICT r13 #4: r13's artifact read
+    """Run BOTH calibration probes BEFORE the suite and use them as the
+    admission check (VERDICT r13 #4 + r14 #1: r13's artifact read
     contended_start=false from a 0.07 loadavg yet calibrated 1.5x slow
-    — co-tenant steal doesn't show in this box's loadavg). If calib_s
-    exceeds 1.25x the canonical quiet figure, wait and re-probe until
-    it drops or the budget runs out; the best probe is stamped.
-    Returns (calib dict, seconds waited, still-contended?)."""
+    — co-tenant steal doesn't show in this box's loadavg; r14's
+    SINGLE-THREAD probe then admitted at 1.197 while parallel stages
+    ran ~1.8x slow — core steal doesn't show in a 1-thread probe
+    either). Admission requires calib_s <= 1.25x its quiet ref AND
+    pcalib_s <= 1.35x its quiet ref (the parallel probe has more
+    run-to-run variance); otherwise wait and re-probe until quiet or
+    the budget runs out.
+
+    Returns (calib dict, seconds waited, still-contended?). The dict
+    stamps BOTH the best probes seen during the wait (the intrinsic-
+    speed estimate normalization uses, min-of-N rationale) and the
+    FINAL probes taken immediately before admission (ADVICE r14 #4:
+    the suite starts after the LAST probe — if contention returned
+    between best and last, the final probe is the one reflecting
+    conditions at suite start; a best/final gap is itself a
+    contention marker)."""
+
+    def probe() -> dict:
+        return {**_cpu_calibration(), **_parallel_calibration()}
+
+    def contended(p: dict) -> bool:
+        return (
+            p["calib_s"] > 1.25 * CALIB_REF_S
+            or p["pcalib_s"] > 1.35 * PCALIB_REF_S
+        )
+
     waited = 0.0
-    best = _cpu_calibration()
-    while best["calib_s"] > 1.25 * CALIB_REF_S and waited < max_wait_s:
+    final = probe()
+    best = final
+    while contended(final) and waited < max_wait_s:
         print(
-            f"bench: calib_s {best['calib_s']:.3f} > "
-            f"{1.25 * CALIB_REF_S:.3f} (1.25x quiet ref) — host is "
-            f"contended; re-probing ({max_wait_s - waited:.0f}s budget "
-            "left)",
+            f"bench: calib_s {final['calib_s']:.3f} (gate "
+            f"{1.25 * CALIB_REF_S:.3f}) / pcalib_s "
+            f"{final['pcalib_s']:.3f} (gate "
+            f"{1.35 * PCALIB_REF_S:.3f}) — host is contended; "
+            f"re-probing ({max_wait_s - waited:.0f}s budget left)",
             file=sys.stderr,
         )
         time.sleep(15)
         waited += 15
-        probe = _cpu_calibration()
-        if probe["calib_s"] < best["calib_s"]:
-            best = probe
-    return best, waited, best["calib_s"] > 1.25 * CALIB_REF_S
+        final = probe()
+        if final["calib_s"] + final["pcalib_s"] < (
+            best["calib_s"] + best["pcalib_s"]
+        ):
+            best = final
+    out = dict(best)
+    out["calib_final_s"] = final["calib_s"]
+    out["pcalib_final_s"] = final["pcalib_s"]
+    return out, waited, contended(final)
 
 
 def _wait_for_quiet_host(max_wait_s: float) -> float:
@@ -300,9 +401,33 @@ def main() -> None:
     # three same-session warm shots (the steady-state data path a
     # long-running deployment sees, reproducible within ~10%); the
     # first/cold shot is kept as an informational field.
-    ingest_rps_first = _ingest_throughput(spark)
-    warm_shots = sorted(_ingest_throughput(spark) for _ in range(3))
+    #
+    # r15 (VERDICT r14 #1/#7): each shot self-labels with host stamps —
+    # pre-shot parallel mini-probe, loadavg, and the JVM's involuntary
+    # context-switch delta across the shot — so a contended shot is
+    # machine-visible in the artifact (r14's driver run read 36.5k
+    # while the quiet close sample read 65.5k; the discrepancy was
+    # measurement, and the artifact couldn't prove it). The
+    # calib-normalized warm median (rate x pre-shot slowdown) and the
+    # best warm shot are stamped alongside; ingest_contended marks any
+    # warm shot whose pre-probe exceeded the admission gate.
+    first_shot = _ingest_shot(spark)
+    shot_stats = [_ingest_shot(spark) for _ in range(3)]
+    ingest_rps_first = first_shot["rps"]
+    warm_shots = sorted(s["rps"] for s in shot_stats)
     ingest_rps_warm = warm_shots[1]
+    ingest_rps_best = warm_shots[-1]
+    norm_shots = sorted(
+        s["rps_norm"] for s in shot_stats if s["rps_norm"] is not None
+    )
+    # median of the mild-regime normalized shots; null when every shot
+    # was too contended for a linear correction to be honest
+    ingest_rps_warm_norm = (
+        norm_shots[len(norm_shots) // 2] if norm_shots else None
+    )
+    ingest_contended = any(
+        s["pcalib_pre_s"] > 1.35 * PCALIB_REF_S for s in shot_stats
+    )
 
     # Host-state provenance: bench numbers are only comparable within
     # one VM boot, and a sample taken on a loaded host (e.g. minutes
@@ -324,10 +449,15 @@ def main() -> None:
     # Host-normalized headline (VERDICT r13 #3): raw wall x the
     # measured host factor vs the canonical quiet box. Divide-compare
     # total_normalized_s across rounds; total_raw_s is this host, this
-    # moment. Valid only while calib_digest matches CALIB_REF_S's era.
+    # moment. GATED on calib_digest matching the canonical digest
+    # CALIB_REF_S was measured under (ADVICE r14 #3: a numpy/platform
+    # change yields a different-but-deterministic digest and a
+    # silently incomparable normalized headline) — calib_comparable
+    # says whether the gate held.
+    calib_comparable = calib.get("calib_digest") == CALIB_REF_DIGEST
     norm = (
         round(total_raw * CALIB_REF_S / calib["calib_s"], 3)
-        if calib.get("calib_deterministic") and calib["calib_s"] > 0
+        if calib_comparable and calib["calib_s"] > 0
         else None
     )
     print(
@@ -359,18 +489,40 @@ def main() -> None:
                 "ingest_records_per_s_warm": ingest_rps_warm,
                 "ingest_records_per_s_first": ingest_rps_first,
                 "ingest_warm_shots": warm_shots,
+                # r15 trust fields (VERDICT r14 #1/#7): best warm shot
+                # (min-of-N logic — contention only subtracts
+                # throughput), calib-normalized warm median (per-shot
+                # rate x its pre-shot parallel slowdown, median of 3;
+                # compare THIS across rounds when ingest_contended),
+                # and the per-shot host stamps that let a reader see
+                # which shot was stolen from.
+                "ingest_records_per_s_best": ingest_rps_best,
+                "ingest_records_per_s_warm_norm": ingest_rps_warm_norm,
+                "ingest_contended": ingest_contended,
+                "ingest_shot_stats": shot_stats,
+                "ingest_first_shot_stats": first_shot,
                 "ingest_stat_semantics": (
                     "headline = median of 3 same-session warm shots "
                     "(since r11); _first = single JVM-cold shot, "
                     "informational (r01-r10 artifacts reported the "
-                    "cold shot under the headline key)"
+                    "cold shot under the headline key); _best / "
+                    "_warm_norm / ingest_shot_stats since r15 "
+                    "(per-shot host stamps + parallel-probe "
+                    "normalization)"
                 ),
                 # schema v2 (ADVICE r11 #3): r11 ingest stat semantics
                 # change (cold single-shot -> warm median-of-3);
                 # v3 (r14): calib-GATED start + total_raw_s /
                 # total_normalized_s / calib_ref_s keys ("value" stays
-                # the raw total for cross-round field compatibility).
-                "bench_schema_version": 3,
+                # the raw total for cross-round field compatibility);
+                # v4 (r15): parallel calibration probe (pcalib_*),
+                # best+final probe stamps, digest-gated normalization
+                # (calib_comparable), per-shot ingest host stamps +
+                # ingest_records_per_s_best / _warm_norm /
+                # ingest_contended.
+                "bench_schema_version": 4,
+                "calib_comparable": calib_comparable,
+                "pcalib_ref_s": PCALIB_REF_S,
                 # provenance: numbers comparable only within one boot;
                 # loadavg (1/5/15 min, sampled at END of run) >~2 means
                 # a contended host inflated the samples
@@ -393,6 +545,77 @@ def main() -> None:
             }
         )
     )
+
+
+def _jvm_invol_ctx_switches() -> int | None:
+    """Sum of nonvoluntary_ctxt_switches across this process's direct
+    java children (local mode: the one Spark JVM). A large delta
+    across an ingest shot means the scheduler was preempting the
+    executor threads — core steal the shot's wall-clock paid for."""
+    me = os.getpid()
+    total, found = 0, False
+    try:
+        pids = [p for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return None
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                st = f.read()
+            comm = st[st.index("(") + 1 : st.rindex(")")]
+            ppid = int(st[st.rindex(")") + 2 :].split()[1])
+            if ppid != me or comm != "java":
+                continue
+            # /proc/<pid>/status counts the MAIN thread only; the
+            # executor threads live under task/ — sum all of them
+            for tid in os.listdir(f"/proc/{pid}/task"):
+                try:
+                    with open(f"/proc/{pid}/task/{tid}/status") as f:
+                        for line in f:
+                            if line.startswith(
+                                "nonvoluntary_ctxt_switches"
+                            ):
+                                total += int(line.split()[1])
+                                found = True
+                except (OSError, ValueError):
+                    continue
+        except (OSError, ValueError, IndexError):
+            continue
+    return total if found else None
+
+
+def _ingest_shot(spark) -> dict:
+    """One ingest-throughput shot with host self-labeling (VERDICT r14
+    #7): a single-pass parallel mini-probe immediately before the shot,
+    loadavg, and the JVM's involuntary context-switch delta across the
+    shot. rps_norm = rps x the pre-shot slowdown factor (clamped >= 1)
+    — the quiet-host estimate of the same shot."""
+    pre = _parallel_calibration(passes=1)
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load = None
+    ctx0 = _jvm_invol_ctx_switches()
+    rps = _ingest_throughput(spark)
+    ctx1 = _jvm_invol_ctx_switches()
+    slowdown = max(1.0, pre["pcalib_s"] / PCALIB_REF_S)
+    # Linear rate correction is only trustworthy in the MILD regime:
+    # ingest isn't perfectly CPU-bound, so at heavy steal a straight
+    # rps x slowdown overstates wildly (observed 22.5k x 5.9 = "133k"
+    # on a loadavg-4 host whose true quiet rate is ~65k). Beyond 1.5x
+    # the shot stamps rps_norm null and relies on the contended flag +
+    # best-shot stat instead of inventing a number.
+    norm_ok = rps > 0 and slowdown <= 1.5
+    return {
+        "rps": rps,
+        "rps_norm": round(rps * slowdown, 1) if norm_ok else None,
+        "pcalib_pre_s": pre["pcalib_s"],
+        "loadavg_pre": load,
+        "jvm_invol_ctx_delta": (
+            ctx1 - ctx0 if ctx0 is not None and ctx1 is not None
+            else None
+        ),
+    }
 
 
 def _ingest_throughput(spark, n_records: int = 100_000) -> float:

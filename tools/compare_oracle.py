@@ -3,7 +3,14 @@
 Runs every registered query on Spark and its oracle SQL on DuckDB over the
 same parquet tables and reports per-query PASS/FAIL.
 
-Usage: python tools/compare_oracle.py [--skip-anchors] [sf_dir] [query ...]
+Usage: python tools/compare_oracle.py [--skip-anchors]
+       [--json-out PATH] [sf_dir] [query ...]
+
+--json-out writes a compact machine-readable artifact (per-query
+status + wall seconds + totals) alongside the console report — used at
+round close to emit SF1_r{N}.json so the sf1 sweep survives as a
+driver-archivable artifact instead of a BENCH_NOTES prose line
+(VERDICT r14 #6).
 
 --skip-anchors excludes queries flagged exact_anchor=True (deliberately
 naive exact tiers whose Spark AND oracle cost grows ~n^2) — use it for
@@ -12,6 +19,8 @@ big-SF sweeps (sf1+), where one anchor's DuckDB oracle can burn an hour.
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 import time
 
@@ -26,6 +35,11 @@ def main() -> int:
     args = sys.argv[1:]
     skip_anchors = "--skip-anchors" in args
     args = [a for a in args if a != "--skip-anchors"]
+    json_out = None
+    if "--json-out" in args:
+        i = args.index("--json-out")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_spark("compare-oracle")
@@ -33,6 +47,8 @@ def main() -> int:
 
     failures = []
     skipped = []
+    results: dict[str, dict] = {}
+    t_start = time.time()
     for name, spec in sorted(all_queries().items()):
         if only and name not in only:
             continue
@@ -44,6 +60,11 @@ def main() -> int:
             sdf = spec.fn(spark, sf_dir)
             if spec.oracle is None:
                 n = sdf.count()
+                results[name] = {
+                    "status": "rows_only",
+                    "rows": n,
+                    "wall_s": round(time.time() - t0, 1),
+                }
                 print(
                     f"rows  {name}: {n} rows (no oracle) "
                     f"[{time.time() - t0:.1f}s]"
@@ -53,10 +74,20 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: error: {exc}")
             failures.append(name)
+            results[name] = {
+                "status": "error",
+                "error": str(exc)[:300],
+                "wall_s": round(time.time() - t0, 1),
+            }
             continue
         status = "FAIL" if problems else "ok  "
         if problems:
             failures.append(name)
+        results[name] = {
+            "status": "fail" if problems else "pass",
+            "wall_s": round(time.time() - t0, 1),
+            **({"problems": problems[:3]} if problems else {}),
+        }
         print(
             f"{status}  {name} [{time.time() - t0:.1f}s]"
             + ("".join("\n      " + p for p in problems))
@@ -76,6 +107,25 @@ def main() -> int:
         f"{len(failures)} failures"
         + (f": {sorted(failures)}" if failures else "")
     )
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "metric": "oracle_differential",
+                    "sf_dir": sf_dir,
+                    "skip_anchors": skip_anchors,
+                    "n_queries": len(results),
+                    "n_failures": len(failures),
+                    "failures": sorted(failures),
+                    "skipped_anchors": sorted(skipped),
+                    "total_wall_s": round(time.time() - t_start, 1),
+                    "queries": results,
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
+        print(f"wrote {os.path.abspath(json_out)}")
     return 1 if failures else 0
 
 
