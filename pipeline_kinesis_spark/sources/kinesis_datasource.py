@@ -431,12 +431,26 @@ class KinesisStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:  # noqa: N802 — Spark API
         # epoch always advances so every trigger plans a batch (the
         # poll cadence IS the trigger cadence, like the rate source);
-        # monotonic across restarts via the epoch file written in
-        # commit(). The shards map = positions attained through the
-        # last COMPLETED batch — i.e. the start positions of the batch
-        # that will end at this offset (frozen into the WAL so replays
-        # are start-deterministic).
+        # monotonic across restarts via the epoch file. The shards map
+        # = positions attained through the last COMPLETED batch — i.e.
+        # the start positions of the batch that will end at this
+        # offset (frozen into the WAL so replays are
+        # start-deterministic).
+        #
+        # The epoch file is persisted at PLAN time, not just commit
+        # (r15, found by tools/fuzz_lifecycle.py --mode datasource):
+        # persisting only in commit() leaves a one-batch window where
+        # the checkpoint's commit log is ahead of the epoch file — a
+        # stop landing between them made a restarted reader REUSE the
+        # last epoch for a new batch with different start positions.
+        # The attained pins are first-writer-wins PER EPOCH, so the
+        # reused batch's reach could never be pinned, the next plan
+        # regressed to the stale pin's position, and one batch's
+        # records were fetched and published twice (exactly-once
+        # breach). Planning itself now advances the high-water mark,
+        # so no later incarnation can ever reuse a planned epoch.
         self._epoch = max(self._epoch, self._read_epoch()) + 1
+        self._persist_epoch(self._epoch)
         attained = _read_attained(self.state_dir)
         shards = {
             sid: st["seq"]
@@ -455,14 +469,24 @@ class KinesisStreamReader(DataSourceStreamReader):
         except (OSError, ValueError):
             return 0
 
-    def commit(self, end: dict) -> None:
-        # the batch ending at `end` is fully committed downstream;
-        # persist the epoch so a restarted reader keeps it monotonic
+    def _persist_epoch(self, epoch: int) -> None:
+        """Advance the durable epoch high-water mark (never regress:
+        plan-time and commit-time writers may interleave across query
+        incarnations)."""
+        if epoch <= self._read_epoch():
+            return
         os.makedirs(self.state_dir, exist_ok=True)
         tmp = f"{self._epoch_path()}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
-            f.write(str(int(end.get("epoch", 0))))
+            f.write(str(int(epoch)))
         os.replace(tmp, self._epoch_path())
+
+    def commit(self, end: dict) -> None:
+        # the batch ending at `end` is fully committed downstream.
+        # The epoch high-water mark already advanced at plan time;
+        # max-merge it here too (a restarted reader replaying a WAL
+        # batch may commit an epoch the new incarnation never planned)
+        self._persist_epoch(int(end.get("epoch", 0)))
         # committed → older epochs' attained pins can never bound a
         # replay again; reap them (driver-side, single process)
         _reap_attained(self.state_dir)

@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -75,10 +76,16 @@ import numpy as np  # noqa: E402
 OPS = (
     "feed", "drain", "pause_resume", "restart", "flap_view",
     "rebucket", "feed_malformed", "replay", "alter",
+    "ttl_expire", "replay_rebucket",
 )
 # feeds and drains dominate so most scenarios move real data between
-# lifecycle punches
-WEIGHTS = (0.24, 0.20, 0.10, 0.10, 0.10, 0.10, 0.08, 0.05, 0.03)
+# lifecycle punches. r15 ops (VERDICT r14 #3): ttl_expire = the manual
+# sweep racing the live merge (the view carries a never-expiring TTL so
+# the sweep takes the store lock mid-stream but must reap 0);
+# replay_rebucket = replay_dead_letters on a worker thread racing a
+# concurrent rebucket of the same view's store (A19 concurrency guard).
+WEIGHTS = (0.22, 0.18, 0.10, 0.10, 0.09, 0.08, 0.08, 0.05, 0.03,
+           0.04, 0.03)
 KEYS = tuple(f"k{i}" for i in range(8))
 
 
@@ -154,12 +161,50 @@ def _scenario(spark, rng: np.random.Generator, ops_run: list) -> dict:
         eng.create_continuous_view(
             view,
             f"SELECT k, count(*) AS n, sum(v) AS total, "
-            f"min(v) AS vmin, max(v) AS vmax FROM {stream} GROUP BY k",
+            f"min(v) AS vmin, max(v) AS vmax, "
+            # TTL plumbing for the ttl_expire op: a 10-year TTL on the
+            # freshest arrival means the manual sweep always races the
+            # merge but must never reap a live row
+            f"max(arrival_timestamp) AS last_seen "
+            f"FROM {stream} GROUP BY k",
             stream=stream,
             materialize="parquet_upsert",
             key_cols=["k"],
             upsert_buckets=2,
+            ttl_seconds=86400 * 3650,
+            ttl_column="last_seen",
+            # chained scenarios telescope the FULL delta history
+            osrel_keep_batches=None,
         )
+        # ~half the scenarios chain a second CONTINUOUS VIEW on the
+        # base view's output stream (VERDICT r14 #3: osrel chains
+        # under restart) — its telescoped sums must equal the base
+        # counts at the end no matter how the lifecycle interleaved
+        chained = bool(rng.random() < 0.5)
+        if chained:
+            eng.create_continuous_view(
+                f"{view}_chain",
+                f"SELECT new.k AS k, "
+                f"sum(new.n - coalesce(old.n, 0)) AS n, "
+                f"sum(new.total - coalesce(old.total, 0)) AS total "
+                f"FROM {view}_osrel GROUP BY new.k",
+                stream=f"{view}_osrel",
+            )
+        # ~a third carry a sliding-window twin (VERDICT r14 #3: ALTER
+        # interleaved with sw views) — 30-day window, so every record
+        # stays in-window and the recombined read equals the exact
+        # aggregate
+        sw_twin = bool(rng.random() < 0.35)
+        if sw_twin:
+            eng.create_continuous_view(
+                f"{view}_sw",
+                f"SELECT k, count(*) AS n, sum(v) AS total "
+                f"FROM {stream} GROUP BY k",
+                stream=stream,
+                materialize="parquet_upsert",
+                sw_seconds=30 * 86400,
+                sw_step_seconds=86400,
+            )
         feed()
 
         def begin():
@@ -212,6 +257,45 @@ def _scenario(spark, rng: np.random.Generator, ops_run: list) -> dict:
                 state["recovered"] += int(
                     eng.replay_dead_letters(stream, delimiter=";")
                 )
+            elif op == "ttl_expire":
+                # manual sweep racing the live merge: must not raise,
+                # must reap nothing (TTL is 10 years)
+                reaped = int(eng.ttl_expire(view))
+                if reaped:
+                    raise AssertionError(
+                        f"ttl_expire reaped {reaped} live rows"
+                    )
+            elif op == "replay_rebucket":
+                # replay on a worker thread racing a rebucket of the
+                # same view's store — the concurrency guard must
+                # serialize them without deadlock or ledger drift
+                import threading as _th
+
+                if consuming:
+                    eng.wait_for_ingest(timeout_s=180)
+                box: list = []
+
+                def _rep(e=eng):
+                    try:
+                        box.append(int(
+                            e.replay_dead_letters(stream, delimiter=";")
+                        ))
+                    except Exception as ex:  # surfaces as violation
+                        box.append(ex)
+
+                t = _th.Thread(target=_rep)
+                t.start()
+                if consuming:
+                    eng.rebucket(view, int(rng.choice([1, 2, 4, 8])))
+                t.join(timeout=180)
+                if t.is_alive():
+                    raise AssertionError(
+                        "replay_rebucket deadlock: replay thread hung"
+                    )
+                got_r = box[0] if box else 0
+                if isinstance(got_r, Exception):
+                    raise got_r
+                state["recovered"] += got_r
             elif op == "alter":
                 if not state["altered"]:
                     # documented precondition: drain, THEN stop, THEN
@@ -234,6 +318,8 @@ def _scenario(spark, rng: np.random.Generator, ops_run: list) -> dict:
         if not consuming:
             begin()
         eng.wait_for_ingest(timeout_s=300)
+        if chained:
+            eng.wait_for_ingest(timeout_s=120)  # drain the cascade tail
 
         problems = []
         got = {
@@ -247,6 +333,26 @@ def _scenario(spark, rng: np.random.Generator, ops_run: list) -> dict:
             problems.append(
                 f"view mismatch: got!={extra} want!={missing}"
             )
+        if chained:
+            cgot = {
+                r.k: (int(r.n), int(r.total))
+                for r in eng.view_table(f"{view}_chain").collect()
+            }
+            cwant = {k: (v[0], v[1]) for k, v in expected.items()}
+            if cgot != cwant:
+                problems.append(
+                    f"chained telescope mismatch: {cgot} != {cwant}"
+                )
+        if sw_twin:
+            sgot = {
+                r.k: (int(r.n), int(r.total))
+                for r in eng.view_table(f"{view}_sw").collect()
+            }
+            swant = {k: (v[0], v[1]) for k, v in expected.items()}
+            if sgot != swant:
+                problems.append(
+                    f"sw twin mismatch: {sgot} != {swant}"
+                )
         archived = eng.stream_table(stream).count()
         want_archive = state["good"] + state["recovered"]
         if archived != want_archive:
@@ -279,16 +385,23 @@ WIRE_OPS = (
 WIRE_WEIGHTS = (0.34, 0.18, 0.12, 0.10, 0.10, 0.08, 0.08)
 
 
-def _scenario_wire(spark, rng: np.random.Generator, ops_run: list) -> dict:
-    """Wire-path scenario: seeded lifecycle ops against the managed
-    pump over a canned boto3-shaped Kinesis. The pump must deliver
-    every appended record exactly once through splits, merges,
-    injected faults, pauses and engine restarts."""
+def _scenario_wire(
+    spark, rng: np.random.Generator, ops_run: list,
+    datasource: bool = False,
+) -> dict:
+    """Wire-path scenario: seeded lifecycle ops against a canned
+    boto3-shaped Kinesis. Default drives the managed driver-side pump;
+    datasource=True drives the EXECUTOR-PARALLEL DataSource path over
+    real SigV4 HTTP instead (VERDICT r14 #3: datasource-path
+    lifecycle) — same ledger, the records must land exactly once
+    through splits, merges, injected faults, pauses and engine
+    restarts on either path."""
     import time as _time
 
     from pipeline_kinesis_spark.engine import Engine
     from pipeline_kinesis_spark.sources.fake_kinesis import (
         FakeKinesisClient,
+        serve_fake_kinesis,
     )
 
     tag = uuid.uuid4().hex[:8]
@@ -296,6 +409,16 @@ def _scenario_wire(spark, rng: np.random.Generator, ops_run: list) -> dict:
     ep, stream, view = f"lcw_ep_{tag}", f"lcw_st_{tag}", f"lcw_v_{tag}"
 
     fake = FakeKinesisClient({"shardId-000": [], "shardId-001": []})
+    keep = [False]
+    srv = url = cred = None
+    if datasource:
+        srv, url = serve_fake_kinesis(fake)
+        cred = f"{root}/creds"
+        with open(cred, "w") as f:
+            f.write(
+                "[default]\naws_access_key_id = testing\n"
+                "aws_secret_access_key = testing\n"
+            )
     open_shards = ["shardId-000", "shardId-001"]
     next_shard = [2]
     expected: dict[str, list] = {}
@@ -328,8 +451,11 @@ def _scenario_wire(spark, rng: np.random.Generator, ops_run: list) -> dict:
             shuffle_partitions=4,
         )
         # clients are process-local by design: re-register after any
-        # restart (production rebuilds one via make_boto3_client)
-        eng.register_kinesis_client(ep, fake)
+        # restart (production rebuilds one via make_boto3_client).
+        # The datasource path builds its own SigV4 HTTP clients from
+        # the endpoint's url/credfile, so no re-registration there.
+        if not datasource:
+            eng.register_kinesis_client(ep, fake)
         return eng
 
     def drain(eng, timeout_s=240.0):
@@ -357,8 +483,13 @@ def _scenario_wire(spark, rng: np.random.Generator, ops_run: list) -> dict:
             trigger_interval="50 milliseconds",
             shuffle_partitions=4,
         )
-        eng.add_endpoint(ep)  # kinesis-typed endpoint, injected client
-        eng.register_kinesis_client(ep, fake)
+        if datasource:
+            eng.add_endpoint(
+                ep, region="us-east-1", url=url, credfile=cred
+            )
+        else:
+            eng.add_endpoint(ep)  # kinesis-typed ep, injected client
+            eng.register_kinesis_client(ep, fake)
         eng.create_stream(stream, "v BIGINT, k STRING")
         eng.create_continuous_view(
             view,
@@ -374,7 +505,8 @@ def _scenario_wire(spark, rng: np.random.Generator, ops_run: list) -> dict:
         def begin():
             eng.consume_begin(
                 ep, "events_replay", stream, fmt="csv", delimiter=",",
-                source="pump", rate_limit_rps=40,
+                source="datasource" if datasource else "pump",
+                rate_limit_rps=40,
             )
 
         begin()
@@ -434,14 +566,35 @@ def _scenario_wire(spark, rng: np.random.Generator, ops_run: list) -> dict:
             )
         archived = eng.stream_table(stream).count()
         if archived != state["fed"]:
-            problems.append(
-                f"archive {archived} != fed {state['fed']}"
+            # dup/miss forensics: which sequence numbers were delivered
+            # a wrong number of times (sample)
+            from collections import Counter
+
+            seqs = Counter(
+                r.sequence_number
+                for r in eng.stream_table(stream)
+                .select("sequence_number").collect()
             )
+            dups = {k: c for k, c in seqs.items() if c > 1}
+            problems.append(
+                f"archive {archived} != fed {state['fed']}; "
+                f"{len(dups)} dup seqnums, sample="
+                f"{sorted(dups.items())[:6]}"
+            )
+        if problems and os.environ.get("LCF_KEEP_ON_VIOLATION"):
+            print(f"KEEP root={root}", file=sys.stderr)
+            keep[0] = True
         return {"fed": state["fed"], "feeds": -1, "problems": problems}
     finally:
         if eng is not None:
             eng.consume_end_all()
-        shutil.rmtree(root, ignore_errors=True)
+        if srv is not None:
+            try:
+                srv.shutdown()
+            except Exception:
+                pass
+        if not keep[0]:
+            shutil.rmtree(root, ignore_errors=True)
 
 
 def main() -> int:
@@ -450,7 +603,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--only-scenario", type=int, default=None)
     ap.add_argument(
-        "--mode", choices=("file", "wire", "mixed"), default="file"
+        "--mode",
+        choices=("file", "wire", "datasource", "mixed"),
+        default="file",
     )
     args = ap.parse_args()
 
@@ -467,14 +622,21 @@ def main() -> int:
         nonlocal scenarios, total_ops, total_fed
         rng = np.random.default_rng([args.seed, idx])
         ops_run: list = []
-        wire = args.mode == "wire" or (
-            args.mode == "mixed" and idx % 2 == 1
-        )
-        fn = _scenario_wire if wire else _scenario
-        if wire:
-            ops_run.append("[wire]")
+        # mixed cycles file / wire / datasource so one budget sweeps
+        # all three ingestion paths
+        if args.mode == "mixed":
+            kind = ("file", "wire", "datasource")[idx % 3]
+        else:
+            kind = args.mode
         try:
-            res = fn(spark, rng, ops_run)
+            if kind == "file":
+                res = _scenario(spark, rng, ops_run)
+            else:
+                ops_run.append(f"[{kind}]")
+                res = _scenario_wire(
+                    spark, rng, ops_run,
+                    datasource=(kind == "datasource"),
+                )
         except Exception as e:  # an op raising IS a violation
             violations.append(
                 {
