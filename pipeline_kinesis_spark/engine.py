@@ -278,6 +278,10 @@ class Engine:
         # here keeps the single-writer invariant without deactivating
         # the view for the sweep.
         self._store_locks: dict[str, threading.Lock] = {}
+        # wire-time pins of memory-view contents, served while a
+        # restarted sink query hasn't repopulated its table yet
+        # (see _snapshot_memory_sink)
+        self._memview_snapshots: dict[str, tuple] = {}
         # endpoint name → injected Kinesis client (boto3-shaped). Like
         # _procs, clients are process-local by nature: re-register after
         # a restart (production builds one from the endpoint row via
@@ -662,6 +666,8 @@ class Engine:
                     f"consumers {deps}; drop them first"
                 )
             self.catalog.drop_view(name)
+            for sink in (name, f"{name}__sw_raw", f"{name}__mrel"):
+                self._memview_snapshots.pop(sink, None)
             for queries in self._queries.values():
                 for q in list(queries):
                     if q.name in _view_qnames(name):
@@ -2007,6 +2013,7 @@ class Engine:
             sink_name = f"{view.name}__mrel"
         else:
             sink_name = view.name
+        self._snapshot_memory_sink(sink_name)
         return materialize_memory(
             vdf,
             sink_name,
@@ -2015,6 +2022,45 @@ class Engine:
             trigger_interval=interval,
             start_fn=self._start_query,
         )
+
+    def _snapshot_memory_sink(self, sink_name: str) -> None:
+        """Pin a memory view's current contents just before its sink
+        query (re)starts (r15, found by tools/fuzz_lifecycle.py's
+        chained-view ledger): Spark recreates a memory sink EMPTY on
+        query restart and only repopulates it when the next batch runs
+        — so after any consume_end/consume_begin cycle (pause, ALTER,
+        engine restart) a memory view read EMPTY until new data
+        arrived, where PipelineDB's matrel would still show its
+        contents. The pre-restart table (which survives the query stop
+        in the session catalog) is snapshotted driver-side here;
+        view_table serves the snapshot while the live table is empty.
+        Complete-mode agg output can only lose rows across a restart
+        by losing state (which the checkpoint prevents), so an empty
+        live table with a non-empty snapshot always means 'no batch
+        has repopulated the sink yet', never 'the view became empty'.
+        Memory views are the session-scale tier by contract, so the
+        driver-side copy is bounded."""
+        try:
+            df = self.spark.table(sink_name)
+            rows = df.collect()
+        except Exception:  # noqa: BLE001 — first start: no table yet
+            return
+        if rows:
+            self._memview_snapshots[sink_name] = (df.schema, rows)
+
+    def _memory_sink_table(self, sink_name: str) -> DataFrame:
+        """The memory sink's live table, or its wire-time snapshot
+        while the live table is empty (see _snapshot_memory_sink)."""
+        snap = self._memview_snapshots.get(sink_name)
+        try:
+            df = self.spark.table(sink_name)
+        except Exception:  # noqa: BLE001 — never started this session
+            if snap is None:
+                raise
+            return self.spark.createDataFrame(snap[1], snap[0])
+        if snap is not None and df.isEmpty():
+            return self.spark.createDataFrame(snap[1], snap[0])
+        return df
 
     def _apply_start_position(
         self,
@@ -2621,7 +2667,7 @@ class Engine:
         if vd.get("materialize") == "parquet_upsert":
             df = self._read_view_store(view_name)
             return df.drop(KB_COL) if KB_COL in df.columns else df
-        return self.spark.table(self._sink_name(vd))
+        return self._memory_sink_table(self._sink_name(vd))
 
     def combine(
         self, view_name: str, group_cols: list[str] | None = None
@@ -2683,7 +2729,7 @@ class Engine:
                 # sliding-window view: the raw memory table holds
                 # per-step partials — recombine the steps in the window
                 df = sw_combine(
-                    self.spark.table(f"{view_name}__sw_raw"),
+                    self._memory_sink_table(f"{view_name}__sw_raw"),
                     vd["sw_seconds"],
                     vd["sw_aggs"],
                     vd.get("sw_group_cols") or [],
@@ -2691,7 +2737,9 @@ class Engine:
                 if vd.get("sw_having"):
                     df = df.filter(F.expr(vd["sw_having"]))
                 return df
-            df = drop_partial_cols(self.spark.table(self._sink_name(vd)))
+            df = drop_partial_cols(
+                self._memory_sink_table(self._sink_name(vd))
+            )
             ttl, col = vd.get("ttl_seconds"), vd.get("ttl_column")
             if ttl is not None and col is not None:
                 df = df.filter(

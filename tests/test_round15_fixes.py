@@ -70,3 +70,75 @@ def test_datasource_commit_epoch_never_regresses(tmp_path):
     r.commit({"epoch": 2, "shards": "{}"})  # replayed older batch
     r2 = _reader(tmp_path)
     assert r2.latestOffset()["epoch"] == 5
+
+
+def test_memory_view_survives_pause_resume_without_new_data(
+    spark, tmp_path
+):
+    """fuzz_lifecycle finding #4 (seed 150817, chained-view ledger):
+    Spark recreates a memory sink EMPTY when its query restarts and
+    only repopulates it on the next batch — so after consume_end +
+    consume_begin (pause, ALTER, engine restart) a memory view read
+    EMPTY until new data arrived, where PipelineDB's matrel would
+    still show its contents. The engine now pins the pre-restart
+    table at wire time and serves the pin while the live table is
+    empty."""
+    import os
+
+    from pipeline_kinesis_spark.engine import Engine
+    from pipeline_kinesis_spark.sources.file_replay import (
+        write_record_file,
+    )
+
+    root = str(tmp_path)
+    eng = Engine(
+        spark,
+        metadata_dir=os.path.join(root, "meta"),
+        trigger_interval="50 milliseconds",
+        shuffle_partitions=4,
+    )
+    try:
+        eng.add_endpoint("ep", url=root)
+        eng.create_stream("st", "v BIGINT, k STRING")
+        eng.create_continuous_view(
+            "mv",
+            "SELECT k, count(*) AS n, sum(v) AS total FROM st "
+            "GROUP BY k",
+            stream="st",
+        )
+        write_record_file(
+            os.path.join(root, "records"),
+            [
+                {"data": f"{i},{'ab'[i % 2]}",
+                 "sequence_number": f"{i:056d}",
+                 "shard_id": "shardId-000"}
+                for i in range(6)
+            ],
+        )
+        eng.consume_begin("ep", "records", "st", fmt="csv", delimiter=",")
+        eng.wait_for_ingest(timeout_s=120)
+        want = {
+            r.k: (r.n, r.total) for r in eng.view_table("mv").collect()
+        }
+        assert want == {"a": (3, 6), "b": (3, 9)}
+        # pause + resume with NO new data: the view must still read
+        eng.consume_end_all()
+        eng.consume_begin("ep", "records", "st", fmt="csv", delimiter=",")
+        eng.wait_for_ingest(timeout_s=120)
+        got = {
+            r.k: (r.n, r.total) for r in eng.view_table("mv").collect()
+        }
+        assert got == want
+        # ...and new data after the resume takes over from the pin
+        write_record_file(
+            os.path.join(root, "records"),
+            [{"data": "100,a", "sequence_number": f"{10**12:056d}",
+              "shard_id": "shardId-000"}],
+        )
+        eng.wait_for_ingest(timeout_s=120)
+        got = {
+            r.k: (r.n, r.total) for r in eng.view_table("mv").collect()
+        }
+        assert got == {"a": (4, 106), "b": (3, 9)}
+    finally:
+        eng.consume_end_all()
