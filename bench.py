@@ -169,52 +169,65 @@ CALIB_REF_DIGEST = "c5a4b1d81937"
 # 1.2 s single-thread probe admitted the r14 driver run as near-quiet
 # while the 32-way ingest measured 36.5k rec/s vs 65.5k on the quiet
 # close sample — a momentary single-thread probe can't see co-tenant
-# load that steals CORES from parallel stages). 32 threads x 300 MiB
-# SHA-256 each, GIL released per update, so the wall prices the box's
-# PARALLEL capacity: quiet same-box r15 probes read ~0.29-0.33 s while
-# a loadavg-5 co-tenant period read 2.4 s. Provisional r15-era
-# canonical; pcalib-derived fields are only comparable while
-# pcalib_digest stays PCALIB_REF_DIGEST.
-PCALIB_REF_S = 0.30
-PCALIB_REF_DIGEST = "323fc7a60455"
-PCALIB_THREADS = 32
+# load that steals CORES from parallel stages). 32 PROCESSES x ~600 MiB
+# SHA-256 each; wall prices the box's usable parallel capacity.
+#
+# r15 measurement-bug fix (recorded in OPTIMIZATION_r15.md): the probe
+# originally ran 32 THREADS in the bench process, relying on hashlib
+# releasing the GIL per >2 KiB update. Measured on a PROVABLY idle host
+# (/proc/stat across the probe: 81 cpu-s idle, 0.2 cpu-s steal), the
+# thread form read 3.0-4.2 s against its 0.30 s quiet reference while
+# the identical work in 32 processes completed in 0.47 s wall — the
+# threads were sleeping on GIL handoff between updates (convoy), so the
+# probe measured the interpreter's lock scheduling, not the box, and
+# deadlocked the admission gate into a permanent "contended" verdict.
+# Worker processes have no shared lock; the wall now tracks cores.
+# Quiet same-box process probes read ~0.95-1.1 s (launch ~0.3 s +
+# 600 MiB hashed per worker), with intermittent same-box periods of
+# ~1.4-2.2 s — the fluctuating parallel capacity the probe exists to
+# see. pcalib-derived fields are only comparable while pcalib_digest
+# stays PCALIB_REF_DIGEST.
+PCALIB_REF_S = 1.0
+PCALIB_REF_DIGEST = "cf1afee8e7d8"
+PCALIB_WORKERS = 32
+# per-worker payload: 2400 updates x 256 KiB = 600 MiB; big enough that
+# the ~40 ms interpreter startup per worker is noise, small enough that
+# one probe pass stays ~0.6 s on a quiet 32-core box
+_PCALIB_CHILD = (
+    "import hashlib,sys\n"
+    "h=hashlib.sha256(('pks-pcalib-'+sys.argv[1]).encode())\n"
+    "buf=h.digest()*8192\n"
+    "for _ in range(2400): h.update(buf)\n"
+    "print(h.hexdigest())\n"
+)
 
 
 def _parallel_calibration(passes: int = 2) -> dict:
     """Fixed-work PARALLEL host-speed probe (VERDICT r14 #1): 32
-    threads each SHA-256 a 256 KiB buffer 1200 times (~300 MiB/thread,
-    ~9.4 GiB total; hashlib releases the GIL for >2 KiB updates, so
-    the threads genuinely occupy cores). Wall-clock measures the box's
-    usable parallel capacity — exactly what the single-thread probe
-    misses when a co-tenant steals cores but leaves one quiet. Thread
-    count is FIXED at 32 (not cpu_count) so pcalib_digest — the
-    order-combined digest of every thread's output — is deterministic
-    across hosts; wall varies with cores, which is the point.
-    Min-of-N passes, same rationale as calib_s."""
+    worker processes each SHA-256 a 256 KiB buffer 2400 times. Wall
+    measures the box's usable parallel capacity — exactly what the
+    single-thread probe misses when a co-tenant steals cores but
+    leaves one quiet. Worker count is FIXED at 32 (not cpu_count) so
+    pcalib_digest — the order-combined digest of every worker's
+    output — is deterministic across hosts; wall varies with cores,
+    which is the point. Min-of-N passes, same rationale as calib_s."""
     import hashlib
-    import threading
+    import subprocess
 
     def one_pass() -> tuple[float, str]:
-        out = [""] * PCALIB_THREADS
-
-        def work(idx: int) -> None:
-            h = hashlib.sha256(f"pks-pcalib-{idx}".encode())
-            buf = h.digest() * 8192  # 256 KiB
-            for _ in range(1200):
-                h.update(buf)
-            out[idx] = h.hexdigest()
-
         t0 = time.perf_counter()
-        ts = [
-            threading.Thread(target=work, args=(i,))
-            for i in range(PCALIB_THREADS)
+        procs = [
+            subprocess.Popen(
+                # -I -S: isolated, no site imports — minimal startup so
+                # the wall is hashing, not interpreter boot
+                [sys.executable, "-I", "-S", "-c", _PCALIB_CHILD, str(i)],
+                stdout=subprocess.PIPE,
+            )
+            for i in range(PCALIB_WORKERS)
         ]
-        for t in ts:
-            t.start()
-        for t in ts:
-            t.join()
+        outs = [p.communicate()[0].decode().strip() for p in procs]
         wall = time.perf_counter() - t0
-        digest = hashlib.sha256("".join(out).encode()).hexdigest()[:12]
+        digest = hashlib.sha256("".join(outs).encode()).hexdigest()[:12]
         return wall, digest
 
     results = [one_pass() for _ in range(max(passes, 1))]
@@ -228,7 +241,7 @@ def _parallel_calibration(passes: int = 2) -> dict:
         )
     return {
         "pcalib_s": round(min(w for w, _ in results), 3),
-        "pcalib_threads": PCALIB_THREADS,
+        "pcalib_workers": PCALIB_WORKERS,
         "pcalib_digest": digests[0] if deterministic else None,
         "pcalib_deterministic": deterministic,
     }

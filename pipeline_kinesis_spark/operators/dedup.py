@@ -60,27 +60,20 @@ GROUP BY 1
 """
 
 
-def _shingle_hashes(d: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → distinct 64-bit shingle hashes. Hashing happens BEFORE the
-    distinct so the dedup shuffle (and everything downstream) moves 8-byte
-    keys instead of shingle strings — collision odds ~n²/2⁶⁴, negligible."""
-    toked = spread(
+def _shingle_hash_arrays(d: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → array of 64-bit shingle hashes (duplicates retained, one
+    row per doc — no explode, no shuffle; computed scan-side)."""
+    return spread(
         d.select("doc_id", tokens("text").alias("t")).filter(
             F.size("t") >= n
         ),
         "doc_id",
-    )
-    return (
-        toked.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
-                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice("t", i, n))),
-                )
-            ).alias("sh"),
-        )
-        .distinct()
+    ).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("t", i, n))),
+        ).alias("hs"),
     )
 
 
@@ -92,28 +85,45 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain inverted-index self-join — cost ∝ Σ|posting list|². The right
     choice when shingle frequencies are benign (short posting lists);
     ngram_jaccard_prefix below is the same computation with prefix
-    filtering for skewed corpora."""
-    sh = _shingle_hashes(load(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    filtering for skewed corpora.
+
+    r15 (guide §2.3/§2.4): the per-doc set size is size(array_distinct)
+    computed SCAN-SIDE and carried through the posting-list join — the
+    old form's distinct exchange, per-doc sizes aggregate and two size
+    join-backs are gone (6 exchanges → 2: the sh self-join + the pair
+    groupBy; sz_a/sz_b ride the join rows and come out of the pair
+    aggregate as min() of a per-group constant). Identical values:
+    |distinct(multiset)| == count of the old explode→distinct rows.
+    """
+    sh = (
+        _shingle_hash_arrays(load(spark, sf_dir, "documents"))
+        .select("doc_id", F.array_distinct("hs").alias("arr"))
+        .select(
+            "doc_id",
+            F.size("arr").alias("sz"),
+            F.explode("arr").alias("sh"),
+        )
+    )
     a = sh.alias("a")
     b = sh.alias("b")
-    common = (
+    return (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        common.join(za, "doc_a")
-        .join(zb, "doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -148,13 +158,21 @@ def _jaccard_prefix_pairs(
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard-similarity self-join at threshold
     ``t`` (see ngram_jaccard_prefix)."""
-    # the shingle table feeds the frequency count AND the per-doc fold —
-    # materialize it once (on a cluster: checkpoint to a table) instead
-    # of re-running explode+distinct per consumer. Pool-persisted: the
-    # next operator entry releases it, so gate/bench sessions don't
-    # accumulate cached partitions across queries.
+    # the per-doc distinct-shingle table feeds the frequency count AND
+    # the per-doc fold — materialize it once (on a cluster: checkpoint
+    # to a table) instead of re-running the tokenize+hash per consumer.
+    # Pool-persisted: the next operator entry releases it, so gate/bench
+    # sessions don't accumulate cached partitions across queries.
+    # r15 (guide §2.4): per-doc dedup is array_distinct SCAN-SIDE — the
+    # old explode→distinct exchange is gone and the cache holds one
+    # array row per doc instead of one row per (doc, shingle).
     release_stale_caches()
-    sh = pooled_persist(_shingle_hashes(load(spark, sf_dir, "documents")))
+    da = pooled_persist(
+        _shingle_hash_arrays(load(spark, sf_dir, "documents")).select(
+            "doc_id", F.array_distinct("hs").alias("arr")
+        )
+    )
+    sh = da.select("doc_id", F.explode("arr").alias("sh"))
 
     # global shingle frequency via groupBy + join-back, NOT a
     # count-over-window: window functions get no map-side partial
@@ -298,15 +316,35 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Entirely JVM-side: xxhash64(seed, shingle) per permutation, min per
     doc, 8 band-hash buckets, self-join per bucket, signature-agreement
     estimate. Signature size is constant per doc regardless of length.
+
+    r15 (guide §2.4, measured): the old source had a per-doc DISTINCT
+    before the signature aggregate; min over a multiset == min over
+    the distinct set, so the explode now feeds the per-doc min
+    aggregates directly. PHYSICAL PLAN UNCHANGED — Catalyst's
+    RemoveRedundantAggregates was already deleting that distinct (the
+    plan has exactly two exchanges: spread's and the broadcast band
+    join's; the groupBy(doc_id) inherits spread's doc_id partitioning
+    and plans with no exchange) — the rewrite just makes the source
+    say what executes instead of relying on the optimizer rule.
+    A per-row array-expression variant (array_min over 32 transform()
+    passes, no explode) was tried and abandoned: higher-order
+    functions are CodegenFallback, and the interpreted 32-pass
+    evaluation burned ~100× the CPU of the codegen'd min aggregate on
+    identical values (thread dumps showed every task in
+    ArrayTransform.eval).
     """
-    sh = _shingle_hashes(load(spark, sf_dir, "documents"))
-    sig = sh.groupBy("doc_id").agg(
-        F.array(
-            *[
-                F.min(F.xxhash64(F.lit(seed), F.col("sh")))
-                for seed in range(NUM_PERM)
-            ]
-        ).alias("sig")
+    sig = (
+        _shingle_hash_arrays(load(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode("hs").alias("sh"))
+        .groupBy("doc_id")
+        .agg(
+            F.array(
+                *[
+                    F.min(F.xxhash64(F.lit(seed), F.col("sh")))
+                    for seed in range(NUM_PERM)
+                ]
+            ).alias("sig")
+        )
     )
     # melt: one (doc, band, band_hash) row per band — ONE self-join on
     # (band, band_hash) replaces BANDS separate joins, so the signature

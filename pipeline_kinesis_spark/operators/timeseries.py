@@ -140,20 +140,24 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated subquery, no skew-prone range cross join. This is the
     standard scalable as-of pattern (also how the streaming variant works).
     """
-    e = load(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.lit(1).alias("is_click"),
-        F.lit(None).cast("timestamp").alias("p_ts"),
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        F.lit(None).cast("long").alias("event_id"),
-        F.lit(0).alias("is_click"),
-        F.col("ts").alias("p_ts"),
+    # r15 (guide §2.3/§6): ONE events scan instead of two filtered scans
+    # glued by a union — the click/purchase branches become row-local
+    # conditionals over a single pass. Same rows, same window, same
+    # output (p_ts keeps the union form's TIMESTAMP type via the
+    # explicit cast the null branch used to carry).
+    is_click = F.col("event_type") == "click"
+    merged_in = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "ts",
+            F.when(is_click, F.col("event_id")).alias("event_id"),
+            is_click.cast("int").alias("is_click"),
+            F.when(~is_click, F.col("ts"))
+            .cast("timestamp")
+            .alias("p_ts"),
+        )
     )
     # Order purchases before clicks at identical ts so "at-or-before" holds.
     w = (
@@ -161,7 +165,7 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "is_click")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = clicks.unionByName(purchases).withColumn(
+    merged = merged_in.withColumn(
         "last_purchase_ts", F.last("p_ts", ignorenulls=True).over(w)
     )
     return merged.filter(F.col("is_click") == 1).select(
