@@ -89,20 +89,31 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r15 (guide §2.3/§2.4): the per-doc set size is size(array_distinct)
     computed SCAN-SIDE and carried through the posting-list join — the
-    old form's distinct exchange, per-doc sizes aggregate and two size
-    join-backs are gone (6 exchanges → 2: the sh self-join + the pair
-    groupBy; sz_a/sz_b ride the join rows and come out of the pair
-    aggregate as min() of a per-group constant). Identical values:
+    old form's per-doc sizes aggregate and two size join-backs are gone
+    (sz_a/sz_b ride the join rows and come out of the pair aggregate as
+    min() of a per-group constant). Identical values:
     |distinct(multiset)| == count of the old explode→distinct rows.
+
+    The posting table is explicitly hash-partitioned on the shingle key
+    BEFORE the self-join (spread): at scale a sort-merge self-join
+    needs exactly that exchange anyway (zero added cost), and locally
+    it is the MATERIALIZATION POINT both join sides reuse
+    (ReusedExchange) — without it, when the planner broadcasts one
+    side, the broadcast build re-executes the whole
+    tokenize→hash→distinct pipeline a second time (the old form's
+    distinct exchange used to provide this reuse point for free;
+    measured ~2.4× on the bench when it was dropped without a
+    replacement).
     """
-    sh = (
+    sh = spread(
         _shingle_hash_arrays(load(spark, sf_dir, "documents"))
         .select("doc_id", F.array_distinct("hs").alias("arr"))
         .select(
             "doc_id",
             F.size("arr").alias("sz"),
             F.explode("arr").alias("sh"),
-        )
+        ),
+        "sh",
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -370,6 +381,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    # r15 (guide §2.4): hash-partition the band table on the join key
+    # BEFORE the self-join. At scale the band self-join needs this
+    # exchange anyway; locally it is the materialization point both
+    # join sides reuse (ReusedExchange) — without it the broadcast
+    # build side re-executes the whole signature pipeline (explode +
+    # 32-min aggregate) a second time. Same fix as
+    # ngram_jaccard_pairs; this double-compute predates r15 (the old
+    # plan had it too).
+    bands = spread(bands, "band", "bh")
     a = bands.alias("a")
     c = bands.alias("c")
     n_agree = F.size(
