@@ -104,6 +104,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct exchange used to provide this reuse point for free;
     measured ~2.4× on the bench when it was dropped without a
     replacement).
+
+    explode_outer, NOT explode (r15, measured 4.4×): exploding a NAMED
+    array column lets InferFiltersFromGenerate add `size(arr) > 0 AND
+    isnotnull(arr)`, and predicate pushdown then substitutes the whole
+    interpreted shingle-hash transform into the scan-side Filter — the
+    expression runs 3× per row (twice in the Filter, once in the
+    Project; plan evidence in plans/r15/). The arrays here are provably
+    non-empty (size(t) >= n upstream ⇒ hs non-empty ⇒ arr non-empty),
+    so outer-explode output is identical and no filter is inferred.
     """
     sh = spread(
         _shingle_hash_arrays(load(spark, sf_dir, "documents"))
@@ -111,7 +120,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.size("arr").alias("sz"),
-            F.explode("arr").alias("sh"),
+            F.explode_outer("arr").alias("sh"),
         ),
         "sh",
     )
@@ -183,7 +192,10 @@ def _jaccard_prefix_pairs(
             "doc_id", F.array_distinct("hs").alias("arr")
         )
     )
-    sh = da.select("doc_id", F.explode("arr").alias("sh"))
+    # explode_outer: arr is provably non-empty; keeps the inferred
+    # generate-filter off the cache-build pipeline (see
+    # ngram_jaccard_pairs).
+    sh = da.select("doc_id", F.explode_outer("arr").alias("sh"))
 
     # global shingle frequency via groupBy + join-back, NOT a
     # count-over-window: window functions get no map-side partial
@@ -346,7 +358,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sig = (
         _shingle_hash_arrays(load(spark, sf_dir, "documents"))
-        .select("doc_id", F.explode("hs").alias("sh"))
+        # explode_outer: identical here (hs provably non-empty) and it
+        # keeps InferFiltersFromGenerate from substituting the whole
+        # interpreted transform into the scan Filter (see
+        # ngram_jaccard_pairs — measured 3× per-row re-evaluation).
+        .select("doc_id", F.explode_outer("hs").alias("sh"))
         .groupBy("doc_id")
         .agg(
             F.array(

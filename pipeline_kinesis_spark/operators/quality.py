@@ -66,6 +66,15 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         load(spark, sf_dir, "documents")
         .withColumn("toks", tokens("text"))
+        # size guard BEFORE the gram transform: docs shorter than the
+        # gram width produce no grams either way, and the guard makes
+        # `grams` provably non-empty so the explode below can be
+        # explode_outer — without it, InferFiltersFromGenerate +
+        # predicate pushdown substitute the whole interpreted gram
+        # transform into the scan Filter, evaluating it 3× per row
+        # (measured 27.7 s → cache build, guide §4.4 duplication; plan
+        # evidence plans/r15/decontaminate_overlap_before.txt line 55).
+        .filter(F.size("toks") >= CONTAM_NGRAM)
         .withColumn("grams", _ngrams(F.col("toks"), CONTAM_NGRAM))
     )
     is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
@@ -77,7 +86,11 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_stale_caches()
     g = pooled_persist(
         spread(d, "doc_id").select(
-            "doc_id", is_bench.alias("is_b"), F.explode("grams").alias("g")
+            "doc_id",
+            is_bench.alias("is_b"),
+            # explode_outer: identical (grams provably non-empty under
+            # the size guard) and infers no generate-filter.
+            F.explode_outer("grams").alias("g"),
         )
     )
     bench = (

@@ -36,6 +36,28 @@ def test_plan_hygiene_every_query(spark, sf_dir, name):
     plan = explain_str(spec.fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, f"{name} has a cartesian product"
     assert "BatchEvalPython" not in plan, f"{name} uses a row Python UDF"
+    # r15 regression ban: an interpreted higher-order function inside a
+    # Filter Condition. Exploding a NAMED array column lets
+    # InferFiltersFromGenerate add size(arr)>0/isnotnull(arr), and
+    # predicate pushdown then substitutes the whole lambda pipeline into
+    # the scan filter — re-evaluated per input row on top of the
+    # projection's own evaluation (measured 3-4x on minhash_lsh_pairs /
+    # ngram_jaccard_pairs, ~20x on decontaminate_overlap's cache build).
+    # Fix pattern: explode_outer over a provably non-empty array, or an
+    # inline generator expression. corpus_clean is exempt: its HOF
+    # predicate IS the declared quality gate (the oracle runs the same
+    # expression) and is evaluated once per row at the scan.
+    if name not in {"corpus_clean"}:
+        hof_in_filter = [
+            line
+            for line in plan.splitlines()
+            if line.lstrip().startswith("Condition")
+            and "lambdafunction(" in line
+        ]
+        assert not hof_in_filter, (
+            f"{name} evaluates a higher-order function inside a Filter "
+            f"condition: {hof_in_filter[:1]}"
+        )
 
 
 def test_q1_filter_pushed_to_scan(spark, sf_dir):

@@ -6,7 +6,13 @@ Flags: bcast (BroadcastHashJoin), SMJ (SortMergeJoin), BNLJ
 (BroadcastNestedLoopJoin — expected for broadcast cross/theta joins),
 CARTESIAN! and ROW_PY_UDF! (both banned — test_plans.py enforces),
 pandas_udf (ArrowEvalPython/ArrowPython), codegen (WholeStageCodegen
-present), pushdown (non-empty PushedFilters on some scan).
+present), pushdown (non-empty PushedFilters on some scan),
+HOF_FILTER! (banned — an interpreted higher-order function inside a
+Filter Condition; the r15 InferFiltersFromGenerate signature, where
+exploding a NAMED array column lets predicate pushdown substitute the
+whole lambda pipeline into the scan filter and re-evaluate it per row —
+measured 3-4x on the dedup bench rows and ~20x on
+decontaminate_overlap's cache build).
 """
 
 from __future__ import annotations
@@ -39,7 +45,23 @@ def flags_for(plan: str) -> list[str]:
         out.append("codegen")
     if "PushedFilters: [" in plan and "PushedFilters: []" not in plan:
         out.append("pushdown")
+    if any(
+        line.lstrip().startswith("Condition") and "lambdafunction(" in line
+        for line in plan.splitlines()
+    ):
+        out.append("HOF_FILTER!")
     return out
+
+
+# Queries whose Filter legitimately contains a higher-order function:
+# the HOF predicate IS the operator's declared gate (the oracle runs the
+# same expression), it is evaluated once per row at the scan, and the
+# alternative placements (post-projection filter gets substituted right
+# back by pushdown; pre-aggregating per-token rows adds a shuffle) are
+# strictly worse. Everything else that trips HOF_FILTER! is the
+# InferFiltersFromGenerate substitution bug — fix with explode_outer or
+# an inline generator expression (see operators/dedup.py r15 notes).
+HOF_FILTER_INTRINSIC = frozenset({"corpus_clean"})
 
 
 def main() -> int:
@@ -59,6 +81,8 @@ def main() -> int:
             bad += 1
             continue
         fl = flags_for(plan)
+        if name in HOF_FILTER_INTRINSIC and "HOF_FILTER!" in fl:
+            fl[fl.index("HOF_FILTER!")] = "hof_filter_intrinsic"
         if any(f.endswith("!") for f in fl):
             bad += 1
         print(f"{name:30s} {' '.join(fl)}")
