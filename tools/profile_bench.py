@@ -61,6 +61,28 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — warmup only
             pass
 
+    # JVM process CPU clock (r15): on a box with co-tenant core steal,
+    # wall time of a 32-way stage is dominated by how many cores the
+    # scheduler actually granted; the JVM's own process CPU time is the
+    # work the query burned and is robust to that. Read utime+stime of
+    # ALL the JVM's threads from /proc/<pid>/stat (Linux; 0.0 elsewhere).
+    try:
+        jvm_pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+        clk = os.sysconf("SC_CLK_TCK")
+    except Exception:  # noqa: BLE001 — metric is best-effort
+        jvm_pid = None
+
+    def jvm_cpu_s() -> float:
+        if jvm_pid is None:
+            return 0.0
+        try:
+            with open(f"/proc/{jvm_pid}/stat") as f:
+                parts = f.read().rsplit(")", 1)[1].split()
+            # fields 14/15 (1-based utime/stime) land at 11/12 here
+            return (int(parts[11]) + int(parts[12])) / clk
+        except Exception:  # noqa: BLE001 — metric is best-effort
+            return 0.0
+
     out: dict[str, dict] = {}
     for name, spec in sorted(specs.items()):
         fn = spec.bench_fn or spec.fn
@@ -68,21 +90,25 @@ def main() -> None:
             df = fn(spark, sf_dir)
             with open(os.path.join(plans_dir, f"{name}_{suffix}.txt"), "w") as f:
                 f.write(explain_str(df, "formatted"))
-        noop_s, collect_s = [], []
+        noop_s, collect_s, noop_cpu, collect_cpu = [], [], [], []
         for _ in range(reps):
             spark.sparkContext.setJobDescription(f"{name}: noop")
-            t0 = time.time()
+            c0, t0 = jvm_cpu_s(), time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             noop_s.append(time.time() - t0)
+            noop_cpu.append(jvm_cpu_s() - c0)
         for _ in range(reps):
             spark.sparkContext.setJobDescription(f"{name}: collect")
-            t0 = time.time()
+            c0, t0 = jvm_cpu_s(), time.time()
             fn(spark, sf_dir).collect()
             collect_s.append(time.time() - t0)
+            collect_cpu.append(jvm_cpu_s() - c0)
         spark.sparkContext.setJobDescription(None)
         out[name] = {
             "noop_s": round(min(noop_s), 3),
             "collect_s": round(min(collect_s), 3),
+            "noop_cpu_s": round(min(noop_cpu), 3),
+            "collect_cpu_s": round(min(collect_cpu), 3),
             "noop_spread": round(max(noop_s) / max(min(noop_s), 1e-9), 2),
             "collect_spread": round(
                 max(collect_s) / max(min(collect_s), 1e-9), 2
@@ -90,7 +116,8 @@ def main() -> None:
         }
         print(
             f"{name}: noop {out[name]['noop_s']}s collect "
-            f"{out[name]['collect_s']}s",
+            f"{out[name]['collect_s']}s cpu "
+            f"{out[name]['noop_cpu_s']}/{out[name]['collect_cpu_s']}s",
             file=sys.stderr,
         )
     try:
