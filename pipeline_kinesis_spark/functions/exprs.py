@@ -13,7 +13,7 @@ results to local[1].
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -40,6 +40,46 @@ def tokens(col: Column | str) -> Column:
     ``string_split_regex(trim(text), '\\s+')``)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.split(F.trim(c), r"\s+")
+
+
+def ngram_rows(
+    df: DataFrame,
+    tok_col: str,
+    n: int,
+    keep: tuple[str, ...],
+    gram_col: str = "gram",
+    pos_col: str | None = None,
+) -> DataFrame:
+    """Overlapping n-grams as ROWS — the whole-stage-codegen twin of
+    ``ngrams()`` for hot paths (r15, guide §4.1 "prefer built-ins").
+
+    ``ngrams()`` is a ``transform()`` lambda; higher-order functions are
+    CodegenFallback, so the WHOLE projection containing one drops out of
+    codegen into the interpreted tree-walking evaluator. Measured on the
+    shingle paths at sf0.1: the interpreter's megamorphic call sites take
+    several executions to JIT-warm (first run 9-14 s wall / ~184 CPU-s
+    with every task thread inside ConcatWs.eval — thread dumps in
+    OPTIMIZATION_r15.md) and stay 2-20x slower than codegen'd bytecode.
+    This form — explode_outer over a position sequence, then plain
+    slice/concat_ws — uses only expressions with doGenCode, so the n-gram
+    pipeline compiles into the stage's generated loop.
+
+    Caller contract: every row's ``tok_col`` must have size >= n (filter
+    upstream). That makes the position sequence provably non-empty, so
+    explode_outer is row-for-row identical to explode — and outer-ness
+    keeps InferFiltersFromGenerate from substituting the sequence into
+    the scan-side filter (the r15 dedup regression signature).
+    """
+    upper = F.size(tok_col) - (n - 1)
+    pos = "_gpos" if pos_col is None else pos_col
+    exploded = df.select(
+        *keep,
+        tok_col,
+        F.explode_outer(F.sequence(F.lit(1), upper)).alias(pos),
+    )
+    gram = F.concat_ws(" ", F.slice(tok_col, F.col(pos), n)).alias(gram_col)
+    cols = [*keep, gram] if pos_col is None else [*keep, pos_col, gram]
+    return exploded.select(*cols)
 
 
 def ngrams(col: Column, n: int) -> Column:

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pipeline_kinesis_spark.functions.exprs import ngrams, tokens
+from pipeline_kinesis_spark.functions.exprs import ngram_rows, tokens
 from pipeline_kinesis_spark.io import load, spread
 from pipeline_kinesis_spark.operators import (
     QuerySpec,
@@ -60,20 +60,27 @@ GROUP BY 1
 """
 
 
-def _shingle_hash_arrays(d: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id → array of 64-bit shingle hashes (duplicates retained, one
-    row per doc — no explode, no shuffle; computed scan-side)."""
-    return spread(
+def _shingle_hash_rows(d: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id → one row per shingle position, sh = xxhash64 of the n-token
+    shingle (duplicates retained).
+
+    r15 second pass: the previous form built a per-doc ARRAY via a
+    transform() lambda — a HigherOrderFunction, which is CodegenFallback,
+    so the hottest per-row work in the whole bench (slice + concat_ws +
+    xxhash64 per shingle) ran in the interpreted evaluator (see
+    exprs.ngram_rows for the measurements). This form is the same
+    explode the consumers all performed anyway, moved before the hash so
+    every expression is codegen'd. doc_id-partitioned (spread) so
+    per-doc aggregates downstream plan with no exchange.
+    """
+    toked = spread(
         d.select("doc_id", tokens("text").alias("t")).filter(
             F.size("t") >= n
         ),
         "doc_id",
-    ).select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), F.size("t") - (n - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("t", i, n))),
-        ).alias("hs"),
+    )
+    return ngram_rows(toked, "t", n, keep=("doc_id",), gram_col="g").select(
+        "doc_id", F.xxhash64("g").alias("sh")
     )
 
 
@@ -87,12 +94,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_jaccard_prefix below is the same computation with prefix
     filtering for skewed corpora.
 
-    r15 (guide §2.3/§2.4): the per-doc set size is size(array_distinct)
-    computed SCAN-SIDE and carried through the posting-list join — the
+    r15 (guide §2.3/§2.4): the per-doc distinct and set size are
+    computed WITHOUT an exchange — the shingle rows are already
+    doc_id-partitioned (spread in _shingle_hash_rows), so the distinct
+    (a groupBy on (doc_id, sh), whose clustering a doc_id partitioning
+    satisfies) and the per-doc count window both plan shuffle-free; the
     old form's per-doc sizes aggregate and two size join-backs are gone
     (sz_a/sz_b ride the join rows and come out of the pair aggregate as
-    min() of a per-group constant). Identical values:
-    |distinct(multiset)| == count of the old explode→distinct rows.
+    min() of a per-group constant).
+
+    r15 second pass: shingle hashing itself is now codegen'd rows
+    (_shingle_hash_rows) instead of an interpreted transform() array —
+    see exprs.ngram_rows for measurements.
 
     The posting table is explicitly hash-partitioned on the shingle key
     BEFORE the self-join (spread): at scale a sort-merge self-join
@@ -104,23 +117,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct exchange used to provide this reuse point for free;
     measured ~2.4× on the bench when it was dropped without a
     replacement).
-
-    explode_outer, NOT explode (r15, measured 4.4×): exploding a NAMED
-    array column lets InferFiltersFromGenerate add `size(arr) > 0 AND
-    isnotnull(arr)`, and predicate pushdown then substitutes the whole
-    interpreted shingle-hash transform into the scan-side Filter — the
-    expression runs 3× per row (twice in the Filter, once in the
-    Project; plan evidence in plans/r15/). The arrays here are provably
-    non-empty (size(t) >= n upstream ⇒ hs non-empty ⇒ arr non-empty),
-    so outer-explode output is identical and no filter is inferred.
     """
+    dist = _shingle_hash_rows(load(spark, sf_dir, "documents")).distinct()
     sh = spread(
-        _shingle_hash_arrays(load(spark, sf_dir, "documents"))
-        .select("doc_id", F.array_distinct("hs").alias("arr"))
-        .select(
-            "doc_id",
-            F.size("arr").alias("sz"),
-            F.explode_outer("arr").alias("sh"),
+        dist.withColumn(
+            "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
         ),
         "sh",
     )
@@ -183,14 +184,20 @@ def _jaccard_prefix_pairs(
     # to a table) instead of re-running the tokenize+hash per consumer.
     # Pool-persisted: the next operator entry releases it, so gate/bench
     # sessions don't accumulate cached partitions across queries.
-    # r15 (guide §2.4): per-doc dedup is array_distinct SCAN-SIDE — the
-    # old explode→distinct exchange is gone and the cache holds one
-    # array row per doc instead of one row per (doc, shingle).
+    # r15 (guide §2.4): the cache holds one array row per doc and its
+    # build has NO distinct exchange — shingle rows arrive
+    # doc_id-partitioned (spread in _shingle_hash_rows), so the per-doc
+    # collect_set aggregate plans shuffle-free. r15 second pass: the
+    # hashing itself is codegen'd rows instead of an interpreted
+    # transform() array (exprs.ngram_rows); collect_set replaces
+    # array_distinct (same set — order is irrelevant downstream:
+    # array_intersect and the explode are order-agnostic, and docagg
+    # builds its own frequency-sorted list).
     release_stale_caches()
     da = pooled_persist(
-        _shingle_hash_arrays(load(spark, sf_dir, "documents")).select(
-            "doc_id", F.array_distinct("hs").alias("arr")
-        )
+        _shingle_hash_rows(load(spark, sf_dir, "documents"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("arr"))
     )
     # explode_outer: arr is provably non-empty; keeps the inferred
     # generate-filter off the cache-build pipeline (see
@@ -357,12 +364,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ArrayTransform.eval).
     """
     sig = (
-        _shingle_hash_arrays(load(spark, sf_dir, "documents"))
-        # explode_outer: identical here (hs provably non-empty) and it
-        # keeps InferFiltersFromGenerate from substituting the whole
-        # interpreted transform into the scan Filter (see
-        # ngram_jaccard_pairs — measured 3× per-row re-evaluation).
-        .select("doc_id", F.explode_outer("hs").alias("sh"))
+        # r15 second pass: shingle hashing as codegen'd rows — the old
+        # array-transform form ran interpreted (see exprs.ngram_rows);
+        # this IS the explode the old form performed next, so the plan
+        # below the aggregate is the same shape minus the HOF.
+        _shingle_hash_rows(load(spark, sf_dir, "documents"))
         .groupBy("doc_id")
         .agg(
             F.array(
@@ -867,17 +873,26 @@ def crossdoc_span_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # handful of spans miscounted out of a trillion (birthday bound), an
     # acceptable error for an audit statistic — switch to a
     # two-seed 128-bit key if exactness is required.
-    spans = (
-        spread(load(spark, sf_dir, "documents"), "doc_id")
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    ngrams(tokens("text"), SPAN_N),
-                    lambda s: F.xxhash64(s, F.lit(42)),
-                )
-            ).alias("g"),
-        )
+    #
+    # r15 second pass (the big one for this query): the old form called
+    # ngrams(tokens("text"), 8) with the SPLIT INLINED — inside the
+    # transform() lambda, slice(split(text), i, 8) re-evaluated the
+    # regex tokenization ONCE PER SPAN POSITION (O(len²) per doc), and
+    # the whole nested-HOF expression ran in the interpreted evaluator
+    # (thread dumps: 30/32 task threads in StringSplit.nullSafeEval /
+    # ConcatWs.eval; first sf0.1 execution 12-14 s wall, ~184 CPU-s).
+    # Now: tokens materialized once, spans as codegen'd rows
+    # (exprs.ngram_rows). Measured fresh-session first run 13.4 → 2.1 s,
+    # steady state no worse. Docs shorter than SPAN_N produce no spans
+    # either way, so the size guard drops nothing the explode kept.
+    toked = spread(
+        load(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("t"))
+        .filter(F.size("t") >= SPAN_N),
+        "doc_id",
+    )
+    spans = ngram_rows(toked, "t", SPAN_N, keep=("doc_id",)).select(
+        "doc_id", F.xxhash64("gram", F.lit(42)).alias("g")
     )
     # (span, doc) occurrence counts: dedups repeated spans within a doc
     # before the wider span-keyed shuffle
@@ -947,16 +962,17 @@ def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens("text").alias("t")
     )
     # (doc_id, pos, g): pos is 1-based to match the oracle's
-    # generate_series indexing
-    spans = d.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                ngrams(F.col("t"), SPAN_N),
-                lambda s: F.xxhash64(s, F.lit(42)),
-            )
-        ).alias("pos0", "g"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    # generate_series indexing — ngram_rows' position sequence is
+    # already 1-based. r15 second pass: codegen'd rows instead of
+    # posexplode over an interpreted transform() array (see
+    # exprs.ngram_rows; same rationale as crossdoc_span_dup).
+    spans = ngram_rows(
+        d.filter(F.size("t") >= SPAN_N),
+        "t",
+        SPAN_N,
+        keep=("doc_id",),
+        pos_col="pos",
+    ).select("doc_id", "pos", F.xxhash64("gram", F.lit(42)).alias("g"))
     dup_g = (
         spans.select("doc_id", "g")
         .distinct()
