@@ -198,11 +198,13 @@ def _jaccard_prefix_pairs(
         _shingle_hash_rows(load(spark, sf_dir, "documents"))
         .groupBy("doc_id")
         .agg(F.collect_set("sh").alias("arr"))
+        .withColumn("sz", F.size("arr"))
     )
     # explode_outer: arr is provably non-empty; keeps the inferred
     # generate-filter off the cache-build pipeline (see
-    # ngram_jaccard_pairs).
-    sh = da.select("doc_id", F.explode_outer("arr").alias("sh"))
+    # ngram_jaccard_pairs). sz rides every posting row — it is the
+    # window-free per-doc set size.
+    sh = da.select("doc_id", "sz", F.explode_outer("arr").alias("sh"))
 
     # global shingle frequency via groupBy + join-back, NOT a
     # count-over-window: window functions get no map-side partial
@@ -212,40 +214,38 @@ def _jaccard_prefix_pairs(
     # point is skew immunity. groupBy collapses each hot key map-side
     # (partial_count) so the exchange carries one row per distinct
     # shingle, and the join back to `sh` is AQE skew-join-eligible.
-    # Then ONE per-doc groupBy folds everything downstream needs: the
-    # frequency-sorted shingle list (array_sort on (df, sh) structs —
-    # replaces a rank window), the set size, and the verification array
-    # (fl's order as-is: array_intersect is order-agnostic, a second
-    # value sort would be pure waste). Per-doc shingle sets are bounded
-    # by document length, so the fold fits one array cell at any corpus
-    # scale.
     df_counts = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     shf = sh.join(df_counts, "sh")
-    docagg = (
-        shf.groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df", "sh"))).alias("fl"),
-            F.count(F.lit(1)).alias("sz"),
-        )
-        .withColumn("arr", F.transform("fl", lambda x: x["sh"]))
-        .withColumn(
-            "plen",
-            (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int"),
-        )
-    )
-    docagg = pooled_persist(docagg)
 
-    # prefix index: each doc's first plen shingles, rarest first (sz
-    # rides along for the length filter below)
-    prefix = docagg.select(
-        "doc_id",
-        "sz",
-        F.explode(
-            F.slice(
-                F.transform("fl", lambda x: x["sh"]), F.lit(1), F.col("plen")
-            )
-        ).alias("sh"),
+    # prefix index: each doc's plen = |d| - ceil(t*|d|) + 1 rarest
+    # shingles under the global (df, sh) total order, as a row_number
+    # window directly over the posting rows. r15 third pass (guide
+    # §1.2/§4.1, measured): the old form re-aggregated the posting
+    # table per doc (collect_list struct + array_sort + transform +
+    # slice + re-explode) — an ObjectHashAggregate with an extra
+    # exchange, whose sort ran per-comparison through the INTERPRETED
+    # lambda comparator (ArraySort and friends are CodegenFallback);
+    # ~13 of the query's ~21 CPU-s. The window's sort is the codegen'd
+    # unsafe-row sort, the doc_id clustering is satisfied by the
+    # cache's partitioning (no exchange), and doc-sized groups cannot
+    # skew. Same (df, sh) order ⇒ identical prefixes ⇒ identical
+    # candidates; the PPJoin guarantee needs only SOME shared total
+    # order, and verification below is exact either way.
+    wn = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefix = (
+        shf.withColumn("rn", F.row_number().over(wn))
+        .filter(
+            F.col("rn")
+            <= (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
+        )
+        .select("doc_id", "sz", "sh")
     )
+    # pool-persist the prefix index: the self-join consumes it twice,
+    # and a subtree that contains an InMemoryRelation is NOT eligible
+    # for AQE exchange reuse (measured this round: ReusedExchange 1 →
+    # 0 the moment the da cache appears below the spread), so an
+    # explicit cache is the only dedup point that works here.
+    prefix = pooled_persist(prefix)
 
     # candidate join = equi on the shared prefix shingle + the PPJoin
     # LENGTH FILTER: jaccard >= t forces t·|b| <= |a| (and vice versa),
@@ -276,12 +276,12 @@ def _jaccard_prefix_pairs(
     # to AQE — broadcast when the pruned set is small (typical),
     # shuffle join when a huge corpus yields more candidates than a
     # broadcast can hold.
-    pa = docagg.select(
+    pa = da.select(
         F.col("doc_id").alias("doc_a"),
         F.col("arr").alias("arr_a"),
         F.col("sz").alias("sz_a"),
     )
-    pb = docagg.select(
+    pb = da.select(
         F.col("doc_id").alias("doc_b"),
         F.col("arr").alias("arr_b"),
         F.col("sz").alias("sz_b"),
