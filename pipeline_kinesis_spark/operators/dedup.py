@@ -709,8 +709,25 @@ def cluster_pairs(
     is_canonical). The clustering step shared by every pair-producing
     dedup tier (text jaccard, embedding cosine, ...)."""
     a, b = pairs.columns[:2]
+    # symmetrize in ONE pass: the old union(select(a,b), select(b,a))
+    # re-executed the entire pair-production pipeline once per branch —
+    # the pooled cache sits ABOVE the union, and a subtree containing an
+    # InMemoryRelation is ineligible for AQE exchange reuse (r15,
+    # measured on _jaccard_prefix_pairs), so nothing deduped the second
+    # run. explode of a two-struct array doubles each row scan-side.
     edges = pooled_persist(
-        pairs.select(a, b).union(pairs.select(b, a)).toDF("src", "dst")
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a).alias("src"), F.col(b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b).alias("src"), F.col(a).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )
     labels = _connected_components(edges)
     sizes = labels.groupBy("lbl").agg(
@@ -789,6 +806,11 @@ def _connected_components(edges: DataFrame) -> DataFrame:
         # path halving: lbl <- label(lbl). Labels are monotone (always
         # <= the node id and only ever shrink), so label(lbl) <= lbl
         # and the left join's coalesce is a pure safety net.
+        # stepped feeds BOTH sides of the halving self-join; persist it
+        # so the round's propagation join+aggregate runs once, not twice
+        # (r15 — the checkpoint below materializes the cache on the s
+        # side, the p side reads it).
+        stepped = stepped.persist()
         s = stepped.alias("s")
         p = stepped.select(
             F.col("n").alias("pn"), F.col("lbl").alias("plbl")
@@ -803,6 +825,7 @@ def _connected_components(edges: DataFrame) -> DataFrame:
         )
         rounds += 1
         new = new.localCheckpoint(eager=True)
+        stepped.unpersist()
         changed = new.filter("ch").count()
         # release the PREVIOUS round's frame itself (not a select over
         # it — unpersisting a derived frame would leak the cache)
