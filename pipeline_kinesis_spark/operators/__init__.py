@@ -40,9 +40,38 @@ def pool_register(df: DataFrame) -> DataFrame:
     return df
 
 
+# Composition guard (r15): composite operators (curation_report) build
+# several cache-pooling constituents into ONE query. Each constituent
+# calls release_stale_caches() at its own entry, which inside a
+# composite would unpersist a SIBLING's still-needed pool entry — the
+# final query then silently recomputes that whole subtree uncached
+# (measured: curation_report re-ran decontamination's gram build).
+# Inside a shared_cache_scope, constituent-level releases are no-ops;
+# the scope releases once at entry, and the composite's own caches are
+# released by the next top-level query entry as usual.
+_SCOPE_DEPTH = 0
+
+
 def release_stale_caches() -> None:
+    if _SCOPE_DEPTH > 0:
+        return
     while _RELEASE_POOL:
         _RELEASE_POOL.pop().unpersist()
+
+
+class shared_cache_scope:
+    """Context manager for composite operators: release once at entry,
+    then keep every constituent's pooled cache alive for the composite's
+    whole build."""
+
+    def __enter__(self) -> None:
+        global _SCOPE_DEPTH
+        release_stale_caches()
+        _SCOPE_DEPTH += 1
+
+    def __exit__(self, *exc: object) -> None:
+        global _SCOPE_DEPTH
+        _SCOPE_DEPTH -= 1
 
 
 @dataclass(frozen=True)

@@ -678,17 +678,31 @@ def curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     no row) plus one broadcast of the O(1) corpus-median row. No new
     shuffle shapes beyond the constituents'.
     """
+    from pipeline_kinesis_spark.operators import (
+        pooled_persist as _pool,
+        shared_cache_scope,
+    )
     from pipeline_kinesis_spark.operators.dedup import crossdoc_span_dup
     from pipeline_kinesis_spark.operators.textops import text_quality
 
-    tq = text_quality(spark, sf_dir).select(
-        "doc_id", "lang", "n_tokens", "uniq_ratio"
-    )
-    contam = decontaminate_overlap(spark, sf_dir).select(
-        "doc_id", "is_contaminated"
-    )
-    lm = lm_perplexity(spark, sf_dir).select("doc_id", "ppl")
-    spans = crossdoc_span_dup(spark, sf_dir).select("doc_id", "dup_frac")
+    # shared_cache_scope (r15): without it, each constituent's entry
+    # release unpersisted its siblings' pooled caches and the final
+    # query re-ran those subtrees uncached (decontamination's gram
+    # build, the perplexity counts). lm is additionally pooled itself:
+    # it feeds BOTH the flags join and the corpus-median aggregate, and
+    # a subtree holding an InMemoryRelation gets no AQE exchange reuse,
+    # so without the cache the whole scoring pass executed twice.
+    with shared_cache_scope():
+        tq = text_quality(spark, sf_dir).select(
+            "doc_id", "lang", "n_tokens", "uniq_ratio"
+        )
+        contam = decontaminate_overlap(spark, sf_dir).select(
+            "doc_id", "is_contaminated"
+        )
+        lm = _pool(lm_perplexity(spark, sf_dir).select("doc_id", "ppl"))
+        spans = crossdoc_span_dup(spark, sf_dir).select(
+            "doc_id", "dup_frac"
+        )
     med = lm.agg(
         F.median("ppl").alias("med_ppl")
     )
