@@ -492,7 +492,11 @@ def _simhash(d: DataFrame) -> DataFrame:
     Bit i of the signature = sign of Σ_tokens (bit i ? +1 : -1). Computed
     as 64 JVM-side conditional sums — one groupBy, no UDF.
     """
-    toks = d.select(
+    # spread (r15): the fixture's documents parquet is a single row
+    # group, so the 64-sum aggregate ran on ONE task (wall == cpu in
+    # the profile); doc_id-partitioning also lets the groupBy plan as a
+    # single shuffle-free pass instead of partial+exchange+final.
+    toks = spread(d, "doc_id").select(
         "doc_id", F.explode(tokens("text")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_sums = toks.groupBy("doc_id").agg(
@@ -627,12 +631,21 @@ def simhash_planted_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     clones = planted.select(
         (F.col("doc_id") + F.lit(plant_offset)).alias("doc_id"), "text"
     )
-    sigs = _simhash(docs.unionByName(clones))
-    banded = _banded_hamming_pairs(sigs).select("doc_a", "doc_b")
+    # pool-persist the shared frames (r15): sigs feeds the banded join,
+    # both brute-force sides and (through them) the two exceptAll
+    # directions — six subtree uses, each of which re-ran the full
+    # token-explode + 64-sum signature aggregate (caches are the only
+    # dedup point: exchange reuse is blocked under InMemoryRelations,
+    # and these frames are O(docs) rows of scalars). banded/brute are
+    # each consumed twice by the exactness checks.
+    sigs = pooled_persist(_simhash(docs.unionByName(clones)))
+    banded = pooled_persist(
+        _banded_hamming_pairs(sigs).select("doc_a", "doc_b")
+    )
 
     a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
-    brute = (
+    brute = pooled_persist(
         a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
         .filter(
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))

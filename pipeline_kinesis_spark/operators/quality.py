@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pipeline_kinesis_spark.functions.exprs import ngrams, tokens
+from pipeline_kinesis_spark.functions.exprs import ngram_rows, ngrams, tokens
 from pipeline_kinesis_spark.io import load, spread
 from pipeline_kinesis_spark.operators import (
     QuerySpec,
@@ -171,24 +171,38 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents").withColumn("toks", tokens("text")),
         "doc_id",
     )
+    # r15: n-grams as codegen'd ROWS (exprs.ngram_rows) instead of
+    # interpreted transform() arrays — same rationale and measurements
+    # as the dedup shingle paths (HOFs are CodegenFallback). Values
+    # identical: the bigram side exploded anyway; the trigram fraction
+    # 1 - |distinct|/|all| is count/countDistinct over the same rows
+    # (docs with < 3 tokens produced size(tris)=0 → NULL dt_raw before,
+    # and are dropped by ngram_rows' size guard → dropped by the inner
+    # join either way; likewise < 2 tokens on the bigram side).
     bi = (
-        d.select("doc_id", F.explode(_ngrams(F.col("toks"), 2)).alias("g"))
-        .groupBy("doc_id", "g")
+        ngram_rows(d.filter(F.size("toks") >= 2), "toks", 2, keep=("doc_id",))
+        .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
         .groupBy("doc_id")
         .agg(
             (F.max("c") / F.sum("c")).alias("tb_raw"),
         )
     )
-    tris = _ngrams(F.col("toks"), 3)
-    tri = d.select(
-        "doc_id",
-        F.size("toks").cast("long").alias("n_tokens"),
-        (
-            F.lit(1.0)
-            - F.size(F.array_distinct(tris)) / F.size(tris)
-        ).alias("dt_raw"),
+    tri_agg = (
+        ngram_rows(d.filter(F.size("toks") >= 3), "toks", 3, keep=("doc_id",))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.lit(1.0)
+                - F.countDistinct("gram") / F.count(F.lit(1))
+            ).alias("dt_raw"),
+        )
     )
+    # LEFT join keeps 2-token docs (one bigram, zero trigrams) with a
+    # NULL dt_raw — exactly the old 0/0 division's NULL.
+    tri = d.select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    ).join(tri_agg, "doc_id", "left")
     return (
         bi.join(tri, "doc_id")
         .select(

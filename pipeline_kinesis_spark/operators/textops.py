@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_kinesis_spark.functions.exprs import tokens
-from pipeline_kinesis_spark.io import load
+from pipeline_kinesis_spark.io import load, spread
 from pipeline_kinesis_spark.operators import QuerySpec
 
 # Tiny function-word list used by the stopword-ratio language heuristic.
@@ -184,10 +184,21 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests.
     """
     k, w = 8, 4
-    d = load(spark, sf_dir, "documents")
+    # r15: materialize the lowered text ONCE per row. The old form spelt
+    # lower(trim(text)) INSIDE the transform lambda; higher-order
+    # functions evaluate their lambda body per element in the
+    # interpreted evaluator, so every char position re-ran the O(len)
+    # lower+trim copy — O(len²) per document. With _low bound as a
+    # column, the per-element body is an O(k) substring + hash.
+    # Identical values (same expressions over the same string); spread
+    # gives the char-gram pass the same single-row-group parallelism
+    # rescue every other per-doc heavy operator uses.
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").withColumn(
+        "_low", F.expr("lower(trim(text))")
+    )
     grams = (
-        f"transform(sequence(1, greatest(length(lower(trim(text))) - {k - 1}, 0)), "
-        f"i -> xxhash64(substring(lower(trim(text)), i, {k})))"
+        f"transform(sequence(1, greatest(length(_low) - {k - 1}, 0)), "
+        f"i -> xxhash64(substring(_low, i, {k})))"
     )
     d = d.withColumn("_g", F.expr(grams))
     fingerprints = F.expr(
@@ -211,10 +222,15 @@ def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrink), and every fingerprint is one of the doc's gram hashes
     (mins are elements, not synthetic values)."""
     k, w = 8, 4
-    d = load(spark, sf_dir, "documents")
+    # _low materialized once — see winnow_fingerprints (r15): the
+    # inlined lower(trim(text)) re-ran per char position inside the
+    # interpreted lambda, O(len²) per document.
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").withColumn(
+        "_low", F.expr("lower(trim(text))")
+    )
     grams = (
-        f"transform(sequence(1, greatest(length(lower(trim(text))) - {k - 1}, 0)), "
-        f"i -> xxhash64(substring(lower(trim(text)), i, {k})))"
+        f"transform(sequence(1, greatest(length(_low) - {k - 1}, 0)), "
+        f"i -> xxhash64(substring(_low, i, {k})))"
     )
     d = d.withColumn("_g", F.expr(grams))
     fp = F.expr(
