@@ -295,13 +295,26 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (B14's exact cousin; approx variant
     is a separate rows-only query since sketches differ per engine)."""
     l = load(spark, sf_dir, "lineitem")
-    return l.groupBy("l_linestatus").agg(
-        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50_qty"),
-        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75_qty"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
-            "p90_price"
-        ),
+    # one percentile buffer per column, not per quantile (r15 — see
+    # agg_exact_percentiles): the three l_quantity quartiles come out of
+    # a single array-percentage aggregate, values identical.
+    return (
+        l.groupBy("l_linestatus")
+        .agg(
+            F.expr(
+                "percentile(l_quantity, array(0.25D, 0.5D, 0.75D))"
+            ).alias("pq"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+                "p90_price"
+            ),
+        )
+        .select(
+            "l_linestatus",
+            F.round(F.col("pq")[0], 6).alias("p25_qty"),
+            F.round(F.col("pq")[1], 6).alias("p50_qty"),
+            F.round(F.col("pq")[2], 6).alias("p75_qty"),
+            "p90_price",
+        )
     )
 
 
@@ -778,19 +791,24 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_quantity", F.array(F.lit(0.1), F.lit(0.9)), 10000
         ).alias("aq"),
         F.expr("percentile(l_extendedprice, 0.5D)").alias("ep50"),
-        F.expr("percentile(l_quantity, 0.1D)").alias("eq10"),
-        F.expr("percentile(l_quantity, 0.9D)").alias("eq90"),
+        # one buffer for both exact l_quantity quantiles (r15 — see
+        # agg_exact_percentiles); values identical.
+        F.expr("percentile(l_quantity, array(0.1D, 0.9D))").alias("eq"),
     )
     def within(approx, exact):
-        return F.abs(approx - F.col(exact)) <= F.lit(0.01) * F.abs(F.col(exact))
+        return F.abs(approx - exact) <= F.lit(0.01) * F.abs(exact)
     return g.select(
         "l_returnflag",
         F.round("ep50", 4).alias("exact_p50_price"),
-        F.round("eq10", 6).alias("exact_p10_qty"),
-        F.round("eq90", 6).alias("exact_p90_qty"),
-        within(F.col("ap50"), "ep50").alias("p50_within_bound"),
-        within(F.element_at("aq", 1), "eq10").alias("p10_within_bound"),
-        within(F.element_at("aq", 2), "eq90").alias("p90_within_bound"),
+        F.round(F.col("eq")[0], 6).alias("exact_p10_qty"),
+        F.round(F.col("eq")[1], 6).alias("exact_p90_qty"),
+        within(F.col("ap50"), F.col("ep50")).alias("p50_within_bound"),
+        within(F.element_at("aq", 1), F.col("eq")[0]).alias(
+            "p10_within_bound"
+        ),
+        within(F.element_at("aq", 2), F.col("eq")[1]).alias(
+            "p90_within_bound"
+        ),
     )
 
 
@@ -1178,14 +1196,28 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     auditability matters; approx_percentile is the 100 TB default.
     """
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        *[
-            F.round(
-                F.percentile(F.col("l_extendedprice"), F.lit(q)), 6
-            ).alias(f"p{int(q * 100)}")
-            for q in (0.5, 0.9, 0.99)
-        ],
+    # ONE percentile aggregate with an array of percentages (r15): three
+    # scalar percentile() aggs each buffered and sorted the whole group
+    # independently — 3× the aggregation state and three sorts for one
+    # answer. The array form evaluates all three quantiles against one
+    # sorted buffer; values identical (same interpolation, same data).
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.percentile(
+                F.col("l_extendedprice"),
+                F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+            ).alias("ps"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            *[
+                F.round(F.col("ps")[i], 6).alias(f"p{int(q * 100)}")
+                for i, q in enumerate((0.5, 0.9, 0.99))
+            ],
+        )
     )
 
 
