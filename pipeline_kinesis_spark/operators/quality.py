@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pipeline_kinesis_spark.functions.exprs import ngram_rows, ngrams, tokens
+from pipeline_kinesis_spark.functions.exprs import ngram_rows, tokens
 from pipeline_kinesis_spark.io import load, spread
 from pipeline_kinesis_spark.operators import (
     QuerySpec,
@@ -46,9 +46,6 @@ CONTAM_BENCH_MOD = 50
 CONTAM_THRESHOLD = 0.05
 
 
-_ngrams = ngrams  # promoted to functions.exprs; call sites unchanged
-
-
 def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: for each training doc that shares at
     least one CONTAM_NGRAM-gram with the held-out benchmark docs, report
@@ -60,24 +57,17 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per doc via a doc_id-keyed aggregate (map-side combine), and the
     broadcast hash join never shuffles the corpus.
     """
-    # materialize the token array BEFORE the n-gram lambda: an inlined
-    # split() subtree would be re-evaluated per gram position (O(n²)
-    # tokenization — measured 3× the whole query's cost at sf0.1)
+    # n-grams as codegen'd ROWS (r15 second pass — exprs.ngram_rows):
+    # the earlier array form kept the interpreted transform() lambda on
+    # the hottest per-row work (HOFs are CodegenFallback); ngram_rows is
+    # the same explode with every expression codegen'd, and its size
+    # guard drops only docs that produced zero grams anyway.
     d = (
         load(spark, sf_dir, "documents")
         .withColumn("toks", tokens("text"))
-        # size guard BEFORE the gram transform: docs shorter than the
-        # gram width produce no grams either way, and the guard makes
-        # `grams` provably non-empty so the explode below can be
-        # explode_outer — without it, InferFiltersFromGenerate +
-        # predicate pushdown substitute the whole interpreted gram
-        # transform into the scan Filter, evaluating it 3× per row
-        # (measured 27.7 s → cache build, guide §4.4 duplication; plan
-        # evidence plans/r15/decontaminate_overlap_before.txt line 55).
         .filter(F.size("toks") >= CONTAM_NGRAM)
-        .withColumn("grams", _ngrams(F.col("toks"), CONTAM_NGRAM))
     )
-    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    is_bench = (F.col("doc_id") % CONTAM_BENCH_MOD == 0).alias("is_b")
     # one gram-construction pass feeds both sides (persist, since the
     # dictionary branch and the train branch would otherwise each rescan;
     # in production the benchmark dictionary comes from a separate small
@@ -85,12 +75,12 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the next operator entry releases it (see operators.pooled_persist).
     release_stale_caches()
     g = pooled_persist(
-        spread(d, "doc_id").select(
-            "doc_id",
-            is_bench.alias("is_b"),
-            # explode_outer: identical (grams provably non-empty under
-            # the size guard) and infers no generate-filter.
-            F.explode_outer("grams").alias("g"),
+        ngram_rows(
+            spread(d, "doc_id").select("doc_id", is_bench, "toks"),
+            "toks",
+            CONTAM_NGRAM,
+            keep=("doc_id", "is_b"),
+            gram_col="g",
         )
     )
     bench = (
@@ -162,10 +152,10 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the bigram mode needs a per-(doc, gram) count — explode
     + two doc_id-keyed aggregates with map-side combine (never an
     in-memory per-doc dictionary, so a 10k-token doc costs the same per
-    token as a 10-token doc). The trigram distinct-fraction stays inside
-    one row as array expressions. Both sides are keyed by doc_id, so the
-    join is co-partitioned; only REPETITION_TOP_N rows survive to the
-    driver-side sort.
+    token as a 10-token doc). The trigram dup fraction is
+    count/countDistinct over the same exploded rows. Both sides are
+    keyed by doc_id, so the join is co-partitioned; only
+    REPETITION_TOP_N rows survive to the driver-side sort.
     """
     d = spread(
         load(spark, sf_dir, "documents").withColumn("toks", tokens("text")),
@@ -175,10 +165,9 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interpreted transform() arrays — same rationale and measurements
     # as the dedup shingle paths (HOFs are CodegenFallback). Values
     # identical: the bigram side exploded anyway; the trigram fraction
-    # 1 - |distinct|/|all| is count/countDistinct over the same rows
-    # (docs with < 3 tokens produced size(tris)=0 → NULL dt_raw before,
-    # and are dropped by ngram_rows' size guard → dropped by the inner
-    # join either way; likewise < 2 tokens on the bigram side).
+    # 1 - |distinct|/|all| is count/countDistinct over the same rows,
+    # with the left join below keeping 2-token docs' NULL dt_raw
+    # exactly as the old 0/0 division produced.
     bi = (
         ngram_rows(d.filter(F.size("toks") >= 2), "toks", 2, keep=("doc_id",))
         .groupBy("doc_id", "gram")
