@@ -1002,13 +1002,20 @@ def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already 1-based. r15 second pass: codegen'd rows instead of
     # posexplode over an interpreted transform() array (see
     # exprs.ngram_rows; same rationale as crossdoc_span_dup).
-    spans = ngram_rows(
-        d.filter(F.size("t") >= SPAN_N),
-        "t",
-        SPAN_N,
-        keep=("doc_id",),
-        pos_col="pos",
-    ).select("doc_id", "pos", F.xxhash64("gram", F.lit(42)).alias("g"))
+    # pool-persisted (r15): spans feeds BOTH the doc-frequency pass
+    # (dup_g) and the covered-position pass — without the cache the
+    # span generation (tokenize + explode + hash) executed twice
+    # (exchange reuse is unavailable: see the InMemoryRelation finding
+    # in OPTIMIZATION_r15.md). Scalar rows — cheap columnar cache.
+    spans = pooled_persist(
+        ngram_rows(
+            d.filter(F.size("t") >= SPAN_N),
+            "t",
+            SPAN_N,
+            keep=("doc_id",),
+            pos_col="pos",
+        ).select("doc_id", "pos", F.xxhash64("gram", F.lit(42)).alias("g"))
+    )
     dup_g = (
         spans.select("doc_id", "g")
         .distinct()
