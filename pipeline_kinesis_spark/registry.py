@@ -143,72 +143,66 @@ _PENDING_NEXT_WINDOW: dict[str, int] = {}
 # tools/gate_history.py asserts every oracled registry query has held
 # a driver-green row in some round.
 _PRIORITY = (
-    # Round-15 rotation (VERDICT r14 "Next round" #2 + #5):
+    # Round-16 rotation (VERDICT r15 "Next round" #2):
     #
-    # IN — the full staleness tail: the three r09 rows verdict #2
-    # names (scalar_math_funcs, q8_market_share, srt_caption_stats),
-    # the entire r10 tail (oov_rate_filter, q9/q11/q14/q15/q17/q19/
-    # q20, session_window_agg), the five named streaming rows
-    # (streaming_view_counts / streaming_transform_chain r12,
-    # streaming_ttl_reap / streaming_start_position /
-    # streaming_stream_join_pairs r13), the NEW
-    # streaming_osrel_cascade row (verdict #5: depth-2 view → osrel →
-    # view cascade, previously pytest-only via
-    # test_two_level_cascade), and ALL 31 r11-last-green rows — after
-    # this round no oracled row's last green is older than r12, which
-    # pre-pays r16's staleness bound (the r11 cohort alone was 31
-    # rows; absorbing it now keeps every future window under the
-    # five-round bound without a bulge).
+    # IN — (a) every r15-REWRITTEN oracled query whose post-rewrite
+    # correctness so far rests on builder-side runs only (the r15
+    # verdict's explicit ask): ngram_jaccard_prefix,
+    # decontaminate_overlap, gopher_repetition, curation_report,
+    # agg_exact_percentiles, plus the other r15-touched oracled rows
+    # minhash_lsh_recall, neardup_components,
+    # embedding_neardup_clusters, dedup_spans_rewrite,
+    # crossdoc_span_dup, agg_percentile, asof_join,
+    # winnow_fingerprint_stats, lm_perplexity (the last two sit in the
+    # r12 cohort anyway); (b) the ENTIRE r12-last-green cohort (14
+    # rows — clears the oldest staleness tier completely, so after
+    # this round no oracled row's last green is older than r13);
+    # (c) 25 of the 38-row r13 cohort.
     #
     # HELD — q1_pricing_summary (flagship, always first).
     #
-    # OUT — the 49 r14-green rows (all fresh this round) and the r13
-    # cohort (within bound until r18). Family coverage inside the r15
-    # window: TPC-H via q1 + q8/q9/q11/q12/q14/q15/q17/q19/q20/q22;
-    # joins B8 via join_right/full_outer, B10 via the q17/q20
-    # correlated shapes + window_lag_lead range frames; aggs B12/B13
-    # via agg_stats/agg_approx_distinct/agg_salted_skew; sketches B14
-    # via agg_approx_percentile/bloom_order_priorities/
-    # fss_topk_tokens/hll-era rows' successor agg_approx_distinct;
-    # grouping sets B15 via grouping_sets_revenue; windows B17 via
-    # window_lag_lead; sets B20 via set_except; timeseries B23/B24
-    # via sliding_window_agg + session_window_agg; engine end-to-end
-    # via the six streaming rows; dedup C1-C3 via ngram_jaccard_pairs
-    # / simhash_planted_capture / audio_fingerprint_dedup /
-    # cosine_neardup_pairs; similarity C7 via cosine_topk +
-    # cosine_topk_ivfpq_recall; textops C4 via srt_caption_stats /
-    # oov_rate_filter / tfidf_top_terms / token_stats /
-    # lang_id_heuristic; multimodal C5/C6 via multimodal_decode_stats
-    # / multimodal_frame_sample / audio_signal_features; curation C8
-    # via corpus_clean / dataset_split / sequence_pack /
-    # embedding_centroids.
+    # OUT — the 50 r15-green rows (all fresh), the 49 r14-green rows
+    # (within bound until r19), and 10 family-covered r13 rows
+    # deferred to r17 (within bound until r18): case_coalesce +
+    # filter_predicates (scalar/filter shapes via scalar_string_funcs
+    # + text_normalize + the TPC-H rows), join_left_outer (join
+    # family via join_anti/join_semi/join_range/join_salted_skew),
+    # order_limit (top-k via topk_per_group + window_rank),
+    # rollup_revenue (grouping-set family via r14-green cube_orders),
+    # cms_event_counts (sketches via hll_mergeable_distinct),
+    # html_extract_main (textops via text_quality + text_normalize),
+    # image_dhash_dedup (perceptual dedup via multimodal_features /
+    # multimodal_resize / multimodal_meta_stats),
+    # q2_min_cost_supplier (TPC-H via q1/q4/q7), stratified_sample
+    # (sampling via scaled_value_pandas; r14-green
+    # stratified_sample_hash).
     "q1_pricing_summary",
-    # the standing-query engine: the five stale rows + the new
-    # depth-2 output-stream cascade
-    "streaming_view_counts", "streaming_transform_chain",
-    "streaming_ttl_reap", "streaming_start_position",
-    "streaming_stream_join_pairs", "streaming_osrel_cascade",
-    # r09 staleness tail (verdict #2 hard bound)
-    "scalar_math_funcs", "q8_market_share", "srt_caption_stats",
-    # the full r10 tail
-    "oov_rate_filter", "q9_product_profit", "q11_important_stock",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_qty_revenue",
-    "q19_discounted_revenue", "q20_part_promotion",
-    "session_window_agg",
-    # the full r11 cohort (pre-pays r16's staleness bound)
-    "agg_approx_distinct", "agg_approx_percentile", "agg_salted_skew",
-    "agg_stats", "audio_fingerprint_dedup", "audio_signal_features",
-    "bloom_order_priorities", "corpus_clean", "cosine_neardup_pairs",
-    "cosine_topk", "cosine_topk_ivfpq_recall", "dataset_split",
-    "embedding_centroids", "fss_topk_tokens", "grouping_sets_revenue",
-    "join_full_outer", "join_right_outer", "lang_id_heuristic",
-    "multimodal_decode_stats", "multimodal_frame_sample",
-    "ngram_jaccard_pairs", "q12_shipmode_priority", "q22_global_sales",
-    "q6_forecast_revenue", "sequence_pack", "set_except",
-    "simhash_planted_capture", "sliding_window_agg", "tfidf_top_terms",
-    "token_stats", "window_lag_lead",
+    # (a) r15-rewritten rows the r15 driver samples missed
+    "ngram_jaccard_prefix", "minhash_lsh_recall",
+    "decontaminate_overlap", "gopher_repetition", "curation_report",
+    "agg_exact_percentiles", "agg_percentile",
+    "neardup_components", "embedding_neardup_clusters",
+    "dedup_spans_rewrite", "crossdoc_span_dup", "asof_join",
+    # (b) the full r12-last-green cohort (winnow_fingerprint_stats and
+    # lm_perplexity are also r15-rewritten)
+    "winnow_fingerprint_stats", "lm_perplexity",
+    "hll_mergeable_distinct", "multimodal_features",
+    "multimodal_resize", "q4_order_priority", "q7_volume_shipping",
+    "text_normalize", "streaming_activate_resume",
+    "streaming_combine_regroup", "streaming_dead_letter_replay",
+    "streaming_osrel_telescope",
+    # (c) 25 of the r13 cohort
+    "agg_corr_regression", "agg_distinct", "agg_keyed_minmax",
+    "combine_regroup", "cosine_topk_ivf_recall",
+    "cosine_topk_pq_recall", "funnel_conversion", "join_anti",
+    "join_range", "join_salted_skew", "join_semi",
+    "multimodal_meta_stats", "scalar_string_funcs",
+    "scaled_value_pandas", "set_union_distinct",
+    "streaming_alter_schema", "streaming_datasource_counts",
+    "streaming_dim_join_counts", "streaming_reshard_counts",
+    "streaming_restart_counts", "text_quality", "token_count_bpe",
+    "topk_per_group", "tumbling_window_agg", "window_rank",
 )
-
 
 # The driver checks exactly the first _WINDOW entries of queries();
 # overflow would silently push curated entries out of the gate.
