@@ -64,19 +64,34 @@ def ngram_rows(
     slice/concat_ws — uses only expressions with doGenCode, so the n-gram
     pipeline compiles into the stage's generated loop.
 
-    Caller contract: every row's ``tok_col`` must have size >= n (filter
-    upstream). That makes the position sequence provably non-empty, so
-    explode_outer is row-for-row identical to explode — and outer-ness
-    keeps InferFiltersFromGenerate from substituting the sequence into
-    the scan-side filter (the r15 dedup regression signature).
+    Callers SHOULD filter ``size(tok_col) >= n`` upstream (it keeps the
+    short docs out of the tokenize pipeline entirely), but the function
+    no longer crashes without it (r16, VERDICT r15 #5 / ADVICE r15 #1):
+    the position sequence is when-guarded to NULL for short rows —
+    ``sequence(1, upper)`` with upper <= 0 DESCENDS in Spark ([1, 0]),
+    which first emits a silent short gram at pos 1 and then raises
+    INVALID_PARAMETER_VALUE.START from slice(col, 0, n) — and
+    explode_outer turns that NULL into a single NULL-position row that
+    the trailing null filter drops. A violating row now yields zero
+    gram rows (explode semantics) instead of a mid-query crash.
+
+    explode_outer (not explode) stays load-bearing: outer-ness keeps
+    InferFiltersFromGenerate from substituting the position-sequence
+    expression into the scan-side filter (the r15 dedup 3-4x regression
+    signature — the guard expression here would be evaluated twice per
+    input row inside the scan Filter). For guarded callers the
+    when-branch always takes the sequence arm and the null filter drops
+    nothing, so plans gain only one codegen'd null check per gram row
+    and output is row-for-row identical.
     """
     upper = F.size(tok_col) - (n - 1)
     pos = "_gpos" if pos_col is None else pos_col
+    seq = F.when(upper >= 1, F.sequence(F.lit(1), upper))
     exploded = df.select(
         *keep,
         tok_col,
-        F.explode_outer(F.sequence(F.lit(1), upper)).alias(pos),
-    )
+        F.explode_outer(seq).alias(pos),
+    ).filter(F.col(pos).isNotNull())
     gram = F.concat_ws(" ", F.slice(tok_col, F.col(pos), n)).alias(gram_col)
     cols = [*keep, gram] if pos_col is None else [*keep, pos_col, gram]
     return exploded.select(*cols)

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pipeline_kinesis_spark.functions.exprs import ngram_rows, tokens
-from pipeline_kinesis_spark.io import load, spread
+from pipeline_kinesis_spark.io import hash_align, load, spread
 from pipeline_kinesis_spark.operators import (
     QuerySpec,
     pool_register,
@@ -119,7 +119,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement).
     """
     dist = _shingle_hash_rows(load(spark, sf_dir, "documents")).distinct()
-    sh = spread(
+    sh = hash_align(
         dist.withColumn(
             "sz", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
         ),
@@ -411,7 +411,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-min aggregate) a second time. Same fix as
     # ngram_jaccard_pairs; this double-compute predates r15 (the old
     # plan had it too).
-    bands = spread(bands, "band", "bh")
+    bands = hash_align(bands, "band", "bh")
     a = bands.alias("a")
     c = bands.alias("c")
     n_agree = F.size(
