@@ -62,7 +62,16 @@ def release_stale_caches() -> None:
 class shared_cache_scope:
     """Context manager for composite operators: release once at entry,
     then keep every constituent's pooled cache alive for the composite's
-    whole build."""
+    whole build.
+
+    SINGLE-THREADED by design (ADVICE r15 #4): the depth counter is a
+    module global, matching the engine's one-driver / one-query-at-a-time
+    execution model (driver gate, bench, differentials). Concurrent
+    sessions in one process would corrupt the count — use a
+    threading.local if that model ever changes. If a composite raises
+    mid-build, __exit__ still restores the depth; the constituents'
+    caches stay pooled (not leaked) until the next top-level query entry
+    releases them, exactly like a completed query's caches."""
 
     def __enter__(self) -> None:
         global _SCOPE_DEPTH

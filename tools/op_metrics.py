@@ -54,7 +54,16 @@ def dump(plan, min_ms: int = 100) -> None:
             walk(node.plan(), depth + 1)
             return
         if cls == "InMemoryTableScanExec":
-            key = node.relation().cacheBuilder().tableName().toString()
+            # Dedup cached-plan printing by RELATION IDENTITY, not
+            # tableName() — every unnamed pooled_persist cache stringifies
+            # as 'None', which collapsed two distinct caches into one
+            # "(cached plan shown above)" line (ADVICE r15 #2).
+            key = str(
+                node.relation()
+                .cacheBuilder()
+                .cachedPlan()
+                .semanticHash()
+            )
             if key not in seen:
                 seen.add(key)
                 walk(node.relation().cachedPlan(), depth + 1)
@@ -80,12 +89,24 @@ def main() -> None:
 
     sf_dir = opt("--sf-dir", "/root/testdata/sf0.1")
     min_ms = int(opt("--min-ms", "100"))
+    if not args:
+        print(__doc__, file=sys.stderr)
+        raise SystemExit(2)
     name = args[0]
     spec = all_queries()[name]
     fn = spec.bench_fn or spec.fn
     spark = get_spark("op-metrics")
+    # Warm on the SMALLEST sibling fixture of --sf-dir (ADVICE r15 #3:
+    # the warmup dir was hardcoded to /root/testdata even when profiling
+    # a /tmp sf1 fixture — still correct, but derive it so a relocated
+    # testdata root keeps working).
+    warm_dir = os.path.join(
+        os.path.dirname(sf_dir.rstrip("/")), "sf0.001"
+    )
+    if not os.path.isdir(warm_dir):
+        warm_dir = "/root/testdata/sf0.001"
     try:
-        fn(spark, "/root/testdata/sf0.001").collect()
+        fn(spark, warm_dir).collect()
     except Exception:  # noqa: BLE001 — warmup only
         pass
     df = fn(spark, sf_dir)
