@@ -238,7 +238,11 @@ def _jaccard_prefix_pairs(
             F.col("rn")
             <= (F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1).cast("int")
         )
-        .select("doc_id", "sz", "sh")
+        # rn rides along for the POSITIONAL filter below (r16): it is
+        # each shingle's 1-based position within its doc under the
+        # global (df, sh) total order — exactly the position PPJoin's
+        # ubound needs.
+        .select("doc_id", "sz", "sh", "rn")
     )
     # pool-persist the prefix index: the self-join consumes it twice,
     # and a subtree that contains an InMemoryRelation is NOT eligible
@@ -252,21 +256,85 @@ def _jaccard_prefix_pairs(
     # so wildly different-sized sets never become candidates. Cuts ~24%
     # of candidates on the fixture corpus; far more on corpora with a
     # wide length distribution.
-    a = prefix.alias("a")
+    #
+    # INDEX PREFIX (r16, the PPJoin index-prefix theorem): the self-join
+    # is ordered by (sz, doc_id) instead of doc_id, so the smaller-set
+    # side only needs its INDEX prefix — the sz - ceil(2t/(1+t)*sz) + 1
+    # rarest shingles (≈ sz/3 at t=0.5) instead of the probe prefix's
+    # sz - ceil(t*sz) + 1 (≈ sz/2). For any pair with jaccard >= t and
+    # |x| <= |y|, the required overlap alpha >= ceil(2t/(1+t)*|x|)
+    # leaves at most |x| - alpha common shingles outside x's index
+    # prefix and at most |y| - ceil(t*|y|) outside y's probe prefix, so
+    # a shared shingle inside BOTH prefixes must exist — candidates are
+    # never lost, and the exact verification below makes the emitted
+    # pair set identical. Measured at sf1: candidate occurrences
+    # 3.29M -> 2.36M (see OPTIMIZATION_r16.md). The 1e-9 slack on the
+    # index-prefix cutoff only ever keeps MORE rows, so float rounding
+    # can never over-prune.
+    idx_plen = (
+        F.col("sz")
+        - F.ceil(F.lit(2.0 * t / (1.0 + t)) * F.col("sz") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    a = prefix.filter(F.col("rn") <= idx_plen).alias("a")
     b = prefix.alias("b")
+    # POSITIONAL filter (r16, the PPJoin ubound — guide §1.2 "the
+    # distributed algorithm first"): the sf1 profile put the top cost
+    # of this operator in the exact verification stage (array_intersect
+    # per surviving pair, pipelineTime 76.8 s of a ~70 CPU-s run), so
+    # the cheapest win is fewer candidates entering it. For a match on
+    # a shared prefix shingle at positions (rn_a, rn_b) of the SAME
+    # global (df, sh) order, every common shingle before it counts at
+    # most min(rn_a-1, rn_b-1) and every one after at most
+    # min(sz_a-rn_a, sz_b-rn_b), so
+    #   overlap <= least(rn_a, rn_b) + least(sz_a-rn_a, sz_b-rn_b).
+    # Jaccard >= t forces overlap >= t*(sz_a+sz_b)/(1+t); an occurrence
+    # whose bound cannot reach that is dropped. Each occurrence's bound
+    # is independently valid, so per-row filtering before the distinct
+    # is sound: a pair survives iff at least one of its generating
+    # matches could still reach the threshold, and verification below
+    # stays exact either way — the emitted pair set is IDENTICAL (the
+    # filter can only drop pairs whose verified jaccard is < t).
+    # The comparison keeps the borderline (1e-9 slack, only ever
+    # KEEPING more candidates) so float rounding can never over-prune.
+    ubound = F.least(F.col("a.rn"), F.col("b.rn")) + F.least(
+        F.col("a.sz") - F.col("a.rn"), F.col("b.sz") - F.col("b.rn")
+    )
     candidates = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # (sz, doc_id) total order: a is the smaller set (the one
+            # whose index prefix suffices), ties broken by doc_id
+            & (
+                (F.col("a.sz") < F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            )
+            # length filter: a.sz <= b.sz makes t*a.sz <= b.sz implicit;
+            # the binding direction is a.sz >= ceil(t*b.sz)
             & (F.col("a.sz") >= F.ceil(F.lit(t) * F.col("b.sz")))
-            & (F.col("b.sz") >= F.ceil(F.lit(t) * F.col("a.sz"))),
+            & (
+                ubound * F.lit(1.0 + t)
+                >= F.lit(t) * (F.col("a.sz") + F.col("b.sz")) - F.lit(1e-9)
+            ),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
+        # distinct FIRST on the raw (sz, doc_id)-ordered orientation —
+        # each unordered pair appears in exactly one orientation under
+        # a total order, so this is already pair-unique — and normalize
+        # to the declared doc_a < doc_b orientation AFTER the dedup.
+        # Normalizing before the distinct (least/greatest as aggregate
+        # keys) measured 2.6x the steady-state WALL of this query at
+        # sf0.1 (1.34 -> 3.5 s, interleaved 12-rep A/B) with the same
+        # CPU — keep the aggregate keyed on plain attributes.
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
         .distinct()
+        .select(
+            F.least(F.col("u"), F.col("v")).alias("doc_a"),
+            F.greatest(F.col("u"), F.col("v")).alias("doc_b"),
+        )
     )
 
     # exact verification: candidate pairs joined against the per-doc
