@@ -287,8 +287,19 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pure row-local regexp_count/regexp_replace inside one
     scan (codegen), then a groupBy on the low-cardinality source key with
     map-side partials — the shuffle carries O(sources) rows.
+
+    r16: spread before the regexp passes — the sf1 profile showed the
+    whole query serialized on ONE task (wall 3.96 s == CPU 3.98 s at
+    sf1: the fixture is a single input split, and with a 5-value
+    groupBy key the partial aggregation gave no parallelism to recover
+    it). The shuffle moves the raw text once (small next to 7 regexp
+    passes per row); on a real multi-split layout spread() skips
+    itself and the scan parallelizes natively. groupBy(source) sums are
+    exact integer aggregates — order-independent, output unchanged.
     """
-    d = load(spark, sf_dir, "documents").withColumn("raw", _planted_text())
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").withColumn(
+        "raw", _planted_text()
+    )
     redacted = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace("raw", PII_EMAIL, "<EMAIL>"),
