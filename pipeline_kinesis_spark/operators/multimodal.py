@@ -48,7 +48,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pipeline_kinesis_spark.io import load
+from pipeline_kinesis_spark.io import load, spread
 from pipeline_kinesis_spark.operators import QuerySpec
 from pipeline_kinesis_spark.operators.decode_guard import (
     check_dims,
@@ -3460,7 +3460,16 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     result with pure column arithmetic — a misdecode in ANY of the
     seven codec paths hash-fails the gate. Scale shape: decode is confined
     to executor batches; the shuffle carries only (lang, 3 ints)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    # r16: spread before the Python boundary — the sf1 sweep showed this
+    # operator's whole decode serialized on ONE Python worker (single
+    # input split; JVM CPU ~0.5 s vs wall 16.7 s: the work is all in the
+    # worker, invisible to the JVM clock). The shuffle moves only the
+    # narrow pre-decode columns; layout-aware spread() skips itself on
+    # a real multi-split layout. Downstream aggregates are
+    # order-independent, output identical.
+    d = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3550,7 +3559,16 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     to executor batches; the shuffle carries (lang, 4 ints) per doc."""
     from pipeline_kinesis_spark.operators.flac import encode_flac
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    # r16: spread before the Python boundary — the sf1 sweep showed this
+    # operator's whole decode serialized on ONE Python worker (single
+    # input split; JVM CPU ~0.5 s vs wall 31.1 s: the work is all in the
+    # worker, invisible to the JVM clock). The shuffle moves only the
+    # narrow pre-decode columns; layout-aware spread() skips itself on
+    # a real multi-split layout. Downstream aggregates are
+    # order-independent, output identical.
+    d = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -3632,10 +3650,18 @@ def audio_signal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, 3 ints) per clip."""
     from pipeline_kinesis_spark.operators.flac import encode_flac
 
-    d = (
+    # r16: spread before the Python boundary — the sf1 sweep showed this
+    # operator's whole decode serialized on ONE Python worker (single
+    # input split; JVM CPU ~0.5 s vs wall 16.6 s: the work is all in the
+    # worker, invisible to the JVM clock). The shuffle moves only the
+    # narrow pre-decode columns; layout-aware spread() skips itself on
+    # a real multi-split layout. Downstream aggregates are
+    # order-independent, output identical.
+    d = spread(
         load(spark, sf_dir, "documents")
         .select("doc_id", "lang")
-        .filter(F.col("doc_id") % 3 == 2)
+        .filter(F.col("doc_id") % 3 == 2),
+        "doc_id",
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3741,10 +3767,18 @@ def image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic alone. Scale shape: decode+hash per executor batch, one
     groupBy on a 64-bit key, then a histogram over group sizes —
     exactly the exact-dedup plan with sha256 swapped for dHash."""
-    d = (
+    # r16: spread before the Python boundary — the sf1 sweep showed this
+    # operator's whole decode serialized on ONE Python worker (single
+    # input split; JVM CPU ~0.5 s vs wall 7.2 s: the work is all in the
+    # worker, invisible to the JVM clock). The shuffle moves only the
+    # narrow pre-decode columns; layout-aware spread() skips itself on
+    # a real multi-split layout. Downstream aggregates are
+    # order-independent, output identical.
+    d = spread(
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .filter(F.col("doc_id") % 4 == 3)
+        .filter(F.col("doc_id") % 4 == 3),
+        "doc_id",
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3842,10 +3876,18 @@ def audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch, one groupBy on a 64-bit key."""
     from pipeline_kinesis_spark.operators.flac import encode_flac
 
-    d = (
+    # r16: spread before the Python boundary — the sf1 sweep showed this
+    # operator's whole decode serialized on ONE Python worker (single
+    # input split; JVM CPU ~0.5 s vs wall 26.2 s: the work is all in the
+    # worker, invisible to the JVM clock). The shuffle moves only the
+    # narrow pre-decode columns; layout-aware spread() skips itself on
+    # a real multi-split layout. Downstream aggregates are
+    # order-independent, output identical.
+    d = spread(
         load(spark, sf_dir, "documents")
         .select("doc_id")
-        .filter(F.col("doc_id") % 4 == 2)
+        .filter(F.col("doc_id") % 4 == 2),
+        "doc_id",
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4019,10 +4061,18 @@ def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches; the shuffle carries (lang, 4 ints) per clip."""
     from pipeline_kinesis_spark.operators.avi import encode_avi_mjpeg
 
-    d = (
+    # r16: spread before the Python boundary — the sf1 sweep showed this
+    # operator's whole decode serialized on ONE Python worker (single
+    # input split; JVM CPU ~0.5 s vs wall 27.5 s: the work is all in the
+    # worker, invisible to the JVM clock). The shuffle moves only the
+    # narrow pre-decode columns; layout-aware spread() skips itself on
+    # a real multi-split layout. Downstream aggregates are
+    # order-independent, output identical.
+    d = spread(
         load(spark, sf_dir, "documents")
         .select("doc_id", "lang")
-        .filter(F.col("doc_id") % 4 == 1)
+        .filter(F.col("doc_id") % 4 == 1),
+        "doc_id",
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -787,7 +787,17 @@ def html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks either the char sum or the match count and hash-fails the
     gate. Scale shape: one scan, parse confined to executor batches,
     shuffle carries (lang, 3 ints)."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # r16: spread before the Python boundary — the sf1 sweep showed this
+    # operator's whole decode serialized on ONE Python worker (single
+    # input split; JVM CPU ~0.5 s vs wall 6.3 s: the work is all in the
+    # worker, invisible to the JVM clock). The shuffle moves only the
+    # narrow pre-decode columns; layout-aware spread() skips itself on
+    # a real multi-split layout. Downstream aggregates are
+    # order-independent, output identical.
+    d = spread(
+        load(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id",
+    )
 
     def run(batches):
         import pandas as pd
@@ -923,10 +933,18 @@ def srt_caption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     slip in either format's timing math or cue framing hash-fails.
     Scale shape: one documents scan, parse per executor batch,
     (lang, 3 ints) shuffle."""
-    d = (
+    # r16: spread before the Python boundary — the sf1 sweep showed this
+    # operator's whole decode serialized on ONE Python worker (single
+    # input split; JVM CPU ~0.5 s vs wall 2.8 s: the work is all in the
+    # worker, invisible to the JVM clock). The shuffle moves only the
+    # narrow pre-decode columns; layout-aware spread() skips itself on
+    # a real multi-split layout. Downstream aggregates are
+    # order-independent, output identical.
+    d = spread(
         load(spark, sf_dir, "documents")
         .select("doc_id", "lang", "text")
-        .filter(F.col("doc_id") % 3 == 0)
+        .filter(F.col("doc_id") % 3 == 0),
+        "doc_id",
     )
 
     def run(batches):
