@@ -174,41 +174,102 @@ GROUP BY lang
 """
 
 
+def _winnow_fp_rows(d: DataFrame, k: int, w: int) -> DataFrame:
+    """(doc_id, fingerprints) via codegen'd ROWS (r16).
+
+    The r15 array form computed the k-char-gram hashes and the
+    window mins as nested transform() lambdas; higher-order functions
+    are CodegenFallback, so both passes ran per element in the
+    interpreted evaluator — 162 warm CPU-s at sf1, the heaviest row in
+    the registry. This form explodes char positions to rows (the
+    substring+xxhash64 fuses into the stage's generated loop, exactly
+    the exprs.ngram_rows argument), takes the w-window min as a
+    codegen'd sliding window frame over the doc_id-partitioned rows
+    (doc-sized groups — skew-safe, and the spread partitioning means
+    no exchange), and restores the array form with a first-occurrence
+    sort: array_distinct keeps elements in FIRST-OCCURRENCE order, and
+    the first occurrence of each min value is exactly its minimal
+    window index, so sorting (first_j, value) structs rebuilds the
+    identical array. Docs with no grams or no windows keep their empty
+    array: the explode is outer (one NULL-position row survives for
+    gram-less docs), non-window rows null out their min instead of
+    being filtered (so every doc reaches the final aggregate), and
+    collect_list skips nulls — yielding [] exactly like the old
+    transform over an empty index sequence. Verified row-identical
+    (arrays included) against the r15 form at sf0.1 and by the winnow
+    pytest battery.
+
+    Expects d = (doc_id, _low) already spread on doc_id.
+    """
+    n_grams = F.greatest(F.length("_low") - (k - 1), F.lit(0))
+    rows = d.select(
+        "doc_id",
+        "_low",
+        n_grams.alias("_ng"),
+        F.explode_outer(
+            F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        "_ng",
+        "i",
+        F.when(
+            F.col("i").isNotNull(),
+            F.xxhash64(F.expr(f"substring(_low, i, {k})")),
+        ).alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    wmin = rows.select(
+        "doc_id",
+        "i",
+        F.when(
+            F.col("i").isNotNull()
+            & (F.col("i") <= F.col("_ng") - (w - 1)),
+            F.min("h").over(win),
+        ).alias("m"),
+    )
+    first = wmin.groupBy("doc_id", "m").agg(F.min("i").alias("fj"))
+    return first.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("m").isNotNull(), F.struct("fj", "m")
+                    )
+                )
+            ),
+            lambda x: x["m"],
+        ).alias("fingerprints")
+    )
+
+
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (the MOSS scheme): hash every
     k-char-gram, keep the minimum hash in each sliding window of w hashes
     → a position-robust fingerprint set, the rolling-hash dedup primitive.
 
-    All JVM higher-order functions over the char sequence; no UDFs. No
+    All JVM expressions over the char sequence; no UDFs. No
     oracle (xxhash64 is engine-specific) — determinism + containment are
-    asserted in tests.
+    asserted in tests; output-identity vs the r15 array form checked at
+    sf0.1 (see _winnow_fp_rows).
     """
     k, w = 8, 4
-    # r15: materialize the lowered text ONCE per row. The old form spelt
-    # lower(trim(text)) INSIDE the transform lambda; higher-order
-    # functions evaluate their lambda body per element in the
-    # interpreted evaluator, so every char position re-ran the O(len)
-    # lower+trim copy — O(len²) per document. With _low bound as a
-    # column, the per-element body is an O(k) substring + hash.
-    # Identical values (same expressions over the same string); spread
-    # gives the char-gram pass the same single-row-group parallelism
-    # rescue every other per-doc heavy operator uses.
-    d = spread(load(spark, sf_dir, "documents"), "doc_id").withColumn(
-        "_low", F.expr("lower(trim(text))")
+    # r15: materialize the lowered text ONCE per row (the old inlined
+    # lower(trim(text)) re-ran per char position inside the interpreted
+    # lambda — O(len²) per document). r16: the gram/window passes are
+    # codegen'd rows (_winnow_fp_rows).
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", F.expr("lower(trim(text))").alias("_low")
     )
-    grams = (
-        f"transform(sequence(1, greatest(length(_low) - {k - 1}, 0)), "
-        f"i -> xxhash64(substring(_low, i, {k})))"
-    )
-    d = d.withColumn("_g", F.expr(grams))
-    fingerprints = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(size(_g) - {w - 1}, 0)), "
-        f"j -> array_min(slice(_g, j, {w}))))"
-    )
-    return d.select(
+    fp = _winnow_fp_rows(d, k, w)
+    return fp.select(
         "doc_id",
-        F.size(fingerprints).cast("long").alias("n_fingerprints"),
-        fingerprints.alias("fingerprints"),
+        F.size("fingerprints").cast("long").alias("n_fingerprints"),
+        "fingerprints",
     )
 
 
@@ -248,7 +309,13 @@ def winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_windows >= 1, (n_fp >= 1) & (n_fp <= n_windows))
         .otherwise(n_fp == 0)
         .alias("count_in_bounds"),
-        F.forall("_fp", lambda x: F.array_contains("_g", x)).alias(
+        # r16: forall(_fp, array_contains(_g, x)) evaluated an
+        # interpreted O(|_g|) scan per fingerprint — O(len^2/w) per doc,
+        # 71 of this row's 233 warm CPU-s at sf1. array_except builds
+        # one hash set over _g per doc instead: O(len). Identical
+        # boolean (hash values are never null; empty _fp => empty
+        # except-result => true, same as forall over an empty array).
+        (F.size(F.array_except("_fp", "_g")) == 0).alias(
             "fingerprints_contained"
         ),
     )
