@@ -337,20 +337,29 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     it; the oracle emits the exact count and literal TRUE. PipelineDB's
     continuous count(DISTINCT) is HLL-backed — this is its Spark analog."""
     o = load(spark, sf_dir, "orders")
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            F.countDistinct("o_custkey").alias("exact_cust"),
-            F.approx_count_distinct("o_custkey", 0.01).alias("approx"),
-        )
-        .select(
-            "o_orderpriority",
-            "exact_cust",
-            (
-                F.abs(F.col("approx") - F.col("exact_cust"))
-                <= F.lit(0.05) * F.col("exact_cust")
-            ).alias("within_bound"),
-        )
+    # r16 (guide §2.4): countDistinct + approx_count_distinct in ONE
+    # aggregate triggers the distinct-aggregate Expand rewrite — the
+    # imperative HLL then runs inside two non-codegen HashAggregates
+    # over the expanded (group, custkey, gid) rows (measured 85.8 of
+    # this row's 89 warm CPU-s at sf1). Computed as two independent
+    # aggregations joined on the 5-value group key, the HLL pass is a
+    # plain partial/final merge (5 buffers per partition, no Expand)
+    # and the exact pass is the standard two-phase distinct. Identical
+    # output: HLL register-max merging is order- and
+    # partitioning-independent, so the estimate is bit-identical.
+    exact = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_cust")
+    )
+    approx = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx")
+    )
+    return exact.join(approx, "o_orderpriority").select(
+        "o_orderpriority",
+        "exact_cust",
+        (
+            F.abs(F.col("approx") - F.col("exact_cust"))
+            <= F.lit(0.05) * F.col("exact_cust")
+        ).alias("within_bound"),
     )
 
 
