@@ -271,12 +271,19 @@ def _jaccard_prefix_pairs(
     # 3.29M -> 2.36M (see OPTIMIZATION_r16.md). The 1e-9 slack on the
     # index-prefix cutoff only ever keeps MORE rows, so float rounding
     # can never over-prune.
-    idx_plen = (
-        F.col("sz")
-        - F.ceil(F.lit(2.0 * t / (1.0 + t)) * F.col("sz") - F.lit(1e-9))
+    # The index-prefix cut rides as a JOIN PREDICATE on the a side
+    # rather than a pre-filtered build input: both join sides stay the
+    # SAME cached table (the symmetric r15 plan shape — a separately
+    # filtered build side added a broadcast stage that cost ~+0.3 s
+    # wall at bench SF), the matches are filtered during the hash
+    # probe, and the downstream distinct + verification see the same
+    # reduced candidate set either way.
+    idx_plen_a = (
+        F.col("a.sz")
+        - F.ceil(F.lit(2.0 * t / (1.0 + t)) * F.col("a.sz") - F.lit(1e-9))
         + 1
     ).cast("int")
-    a = prefix.filter(F.col("rn") <= idx_plen).alias("a")
+    a = prefix.alias("a")
     b = prefix.alias("b")
     # POSITIONAL filter (r16, the PPJoin ubound — guide §1.2 "the
     # distributed algorithm first"): the sf1 profile put the top cost
@@ -316,6 +323,10 @@ def _jaccard_prefix_pairs(
             # length filter: a.sz <= b.sz makes t*a.sz <= b.sz implicit;
             # the binding direction is a.sz >= ceil(t*b.sz)
             & (F.col("a.sz") >= F.ceil(F.lit(t) * F.col("b.sz")))
+            # index prefix: the smaller set's matching shingle must sit
+            # in its INDEX prefix (~sz/3 at t=0.5), not just the probe
+            # prefix (~sz/2)
+            & (F.col("a.rn") <= idx_plen_a)
             & (
                 ubound * F.lit(1.0 + t)
                 >= F.lit(t) * (F.col("a.sz") + F.col("b.sz")) - F.lit(1e-9)
