@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pipeline_kinesis_spark import get_spark
 from pipeline_kinesis_spark.registry import bench_queries
+from pipeline_kinesis_spark.session import default_parallelism
 
 
 def gates_main() -> None:
@@ -484,8 +485,12 @@ def main() -> None:
     # survives a 2000-char tail capture; every v4 diagnostic field
     # (spread map, per-shot ingest stats, probe components, host
     # provenance) moves UNCHANGED to the sidecar written next to this
-    # file (BENCH_DIAGNOSTICS.json, committed at round close). Timing
+    # file (BENCH_DIAGNOSTICS_c<cpus>.json, committed at round close). Timing
     # methodology, query set and the env contract are untouched.
+    # core-count-qualified sidecar name: the driver benches the same
+    # tree at two core counts back to back in this directory — a fixed
+    # name would leave only the LAST run's diagnostics on disk.
+    sidecar_name = f"BENCH_DIAGNOSTICS_c{default_parallelism()}.json"
     headline = {
         "metric": "headline_queries_total_wall",
         "value": total_raw,
@@ -508,7 +513,7 @@ def main() -> None:
         "pcalib_s": calib["pcalib_s"],
         "pcalib_ref_s": PCALIB_REF_S,
         "contended_start": contended,
-        "sidecar": "BENCH_DIAGNOSTICS.json",
+        "sidecar": sidecar_name,
     }
     diagnostics = {
         **headline,
@@ -562,7 +567,7 @@ def main() -> None:
         **calib,
     }
     sidecar_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DIAGNOSTICS.json"
+        os.path.dirname(os.path.abspath(__file__)), sidecar_name
     )
     try:
         with open(sidecar_path, "w") as f:
